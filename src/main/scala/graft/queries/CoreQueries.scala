@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Aggregates, Filters, MissingData}
+import graft.enrich.Province
+
+/** Aggregation / filter / scalar-function queries covering SURVEY §2.2, §2.4
+  * (A1-A13, P1-P9, F15). Each query is small-output and deterministic so the
+  * driver's DuckDB hash-compare is stable.
+  */
+object CoreQueries extends QueryGroup {
+
+  import Aggregates.{decAvg, decSum}
+
+  /** A3-flavored pricing summary (groupBy + exact decimal sums). */
+  val q01PricingSummary = QueryDef(
+    "q01_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").as("sum_disc_price"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A1: per-column null fraction, single pass (nulls synthesized via NULLIF
+    * since the test tables are fully populated). */
+  val q02NullFractions = QueryDef(
+    "q02_null_fractions",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("rf_n", expr("nullif(l_returnflag, 'N')"))
+        .withColumn("ls_o", expr("nullif(l_linestatus, 'O')"))
+      MissingData.nullFractions(li, Seq("rf_n", "ls_o"))
+    },
+    Some("""SELECT
+      AVG(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1.0 ELSE 0.0 END) AS rf_n,
+      AVG(CASE WHEN NULLIF(l_linestatus, 'O') IS NULL THEN 1.0 ELSE 0.0 END) AS ls_o
+      FROM lineitem"""))
+
+  /** A3/A4: value_counts with normalized percentage. */
+  val q03ValueCountsPct = QueryDef(
+    "q03_value_counts_pct",
+    (s, d) => Aggregates.valueCounts(Tables.orders(s, d), "o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+      CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct
+      FROM orders GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority"""))
+
+  /** A5: mode with the pandas smallest-value tie-break. */
+  val q04ModeQty = QueryDef(
+    "q04_mode_qty",
+    (s, d) => Aggregates.modeSmallest(Tables.lineitem(s, d), "l_quantity"),
+    Some("""SELECT l_quantity FROM (
+      SELECT l_quantity, COUNT(*) AS c FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY l_quantity ORDER BY c DESC, l_quantity ASC LIMIT 1)"""))
+
+  /** A6/A7: exact percentiles (linear interpolation = DuckDB quantile_cont). */
+  val q05Quantiles = QueryDef(
+    "q05_quantiles_price",
+    (s, d) => Tables.orders(s, d).agg(
+      round(percentile(col("o_totalprice"), lit(0.01)), 6).as("p01"),
+      round(percentile(col("o_totalprice"), lit(0.25)), 6).as("p25"),
+      round(percentile(col("o_totalprice"), lit(0.50)), 6).as("p50"),
+      round(percentile(col("o_totalprice"), lit(0.75)), 6).as("p75"),
+      round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99")),
+    Some("""SELECT
+      ROUND(quantile_cont(o_totalprice, 0.01), 6) AS p01,
+      ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+      ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+      ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+      ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      FROM orders"""))
+
+  /** A10: IQR outlier count (two-pass: quantile bounds → filter count). */
+  val q06IqrOutliers = QueryDef(
+    "q06_iqr_outlier_count",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val (lb, ub) = Aggregates.iqrBounds(o, "o_totalprice")
+      o.filter(col("o_totalprice") < lb || col("o_totalprice") > ub)
+        .agg(count(lit(1)).as("cnt"))
+    },
+    Some("""WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                              quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+      SELECT COUNT(*) AS cnt FROM orders, b
+      WHERE o_totalprice < q1 - 1.5 * (q3 - q1) OR o_totalprice > q3 + 1.5 * (q3 - q1)"""))
+
+  /** A11: exact distinct counts (gates schema decisions — never approx). */
+  val q07DistinctCounts = QueryDef(
+    "q07_distinct_counts",
+    (s, d) => Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(concat_ws("#", col("l_returnflag"), col("l_linestatus"))).as("n_flag_status")),
+    Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      CAST(COUNT(DISTINCT l_returnflag || '#' || l_linestatus) AS BIGINT) AS n_flag_status
+      FROM lineitem"""))
+
+  /** A12: target (mean) encoding learn step — groupBy(cat).avg(target). */
+  val q08TargetEncoding = QueryDef(
+    "q08_target_encoding",
+    (s, d) => Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(decAvg(col("c_acctbal")).as("enc"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal) AS enc,
+      COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** A13: Pearson correlation (rounded — moment stats are order-sensitive). */
+  val q09Corr = QueryDef(
+    "q09_corr",
+    (s, d) => Tables.lineitem(s, d).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+      round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax")),
+    Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem"""))
+
+  /** P1: substring predicate filter + count by group. */
+  val q11SubstringFilter = QueryDef(
+    "q11_substring_filter",
+    (s, d) => Tables.part(s, d)
+      .filter(col("p_name").contains("bolt") &&
+        (col("p_type").contains("SMALL") || col("p_type").contains("ECONOMY")))
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand"),
+    Some("""SELECT p_brand, COUNT(*) AS cnt FROM part
+      WHERE p_name LIKE '%bolt%' AND (p_type LIKE '%SMALL%' OR p_type LIKE '%ECONOMY%')
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** P3: the pandas `!= True` null-KEEPING filter (null-safe <=>). */
+  val q12NullSafeFilter = QueryDef(
+    "q12_nullsafe_filter",
+    (s, d) => Tables.lineitem(s, d)
+      .withColumn("flag",
+        when(col("l_discount") > 0.06, lit(null).cast("boolean"))
+          .otherwise(col("l_quantity") > 25))
+      .filter(Filters.notTrueKeepingNulls(col("flag")))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+      WHERE (CASE WHEN l_discount > 0.06 THEN NULL ELSE l_quantity > 25 END) IS DISTINCT FROM TRUE
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** F15: ordered half-open range map (postal → province), over synthesized
+    * postal codes so every range is hit. */
+  val q15ProvinceRanges = QueryDef(
+    "q15_province_ranges",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("postal", (lit(1000) + col("o_orderkey") % 9000).cast("int"))
+      .withColumn("province", Province.fromPostalCode(col("postal")))
+      .groupBy("province").agg(count(lit(1)).as("cnt"))
+      .orderBy("province"),
+    Some {
+      val cases = Province.Ranges
+        .map { case (lo, hi, n) => s"WHEN postal >= $lo AND postal < $hi THEN '$n'" }
+        .mkString(" ")
+      s"""SELECT (CASE $cases ELSE NULL END) AS province, COUNT(*) AS cnt
+      FROM (SELECT CAST(1000 + o_orderkey % 9000 AS INT) AS postal FROM orders)
+      GROUP BY province ORDER BY province"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02NullFractions, q03ValueCountsPct, q04ModeQty,
+    q05Quantiles, q06IqrOutliers, q07DistinctCounts, q08TargetEncoding,
+    q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.enrich.Province
+
+/** Pins the pandas-semantics traps called out in SURVEY §7.4-1. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P3: != True filter KEEPS nulls (null-safe <=>)") {
+    val df = Seq(Some(true), Some(false), None).toDF("b")
+    val kept = df.filter(Filters.notTrueKeepingNulls($"b")).collect().map(_.isNullAt(0))
+    // false row + null row survive
+    assert(kept.length == 2 && kept.count(identity) == 1)
+  }
+
+  test("F5: capitalize lowercases the tail (not initcap)") {
+    val df = Seq("fOR rENT", "brussels CITY", "a").toDF("s")
+    val got = df.select(TextOps.capitalize($"s")).as[String].collect().toSeq
+    assert(got == Seq("For rent", "Brussels city", "A"))
+  }
+
+  test("F5: cleanCategory replaces underscores then capitalizes") {
+    val got = Seq("GOOD_AS_NEW").toDF("s")
+      .select(TextOps.cleanCategory($"s")).as[String].head()
+    assert(got == "Good as new")
+  }
+
+  test("F1: urlTail takes last path segment after stripping trailing slashes") {
+    val got = Seq("https://x.be/a/b/12345///").toDF("u")
+      .select(TextOps.urlTail($"u")).as[String].head()
+    assert(got == "12345")
+  }
+
+  test("A5: mode tie-break picks the SMALLEST value") {
+    val df = Seq(3, 3, 1, 1, 2).toDF("v")
+    assert(Aggregates.modeSmallest(df, "v").as[Int].head() == 1)
+  }
+
+  test("W1: keepFirst is deterministic under an order column") {
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c")).toDF("k", "ord", "v")
+    val got = Dedup.keepFirst(df, Seq("k"), Seq("ord"))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(got == Seq("a", "c"))
+  }
+
+  test("F15: province ranges are half-open [start, end)") {
+    val df = Seq("1000", "1299", "1300", "9999", "10000", "999", "xx", null)
+      .toDF("postal")
+    val got = df.select(Province.fromPostalCode($"postal")).as[String].collect().toSeq
+    assert(got == Seq("Brussels", "Brussels", "Brabant_Walloon", "East_Flanders",
+      null, null, null, null))
+  }
+
+  test("F11: nullToFalse implements intent (null -> false)") {
+    val df = Seq(Some(true), None).toDF("b")
+    val got = df.select(CastOps.nullToFalse($"b")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("F13: winsorize clips into the exact-percentile bounds") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val clipped = CastOps.winsorize(df, "x", 0.05, 0.95)
+    val (mn, mx) = clipped.agg(min($"x"), max($"x")).as[(Double, Double)].head()
+    assert(mn == 5.95 && mx == 95.05) // pandas-style linear interpolation
+  }
+
+  test("A1: cleanMissingData drops columns above the threshold") {
+    val df = Seq((Some(1), None: Option[Int]), (Some(2), Some(3)))
+      .toDF("keep", "mostly_null")
+    val (pruned, dropped) = MissingData.cleanMissingData(df, 0.4)
+    assert(dropped == Seq("mostly_null") && pruned.columns.toSeq == Seq("keep"))
+  }
+
+  test("GeoOps: Mercator distance Brussels->Antwerp ~ Mercator metres (not true km)") {
+    val df = Seq((50.8503, 4.3517, 51.2194, 4.4025)).toDF("la1", "lo1", "la2", "lo2")
+    val m = df.select(GeoOps.dist3395($"la1", $"lo1", $"la2", $"lo2")).as[Double].head()
+    // true ground distance ~41.5 km; Mercator at ~51°N inflates by ~1.59x
+    assert(m > 60000 && m < 70000)
+  }
+}
