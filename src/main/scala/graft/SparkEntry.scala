@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    CoreQueries)
+    CoreQueries, JoinQueries, WindowQueries, ScalarQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Aggregates, Dedup, GeoOps, TextOps}
+import graft.enrich.CityProximity
+
+/** Join operators (SURVEY §2.3 J1-J8) + set ops (§2.6).
+  *
+  * Scale notes baked into the plans: the dim side of every equi join here is
+  * broadcast (customer/orders at these SFs; at 100 TB the same hint holds for
+  * genuine dimension tables); the 10-city theta join is a broadcast
+  * nested-loop whose inner side is 10 rows — the big side never shuffles.
+  */
+object JoinQueries extends QueryGroup {
+
+  import Aggregates.{decAvg, decSum}
+
+  /** J6: 3-way equi join + groupBy revenue. */
+  val q16Join3Revenue = QueryDef(
+    "q16_join3_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J1/J3: anti join — customers with no high-value order (every customer
+    * has SOME order in the test data, so the anti side is a filtered set). */
+  val q17AntiJoin = QueryDef(
+    "q17_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J2: semi join — customers with at least one high-value order. */
+  val q18SemiJoin = QueryDef(
+    "q18_semi_join",
+    (s, d) => Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J5/F20/F21/W3: Mercator-distance theta join against the 10-city dim with
+    * keep-first-city assignment. Coordinates synthesized deterministically
+    * from the customer key (the test tables have no lat/lon). */
+  val q19GeoThetaJoin = QueryDef(
+    "q19_geo_theta_join",
+    (s, d) => {
+      val pts = Tables.customer(s, d)
+        .withColumn("lat", lit(50.0) + (col("c_custkey") % 140).cast("double") / 100.0)
+        .withColumn("lon", lit(3.0) + (col("c_custkey") % 250).cast("double") / 100.0)
+      CityProximity.assignCity(pts, "c_custkey", "lat", "lon", 15.0)
+        .groupBy("city").agg(count(lit(1)).as("cnt"))
+        .orderBy("city")
+    },
+    Some {
+      val cityValues = CityProximity.Cities
+        .map { case (i, n, la, lo) => s"($i, '$n', $la, $lo)" }.mkString(", ")
+      """WITH pts AS (
+        SELECT c_custkey, 50.0 + CAST(c_custkey % 140 AS DOUBLE) / 100.0 AS lat,
+               3.0 + CAST(c_custkey % 250 AS DOUBLE) / 100.0 AS lon FROM customer),
+      cities(city_index, city, city_lat, city_lon) AS (VALUES """ + cityValues + """),
+      joined AS (
+        SELECT c_custkey, city, city_index,
+          ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY city_index) AS rn
+        FROM pts JOIN cities ON
+          sqrt(pow(radians(lon) * 6378137.0 - radians(city_lon) * 6378137.0, 2) +
+               pow(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0 -
+                   ln(tan(pi() / 4 + radians(city_lat) / 2)) * 6378137.0, 2)) <= 15000.0)
+      SELECT city, COUNT(*) AS cnt FROM joined WHERE rn = 1
+      GROUP BY city ORDER BY city"""
+    })
+
+  /** J8: remap-with-fallback (pandas .map(m).fillna(col)) as a when-chain. */
+  val q20RemapFallback = QueryDef(
+    "q20_remap_fallback",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("prio",
+        TextOps.remapWithFallback(col("o_orderpriority"),
+          Map("1-URGENT" -> "URGENT", "2-HIGH" -> "HIGH")))
+      .groupBy("prio").agg(count(lit(1)).as("cnt"))
+      .orderBy("prio"),
+    Some("""SELECT (CASE o_orderpriority WHEN '1-URGENT' THEN 'URGENT'
+        WHEN '2-HIGH' THEN 'HIGH' ELSE o_orderpriority END) AS prio,
+      COUNT(*) AS cnt FROM orders GROUP BY prio ORDER BY prio"""))
+
+  /** §2.6: intersect / except / union-distinct over key sets. */
+  val q24SetOps = QueryDef(
+    "q24_set_ops",
+    (s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val ord = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val nBoth = cust.intersect(ord).agg(count(lit(1)).as("n_both"))
+      val nCustOnly = cust.except(ord).agg(count(lit(1)).as("n_cust_only"))
+      val nUnion = cust.union(ord).distinct().agg(count(lit(1)).as("n_union"))
+      nBoth.crossJoin(nCustOnly).crossJoin(nUnion)
+    },
+    Some("""SELECT
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_both,
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_cust_only,
+      (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders)) AS n_union"""))
+
+  /** J4: broadcast map-lookup join (the geocode-cache pattern) — inline
+    * key→value dim joined onto normalized keys, misses stay null. */
+  val q25CacheLookup = QueryDef(
+    "q25_cache_lookup",
+    (s, d) => {
+      import s.implicits._
+      val cache = Seq(
+        ("nation_0", 50.85, 4.35), ("nation_1", 51.22, 4.40),
+        ("nation_2", 51.05, 3.72), ("nation_17", 50.63, 5.33))
+        .toDF("norm_name", "lat", "lon")
+      Tables.nation(s, d)
+        .withColumn("norm_name", TextOps.normalizeAddress(col("n_name")))
+        .join(broadcast(cache), Seq("norm_name"), "left")
+        .select(col("n_nationkey"), col("norm_name"),
+          col("lat"), col("lon"),
+          col("lat").isNotNull.cast("int").as("cache_hit"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH cache(norm_name, lat, lon) AS (VALUES
+        ('nation_0', 50.85, 4.35), ('nation_1', 51.22, 4.40),
+        ('nation_2', 51.05, 3.72), ('nation_17', 50.63, 5.33))
+      SELECT n_nationkey,
+        regexp_replace(lower(trim(n_name)), '\s+', ' ', 'g') AS norm_name,
+        CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon,
+        CAST(lat IS NOT NULL AS INT) AS cache_hit
+      FROM nation LEFT JOIN cache ON
+        regexp_replace(lower(trim(n_name)), '\s+', ' ', 'g') = cache.norm_name
+      ORDER BY n_nationkey"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q16Join3Revenue, q17AntiJoin, q18SemiJoin, q19GeoThetaJoin,
+    q20RemapFallback, q24SetOps, q25CacheLookup)
+}
