@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    CoreQueries, JoinQueries, WindowQueries, ScalarQueries)
+    CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
+    TextQueries, DedupQueries, SimQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The actual media decode is STUBBED (this container ships no image/audio
+  * codecs): `decodeStub` produces a deterministic fake feature vector from
+  * the bytes. Everything around it — the schema, the batch shape, the
+  * partition-local iteration, the explode of sampled frames — is the real
+  * 100 TB plumbing: batches never leave the executor, no driver collect, and
+  * the binary payload is projected away as soon as features are extracted.
+  */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  /** Synthesize a media table from the documents table: content = utf-8 bytes
+    * of the text (an opaque deterministic payload), meta derived from length.
+    */
+  def fakeMediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"),
+        (col("n_chars") % 16 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Deterministic fake "decode": digest bytes into `dim` floats in [0,1).
+    * Stands in for a real image/audio decoder; byte-identical across runs
+    * and engines.
+    */
+  def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(if (content == null) Array.emptyByteArray else content)
+    Array.tabulate(dim) { i =>
+      val b0 = d(i % 16) & 0xff
+      val b1 = d((i + 7) % 16) & 0xff
+      ((b0 * 256 + b1).toFloat / 65536.0f)
+    }
+  }
+
+  /** Batched feature extraction over the binary column. Batches of
+    * `batchSize` rows are processed inside each partition (the mapInPandas
+    * batch shape, expressed as Scala mapPartitions) — the decode stub is the
+    * only fake part.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("format", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content"), col("meta.format").as("format"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            Row(id, decodeStub(bytes, dim).toSeq, if (r.isNullAt(2)) null else r.getString(2))
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-like media: one row per sampled frame index
+    * (every `stride`-th of meta.n_frames). Pure plan — the explode happens
+    * executor-side; content is carried, not duplicated per frame, by
+    * sampling indices first.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
+      .select(col("media_id"), col("frame_idx"), col("meta.format").as("format"))
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{DedupOps, TextAnalysis}
+
+/** Deduplication operators over the documents table: exact, n-gram Jaccard,
+  * MinHash+LSH banding, SimHash. Signatures are md5-derived so the DuckDB
+  * oracle reproduces them bit-for-bit (TextAnalysis.md5Int32).
+  */
+object DedupQueries extends QueryGroup {
+
+  /** Exact dedup via hash-groupBy. The corpus has no true duplicates, so
+    * duplicates are synthesized deterministically (docs with doc_id % 10 == 0
+    * appear twice) — the operator under test is the group-detect itself. */
+  val q44ExactDup = QueryDef(
+    "q44_exact_dup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val withDups = docs.unionAll(docs.filter(col("doc_id") % 10 === 0))
+      DedupOps.exactDupGroups(withDups, "doc_id", md5(col("text")))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("n_docs")).as("n_dup_docs"),
+          min(col("first_id")).as("min_first_id"),
+          max(col("n_docs")).cast("bigint").as("max_group"))
+    },
+    Some("""WITH dup AS (SELECT * FROM documents
+        UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
+      g AS (SELECT md5(text) AS dup_key, COUNT(doc_id) AS n_docs, MIN(doc_id) AS first_id
+            FROM dup GROUP BY md5(text) HAVING COUNT(doc_id) > 1)
+      SELECT COUNT(*) AS n_groups, SUM(n_docs) AS n_dup_docs,
+        MIN(first_id) AS min_first_id, CAST(MAX(n_docs) AS BIGINT) AS max_group
+      FROM g"""))
+
+  /** Exact 2-gram Jaccard pairs (shingle-equi-join, never all-pairs). */
+  val q45NgramJaccard = QueryDef(
+    "q45_ngram_jaccard",
+    (s, d) => DedupOps.ngramJaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 60),
+      "doc_id", col("text"), 2, 0.05)
+      .orderBy("d1", "d2"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 60),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+      SELECT d1, d2, jaccard FROM (
+        SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) AS jaccard
+        FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
+      WHERE jaccard >= 0.05 ORDER BY d1, d2"""))
+
+  /** MinHash signatures + LSH banding: candidate pairs sharing ≥1 band. */
+  val q46MinhashLsh = QueryDef(
+    "q46_minhash_lsh",
+    (s, d) => {
+      val sig = DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), 2)
+      DedupOps.lshCandidatePairs(sig, "doc_id", bandsOf = 2).orderBy("d1", "d2")
+    },
+    Some {
+      val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 3).map { j =>
+        val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
+        s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      ORDER BY d1, d2"""
+    })
+
+  /** 16-bit SimHash per document (token multiset, md5 bit votes). */
+  val q47Simhash = QueryDef(
+    "q47_simhash",
+    (s, d) => DedupOps.simhash(
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", col("text"))
+      .orderBy("doc_id"),
+    Some {
+      val bits = 16
+      val sums = (0 until bits)
+        .map(b => s"SUM(((hv >> $b) & 1) * 2 - 1) AS s_$b").mkString(", ")
+      val combine = (0 until bits)
+        .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents WHERE doc_id < 100),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hv FROM t),
+      sm AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sm ORDER BY doc_id"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(
+    q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash)
+}

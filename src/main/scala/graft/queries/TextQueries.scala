@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Aggregates.decAvg
+import graft.text.TextAnalysis
+
+/** Text-analysis operators over the documents table (north-star extensions:
+  * token counting, language ID, quality scoring, fingerprinting).
+  */
+object TextQueries extends QueryGroup {
+
+  /** Token/char statistics per language. */
+  val q40TokenStats = QueryDef(
+    "q40_token_stats",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        max(col("n_tokens")).cast("int").as("max_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts). */
+  val q41LangId = QueryDef(
+    "q41_lang_id",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted"),
+    Some {
+      val scores = TextAnalysis.LangProfiles.map { case (l, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($arr, p -> list_contains(words, p))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+      sc AS (SELECT lang, $scores FROM w),
+      p AS (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted
+            FROM (SELECT *, $m AS m FROM sc))
+      SELECT lang, predicted, COUNT(*) AS cnt FROM p
+      GROUP BY lang, predicted ORDER BY lang, predicted"""
+    })
+
+  /** Quality score (length prior + lexical diversity + stopword term),
+    * averaged per source with exact decimal sums. */
+  val q42QualityScore = QueryDef(
+    "q42_quality_score",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy("source")
+      .agg(decAvg(col("q"), 6).as("avg_quality"), count(lit(1)).as("n_docs"))
+      .orderBy("source"),
+    Some("""WITH sc AS (SELECT source,
+        ROUND(0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+          + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + 0.3 * least(1.0,
+              CAST(len(list_filter(['the', 'a', 'of', 'and', 'is', 'to'],
+                p -> list_contains(string_split(text, ' '), p))) AS DOUBLE)
+              * 10.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+      FROM documents)
+      SELECT source,
+        CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality,
+        COUNT(*) AS n_docs
+      FROM sc GROUP BY source ORDER BY source"""))
+
+  /** 60-bit md5 document fingerprints: distinct/min/max per source. */
+  val q43Fingerprint = QueryDef(
+    "q43_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy("source"),
+    Some("""SELECT source,
+      CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      FROM (SELECT source, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+            FROM documents)
+      GROUP BY source ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint)
+}

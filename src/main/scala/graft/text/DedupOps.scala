@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale design: everything is explode → hash-partitioned groupBy/join — no
+  * driver-side pair loops. The LSH band join is the 100 TB path: candidate
+  * generation is an equi join on (band_id, band_value), so the quadratic
+  * all-pairs comparison never materializes; exact Jaccard runs only on the
+  * candidate set.
+  *
+  * Hashes are md5-derived (TextAnalysis.md5Int32) so an external engine can
+  * reproduce every signature bit-for-bit.
+  */
+object DedupOps {
+
+  import TextAnalysis.{md5Int32, tokens}
+
+  /** Word n-gram shingles (distinct), as an array column. Empty when the text
+    * has fewer than n tokens (guards Spark's descending `sequence`).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), count),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(count >= 1, grams).otherwise(array()))
+  }
+
+  /** Exact-duplicate groups: key = md5 of a normalized prefix (or full text).
+    * Returns one row per duplicated key with its cardinality.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.groupBy(keyExpr.as("dup_key"))
+      .agg(count(col(idCol)).as("n_docs"), min(col(idCol)).as("first_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Deterministic universal-hash seeds (a, b) for h_i(x) = (a·x + b) mod p.
+    * a < 2^31 so a·x stays within long for 32-bit x.
+    */
+  val MinhashSeeds: Seq[(Long, Long)] = Seq(
+    (1000003L, 17L), (999983L, 911L), (824633L, 337L),
+    (715827883L, 101L), (179424673L, 41L), (97L, 8191L))
+
+  val MinhashP: Long = 2147483647L
+
+  /** MinHash signature per document: (idCol, sig_0 … sig_{k-1}).
+    * One explode + one groupBy — a single shuffle keyed by document.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(textCol, n)).as("sh"))
+      .withColumn("h", md5Int32(col("sh")))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"sig_$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the signature: bandsOf consecutive signature slots per
+    * band; returns candidate pairs (d1 < d2) sharing at least one band.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, bandsOf: Int = 2): DataFrame = {
+    val k = MinhashSeeds.size
+    val nBands = k / bandsOf
+    val bandVals = (0 until nBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws(",", (0 until bandsOf).map(o => col(s"sig_${j * bandsOf + o}")): _*)
+          .as("band_val"))
+    }
+    val bands = sig.select(col(idCol), explode(array(bandVals: _*)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_val"))
+    val l = bands.select(col(idCol).as("d1"), col("band_id"), col("band_val"))
+    val r = bands.select(col(idCol).as("d2"), col("band_id"), col("band_val"))
+    l.join(r, Seq("band_id", "band_val"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold` within
+    * `df` — via shingle-equi-join (pairs that share no shingle never meet).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc").as("d1"), col("sh"))
+      .join(sh.select(col("doc").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** SimHash (default 16 bits) over token multiset: bit b is set when the
+    * signed sum of token-hash bit b is positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: Column, bits: Int = 16): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(textCol)).as("t"))
+      .withColumn("h", md5Int32(col("t")))
+    val sums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val hashExpr = (0 until bits).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(idCol), hashExpr.as("simhash"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, language ID (n-gram/stopword heuristic), quality scoring,
+  * document fingerprinting. All pure Column expressions (codegen'd, no UDFs),
+  * so they run inside whole-stage codegen at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The test corpus is single-space separated; use
+    * `tokensWs` for arbitrary whitespace.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokensWs(text: Column): Column = split(text, "\\s+")
+
+  /** A BPE-ish subword proxy: splits on word boundaries AND digit/letter
+    * transitions, the cheap deterministic stand-in for a real tokenizer's
+    * token count.
+    */
+  def bpeIshTokens(text: Column): Column =
+    filter(split(text, "(?<=\\W)|(?=\\W)|(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)"),
+      t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Portable 32-bit-range hash of a string: first 8 hex chars of md5 as a
+    * long. Chosen over Spark's murmur `hash()` because the DuckDB oracle can
+    * compute the identical value (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`).
+    */
+  def md5Int32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit document fingerprint (15 md5 hex chars → long). */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  /** Per-language stopword profiles for the language-ID heuristic.
+    * Order matters: ties resolve to the earlier language.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Number of profile words present (each counted once) in the text. */
+  def profileScore(toks: Column, profile: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(profile.map(lit): _*)))
+
+  /** Heuristic language ID: argmax profile score, first-profile-wins on ties,
+    * "und" (undetermined) when every score is zero.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (l, p) => l -> profileScore(toks, p) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic quality score in [0,1]: length prior + lexical diversity +
+    * stopword plausibility. Rounded to 6 decimals so downstream exact-decimal
+    * averages are reproducible on any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val enStops = LangProfiles.head._2
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopHits = profileScore(toks, enStops).cast("double")
+    val lengthPrior = least(lit(1.0), n / 50.0)
+    round(
+      lit(0.3) * lengthPrior + lit(0.4) * distinctRatio +
+        lit(0.3) * least(lit(1.0), stopHits * 10.0 / n), 6)
+  }
+
+  /** Punctuation ratio (chars outside [\p{L}\p{N}\s] over all chars). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+      .cast("double") / length(text)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(Similarity.asDouble($"a"), Similarity.asDouble($"b")))
+      .as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val e = Tables.embeddings(spark, sf001)
+    val topk = Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 5), e, "vec_id", "embedding", 3)
+    val byQ = topk.groupBy("qid").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(byQ.length == 5 && byQ.forall(r => r._2 == 3 && r._3 == 3))
+    // ranks ordered by descending sim
+    val sims = topk.filter($"qid" === 0).orderBy("rank").select("sim").as[Double].collect()
+    assert(sims.sorted.reverse.sameElements(sims))
+  }
+
+  test("lshTopK achieves nonzero overlap with brute force (approximate)") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, e, "vec_id", "embedding", 3, nPlanes = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty, "LSH returned nothing")
+    assert(exact.intersect(approx).nonEmpty, "LSH found none of the true top-k")
+  }
+
+  test("multimodal: features have the declared dim and are deterministic") {
+    val media = Multimodal.fakeMediaFromDocs(Tables.documents(spark, sf001).limit(50))
+    val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id")
+      .select("features").as[Seq[Float]].collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id")
+      .select("features").as[Seq[Float]].collect()
+    assert(f1.length == 50 && f1.forall(_.length == 16))
+    assert(f1.zip(f2).forall { case (a, b) => a == b })
+    assert(f1.flatten.forall(v => v >= 0.0f && v < 1.0f))
+  }
+
+  test("multimodal: frame sampling emits every stride-th frame") {
+    val media = Multimodal.fakeMediaFromDocs(Tables.documents(spark, sf001).limit(20))
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    val bad = frames.filter($"frame_idx" % 4 =!= 0).count()
+    assert(bad == 0 && frames.count() > 0)
+  }
+}

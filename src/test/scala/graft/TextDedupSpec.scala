@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{DedupOps, TextAnalysis}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: 2-grams of a 4-token text, distinct") {
+    val df = Seq("a b c b c").toDF("text")
+    val got = df.select(DedupOps.shingles($"text", 2)).as[Seq[String]].head()
+    assert(got.sorted == Seq("a b", "b c", "c b").sorted)
+  }
+
+  test("shingles: shorter than n yields empty array, not a crash") {
+    val df = Seq("solo").toDF("text")
+    assert(df.select(DedupOps.shingles($"text", 2)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("langId: picks profile language, und when nothing matches") {
+    val df = Seq("the cat sat of the mat", "der hund und die katze", "zz yy xx")
+      .toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1] and deterministic") {
+    val docs = Tables.documents(spark, sf001)
+    val stats = docs.select(TextAnalysis.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).as[(Double, Double)].head()
+    assert(stats._1 >= 0.0 && stats._2 <= 1.0)
+  }
+
+  test("exactDupGroups finds only true duplicate groups") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    val got = DedupOps.exactDupGroups(df, "id", md5($"text")).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("n_docs") == 2
+      && got.head.getAs[Long]("first_id") == 1L)
+  }
+
+  test("minhash signature of identical texts is identical; LSH pairs them") {
+    val df = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"), (3L, "p q r p q r p q"))
+      .toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignatures(df, "doc_id", $"text", 2)
+    val pairs = DedupOps.lshCandidatePairs(sig, "doc_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("LSH candidates contain the high-jaccard pairs (recall on real data)") {
+    val docs = Tables.documents(spark, sf001).filter($"doc_id" < 120)
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", $"text", 2, 0.35)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val sig = DedupOps.minhashSignatures(docs, "doc_id", $"text", 2)
+    val cand = DedupOps.lshCandidatePairs(sig, "doc_id").as[(Long, Long)].collect().toSet
+    // every pair with jaccard >= 0.35 should be an LSH candidate w.h.p.
+    val missed = exact.diff(cand)
+    assert(missed.size <= math.max(1, exact.size / 5),
+      s"LSH missed ${missed.size} of ${exact.size} high-sim pairs")
+  }
+
+  test("simhash: identical texts collide, disjoint-vocab texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val got = DedupOps.simhash(df, "doc_id", $"text").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+
+  test("fingerprint is stable and distinct across distinct docs") {
+    val df = Seq("one two", "one two", "three four").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
