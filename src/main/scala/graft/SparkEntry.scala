@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
-    TextQueries, DedupQueries, SimQueries)
+    TextQueries, DedupQueries, SimQueries, PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)
