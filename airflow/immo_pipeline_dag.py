@@ -1,0 +1,49 @@
+# Airflow DAG scheduling the Spark jobs — the Spark-native translation of
+# /root/reference/docker-airflow/dags/airflow_auto_model.py:23-47: same
+# four-task shape (scrape >> export >> preprocess >> model), same weekly
+# cadence with catchup, same retry policy; each BashOperator now submits a
+# Spark job instead of running a Python script. All jobs are idempotent, so
+# catchup replays are safe.
+from datetime import datetime, timedelta
+
+from airflow import DAG
+from airflow.operators.bash import BashOperator
+
+default_args = {
+    "owner": "airflow",
+    "retries": 1,                      # airflow_auto_model.py:8-10
+    "retry_delay": timedelta(minutes=5),
+}
+
+SUBMIT = "spark-submit --class {cls} /opt/graft/immoelizapipelinespark.jar"
+DATA = "/data/immo"
+
+with DAG(
+    dag_id="immo_spark_pipeline",
+    default_args=default_args,
+    start_date=datetime(2024, 1, 1),
+    schedule_interval="@weekly",       # airflow_auto_model.py:17-19
+    catchup=True,
+) as dag:
+    scrape = BashOperator(
+        task_id="run_scraper",
+        bash_command=SUBMIT.format(cls="graft.jobs.ScrapeJob")
+        + f" {DATA}/links {DATA}/properties https://www.immoweb.be/sitemap.xml",
+    )
+    export = BashOperator(
+        task_id="run_export",
+        bash_command=SUBMIT.format(cls="graft.jobs.ExportJob")
+        + f" {DATA}/properties {DATA}/export_csv",
+    )
+    preprocess = BashOperator(
+        task_id="run_preprocessing",
+        bash_command=SUBMIT.format(cls="graft.jobs.PreprocessJob")
+        + f" {DATA}/export_csv {DATA}/geocode_cache {DATA}/clean",
+    )
+    model = BashOperator(
+        task_id="run_model_script",
+        bash_command=SUBMIT.format(cls="graft.jobs.ModelJob")
+        + f" {DATA}/clean {DATA}/model",
+    )
+
+    scrape >> export >> preprocess >> model

@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
-    TextQueries, DedupQueries, SimQueries, PipelineQueries)
+    TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

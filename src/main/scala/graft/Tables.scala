@@ -21,9 +21,10 @@ object Tables {
     // data is µs-grained, so the division is exact.
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integer DIV, not `/`: float division drifts ±1 µs at ns magnitudes
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case None => df
     }
   }

@@ -1,0 +1,134 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregates
+
+/** The reference's model-selection workload (/root/reference/model/project.py)
+  * on Spark ML — SURVEY §2.9 M1-M8.
+  *
+  * sklearn/Spark RNGs differ, so parity with the reference is defined on
+  * metric QUALITY (thresholds), never on split membership or hash-equal
+  * predictions (SURVEY §7.4-6). XGBoost maps to GBTRegressor (offline build —
+  * no external deps, per the reference's model zoo intent at project.py:221-227).
+  */
+object Models {
+
+  /** M1: keep features whose |corr(feature, target)| ≥ threshold
+    * (project.py:65-69) — one aggregate pass for all candidate columns.
+    */
+  def selectFeaturesByCorrelation(df: DataFrame, target: String,
+      threshold: Double = 0.10): Seq[String] = {
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        && f.name != target => f.name
+    }.toSeq
+    if (numeric.isEmpty) return Nil
+    val aggs = numeric.map(c => corr(col(c), col(target)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    numeric.filter { c =>
+      val r = row.getAs[Any](c)
+      r != null && math.abs(r.asInstanceOf[Double]) >= threshold
+    }
+  }
+
+  /** M2: assembler + scaler + regressor pipeline (project.py:84-97). */
+  def pipelineFor(features: Seq[String], target: String,
+      regressor: org.apache.spark.ml.PipelineStage): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features_raw")
+      .setHandleInvalid("skip")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    new Pipeline().setStages(Array(assembler, scaler, regressor))
+  }
+
+  /** M6: the model zoo — (name, stage, random-search grid builder).
+    * LinearRegression elasticNetParam 0 = ridge, 1 = lasso (regParam = alpha).
+    */
+  def modelZoo(target: String): Seq[(String, org.apache.spark.ml.PipelineStage, Pipeline => Array[ParamMap])] = {
+    def lr(elastic: Double, reg: Double) = new LinearRegression()
+      .setLabelCol(target).setFeaturesCol("features")
+      .setElasticNetParam(elastic).setRegParam(reg)
+    val linear = lr(0.0, 0.0)
+    val ridge = lr(0.0, 1.0)
+    val lasso = lr(1.0, 1.0)
+    val rf = new RandomForestRegressor()
+      .setLabelCol(target).setFeaturesCol("features").setSeed(42)
+    val gbt = new GBTRegressor()
+      .setLabelCol(target).setFeaturesCol("features").setSeed(42).setMaxIter(20)
+
+    def noGrid(p: Pipeline): Array[ParamMap] = new ParamGridBuilder().build()
+    Seq(
+      ("linear_regression", linear, noGrid _),
+      ("ridge", ridge, (_: Pipeline) => new ParamGridBuilder()
+        .addGrid(ridge.regParam, Array(0.01, 0.1, 1.0, 10.0)).build()),
+      ("lasso", lasso, (_: Pipeline) => new ParamGridBuilder()
+        .addGrid(lasso.regParam, Array(0.01, 0.1, 1.0, 10.0)).build()),
+      ("random_forest", rf, (_: Pipeline) => new ParamGridBuilder()
+        .addGrid(rf.numTrees, Array(20, 50))
+        .addGrid(rf.maxDepth, Array(4, 8)).build()),
+      ("gbt", gbt, (_: Pipeline) => new ParamGridBuilder()
+        .addGrid(gbt.maxDepth, Array(3, 5)).build()))
+  }
+
+  /** M7: sklearn RandomizedSearchCV has no Spark twin — seeded random
+    * subsample of the full grid to nIter points (project.py:157-218).
+    */
+  def randomSearchGrid(full: Array[ParamMap], nIter: Int, seed: Long): Array[ParamMap] = {
+    if (full.length <= nIter) full
+    else new scala.util.Random(seed).shuffle(full.toSeq).take(nIter).toArray
+  }
+
+  final case class EvalResult(name: String, cvRmse: Double, testRmse: Double,
+      testR2: Double, model: PipelineModel)
+
+  /** M3-M5, M7, M8: per-model train/tune/evaluate, then pick the best by CV
+    * RMSE and refit on the full data (project.py:220-315).
+    */
+  def selectBestModel(df: DataFrame, features: Seq[String], target: String,
+      numFolds: Int = 6, nIter: Int = 10, seed: Long = 42,
+      parallelism: Int = 4): (EvalResult, Seq[EvalResult]) = {
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)  // M3
+    val evalRmse = new RegressionEvaluator()
+      .setLabelCol(target).setPredictionCol("prediction").setMetricName("rmse")
+    val evalR2 = new RegressionEvaluator()
+      .setLabelCol(target).setPredictionCol("prediction").setMetricName("r2")
+
+    val results = modelZoo(target).map { case (name, stage, gridFor) =>
+      val pipe = pipelineFor(features, target, stage)
+      val grid = randomSearchGrid(gridFor(pipe), nIter, seed)         // M7
+      val cv = new CrossValidator()                                    // M4
+        .setEstimator(pipe)
+        .setEvaluator(evalRmse)
+        .setEstimatorParamMaps(if (grid.isEmpty) new ParamGridBuilder().build() else grid)
+        .setNumFolds(numFolds)
+        .setSeed(seed)
+        .setParallelism(parallelism)
+      val fitted = cv.fit(train)
+      val best = fitted.bestModel.asInstanceOf[PipelineModel]
+      val pred = best.transform(test)
+      EvalResult(name, fitted.avgMetrics.min, evalRmse.evaluate(pred),
+        evalR2.evaluate(pred), best)                                   // M5
+    }
+    val winner = results.minBy(_.cvRmse)                               // M8
+    (winner, results)
+  }
+
+  /** Leaderboard as a DataFrame (the printed report of project.py:266-277). */
+  def leaderboard(spark: org.apache.spark.sql.SparkSession,
+      results: Seq[EvalResult]): DataFrame = {
+    import spark.implicits._
+    results.map(r => (r.name, r.cvRmse, r.testRmse, r.testR2))
+      .toDF("model", "cv_rmse", "test_rmse", "test_r2")
+      .orderBy("cv_rmse")
+  }
+}

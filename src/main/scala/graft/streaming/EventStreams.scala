@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (SURVEY §2.8 + §7.5).
+  *
+  * The reference has no streaming engine — its incremental model is
+  * batch-incremental (Airflow schedule + status columns). These operators are
+  * the streaming-native expression of that model plus the windowed analytics
+  * the north-star asks for. Every transform takes a DataFrame so it runs
+  * identically on a batch frame or a readStream frame (tested both ways:
+  * batch parity in q33, MemoryStream in StreamingSpec).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark for state
+    * eviction. At scale: state is bounded by (watermark horizon × key card.);
+    * the shuffle is keyed by (window, event_type).
+    */
+  def tumblingStats(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant (windowLen every slide). */
+  def slidingStats(events: DataFrame, windowLen: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Session boundaries per user — the flatMapGroupsWithState custom-state
+    * path (SURVEY §2.8's streaming analog of the link-state machine). A
+    * session closes when a later event for the same user arrives more than
+    * `gapMs` after the previous one (event-time gap, deterministic). With
+    * `useTimeout = true` idle sessions are additionally flushed by a
+    * processing-time timeout (production mode; tests use the data-driven
+    * default so results don't depend on wall-clock).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      useTimeout: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (useTimeout && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  emitted ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+
+  /** Batch sessionization twin (same gap semantics, expressed with windows) —
+    * lets the oracle/batch path check the streaming logic: a session starts
+    * where the gap from the previous event exceeds gapMs.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L)
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"))
+      .drop("session_id")
+  }
+
+  /** Incremental file-stream ingestion of an events directory with
+    * AvailableNow semantics (the Trigger.AvailableNow analog of the
+    * reference's scheduled batch pull).
+    */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ml.Models
+import graft.streaming.EventStreams
+
+class MlStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def linearData = {
+    // y = 3*x1 - 2*x2 + 0.5*x3 + tiny deterministic noise
+    val rows = Seq.tabulate(400) { i =>
+      val x1 = (i % 23).toDouble
+      val x2 = (i % 7).toDouble
+      val x3 = (i % 13).toDouble
+      val noise = ((i * 2654435761L) % 100) / 1000.0
+      (x1, x2, x3, (i % 5).toDouble, 3 * x1 - 2 * x2 + 0.5 * x3 + noise)
+    }
+    rows.toDF("x1", "x2", "x3", "irrelevant", "y")
+  }
+
+  test("M1: correlation feature selection keeps informative features") {
+    val feats = Models.selectFeaturesByCorrelation(linearData, "y", 0.10)
+    assert(feats.contains("x1") && feats.contains("x2"))
+    assert(!feats.contains("y"))
+  }
+
+  test("M2-M8: model selection picks a model with near-perfect fit on linear data") {
+    // small folds/grid for test speed; the API defaults mirror the reference
+    val (winner, all) = Models.selectBestModel(
+      linearData, Seq("x1", "x2", "x3"), "y", numFolds = 3, nIter = 2,
+      parallelism = 2)
+    assert(all.size == 5, "model zoo should have 5 families")
+    assert(winner.testR2 > 0.99, s"winner R2 = ${winner.testR2}")
+    assert(winner.name.contains("linear") || winner.name == "ridge" ||
+      winner.name == "lasso" || winner.name == "gbt" || winner.name == "random_forest")
+    // leaderboard shape
+    val lb = Models.leaderboard(spark, all)
+    assert(lb.columns.toSeq == Seq("model", "cv_rmse", "test_rmse", "test_r2"))
+    assert(lb.count() == 5)
+  }
+
+  test("M7: random search subsamples the grid deterministically") {
+    val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(1, 2, 3, 4, 5, 6))
+      .addGrid(gbt.maxIter, Array(10, 20)).build()
+    val a = Models.randomSearchGrid(grid, 5, seed = 42)
+    val b = Models.randomSearchGrid(grid, 5, seed = 42)
+    assert(a.length == 5 && a.toSeq == b.toSeq)
+  }
+
+  test("streaming: tumbling window over MemoryStream matches batch twin") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingStats(sdf, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      mem.addData((t(1), "click", 1.0), (t(2), "click", 2.0), (t(11), "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select("event_type", "cnt", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming: sessionize (flatMapGroupsWithState) emits closed sessions") {
+    implicit val sql = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0${m / 60}:${m % 60}%02d:00")
+    val mem = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,5 then a 30-min gap then 40 → first session closes
+      mem.addData(
+        EventStreams.Event(1, t(0), 1, "click", 1.0),
+        EventStreams.Event(2, t(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(3, t(40), 1, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_test")
+        .as[EventStreams.Session].collect()
+      assert(got.length == 1)
+      assert(got.head.n_events == 2 && got.head.total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming: batch sessionization twin agrees on session boundaries") {
+    val ev = Tables.events(spark, sf001)
+    val sessions = EventStreams.sessionizeBatch(ev, gapMs = 10 * 60 * 1000L)
+    // invariants: every session non-empty, start <= end, no user overlap gaps < gapMs
+    assert(sessions.filter($"n_events" < 1).count() == 0)
+    assert(sessions.filter($"session_start" > $"session_end").count() == 0)
+    val total = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(total == ev.count())
+  }
+}
