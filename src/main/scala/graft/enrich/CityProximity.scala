@@ -52,21 +52,40 @@ object CityProximity {
     Dedup.keepFirst(joined, Seq(idCol), Seq("city_index"))
   }
 
-  /** The reference's full enrichment: one Assigned_City_{r} flag-join per
-    * radius, left-joined back onto the input (preprocessing.py:242-248).
+  /** The reference's full enrichment: one Assigned_City_{r} column per radius
+    * (preprocessing.py:242-248) — computed in a SINGLE pass: one broadcast
+    * theta join against the max radius, one aggregate with a per-radius
+    * `min(struct(city_index, city))` (struct min orders by city_index first ⇒
+    * the keep-first-city semantics), one left join back. The reference (and
+    * the naive translation) does 3 joins + 3 window dedups; at scale that is
+    * 3 shuffles of the big side vs 1 here.
     */
   def withCityFlags(
       df: DataFrame,
       idCol: String,
       latCol: String,
       lonCol: String,
-      radiiKm: Seq[Double] = Seq(5, 10, 15)): DataFrame =
-    radiiKm.foldLeft(df) { (acc, r) =>
+      radiiKm: Seq[Double] = Seq(5, 10, 15)): DataFrame = {
+    val maxR = radiiKm.max
+    val cities = broadcast(citiesDf(df.sparkSession))
+    val withDist = df.select(col(idCol), col(latCol), col(lonCol))
+      .join(cities,
+        GeoOps.dist3395(col(latCol), col(lonCol), col("city_lat"), col("city_lon"))
+          <= maxR * 1000, "inner")
+      .withColumn("__dist",
+        GeoOps.dist3395(col(latCol), col(lonCol), col("city_lat"), col("city_lon")))
+    val aggs = radiiKm.map { r =>
+      min(when(col("__dist") <= r * 1000, struct(col("city_index"), col("city"))))
+        .as(s"__first_${r.toLong}")
+    }
+    val assigned = withDist.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(assigned, Seq(idCol), "left")
+    radiiKm.foldLeft(joined) { (acc, r) =>
       val rl = r.toLong
-      val assigned = assignCity(df, idCol, latCol, lonCol, r)
-        .select(col(idCol), col("city").as(s"Assigned_City_$rl"))
-      acc.join(assigned, Seq(idCol), "left")
+      acc.withColumn(s"Assigned_City_$rl", col(s"__first_$rl").getField("city"))
         .withColumn(s"Assigned_City_${rl}_flag",
           col(s"Assigned_City_$rl").isNotNull.cast("int"))
+        .drop(s"__first_$rl")
     }
+  }
 }

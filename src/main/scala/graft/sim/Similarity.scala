@@ -21,8 +21,15 @@ object Similarity {
   /** Cast Array[Float] → Array[Double] (exact). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd left-to-right dot product (graft.functions.DotProduct) —
+    * bit-identical to the HOF fold `aggregate(zip_with(a,b,_*_),0.0,_+_)`
+    * it replaces, but runs inside whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,11 +42,15 @@ object Similarity {
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms precomputed per side: one fold per pair instead of three, same
+    // doubles (sqrt(dot(v,v)) is identical wherever it's evaluated)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -74,11 +85,13 @@ object Similarity {
       k: Int, nPlanes: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -91,10 +104,12 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("d1"), asDouble(col(vecCol)).as("v1"))
+      .withColumn("n1", norm(col("v1")))
     val b = df.select(col(idCol).as("d2"), asDouble(col(vecCol)).as("v2"))
+      .withColumn("n2", norm(col("v2")))
     a.crossJoin(b)
       .filter(col("d1") < col("d2"))
-      .withColumn("sim", round(cosine(col("v1"), col("v2")), 6))
+      .withColumn("sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
       .filter(col("sim") >= threshold)
       .select("d1", "d2", "sim")
   }
