@@ -32,6 +32,36 @@ object Geocode {
     StructField("lat", DoubleType),
     StructField("lon", DoubleType)))
 
+  /** S9 source: the reference's cache artifact is one JSON object
+    * `{normalized_address: [lat, lon], ...}` (geocode_cache.json, 957 keys).
+    * Parsed Spark-native: whole-file read → from_json MapType → explode.
+    */
+  def loadCacheJson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"),
+        MapType(StringType, ArrayType(DoubleType))).as("m"))
+      .select(explode(col("m")).as(Seq("norm_addr", "coords")))
+      .select(col("norm_addr"),
+        element_at(col("coords"), 1).as("lat"),
+        element_at(col("coords"), 2).as("lon"))
+  }
+
+  /** S9 sink: write the cache back in the reference's artifact shape — ONCE
+    * per batch (never per row; SURVEY §7.4-4). The cache is bounded by
+    * distinct addresses, so a driver-side render is safe.
+    */
+  def saveCacheJson(cache: DataFrame, path: String): Unit = {
+    val entries = cache.select("norm_addr", "lat", "lon").collect()
+      .sortBy(_.getString(0))
+      .map { r =>
+        val k = r.getString(0).replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$k": [${r.getDouble(1)}, ${r.getDouble(2)}]"""
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      entries.mkString("{", ", ", "}"))
+  }
+
   /** The 4 fallback address formats (preprocessing.py:191-196), most→least
     * specific, already normalized.
     */

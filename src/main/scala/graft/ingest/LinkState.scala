@@ -88,4 +88,13 @@ object LinkState {
 
   /** The scrape-eligible set (scraper.py:230). */
   def pending(links: DataFrame): DataFrame = links.filter(col("status") === "pending")
+
+  /** J9: the FOREIGN KEY properties.link_id → links.classified_id is
+    * documentation-only in the reference (SQLite doesn't enforce it either
+    * way it's used); our integrity check is the anti join — rows violating
+    * the FK. Empty result ⇒ referential integrity holds.
+    */
+  def orphanProperties(properties: DataFrame, links: DataFrame): DataFrame =
+    properties.join(links,
+      properties("link_id") === links("classified_id"), "left_anti")
 }

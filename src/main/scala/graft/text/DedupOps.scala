@@ -99,6 +99,31 @@ object DedupOps {
       .select("d1", "d2", "jaccard")
   }
 
+  /** The Spark-ML MinHashLSH path — the 100 TB alternative to the explicit
+    * signature pipeline above: HashingTF shingle vectors → MinHashLSH →
+    * approxSimilarityJoin. Trades the bit-reproducible md5 signatures (oracle
+    * path) for the library's optimized AND-OR amplification.
+    * Returns (d1, d2, jaccard_distance) pairs under the distance threshold.
+    */
+  def minhashLshML(df: DataFrame, idCol: String, textCol: Column, n: Int,
+      distanceThreshold: Double, numHashTables: Int = 5): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingled = df.select(col(idCol), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val vectorized = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42)
+    val model = lsh.fit(vectorized)
+    model.approxSimilarityJoin(vectorized, vectorized, distanceThreshold, "dist")
+      .select(
+        col(s"datasetA.$idCol").as("d1"),
+        col(s"datasetB.$idCol").as("d2"),
+        col("dist"))
+      .filter(col("d1") < col("d2"))
+  }
+
   /** SimHash (default 16 bits) over token multiset: bit b is set when the
     * signed sum of token-hash bit b is positive.
     */

@@ -23,7 +23,7 @@ object TextAnalysis {
     */
   def bpeIshTokens(text: Column): Column =
     filter(split(text, "(?<=\\W)|(?=\\W)|(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)"),
-      t => length(t) > 0)
+      t => length(trim(t)) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

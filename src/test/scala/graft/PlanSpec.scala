@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CoreQueries, JoinQueries, SimQueries}
+
+/** Physical-plan regression guards: the scale properties claimed in the
+  * README (pushdown, pruning, broadcast strategy, codegen) asserted against
+  * the actual executed plans. A change that silently turns a broadcast join
+  * into a shuffle, or loses scan pushdown, fails here — not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString() + "\n" + qe.optimizedPlan.toString()
+  }
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan; columns pruned") {
+    val p = formatted(CoreQueries.q01PricingSummary.fn(spark, sf001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter not pushed to scan")
+    assert(!p.contains("l_orderkey"), "unused columns not pruned from ReadSchema")
+  }
+
+  test("q16: dimension joins are broadcast, not shuffled") {
+    val p = formatted(JoinQueries.q16Join3Revenue.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q19: 10-city theta join is a broadcast nested loop with pruned scan") {
+    val p = formatted(JoinQueries.q19GeoThetaJoin.fn(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin"), "expected broadcast NLJ")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"),
+      "scan should read only c_custkey")
+  }
+
+  test("q48: similarity scoring uses the custom DotProduct inside codegen stages") {
+    val df = SimQueries.q48CosineTopK.fn(spark, sf001)
+    val p = formatted(df)
+    assert(p.contains("dotproduct"), "custom DotProduct expression not in plan")
+    // AQE finalizes this df's physical plan only when IT executes (count()
+    // would build a separate QueryExecution) — collect, then inspect
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString()
+    assert(finalPlan.contains("*("), "no whole-stage codegen stage in final plan")
+  }
+
+  test("projection-only read prunes the parquet schema") {
+    val df = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+    val p = formatted(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+}

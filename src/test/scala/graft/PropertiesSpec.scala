@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.enrich.Province
+import graft.ingest.LinkState
+import graft.ops.{CastOps, Dedup}
+
+/** Property-based invariants (SURVEY §5.4) via plain ScalaCheck. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("province: ints in [1000,10000) map to a province; outside to null") {
+    check("province-cover", Prop.forAll(Gen.chooseNum(-500, 12000)) { p =>
+      val got = Seq(p.toString).toDF("postal")
+        .select(Province.fromPostalCode($"postal")).as[String].head()
+      if (p >= 1000 && p < 10000) got != null else got == null
+    }, n = 25)
+  }
+
+  test("winsorize: output within learned bounds, count preserved") {
+    check("winsorize", Prop.forAll(
+      Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6)).suchThat(_.size >= 2)) { xs =>
+      val df = xs.toDF("x")
+      val out = CastOps.winsorize(df, "x", 0.05, 0.95)
+      val Array(lo, hi) = df.agg(expr("percentile(x, array(0.05, 0.95))"))
+        .head().getSeq[Double](0).toArray
+      out.count() == xs.size &&
+        out.filter($"x" < lo - 1e-9 || $"x" > hi + 1e-9).count() == 0
+    }, n = 5)
+  }
+
+  test("keepFirst: idempotent, keys unique afterwards") {
+    check("keepFirst", Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 1000)))
+        .suchThat(_.nonEmpty)) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i) }
+        .toDF("k", "v", "ord")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq("ord"))
+      val twice = Dedup.keepFirst(once, Seq("k"), Seq("ord"))
+      once.collect().toSet == twice.collect().toSet &&
+        once.groupBy("k").count().filter($"count" > 1).count() == 0
+    }, n = 5)
+  }
+
+  test("link snapshot trichotomy: urls partition into pending/inactive exactly once") {
+    val t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = "https://x.be/classified/house/for-sale/a/1000/"
+    check("link-trichotomy", Prop.forAll(
+      Gen.listOfN(12, Gen.chooseNum(1, 30)),
+      Gen.listOfN(12, Gen.chooseNum(1, 30))) { (prev, next) =>
+      val links0 = LinkState.applySnapshot(
+        LinkState.emptyLinks(spark), prev.map(i => base + i).toDF("url"), t)
+      val links1 = LinkState.applySnapshot(
+        links0, next.map(i => base + i).toDF("url"), t)
+      val expected = (prev ++ next).map(i => base + i).toSet
+      val got = links1.select("url").as[String].collect()
+      val st = links1.select("url", "status").as[(String, String)].collect().toMap
+      got.toSet == expected && got.length == expected.size &&
+        (prev.toSet -- next.toSet).forall(i => st(base + i) == "inactive") &&
+        next.toSet.forall(i => st(base + i) == "pending")
+    }, n = 5)
+  }
+
+  test("target-encode transform preserves row count (left-join semantics)") {
+    check("target-encode", Prop.forAll(Gen.listOfN(25,
+      Gen.zip(Gen.oneOf("A", "B", "C", "Z"), Gen.chooseNum(0.0, 1e6)))
+      .suchThat(_.nonEmpty)) { rows =>
+      val df = rows.toDF("cat", "target")
+      val m = new graft.encode.TargetEncoder()
+        .setInputCol("cat").setTargetCol("target").fit(df)
+      m.transform(df).count() == rows.size
+    }, n = 5)
+  }
+}
