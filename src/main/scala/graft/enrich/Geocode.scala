@@ -107,6 +107,10 @@ object Geocode {
         .zipWithIndex.map { case (c, i) => c.as(s"addr_$i") }: _*)
       .distinct()
     val spark = df.sparkSession
+    // A14: the reference's running completed/failed counters
+    // (preprocessing.py:185-213) as Spark accumulators (diagnostic)
+    val completed = spark.sparkContext.longAccumulator("geocode.completed")
+    val failed = spark.sparkContext.longAccumulator("geocode.failed")
     val enc = org.apache.spark.sql.Encoders.row(cacheSchema)
     misses.coalesce(1).mapPartitions { rows =>
       rows.flatMap { r =>
@@ -116,6 +120,7 @@ object Geocode {
           Thread.sleep(rateLimitMs)
           a -> geocoder.lookup(a)
         }.collectFirst { case (a, Some((la, lo))) => Row(a, la, lo) }
+        if (hit.isDefined) completed.add(1) else failed.add(1)
         hit.iterator
       }
     }(enc)

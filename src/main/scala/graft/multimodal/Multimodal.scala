@@ -75,6 +75,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** "Resize" for image-like media — the decode→scale→re-encode step with the
+    * pixel work stubbed deterministically (no codecs in this container): the
+    * output payload is a digest-stretched byte array of the target size's
+    * footprint, and meta reflects the new dimensions. The Spark-side shape is
+    * the real thing: partition-local batches, binary in/binary out, no
+    * driver involvement.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = 64): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("meta", MediaSchema("meta").dataType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select("media_id", "content", "meta").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+          val resized =
+            if (bytes == null) null
+            else {
+              val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              val size = math.max(1, (targetW * targetH) / 64)
+              Array.tabulate[Byte](size)(i => md(i % 16))
+            }
+          val newMeta = if (meta == null) null else Row(
+            meta.getString(0), targetW, targetH, meta.getInt(3))
+          Row(id, resized, newMeta)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video-like media: one row per sampled frame index
     * (every `stride`-th of meta.n_frames). Pure plan — the explode happens
     * executor-side; content is carried, not duplicated per frame, by

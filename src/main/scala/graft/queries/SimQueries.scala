@@ -74,13 +74,17 @@ object SimQueries extends QueryGroup {
     },
     None)
 
-  /** Frame sampling over video-like media: every 4th frame. Rows-only. */
+  /** Resize + frame sampling over video-like media: every 4th frame of the
+    * stub-resized payloads. Rows-only. */
   val q52FrameSample = QueryDef(
     "q52_frame_sample",
-    (s, d) => Multimodal.sampleFrames(
-      Multimodal.fakeMediaFromDocs(Tables.documents(s, d)), stride = 4)
-      .groupBy("format").agg(count(lit(1)).as("n_frames"))
-      .orderBy("format"),
+    (s, d) => {
+      val media = Multimodal.fakeMediaFromDocs(Tables.documents(s, d))
+      val resized = Multimodal.resizeStub(media, targetW = 64, targetH = 64)
+      Multimodal.sampleFrames(resized, stride = 4)
+        .groupBy("format").agg(count(lit(1)).as("n_frames"))
+        .orderBy("format")
+    },
     None)
 
   override val defs: Seq[QueryDef] = Seq(

@@ -42,6 +42,19 @@ class MlStreamingSpec extends SparkSpec {
     assert(lb.count() == 5)
   }
 
+  test("S11: best model persists and reloads (PipelineModel.save/load)") {
+    val df = linearData
+    val m = Models.pipelineFor(Seq("x1", "x2"), "y",
+      new org.apache.spark.ml.regression.LinearRegression()
+        .setLabelCol("y").setFeaturesCol("features")).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("model").toString + "/m"
+    m.write.overwrite().save(dir)
+    val back = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = m.transform(df).select("prediction").as[Double].collect()
+    val b = back.transform(df).select("prediction").as[Double].collect()
+    assert(a.sameElements(b))
+  }
+
   test("M7: random search subsamples the grid deterministically") {
     val gbt = new org.apache.spark.ml.regression.GBTRegressor()
     val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()

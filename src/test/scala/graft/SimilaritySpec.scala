@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
     assert(f1.flatten.forall(v => v >= 0.0f && v < 1.0f))
   }
 
+  test("multimodal: resize stub rewrites payload + dims, keeps id/format") {
+    val media = Multimodal.fakeMediaFromDocs(Tables.documents(spark, sf001).limit(10))
+    val resized = Multimodal.resizeStub(media, targetW = 32, targetH = 16)
+    val rows = resized.orderBy("media_id").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) == 32 && meta.getInt(2) == 16)
+      assert(r.getAs[Array[Byte]]("content").length == (32 * 16) / 64)
+    }
+    // deterministic
+    val again = Multimodal.resizeStub(media, 32, 16).orderBy("media_id").collect()
+    assert(rows.zip(again).forall { case (a, b) =>
+      java.util.Arrays.equals(a.getAs[Array[Byte]]("content"), b.getAs[Array[Byte]]("content"))
+    })
+  }
+
   test("multimodal: frame sampling emits every stride-th frame") {
     val media = Multimodal.fakeMediaFromDocs(Tables.documents(spark, sf001).limit(20))
     val frames = Multimodal.sampleFrames(media, stride = 4)
