@@ -152,12 +152,23 @@ object Preprocessing {
 
   /** The whole chain with default parameters (geocoder absent — cache-only,
     * as in offline tests).
+    *
+    * The cleaned frame is persisted across the barriers: the prune, mode,
+    * quantile, and encoding aggregates each re-traverse it, and without a
+    * persist every one of those tiny collects re-runs the full clean plan
+    * from the scan (at 100 TB that is 4+ extra table scans).
     */
   def run(export: DataFrame, geocodeCache: DataFrame): DataFrame = {
     val cleaned = cleanStage(export)
-    val (pruned, _) = pruneStage(cleaned)
-    val typed = typeStage(pruned)
-    val (geocoded, _) = geocodeStage(typed, geocodeCache)
-    finalStage(encodeStage(enrichStage(geocoded)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (pruned, _) = pruneStage(cleaned)
+      val typed = typeStage(pruned)
+      val (geocoded, _) = geocodeStage(typed, geocodeCache)
+      val enriched = enrichStage(geocoded)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try finalStage(encodeStage(enriched))
+      finally enriched.unpersist(blocking = false)
+    } finally cleaned.unpersist(blocking = false)
   }
 }

@@ -105,6 +105,27 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: file stream over events dir with AvailableNow terminates and matches batch") {
+    val batch = Tables.events(spark, sf001)
+    // stage the normalized events as a parquet dir (the raw testdata carries
+    // ns timestamps which the streaming reader can't take via schema)
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString + "/events"
+    batch.write.parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.format("memory").queryName("filestream_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("filestream_test").as[(String, Long)].collect().toMap
+    val want = batch.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("streaming: batch sessionization twin agrees on session boundaries") {
     val ev = Tables.events(spark, sf001)
     val sessions = EventStreams.sessionizeBatch(ev, gapMs = 10 * 60 * 1000L)
