@@ -36,8 +36,12 @@ object PipelineQueries extends QueryGroup {
           .when(col("c_custkey") % 4 === 2, "DUPLEX").otherwise("HOUSE").as("Subtype"),
         when(col("c_custkey") % 37 === 0, "true").otherwise(lit(null).cast("string"))
           .as("sale_annuity"),
-        concat(lit("straat "), col("c_custkey") % 50).as("street"),
-        (col("c_custkey") % 120).cast("string").as("number"),
+        // unique per row: keep-first dedup must be a no-op here — which row
+        // survives a dup group depends on partition layout, and this query's
+        // output must be stable across SPARK_GRAFT_CPUS settings (dup
+        // semantics themselves are pinned by PreprocessingSpec's fixture)
+        concat(lit("straat "), col("c_custkey")).as("street"),
+        col("c_custkey").cast("string").as("number"),
         (lit(50.0) + (col("c_custkey") % 140).cast("double") / 100.0).cast("string")
           .as("latitude"),
         (lit(3.0) + (col("c_custkey") % 250).cast("double") / 100.0).cast("string")
