@@ -14,7 +14,8 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
-    TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries)
+    TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
+    WindowExtraQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

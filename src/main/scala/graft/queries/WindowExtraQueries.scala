@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Skew
+import graft.sim.Similarity
+
+/** Additional window-function + array-aggregate coverage, and the salted
+  * skew-safe aggregation (verified equal to the direct aggregate).
+  */
+object WindowExtraQueries extends QueryGroup {
+
+  /** lag/lead/rank/dense_rank over per-customer order history. */
+  val q34WindowSuite = QueryDef(
+    "q34_window_suite",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wr = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("price_rank", rank().over(wr))
+        .withColumn("price_dense_rank", dense_rank().over(wr))
+        .filter(col("o_custkey") < 100)
+        .select("o_custkey", "o_orderkey", "prev_price", "next_key",
+          "price_rank", "price_dense_rank")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, prev_price, next_key,
+        price_rank, price_dense_rank
+      FROM (SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+        CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_rank,
+        CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS price_dense_rank
+        FROM orders) WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Array aggregates over embeddings: per-label count + exact-decimal mean
+    * vector norm (norms via the codegen DotProduct; per-row round → decimal
+    * sum keeps the average order-independent). */
+  val q53EmbeddingStats = QueryDef(
+    "q53_embedding_stats",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", Similarity.asDouble(col("embedding")))
+        .withColumn("nrm", round(sqrt(Similarity.dot(col("v"), col("v"))), 6))
+      e.groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("nrm").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+            .as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (SELECT label,
+        ROUND(sqrt(list_dot_product(
+          list_transform(embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+        ROUND(MIN(nrm), 6) AS min_norm, ROUND(MAX(nrm), 6) AS max_norm
+      FROM e GROUP BY label ORDER BY label"""))
+
+  /** Salted two-stage aggregation — identical result to the direct groupBy
+    * (the oracle computes the direct form), skew-safe by construction. */
+  val q35SaltedAgg = QueryDef(
+    "q35_salted_agg",
+    (s, d) => Skew.saltedSumCount(Tables.lineitem(s, d), "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+      COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  override val defs: Seq[QueryDef] = Seq(q34WindowSuite, q53EmbeddingStats, q35SaltedAgg)
+}

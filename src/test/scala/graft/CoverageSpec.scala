@@ -53,6 +53,28 @@ class CoverageSpec extends SparkSpec {
     assert(got == Seq("abc", "123", "-", "def", ",", "ghi"))
   }
 
+  test("salted aggregate equals the direct aggregate on skewed data") {
+    // 90% of rows share one hot key
+    val rows = Seq.tabulate(2000)(i => (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k")
+      .agg(sum($"v".cast("decimal(28,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("k").collect().toSeq
+    val salted = graft.ops.Skew.saltedSumCount(df, "k", "v")
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("salted join equals the direct join") {
+    val big = Seq.tabulate(500)(i => (if (i % 5 == 0) "a" else "b", i)).toDF("k", "v")
+    val small = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "w")
+    val direct = big.join(small, Seq("k")).agg(sum($"v" * $"w")).head().getDouble(0)
+    val salted = graft.ops.Skew.saltedJoin(big, small, "k")
+      .agg(sum($"v" * $"w")).head().getDouble(0)
+    assert(salted == direct)
+  }
+
   test("A8: df.summary provides the describe() statistics") {
     val s = Tables.orders(spark, sf001).select("o_totalprice").summary()
     val stats = s.select("summary").as[String].collect().toSeq
