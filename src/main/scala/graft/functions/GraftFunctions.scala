@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL-surface registration for graft's custom expressions, both paths:
+  *  - `GraftFunctions.register(spark)` on a live session;
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at build time
+  *    (the SparkSessionExtensions injection point).
+  * After either, `SELECT graft_dot(a, b)` works in SQL text.
+  */
+object GraftFunctions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotProduct].getName, name),
+        builder))
+    }
+}
