@@ -30,6 +30,50 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().toSeq == Seq(4))
   }
 
+  test("ScrapeJob.run end-to-end: snapshot -> scrape -> properties + link statuses") {
+    val base = java.nio.file.Files.createTempDirectory("scrape").toString
+    val (linksDir, propsDir) = (s"$base/links", s"$base/properties")
+    val u1 = "https://www.immoweb.be/en/classified/house/for-sale/gent/9000/11111111"
+    val u2 = "https://www.immoweb.be/en/classified/apartment/for-sale/luik/4000/22222222"
+    val index = """<sitemapindex>
+      <sitemap><loc>https://x.be/sitemap-classified-1.xml</loc></sitemap>
+      </sitemapindex>"""
+    val sub = s"""<urlset>
+      <url><xhtml:link rel="alternate" hreflang="en-BE" href="$u1"/></url>
+      <url><xhtml:link rel="alternate" hreflang="en-BE" href="$u2"/></url>
+      </urlset>"""
+    def page(epc: String, kwh: String) = s"""<html><script>
+      window.classified = {"property":{"type":"HOUSE","subtype":"VILLA",
+        "location":{"locality":"Gent","postalCode":"9000","latitude":51.0,"longitude":3.7}},
+      "transaction":{"sale":{"price":300000},
+        "certificates":{"epcScore":$epc,"primaryEnergyConsumptionPerSqm":$kwh}}};
+      </script></html>"""
+    // locals only (a def would capture the non-serializable spec instance)
+    val goodPage = page("\"B\"", "250")
+    val badPage = page("null", "null") // both null -> validation reject -> error
+    val subLocal = sub
+    val u1Local = u1
+    val fetcher = new graft.ingest.Sitemap.Fetcher {
+      def fetch(url: String): String =
+        if (url.endsWith(".xml")) subLocal
+        else if (url == u1Local) goodPage
+        else badPage
+    }
+    val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    ScrapeJob.run(spark, linksDir, propsDir, index, fetcher, now)
+    val links = spark.read.parquet(linksDir)
+    val st = links.select("url", "status").as[(String, String)].collect().toMap
+    assert(st(u1) == "scraped" && st(u2) == "error")
+    val props = spark.read.parquet(propsDir)
+    assert(props.count() == 1)
+    val row = props.head()
+    assert(row.getAs[Long]("link_id") == 11111111L)
+    assert(row.getAs[String]("epc") == "B")
+    // re-run with the same snapshot: idempotent (no property dup, statuses keep)
+    ScrapeJob.run(spark, linksDir, propsDir, index, fetcher, now)
+    assert(spark.read.parquet(propsDir).count() == 1)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
