@@ -102,6 +102,50 @@ object DedupQueries extends QueryGroup {
       SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sm ORDER BY doc_id"""
     })
 
+  /** Near-dup CLUSTERING: LSH candidate pairs → connected components →
+    * cluster sizes. The decision step of a dedup pipeline (keep min-id doc
+    * per cluster); oracle = recursive-CTE transitive closure over the same
+    * md5-reproducible pair graph. */
+  val q55DedupClusters = QueryDef(
+    "q55_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val comps = DedupOps.connectedComponents(
+        pairs, docs.select(col("doc_id").as("doc")))
+      comps.groupBy("cluster").agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy("cluster")
+    },
+    Some {
+      val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 3).map { j =>
+        val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
+        s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(
-    q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash)
+    q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters)
 }

@@ -124,6 +124,48 @@ object DedupOps {
       .filter(col("d1") < col("d2"))
   }
 
+  /** Connected components over a candidate-pair graph — turns pairwise
+    * near-dup detection into dedup DECISIONS (keep min-id doc per cluster).
+    * Iterative min-label propagation (the Pregel pattern as DataFrame ops):
+    * each iteration is one join + one aggregate, so an iteration scales as a
+    * pair of shuffles; iterations are bounded by the cluster diameter (tiny
+    * for near-dup graphs). Deterministic: the fixpoint label is the minimum
+    * reachable doc id.
+    */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // localCheckpoint per iteration: without it the logical plan nests one
+    // join+aggregate per round and analysis/codegen memory grows until OOM —
+    // the standard iterative-DataFrame trap (at cluster scale use a reliable
+    // checkpoint dir instead of local)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc"), col("doc").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges.join(labels, edges("b") === labels("doc"))
+        .select(edges("a").as("doc"), col("label"))
+      val viaNbr = labels.unionByName(nbr)
+        .groupBy("doc").agg(min("label").as("label"))
+      // pointer jumping: label(doc) := min(label(doc), label(label(doc))) —
+      // turns chain-diameter convergence into O(log n) rounds
+      val hop = viaNbr.as("x")
+        .join(viaNbr.as("y"), col("x.label") === col("y.doc"))
+        .select(col("x.doc").as("doc"), col("y.label").as("label"))
+      val next = viaNbr.unionByName(hop)
+        .groupBy("doc").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** SimHash (default 16 bits) over token multiset: bit b is set when the
     * signed sum of token-hash bit b is positive.
     */

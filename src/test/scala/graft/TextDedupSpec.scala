@@ -59,6 +59,17 @@ class TextDedupSpec extends SparkSpec {
       s"LSH missed ${missed.size} of ${exact.size} high-sim pairs")
   }
 
+  test("connectedComponents: chains merge to min label, isolates stay singleton") {
+    // graph: 1-2, 2-3 (one cluster), 5-6 (another), 9 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc")
+    val got = DedupOps.connectedComponents(pairs, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(9L) == 9L)
+  }
+
   test("simhash: identical texts collide, disjoint-vocab texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
