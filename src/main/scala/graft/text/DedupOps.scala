@@ -143,9 +143,14 @@ object DedupOps {
       .localCheckpoint(true)
     var labels = docs.select(col("doc"), col("doc").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever decrease, so the label sum is a strictly-monotone
+    // convergence witness — one aggregate instead of a join+count per round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       val nbr = edges.join(labels, edges("b") === labels("doc"))
         .select(edges("a").as("doc"), col("label"))
       val viaNbr = labels.unionByName(nbr)
@@ -158,8 +163,9 @@ object DedupOps {
       val next = viaNbr.unionByName(hop)
         .groupBy("doc").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels = next
       i += 1
     }
