@@ -188,8 +188,40 @@ object ScalarQueries extends QueryGroup {
       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type"""))
 
+  /** F8/F9: the 4-format address assembly cascade + normalization, as data
+    * (the join side of the cascade is exercised by q25). */
+  val q56AddressAssembly = QueryDef(
+    "q56_address_assembly",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 50)
+        .withColumn("street", concat(lit("  Main STR. "), col("c_custkey")))
+        .withColumn("number", (col("c_custkey") % 30).cast("string"))
+        .withColumn("locality", col("c_mktsegment"))
+        .withColumn("postal", (lit(1000) + col("c_custkey")).cast("string"))
+      val cands = graft.enrich.Geocode.addressCandidates(
+        col("street"), col("number"), col("locality"), col("postal"))
+      c.select(col("c_custkey").as("id"),
+        cands(0).as("addr_full"), cands(1).as("addr_no_number"),
+        cands(2).as("addr_locality"), cands(3).as("addr_postal"))
+        .orderBy("id")
+    },
+    Some("""SELECT c_custkey AS id,
+      regexp_replace(regexp_replace(lower(trim(
+        concat_ws(' ', '  Main STR. ' || c_custkey, CAST(c_custkey % 30 AS VARCHAR),
+                  c_mktsegment, CAST(1000 + c_custkey AS VARCHAR)))),
+        'str\.', 'straat', 'g'), '\s+', ' ', 'g') AS addr_full,
+      regexp_replace(regexp_replace(lower(trim(
+        concat_ws(' ', '  Main STR. ' || c_custkey, c_mktsegment,
+                  CAST(1000 + c_custkey AS VARCHAR)))),
+        'str\.', 'straat', 'g'), '\s+', ' ', 'g') AS addr_no_number,
+      regexp_replace(lower(trim(
+        concat_ws(' ', c_mktsegment, CAST(1000 + c_custkey AS VARCHAR)))),
+        '\s+', ' ', 'g') AS addr_locality,
+      CAST(1000 + c_custkey AS VARCHAR) AS addr_postal
+      FROM customer WHERE c_custkey < 50 ORDER BY id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q10Skewness, q13LengthFilter, q14BetweenFilter, q26TextFuncs, q27UrlTail,
     q28EpcBucket, q29TryCast, q30Winsorize, q31DateAgg, q32JsonExtract,
-    q33TumblingWindow)
+    q33TumblingWindow, q56AddressAssembly)
 }

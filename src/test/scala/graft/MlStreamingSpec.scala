@@ -105,6 +105,24 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: stream-static broadcast join enriches events with a dim") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+    val joined = mem.toDF().toDF("event_id", "event_type")
+      .join(broadcast(dim), Seq("event_type"), "left")
+    val q = joined.writeStream.format("memory").queryName("dimjoin_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"), (3L, "signup"))
+      q.processAllAvailable()
+      val got = spark.table("dimjoin_test")
+        .select("event_id", "weight").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+      assert(got == Map(1L -> 1.0, 2L -> 0.5, 3L -> -1.0))
+    } finally q.stop()
+  }
+
   test("streaming: file stream over events dir with AvailableNow terminates and matches batch") {
     val batch = Tables.events(spark, sf001)
     // stage the normalized events as a parquet dir (the raw testdata carries
