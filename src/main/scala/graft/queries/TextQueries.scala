@@ -92,6 +92,25 @@ object TextQueries extends QueryGroup {
             FROM documents)
       GROUP BY source ORDER BY source"""))
 
+  /** True rolling-hash (Rabin-Karp) fingerprints via the codegen'd
+    * RollingHash expression; oracle replays the recurrence with a recursive
+    * CTE. */
+  val q57RollingHash = QueryDef(
+    "q57_rolling_hash",
+    (s, d) => Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+      .orderBy("doc_id"),
+    Some("""WITH RECURSIVE t AS (SELECT doc_id, text, len(text) AS n
+              FROM documents WHERE doc_id < 100),
+      r(doc_id, pos, h) AS (
+        SELECT doc_id, 0, CAST(0 AS BIGINT) FROM t
+        UNION ALL
+        SELECT r.doc_id, r.pos + 1,
+          (r.h * 257 + ord(substr(t.text, r.pos + 1, 1))) % 1000000007
+        FROM r JOIN t USING (doc_id) WHERE r.pos < t.n)
+      SELECT doc_id, h AS rhash FROM r JOIN t USING (doc_id)
+      WHERE pos = n ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint)
+    q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash)
 }

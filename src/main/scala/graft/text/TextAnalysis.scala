@@ -37,6 +37,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
+  /** True Rabin-Karp rolling-hash fingerprint (codegen'd custom Expression;
+    * see graft.functions.RollingHash).
+    */
+  def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.RollingHash(ColumnBridge.expression(text)))
+  }
+
   /** Per-language stopword profiles for the language-ID heuristic.
     * Order matters: ties resolve to the earlier language.
     */

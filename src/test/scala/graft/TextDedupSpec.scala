@@ -77,6 +77,15 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("rollingHash matches the hand-computed Rabin-Karp recurrence") {
+    def ref(s: String): Long = s.foldLeft(0L)((h, c) => (h * 257 + c) % 1000000007L)
+    val texts = Seq("abc", "", "the quick brown fox", "aab", "aba")
+    val got = texts.toDF("t").select(TextAnalysis.rollingHash($"t"))
+      .as[Long].collect().toSeq
+    assert(got == texts.map(ref))
+    assert(got(3) != got(4)) // order-sensitive, unlike a bag hash
+  }
+
   test("fingerprint is stable and distinct across distinct docs") {
     val df = Seq("one two", "one two", "three four").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
