@@ -146,6 +146,31 @@ object DedupQueries extends QueryGroup {
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""
     })
 
+  /** Winnowing fingerprints (k=8 char-grams, window w=4): per-doc
+    * fingerprint-set stats. */
+  val q58Winnowing = QueryDef(
+    "q58_winnowing",
+    (s, d) => DedupOps.winnow(
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", col("text"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text, len(text) - 7 AS ng FROM documents
+               WHERE doc_id < 100 AND len(text) >= 11),
+      g AS (SELECT doc_id, unnest(range(1, ng + 1)) AS pos, text, ng FROM t),
+      h AS (SELECT doc_id, pos, ng,
+              CAST(('0x' || substr(md5(substr(text, pos, 8)), 1, 8)) AS BIGINT) AS h
+            FROM g),
+      wmin AS (SELECT doc_id, pos, ng,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM h),
+      fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - 3)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+        MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      FROM fps GROUP BY doc_id ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters)
+    q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
+    q58Winnowing)
 }

@@ -172,6 +172,34 @@ object DedupOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., MOSS): hash every character
+    * k-gram, then keep the minimum hash of every w-length window of
+    * consecutive k-grams. The selected minima are the document's
+    * fingerprints — robust to insertions/reordering, with guaranteed match
+    * coverage for shared substrings ≥ w+k-1 chars. One explode + one
+    * partitioned window + distinct: scales as a single shuffle per stage.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nGrams = length(textCol) - (k - 1)
+    val grams = transform(
+      sequence(lit(1), nGrams),
+      i => struct(i.as("pos"), md5Int32(textCol.substr(i, lit(k))).as("h")))
+    val exploded = df
+      .filter(length(textCol) >= k + w - 1)
+      .select(col(idCol), lit(null).as("__dummy"),
+        explode(when(nGrams >= 1, grams).otherwise(array())).as("g"),
+        nGrams.as("ng"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"), col("ng"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    exploded
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("ng") - (w - 1))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** SimHash (default 16 bits) over token multiset: bit b is set when the
     * signed sum of token-hash bit b is positive.
     */

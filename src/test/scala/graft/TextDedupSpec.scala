@@ -77,6 +77,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(1L) != got(3L))
   }
 
+  test("winnow: shared long substrings guarantee shared fingerprints") {
+    val common = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"CCCCCC $common DD"),
+      (3L, "totally unrelated text with zero overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.winnow(df, "doc_id", $"text")
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // winnowing guarantee: substrings >= w+k-1 chars shared => fingerprint overlap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
   test("rollingHash matches the hand-computed Rabin-Karp recurrence") {
     def ref(s: String): Long = s.foldLeft(0L)((h, c) => (h * 257 + c) % 1000000007L)
     val texts = Seq("abc", "", "the quick brown fox", "aab", "aba")
