@@ -30,7 +30,7 @@ object DedupQueries extends QueryGroup {
         UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
       g AS (SELECT md5(text) AS dup_key, COUNT(doc_id) AS n_docs, MIN(doc_id) AS first_id
             FROM dup GROUP BY md5(text) HAVING COUNT(doc_id) > 1)
-      SELECT COUNT(*) AS n_groups, SUM(n_docs) AS n_dup_docs,
+      SELECT COUNT(*) AS n_groups, CAST(SUM(n_docs) AS BIGINT) AS n_dup_docs,
         MIN(first_id) AS min_first_id, CAST(MAX(n_docs) AS BIGINT) AS max_group
       FROM g"""))
 

@@ -116,7 +116,7 @@ object ScalarQueries extends QueryGroup {
         sum(col("parsed").isNull.cast("bigint")).as("n_coerce_fail"),
         decSum(col("parsed")).as("sum_parsed")),
     Some("""SELECT COUNT(*) AS n_rows,
-      SUM(CAST(parsed IS NULL AS BIGINT)) AS n_coerce_fail,
+      CAST(SUM(CAST(parsed IS NULL AS BIGINT)) AS BIGINT) AS n_coerce_fail,
       CAST(SUM(CAST(parsed AS DECIMAL(28,2))) AS DOUBLE) AS sum_parsed
       FROM (SELECT TRY_CAST(CASE WHEN doc_id % 7 = 0
           THEN 'x' || CAST(n_chars AS VARCHAR)

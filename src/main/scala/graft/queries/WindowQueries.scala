@@ -48,7 +48,7 @@ object WindowQueries extends QueryGroup {
         .select("c_nationkey", "rk", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "rk")
     },
-    Some("""SELECT c_nationkey, rk, c_custkey, c_acctbal FROM (
+    Some("""SELECT c_nationkey, CAST(rk AS INTEGER) AS rk, c_custkey, c_acctbal FROM (
       SELECT c_nationkey, c_custkey, c_acctbal,
         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
       FROM customer) WHERE rk <= 3
