@@ -30,9 +30,12 @@ object Preprocessing {
     "Mixed_use_building" -> Seq("Mixed_use_building", "Apartment_block", "Castle",
       "Exceptional_property", "Other_property"))
 
-  /** preprocessing.py:526-537 — rare-category remaps with fallback. */
+  /** preprocessing.py:526-537 — rare-category remaps with fallback (all THREE
+    * State_of_building mappings, including 'Just renovated' -> 'Good').
+    */
   val StateRemap: Map[String, String] = Map(
-    "To_restore" -> "To_renovate", "To_be_done_up" -> "To_renovate")
+    "To_restore" -> "To_renovate", "To_be_done_up" -> "To_renovate",
+    "Just_renovated" -> "Good")
   val EpcRemap: Map[String, String] = Map(
     "A+" -> "A", "A++" -> "A", "G" -> "F")
 
@@ -67,9 +70,9 @@ object Preprocessing {
   }
 
   /** Barrier 1: data-dependent column prune (null fraction > threshold).
-    * preprocessing.py:476 → 79-85.
+    * preprocessing.py:476, :520 → 79-85 — both reference calls use 0.3.
     */
-  def pruneStage(df: DataFrame, threshold: Double = 0.5): (DataFrame, Seq[String]) =
+  def pruneStage(df: DataFrame, threshold: Double = 0.3): (DataFrame, Seq[String]) =
     MissingData.cleanMissingData(df, threshold)
 
   /** Stage 2: casts + province (fused). preprocessing.py:480-483. */
@@ -117,32 +120,49 @@ object Preprocessing {
     grouped.filter(col("Subtype") === keepSubtype)
   }
 
-  /** Barrier 3: categorical fills + target encoding + winsorize.
-    * preprocessing.py:526-580.
+  /** preprocessing.py:556-580 — the reference's five per-column quantile clip
+    * pairs (Price is the tightest at 5/95; counts the loosest at 1/99).
+    */
+  val ClipBounds: Seq[(String, Double, Double)] = Seq(
+    ("Price", 0.05, 0.95),
+    ("Living_area", 0.10, 0.90),
+    ("gardenSurface", 0.10, 0.90),
+    ("landSurface", 0.10, 0.90),
+    ("Number_of_bedrooms", 0.01, 0.99))
+
+  /** Barrier 3: categorical fills + target encoding + stat fills + winsorize.
+    * preprocessing.py:526-580, step for step:
+    *   remaps (:526-537) → mode fill of State_of_building AND epc (:541) →
+    *   target-encode BOTH against Price (:544) → mode fill Number_of_facades /
+    *   median fill landSurface+Living_area (:546-547, method defaults to
+    *   'mode' for the facades call) → per-column quantile clips (:556-580).
     */
   def encodeStage(df: DataFrame,
-      clipCols: Seq[(String, Double, Double)] = Seq(
-        ("Price", 0.01, 0.99), ("Living_area", 0.01, 0.99))): DataFrame = {
+      clipCols: Seq[(String, Double, Double)] = ClipBounds): DataFrame = {
     val remapped = df
       .withColumn("State_of_building",
         TextOps.remapWithFallback(col("State_of_building"),
           StateRemap.map { case (k, v) => k.replace("_", " ").capitalize ->
             v.replace("_", " ").capitalize }))
       .withColumn("epc", TextOps.remapWithFallback(col("epc"), EpcRemap))
-    // mode fill (pandas tie-break) for the categorical columns            :540
-    val modeFilled = Seq("State_of_building", "Kitchen_type").foldLeft(remapped) {
-      (acc, c) =>
-        val m = Aggregates.modeSmallest(acc, c).collect()
-          .headOption.map(_.get(0)).orNull
-        if (m == null) acc else acc.na.fill(Map(c -> m.toString))
+    // mode fill (pandas tie-break) for the two encoded categoricals        :541
+    val modeFilled =
+      MissingData.fillWithStat(remapped, Seq("State_of_building", "epc"), "mode")
+    // target-encode State_of_building AND epc against Price                :544
+    val encoded = Seq("State_of_building", "epc").foldLeft(modeFilled) { (acc, c) =>
+      val enc = new TargetEncoder()
+        .setInputCol(c).setTargetCol("Price").setOutputCol(s"${c}_encoded")
+      enc.fit(acc).transform(acc)
     }
-    // target-encode epc against Price                                      :543
-    val encoder = new TargetEncoder()
-      .setInputCol("epc").setTargetCol("Price").setOutputCol("epc_encoded")
-    val encoded = encoder.fit(modeFilled).transform(modeFilled)
+    // numeric stat fills                                                   :546-547
+    val statFilled = MissingData.fillWithStat(
+      MissingData.fillWithStat(encoded, Seq("Number_of_facades"), "mode"),
+      Seq("landSurface", "Living_area"), "median")
     // winsorize numeric columns to learned quantile bounds                 :556-580
-    clipCols.foldLeft(encoded) { case (acc, (c, lo, hi)) =>
-      if (acc.columns.contains(c)) CastOps.winsorize(acc, c, lo, hi) else acc
+    clipCols.foldLeft(statFilled) { case (acc, (c, lo, hi)) =>
+      if (acc.columns.contains(c))
+        CastOps.winsorize(acc.withColumn(c, col(c).cast("double")), c, lo, hi)
+      else acc
     }
   }
 
@@ -165,10 +185,15 @@ object Preprocessing {
       val (pruned, _) = pruneStage(cleaned)
       val typed = typeStage(pruned)
       val (geocoded, _) = geocodeStage(typed, geocodeCache)
-      val enriched = enrichStage(geocoded)
+      // Subtype is consumed by the House filter and then dropped (:517), and
+      // the prune re-runs on the filtered frame (:520) — the House subset can
+      // exceed the null threshold on columns the full data did not.
+      val enriched = enrichStage(geocoded).drop("Subtype")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try finalStage(encodeStage(enriched))
-      finally enriched.unpersist(blocking = false)
+      try {
+        val (pruned2, _) = pruneStage(enriched)
+        finalStage(encodeStage(pruned2))
+      } finally enriched.unpersist(blocking = false)
     } finally cleaned.unpersist(blocking = false)
   }
 }

@@ -48,30 +48,55 @@ object ScrapeJob {
 
     val pending = LinkState.pending(links1)
       .repartition(20) // the reference's max_workers=20 (scraper.py:327)
-    val pages = pending.select(col("url"))
-      .withColumn("html", htmlFetchUdfFree(fetcher)(col("url")))
+    val pages = fetchPages(pending, fetcher)
+    // The fetch feeds TWO sinks (properties append + link status update);
+    // persist so each pending URL is fetched exactly once per run — the
+    // first action materializes the fetched pages, the second reads the
+    // cached partitions.
     val parsed = ScrapeParse.parseScrapedPages(pages)
-
-    val okRows = parsed.filter(col("ok")).drop("ok", "url")
-      .withColumn("scraped_at", lit(now))
-    appendDedup(spark, okRows, propertiesDir, "link_id")
-    val links2 = LinkState.applyScrapeResults(
-      links1, parsed.select("url", "ok"), now)
-    overwriteAtomic(spark, links2, linksDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val okRows = parsed.filter(col("ok")).drop("ok", "url")
+        .withColumn("scraped_at", lit(now))
+      appendDedup(spark, okRows, propertiesDir, "link_id")
+      val links2 = LinkState.applyScrapeResults(
+        links1, parsed.select("url", "ok"), now)
+      overwriteAtomic(spark, links2, linksDir)
+    } finally parsed.unpersist(blocking = false)
   }
 
-  /** Fetch as a plain Scala closure over the pluggable fetcher (the fetcher's
-    * retry policy applies per call; partition parallelism = the repartition
-    * above, mirroring the reference's 20-thread pool).
+  /** Side-effecting I/O belongs in mapPartitions, not a per-row UDF
+    * (SURVEY §2.10): the fetcher deserializes ONCE PER PARTITION, so an
+    * implementation holding a keep-alive HTTP client gets connection reuse
+    * across the partition's URLs, and the partition is a natural rate-limit
+    * scope — each of the 20 partitions fetches sequentially with an optional
+    * minimum interval, mirroring the reference's 20-worker pool
+    * (scraper.py:327) with one in-flight request per worker.
     */
-  private def htmlFetchUdfFree(
-      fetcher: Sitemap.Fetcher): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    val f = org.apache.spark.sql.functions.udf((u: String) => fetcher.fetch(u))
-    c => f(c)
+  private[jobs] def fetchPages(pending: DataFrame, fetcher: Sitemap.Fetcher,
+      minIntervalMs: Long = 0L): DataFrame = {
+    val spark = pending.sparkSession
+    import spark.implicits._
+    pending.select("url").as[String].mapPartitions { urls =>
+      var lastAt = 0L
+      urls.map { u =>
+        if (minIntervalMs > 0) {
+          val wait = lastAt + minIntervalMs - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+          lastAt = System.currentTimeMillis()
+        }
+        (u, fetcher.fetch(u))
+      }
+    }.toDF("url", "html")
   }
 
+  private def hadoopFs(spark: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hadoop FileSystem, not java.io.File — works on HDFS/S3A/local alike. */
   private[jobs] def pathExists(spark: SparkSession, p: String): Boolean =
-    new java.io.File(p).exists()
+    hadoopFs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
   /** INSERT OR IGNORE ≡ dedup on key then union (SURVEY §2.1 S12). */
   private[jobs] def appendDedup(spark: SparkSession, rows: DataFrame,
@@ -84,18 +109,18 @@ object ScrapeJob {
     overwriteAtomic(spark, merged, dir)
   }
 
-  /** Overwrite via temp-dir swap (parquet overwrite of a dir being read). */
+  /** Overwrite via temp-dir swap (parquet overwrite of a dir being read),
+    * through the Hadoop FileSystem API so the swap works on HDFS/S3A too
+    * (java.io.File rename silently no-ops on non-local storage).
+    */
   private[jobs] def overwriteAtomic(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     val tmp = dir + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dir)
-    if (target.exists()) {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
-      }
-      del(target)
-    }
-    new java.io.File(tmp).renameTo(target)
+    val fs = hadoopFs(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+      throw new java.io.IOException(s"rename $tmp -> $dir failed")
   }
 }
 

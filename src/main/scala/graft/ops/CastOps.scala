@@ -30,11 +30,15 @@ object CastOps {
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
 
-  /** Compute [pLo, pHi] exact percentiles of `column` and clip it in place. */
+  /** Compute [pLo, pHi] exact percentiles of `column` and clip it in place.
+    * An all-null column has no percentiles — returned unchanged (pandas clip
+    * with NaN bounds is likewise a no-op).
+    */
   def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double): DataFrame = {
-    val Array(lo, hi) = df
+    val bounds = df
       .agg(expr(s"percentile($column, array($pLo, $pHi))"))
-      .head().getSeq[Double](0).toArray
-    df.withColumn(column, clip(col(column), lo, hi))
+      .head().getSeq[Double](0)
+    if (bounds == null) df
+    else df.withColumn(column, clip(col(column), bounds(0), bounds(1)))
   }
 }

@@ -42,4 +42,28 @@ object MissingData {
     val dropped = df.columns.toSeq.filter(c => fracRow.getAs[Double](c) > threshold)
     (df.drop(dropped: _*), dropped)
   }
+
+  /** pandas `fill_missing_with_stat` (preprocessing.py:364-392): fill nulls in
+    * each listed column with its mode (pandas tie-break: smallest), median
+    * (linear interpolation) or mean. One tiny driver collect per column —
+    * same barrier shape as the reference; row data stays on executors.
+    * Columns absent from the frame are skipped (pandas `if column in df`).
+    */
+  def fillWithStat(df: DataFrame, columns: Seq[String], method: String): DataFrame =
+    columns.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
+      val fill: Option[Any] = method match {
+        case "mode" =>
+          Aggregates.modeSmallest(acc, c).collect().headOption.map(_.get(0))
+        case "median" =>
+          Option(acc.agg(percentile(col(c).cast("double"), lit(0.5))).head().get(0))
+        case "mean" =>
+          Option(acc.agg(avg(col(c).cast("double"))).head().get(0))
+        case other => throw new IllegalArgumentException(s"method $other")
+      }
+      fill match {
+        case Some(v: java.lang.Number) => acc.na.fill(Map(c -> v.doubleValue()))
+        case Some(v)                   => acc.na.fill(Map(c -> v.toString))
+        case None                      => acc
+      }
+    }
 }

@@ -57,11 +57,13 @@ object PipelineQueries extends QueryGroup {
         .withColumn("Furnished", lit(null).cast("boolean"))
       val cache = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.enrich.Geocode.cacheSchema)
+      // Subtype is consumed and dropped inside the chain (preprocessing.py:517)
       Preprocessing.run(export, cache)
-        .groupBy("Province", "Subtype")
+        .groupBy("Province", "State_of_building")
         .agg(count(lit(1)).as("n"),
-          round(avg(col("epc_encoded")), 2).as("avg_epc_encoded"))
-        .orderBy("Province", "Subtype")
+          round(avg(col("epc_encoded")), 2).as("avg_epc_encoded"),
+          round(avg(col("State_of_building_encoded")), 2).as("avg_state_encoded"))
+        .orderBy("Province", "State_of_building")
     },
     None)
 

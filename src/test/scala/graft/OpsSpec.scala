@@ -50,7 +50,7 @@ class OpsSpec extends SparkSpec {
     val df = Seq("1000", "1299", "1300", "9999", "10000", "999", "xx", null)
       .toDF("postal")
     val got = df.select(Province.fromPostalCode($"postal")).as[String].collect().toSeq
-    assert(got == Seq("Brussels", "Brussels", "Brabant_Walloon", "East_Flanders",
+    assert(got == Seq("Brussels", "Brussels", "Brabant_Walloon", "East Flanders",
       null, null, null, null))
   }
 

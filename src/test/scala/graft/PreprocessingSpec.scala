@@ -29,7 +29,11 @@ class PreprocessingSpec extends SparkSpec {
         case 2 => "DUPLEX"         // → Apartment
         case _ => "HOUSE"          // → House
       }
-      val state = if (i % 7 == 0) "TO_RESTORE" else "GOOD"
+      val state = i % 7 match {
+        case 0 => "TO_RESTORE"
+        case 1 => "JUST_RENOVATED"
+        case _ => "GOOD"
+      }
       val epc = Seq("A", "B", "C", "D", "A+", "G")(i % 6)
       (id, s"City_$i (9${"%03d".format(i)})", postal, price, subtype, annuity,
         street, number, lat, lon, null.asInstanceOf[String], "INSTALLED", state, epc,
@@ -62,8 +66,11 @@ class PreprocessingSpec extends SparkSpec {
   test("full chain: House-only, encoded, clipped, in-bounds") {
     val out = Preprocessing.run(fixture, emptyCache)
     assert(out.count() > 0)
-    assert(out.select("Subtype").distinct().as[String].collect().toSeq == Seq("House"))
+    // Subtype is consumed by the House filter then dropped (preprocessing.py:517)
+    assert(!out.columns.contains("Subtype"))
     assert(out.columns.contains("Province") && out.columns.contains("epc_encoded"))
+    // both categoricals are target-encoded (preprocessing.py:544)
+    assert(out.columns.contains("State_of_building_encoded"))
     assert(out.columns.contains("Assigned_City_5_flag"))
     // winsorize bounds hold
     val prices = out.select("Price").as[Double].collect()
@@ -71,14 +78,17 @@ class PreprocessingSpec extends SparkSpec {
     assert(out.filter($"Price" < lo || $"Price" > hi).count() == 0)
     // coordinates inside validity box
     assert(out.filter(!$"latitude".between(-90, 90)).count() == 0)
-    // every row got a province from the 9xxx range
+    // every row got a province from the 9xxx range (reference spells it
+    // with a space, preprocessing.py:128)
     assert(out.select("Province").distinct().as[String].collect().toSeq ==
-      Seq("East_Flanders"))
+      Seq("East Flanders"))
   }
 
   test("state remap folds rare categories with fallback") {
     val out = Preprocessing.run(fixture, emptyCache)
     val states = out.select("State_of_building").distinct().as[String].collect().toSet
     assert(!states.contains("To restore"), s"got $states") // remapped to To renovate
+    assert(!states.contains("Just renovated"), s"got $states") // remapped to Good
+    assert(states.contains("Good"), s"got $states")
   }
 }

@@ -74,6 +74,18 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(propsDir).count() == 1)
   }
 
+  test("fetchPages: mapPartitions fetch covers every URL across partitions " +
+      "and fetches each exactly once per action") {
+    val counter = new CountingFetcher
+    val urls = (1 to 50).map(i => s"https://x.be/p/$i").toDF("url").repartition(8)
+    val pages = ScrapeJob.fetchPages(urls, counter)
+    val got = pages.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 50)
+    assert(got("https://x.be/p/7") == "body:https://x.be/p/7")
+    // one action -> each URL fetched exactly once (across 8 partitions)
+    assert(counter.total == 50)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
@@ -90,4 +102,19 @@ class JobsSpec extends SparkSpec {
     assert(m.size == 3)
     assert(m(("a", "b")) > 0.999 && m(("a", "c")) < -0.99)
   }
+}
+
+/** Counts fetches in a JVM-global so task-side increments are visible to the
+  * driver in local mode. Reset on construction (one instance per test).
+  */
+class CountingFetcher extends graft.ingest.Sitemap.Fetcher {
+  CountingFetcher.count.set(0)
+  def fetch(url: String): String = {
+    CountingFetcher.count.incrementAndGet()
+    "body:" + url
+  }
+  def total: Long = CountingFetcher.count.get().toLong
+}
+object CountingFetcher {
+  val count = new java.util.concurrent.atomic.AtomicInteger(0)
 }
