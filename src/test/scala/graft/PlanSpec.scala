@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("*("), "no whole-stage codegen stage in final plan")
   }
 
+  test("q48: per-query top-k is a partial aggregate, not a |Q|-partition window") {
+    val p = planOf(SimQueries.q48CosineTopK.fn(spark, sf001))
+    assert(!p.contains("Window"), "scored relation globally windowed by qid")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected a typed top-k aggregate")
+  }
+
+  test("q49: near-dup candidates come from bucketed joins, never all-pairs") {
+    val p = planOf(SimQueries.q49CosineNearDup.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs broadcast NLJ in plan")
+  }
+
   test("projection-only read prunes the parquet schema") {
     val df = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
     val p = formatted(df)

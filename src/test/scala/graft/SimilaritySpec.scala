@@ -39,6 +39,30 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(approx).nonEmpty, "LSH found none of the true top-k")
   }
 
+  test("cosineNearDupPairs: banded LSH candidates reproduce the all-pairs " +
+      "result exactly on the fixture (recall 1.0 at threshold 0.3)") {
+    val e = Tables.embeddings(spark, sf001)
+    val banded = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
+    // ground truth: explicit all-pairs with the identical sim expression
+    val v = e.select($"vec_id".as("id"), Similarity.asDouble($"embedding").as("v"))
+      .withColumn("n", Similarity.norm($"v"))
+    val exact = v.toDF("d1", "v1", "n1").crossJoin(v.toDF("d2", "v2", "n2"))
+      .filter($"d1" < $"d2")
+      .withColumn("sim", round(Similarity.dot($"v1", $"v2") / ($"n1" * $"n2"), 6))
+      .filter($"sim" >= 0.3)
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture has no pairs over the threshold")
+    assert(banded == exact,
+      s"missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+  }
+
+  test("bandingFor: more selective bands need more of them") {
+    val l8 = Similarity.bandingFor(0.8, 8)
+    val l4 = Similarity.bandingFor(0.8, 4)
+    assert(l8 > l4 && l4 >= 1)
+  }
+
   test("multimodal: features have the declared dim and are deterministic") {
     val media = Multimodal.fakeMediaFromDocs(Tables.documents(spark, sf001).limit(50))
     val f1 = Multimodal.extractFeatures(media, dim = 16).orderBy("media_id")
