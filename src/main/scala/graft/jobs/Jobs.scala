@@ -164,6 +164,11 @@ object ModelJob {
     Models.leaderboard(spark, all)
       .coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$modelOut/leaderboard")
+    // winner.model is the full-data refit (project.py:302-310); also emit the
+    // sample predictions-vs-actual report (project.py:284-297)
+    Models.samplePredictions(winner.model, df, "Price")
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$modelOut/sample_predictions")
     winner.model.write.overwrite().save(s"$modelOut/best_model")
     spark.stop()
   }

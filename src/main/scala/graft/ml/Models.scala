@@ -89,39 +89,59 @@ object Models {
   }
 
   final case class EvalResult(name: String, cvRmse: Double, testRmse: Double,
-      testR2: Double, model: PipelineModel)
+      testR2: Double, model: PipelineModel,
+      pipeline: Pipeline, bestParams: ParamMap)
 
-  /** M3-M5, M7, M8: per-model train/tune/evaluate, then pick the best by CV
-    * RMSE and refit on the full data (project.py:220-315).
+  /** M3-M5, M7, M8: per-model train/tune/evaluate, pick the best by CV RMSE,
+    * then REFIT the winner on the FULL dataset (project.py:302-310:
+    * `best_model.fit(X, y)` before `joblib.dump`) — the returned winner's
+    * `model` is the full-data refit with the winning hyper-parameters; the
+    * per-model `results` keep their train-split fits for the leaderboard.
     */
   def selectBestModel(df: DataFrame, features: Seq[String], target: String,
       numFolds: Int = 6, nIter: Int = 10, seed: Long = 42,
-      parallelism: Int = 4): (EvalResult, Seq[EvalResult]) = {
+      parallelism: Int = 4,
+      zoo: Seq[(String, org.apache.spark.ml.PipelineStage, Pipeline => Array[ParamMap])] = null): (EvalResult, Seq[EvalResult]) = {
     val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)  // M3
     val evalRmse = new RegressionEvaluator()
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("rmse")
     val evalR2 = new RegressionEvaluator()
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("r2")
 
-    val results = modelZoo(target).map { case (name, stage, gridFor) =>
+    val families = Option(zoo).getOrElse(modelZoo(target))
+    val results = families.map { case (name, stage, gridFor) =>
       val pipe = pipelineFor(features, target, stage)
       val grid = randomSearchGrid(gridFor(pipe), nIter, seed)         // M7
+      val maps = if (grid.isEmpty) new ParamGridBuilder().build() else grid
       val cv = new CrossValidator()                                    // M4
         .setEstimator(pipe)
         .setEvaluator(evalRmse)
-        .setEstimatorParamMaps(if (grid.isEmpty) new ParamGridBuilder().build() else grid)
+        .setEstimatorParamMaps(maps)
         .setNumFolds(numFolds)
         .setSeed(seed)
         .setParallelism(parallelism)
       val fitted = cv.fit(train)
       val best = fitted.bestModel.asInstanceOf[PipelineModel]
+      val bestMap = maps(fitted.avgMetrics.indexOf(fitted.avgMetrics.min))
       val pred = best.transform(test)
       EvalResult(name, fitted.avgMetrics.min, evalRmse.evaluate(pred),
-        evalR2.evaluate(pred), best)                                   // M5
+        evalR2.evaluate(pred), best, pipe, bestMap)                    // M5
     }
-    val winner = results.minBy(_.cvRmse)                               // M8
-    (winner, results)
+    val winner0 = results.minBy(_.cvRmse)                              // M8
+    val refit = winner0.pipeline.fit(df, winner0.bestParams)           // full-data refit
+    (winner0.copy(model = refit), results)
   }
+
+  /** The reference's sample-prediction report (project.py:284-297): the best
+    * model's predictions next to the actual target for the first rows, with
+    * the (predicted − actual) difference. Vector columns are dropped so the
+    * frame is sink-friendly (CSV).
+    */
+  def samplePredictions(model: PipelineModel, df: DataFrame, target: String,
+      n: Int = 5): DataFrame =
+    model.transform(df.limit(n))
+      .withColumn("difference", col("prediction") - col(target))
+      .drop("features_raw", "features")
 
   /** Leaderboard as a DataFrame (the printed report of project.py:266-277). */
   def leaderboard(spark: org.apache.spark.sql.SparkSession,

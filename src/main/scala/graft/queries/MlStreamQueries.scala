@@ -57,9 +57,10 @@ object MlStreamQueries extends QueryGroup {
         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
       FROM c GROUP BY user_id, sid ORDER BY user_id, start_us"""))
 
-  /** M2-M8 smoke on the driver surface: train the linear-family zoo on a
-    * deterministic frame derived from lineitem, emit the leaderboard.
-    * Rows-only (model fitting is not SQL). Kept small for verify runtime. */
+  /** M2-M8 smoke on the driver surface: CV-select over the linear families,
+    * full-data refit of the winner (M8), sample-prediction report — the whole
+    * selectBestModel path. Rows-only (model fitting is not SQL). Kept small
+    * (2000 rows, 2 folds, linear zoo) for verify runtime. */
   val q64MlLeaderboard = QueryDef(
     "q64_ml_leaderboard",
     (s, d) => {
@@ -71,15 +72,15 @@ object MlStreamQueries extends QueryGroup {
         case Nil => Seq("x1", "x2", "x3")
         case f => f
       }
-      val zoo = Models.modelZoo("y").take(3) // linear, ridge, lasso — fast
-      val evalRmse = new org.apache.spark.ml.evaluation.RegressionEvaluator()
-        .setLabelCol("y").setPredictionCol("prediction").setMetricName("rmse")
-      val Array(train, test) = df.randomSplit(Array(0.8, 0.2), 42)
+      val (winner, all) = Models.selectBestModel(df, feats, "y",
+        numFolds = 2, nIter = 2, parallelism = 2,
+        zoo = Models.modelZoo("y").take(3)) // linear, ridge, lasso — fast
+      val sampleRows = Models.samplePredictions(winner.model, df, "y", n = 3).count()
       import s.implicits._
-      zoo.map { case (name, stage, _) =>
-        val m = Models.pipelineFor(feats, "y", stage).fit(train)
-        (name, evalRmse.evaluate(m.transform(test)) > 0.0)
-      }.toDF("model", "rmse_positive").orderBy("model")
+      all.map { r =>
+        (r.name, r.testRmse > 0.0, r.name == winner.name, sampleRows)
+      }.toDF("model", "rmse_positive", "is_winner", "sample_rows")
+        .orderBy("model")
     },
     None)
 

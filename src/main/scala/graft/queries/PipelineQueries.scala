@@ -93,7 +93,20 @@ object PipelineQueries extends QueryGroup {
       val s2again = LinkState.applySnapshot(s2, snap2, t2)
       s2again.groupBy("status").agg(count(lit(1)).as("cnt")).orderBy("status")
     },
-    None)
+    // Independent derivation of the lifecycle: snap1 = keys %3<>0 (all become
+    // pending, then scraped/error by the %5 rule), snap2 = keys %2<>0
+    // (present -> keep, absent -> inactive, new -> pending). The second
+    // applySnapshot with the same snapshot must be a no-op, so the counts
+    // reduce to pure key arithmetic over DISTINCT order keys.
+    Some("""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      s AS (SELECT CASE
+          WHEN k % 2 <> 0 AND k % 3 = 0 THEN 'pending'
+          WHEN k % 3 <> 0 AND k % 2 <> 0 AND k % 5 <> 0 THEN 'scraped'
+          WHEN k % 3 <> 0 AND k % 2 <> 0 AND k % 5 = 0 THEN 'error'
+          WHEN k % 3 <> 0 AND k % 2 = 0 THEN 'inactive'
+          END AS status FROM k)
+      SELECT status, COUNT(*) AS cnt FROM s
+      WHERE status IS NOT NULL GROUP BY status ORDER BY status"""))
 
   override val defs: Seq[QueryDef] = Seq(q60ImmoPipeline, q61LinkLifecycle)
 }

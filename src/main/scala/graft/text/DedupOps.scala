@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   import TextAnalysis.{md5Int32, tokens}
 
   /** Word n-gram shingles (distinct), as an array column. Empty when the text
@@ -81,13 +83,29 @@ object DedupOps {
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold` within
     * `df` — via shingle-equi-join (pairs that share no shingle never meet).
+    *
+    * Stop-shingle cap: a shingle appearing in more than `maxShingleDf`
+    * documents would make the intersect join quadratic in that shingle's
+    * posting list (a single common bigram like "of the" at corpus scale), so
+    * such shingles are dropped from candidate generation — standard
+    * stop-shingle practice. Union sizes keep counting them, so results are
+    * EXACT whenever no shingle exceeds the cap (the fixtures; asserted in
+    * PropertiesSpec) and a conservative under-estimate otherwise (capped
+    * results are a subset of uncapped).
     */
   def ngramJaccardPairs(
-      df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double,
+      maxShingleDf: Int = 10000): DataFrame = {
+    log.info(s"ngramJaccardPairs: stop-shingle cap document-frequency > $maxShingleDf")
     val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc").as("d1"), col("sh"))
-      .join(sh.select(col("doc").as("d2"), col("sh")), Seq("sh"))
+    // shingles are distinct per doc, so count(*) per shingle = document freq;
+    // the stop list is tiny by construction -> broadcast anti join
+    val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("sh")
+    val pruned = sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    val inter = pruned.select(col("doc").as("d1"), col("sh"))
+      .join(pruned.select(col("doc").as("d2"), col("sh")), Seq("sh"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
@@ -160,9 +178,13 @@ object DedupOps {
       val hop = viaNbr.as("x")
         .join(viaNbr.as("y"), col("x.label") === col("y.doc"))
         .select(col("x.doc").as("doc"), col("y.label").as("label"))
+      // LAZY checkpoint: the labelSum aggregate below is the round's single
+      // action — it materializes the checkpoint partitions and computes the
+      // convergence witness in the same job (an eager checkpoint would cost
+      // a second job per round)
       val next = viaNbr.unionByName(hop)
         .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s

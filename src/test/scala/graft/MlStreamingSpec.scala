@@ -40,6 +40,31 @@ class MlStreamingSpec extends SparkSpec {
     val lb = Models.leaderboard(spark, all)
     assert(lb.columns.toSeq == Seq("model", "cv_rmse", "test_rmse", "test_r2"))
     assert(lb.count() == 5)
+    // M8: the winner is REFIT on the full dataset (project.py:302-310) — its
+    // scaler was fit on all rows, so its mean is the full-data mean, not the
+    // 80%-split mean the leaderboard models saw
+    val scaler = winner.model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    val fullMean = linearData.agg(avg("x1")).head().getDouble(0)
+    assert(math.abs(scaler.mean(0) - fullMean) < 1e-9,
+      s"winner scaler mean ${scaler.mean(0)} != full-data mean $fullMean — not refit")
+    val trainScaler = all.find(_.name == winner.name).get.model.stages(1)
+      .asInstanceOf[org.apache.spark.ml.feature.StandardScalerModel]
+    assert(math.abs(trainScaler.mean(0) - fullMean) > 1e-9,
+      "train-split scaler coincides with full mean; refit check is vacuous")
+  }
+
+  test("M8: samplePredictions reports prediction vs actual with difference") {
+    val df = linearData
+    val m = Models.pipelineFor(Seq("x1", "x2", "x3"), "y",
+      new org.apache.spark.ml.regression.LinearRegression()
+        .setLabelCol("y").setFeaturesCol("features")).fit(df)
+    val sample = Models.samplePredictions(m, df, "y", n = 5)
+    assert(sample.count() == 5)
+    assert(sample.columns.contains("prediction") && sample.columns.contains("difference"))
+    assert(!sample.columns.contains("features") && !sample.columns.contains("features_raw"))
+    val r = sample.select($"prediction" - $"y" - $"difference").as[Double].collect()
+    assert(r.forall(v => math.abs(v) < 1e-9))
   }
 
   test("S11: best model persists and reloads (PipelineModel.save/load)") {

@@ -69,6 +69,28 @@ class PropertiesSpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("ngram Jaccard stop-shingle cap: capped pairs are a subset of " +
+      "uncapped, and exact when no shingle exceeds the cap") {
+    val words = Gen.listOfN(8, Gen.oneOf("cat", "dog", "sat", "mat", "ran", "the"))
+      .map(_.mkString(" "))
+    check("jaccard-cap", Prop.forAll(Gen.listOfN(6, words)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(cap: Int) = graft.text.DedupOps
+        .ngramJaccardPairs(df, "doc_id", $"text", 2, 0.05, maxShingleDf = cap)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val uncapped = pairs(Int.MaxValue)
+      // cap above any possible df (6 docs) -> identical (values included)
+      val loose = pairs(6)
+      // aggressive cap -> conservative: pair set shrinks, sims never grow
+      val tight = pairs(2)
+      val uncappedByPair = uncapped.map { case (a, b, j) => (a, b) -> j }.toMap
+      loose == uncapped && tight.forall { case (a, b, j) =>
+        uncappedByPair.get((a, b)).exists(j <= _ + 1e-9)
+      }
+    }, n = 5)
+  }
+
   test("target-encode transform preserves row count (left-join semantics)") {
     check("target-encode", Prop.forAll(Gen.listOfN(25,
       Gen.zip(Gen.oneOf("A", "B", "C", "Z"), Gen.chooseNum(0.0, 1e6)))
