@@ -124,6 +124,36 @@ object ScrapeJob {
   }
 }
 
+/** Scheduled-smoke pre-flight — the analog of the reference's cron workflow
+  * asserts (/root/reference/.github/workflows/run-scraper.yml:21-43 verifies
+  * the assets dir and the SQLite file before running the scraper): verify
+  * both stores exist and parse, and that the links store carries the declared
+  * schema, exiting non-zero otherwise so the scheduler skips the scrape run.
+  */
+object PreflightJob {
+  def main(args: Array[String]): Unit = {
+    val Array(linksDir, propertiesDir) = args.take(2)
+    val spark = JobSession.build("graft-preflight")
+    try run(spark, linksDir, propertiesDir)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, linksDir: String, propertiesDir: String): Unit = {
+    require(ScrapeJob.pathExists(spark, linksDir),
+      s"links store missing: $linksDir")
+    val links = spark.read.parquet(linksDir)
+    val expected = graft.schema.Schemas.links.fieldNames.toSet
+    val missing = expected -- links.columns.toSet
+    require(missing.isEmpty, s"links store lacks columns: $missing")
+    val nLinks = links.count()
+    val propsPresent = ScrapeJob.pathExists(spark, propertiesDir)
+    val nProps = if (propsPresent) spark.read.parquet(propertiesDir).count() else 0L
+    // the reference prints its environment at this point; counts are the
+    // useful operational facts here
+    println(s"preflight ok: links=$nLinks properties=$nProps (store present=$propsPresent)")
+  }
+}
+
 /** Task 2 — export: properties table → 26-column interchange CSV. */
 object ExportJob {
   def main(args: Array[String]): Unit = {

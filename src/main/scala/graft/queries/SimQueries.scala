@@ -59,6 +59,19 @@ object SimQueries extends QueryGroup {
     },
     None)
 
+  /** IVF coarse-quantizer ANN: KMeans cells + nProbe-cell search
+    * (approximate; rows-only — the KMeans fit is not SQL-expressible).
+    * Recall vs brute force is asserted in SimilaritySpec. */
+  val q65IvfTopk = QueryDef(
+    "q65_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 3, nLists = 8, nProbe = 3)
+        .orderBy("qid", "rank")
+    },
+    None)
+
   /** Multimodal plumbing: binary media column → batched feature extraction
     * (stubbed decode) → per-format feature stats. Rows-only (mapPartitions). */
   val q51MultimodalFeatures = QueryDef(
@@ -88,5 +101,6 @@ object SimQueries extends QueryGroup {
     None)
 
   override val defs: Seq[QueryDef] = Seq(
-    q48CosineTopK, q49CosineNearDup, q50AnnLsh, q51MultimodalFeatures, q52FrameSample)
+    q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk,
+    q51MultimodalFeatures, q52FrameSample)
 }

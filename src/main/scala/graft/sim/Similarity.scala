@@ -45,6 +45,8 @@ class TopKAgg(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredHi
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Cast Array[Float] → Array[Double] (exact). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -134,6 +136,58 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path next to
+    * hyperplane LSH: a seeded KMeans over the corpus learns `nLists`
+    * centroids (the quantizer is tiny and driver-held); every corpus vector
+    * is indexed under its nearest centroid cell ONCE; a query probes only its
+    * `nProbe` closest cells, so the scoring join is cell-local — candidate
+    * volume ≈ nProbe/nLists of the corpus instead of all of it. Recall < 1
+    * by construction (a true neighbor can live in an unprobed cell); raise
+    * nProbe to trade compute for recall. Output: (qid, rank, cid, sim).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 2, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    // assign cells in one pass (transform keeps all columns)
+    val cells = model.transform(c).drop("fv")
+
+    // centroid table: nLists rows — broadcast everywhere
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("cell", "centroid")
+
+    // probe list per query: the nProbe closest centroids by euclidean
+    // distance (the quantizer metric) via the same bounded top-k aggregate
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probeAgg = udaf(new TopKAgg(nProbe), Encoders.product[ScoredHit])
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("negd", -dist2)
+      .groupBy("qid").agg(probeAgg(col("cell").cast("long"), col("negd")).as("hits"))
+      .select(col("qid"), explode(col("hits.cid")).as("cell"))
+      .select(col("qid"), col("cell").cast("int").as("cell"))
+
+    // score only vectors in probed cells; queries re-joined by qid (broadcast)
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** Bucket id of band `l`: the packed sign bits of hyperplanes
     * [l·bandBits, (l+1)·bandBits). Bands use disjoint global plane indices,
     * so bit positions never collide across bands.
@@ -154,38 +208,87 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine — the "embedding-cosine
-    * near-dup" dedup mode, NEVER as an all-pairs cross join: candidate pairs
-    * come from banded hyperplane LSH (same shape as
-    * `DedupOps.lshCandidatePairs` for text — explode bands → self-equi-join
-    * on (band, bucket) → distinct), then ONLY candidates get the exact
-    * cosine + threshold verify. The shuffles are keyed equi-joins, so the
-    * plan scales with bucket occupancy, not n².
+    * near-dup" dedup mode, NEVER as a cross join. Two plans, picked by how
+    * selective banded LSH can be at the requested threshold:
     *
-    * Recall: a pair at cosine exactly `threshold` is caught with probability
-    * 1−(1−p^bandBits)^bands (see [[bandingFor]]). The defaults (2, 24) give
-    * per-pair miss ≈ 2.6e-5 at threshold 0.3 — exact on the test fixtures
-    * (asserted in SimilaritySpec) — chosen for the LOW-threshold regime the
-    * oracle pins. Real near-dup sweeps (threshold ≥ 0.8) should pass larger
-    * bands, e.g. `bandBits = 8, bands = bandingFor(0.8, 8)`, which shrinks
-    * buckets ~256× and makes candidate generation genuinely sub-quadratic.
+    *  - '''banded-lsh''' (sub-quadratic; real near-dup thresholds ≥ ~0.7):
+    *    candidate pairs from banded hyperplane LSH — same shape as
+    *    `DedupOps.lshCandidatePairs` for text — with the exact cosine
+    *    computed INLINE in the band join (joining vectors back to a deduped
+    *    pair list would shuffle full vectors per candidate; measured 15×
+    *    slower). Approximate: a pair at exactly `threshold` is caught with
+    *    probability 1−(1−p^bandBits)^bands (see [[bandingFor]]).
+    *  - '''blocked-exact''' (low thresholds): exact low-threshold cosine on
+    *    dense smooth data is Ω(n²) — LSH bands selective enough to prune
+    *    would lose recall, and permissive bands ENUMERATE MORE than all
+    *    pairs (measured 6× all-pairs work at threshold 0.3). The right
+    *    exact plan is block-replicated all-pairs (1-bucket-theta): ids
+    *    hash into nBlocks blocks, each unordered block pair is one join key,
+    *    so the n²/2 comparisons spread evenly over nBlocks·(nBlocks+1)/2
+    *    keyed partitions — an equi join, no CartesianProduct, no hot task.
+    *
+    * `strategy` = "auto" (default; dispatch on the background collision rate
+    * bands·2^−bandBits ≤ 0.25), "lsh", or "blocked". `bands` = 0 means
+    * [[bandingFor]] (threshold, bandBits, recallTarget). Either plan emits
+    * identical (d1 < d2, sim) rows when LSH recall reaches 1.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bandBits: Int = 2, bands: Int = 24): DataFrame = {
+      threshold: Double, bandBits: Int = 8, bands: Int = 0,
+      recallTarget: Double = 0.999, nBlocks: Int = 16,
+      strategy: String = "auto"): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-    val banded = vecs.select(col("id"),
+    val nBands = if (bands > 0) bands else bandingFor(threshold, bandBits, recallTarget)
+    val bgFraction = nBands * math.pow(0.5, bandBits)
+    val useLsh = strategy match {
+      case "lsh"     => true
+      case "blocked" => false
+      case _         => bgFraction <= 0.25
+    }
+    log.info(f"cosineNearDupPairs: strategy=${if (useLsh) "banded-lsh" else "blocked-exact"}%s " +
+      f"threshold=$threshold bandBits=$bandBits bands=$nBands bgCollisions=$bgFraction%.3f")
+    if (useLsh) bandedLshPairs(vecs, threshold, bandBits, nBands)
+    else blockedExactPairs(vecs, threshold, nBlocks)
+  }
+
+  private def bandedLshPairs(vecs: DataFrame, threshold: Double,
+      bandBits: Int, bands: Int): DataFrame = {
+    val banded = vecs.select(col("id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(l => bandBucket(col("v"), l, bandBits)): _*))
         .as(Seq("band", "bucket")))
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
-      .distinct()
-    cand
-      .join(vecs.select(col("id").as("d1"), col("v").as("v1"), col("n").as("n1")), Seq("d1"))
-      .join(vecs.select(col("id").as("d2"), col("v").as("v2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("sim", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("d1", "d2", "sim")
+      .distinct()
+  }
+
+  /** Exact all-pairs via block replication: a row in block b joins under
+    * keys {(b,q): q ≥ b} on the left and {(p,b): p ≤ b} on the right, so
+    * every unordered pair meets exactly once (cross-block pairs in one
+    * orientation; intra-block pairs filtered to id-order). dot/× are
+    * orientation-symmetric bit-for-bit, so the emitted sim matches the
+    * id-ordered form regardless of which side a row lands on.
+    */
+  private def blockedExactPairs(vecs: DataFrame, threshold: Double,
+      nBlocks: Int): DataFrame = {
+    val withB = vecs.withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    val l = withB.select(col("id").as("xid"), col("v").as("xv"),
+      col("n").as("xn"), col("blk").as("xb"),
+      explode(transform(sequence(col("blk"), lit(nBlocks - 1)),
+        q => col("blk") * nBlocks + q)).as("bp"))
+    val r = withB.select(col("id").as("yid"), col("v").as("yv"),
+      col("n").as("yn"), col("blk").as("yb"),
+      explode(transform(sequence(lit(0), col("blk")),
+        p => p * nBlocks + col("blk"))).as("bp"))
+    l.join(r, Seq("bp"))
+      .filter(col("xb") =!= col("yb") || col("xid") < col("yid"))
+      .select(
+        least(col("xid"), col("yid")).as("d1"),
+        greatest(col("xid"), col("yid")).as("d2"),
+        round(dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 }

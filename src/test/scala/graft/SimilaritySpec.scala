@@ -39,11 +39,13 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(approx).nonEmpty, "LSH found none of the true top-k")
   }
 
-  test("cosineNearDupPairs: banded LSH candidates reproduce the all-pairs " +
-      "result exactly on the fixture (recall 1.0 at threshold 0.3)") {
+  test("cosineNearDupPairs: every strategy reproduces the all-pairs result " +
+      "on the fixture (blocked always; LSH at recall-1 parameters)") {
     val e = Tables.embeddings(spark, sf001)
-    val banded = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
-      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
+    def got(strategy: String, bandBits: Int = 8, bands: Int = 0) =
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3,
+        bandBits = bandBits, bands = bands, strategy = strategy)
+        .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
     // ground truth: explicit all-pairs with the identical sim expression
     val v = e.select($"vec_id".as("id"), Similarity.asDouble($"embedding").as("v"))
       .withColumn("n", Similarity.norm($"v"))
@@ -53,8 +55,29 @@ class SimilaritySpec extends SparkSpec {
       .filter($"sim" >= 0.3)
       .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty, "fixture has no pairs over the threshold")
-    assert(banded == exact,
-      s"missed ${(exact -- banded).size}, extra ${(banded -- exact).size}")
+    // auto at threshold 0.3 dispatches to blocked-exact: always recall 1
+    val auto = got("auto")
+    assert(auto == exact, s"auto: missed ${(exact -- auto).size}, extra ${(auto -- exact).size}")
+    val blocked = got("blocked")
+    assert(blocked == exact, "blocked-exact diverged")
+    // permissive banding (2 bits × 24 bands) reaches recall 1.0 here too
+    val lsh = got("lsh", bandBits = 2, bands = 24)
+    assert(lsh == exact, s"lsh: missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  }
+
+  test("ivfTopK: probed-cell search returns k ranked rows per query and " +
+      "overlaps the exact top-k") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+      nLists = 8, nProbe = 3)
+    val byQ = ivf.groupBy("qid").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    assert(byQ.length == 10 && byQ.forall(_._2 == 3))
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(exact.intersect(approx).nonEmpty, "IVF found none of the true top-k")
   }
 
   test("bandingFor: more selective bands need more of them") {

@@ -86,6 +86,24 @@ class JobsSpec extends SparkSpec {
     assert(counter.total == 50)
   }
 
+  test("PreflightJob: passes on a valid store, fails on missing or misshapen") {
+    val base = java.nio.file.Files.createTempDirectory("preflight").toString
+    val (linksDir, propsDir) = (s"$base/links", s"$base/properties")
+    // missing store -> refuse
+    intercept[IllegalArgumentException] {
+      PreflightJob.run(spark, linksDir, propsDir)
+    }
+    // valid store -> ok (properties absent is allowed: first run has none)
+    ScrapeJob.overwriteAtomic(spark,
+      graft.ingest.LinkState.emptyLinks(spark), linksDir)
+    PreflightJob.run(spark, linksDir, propsDir)
+    // misshapen store -> refuse
+    ScrapeJob.overwriteAtomic(spark, Seq((1L, "x")).toDF("id", "whatever"), linksDir)
+    intercept[IllegalArgumentException] {
+      PreflightJob.run(spark, linksDir, propsDir)
+    }
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
