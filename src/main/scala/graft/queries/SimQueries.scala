@@ -47,8 +47,10 @@ object SimQueries extends QueryGroup {
         FROM e a, e b WHERE a.vec_id < b.vec_id)
       WHERE sim >= 0.3 ORDER BY d1, d2"""))
 
-  /** Hyperplane-LSH bucketed ANN (approximate; no SQL oracle — rows-only).
-    * Recall vs the brute-force baseline is asserted in SimilaritySpec. */
+  /** Hyperplane-LSH bucketed ANN. Fully oracled: the hyperplanes are
+    * md5-derived (Similarity.planeComponent), so DuckDB rebuilds the same
+    * planes, buckets, and bucket-local top-k bit-for-bit. Recall vs the
+    * brute-force baseline is additionally asserted in SimilaritySpec. */
   val q50AnnLsh = QueryDef(
     "q50_ann_lsh",
     (s, d) => {
@@ -57,7 +59,25 @@ object SimQueries extends QueryGroup {
         k = 3, nPlanes = 4)
         .orderBy("qid", "rank")
     },
-    None)
+    Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+      planes AS (SELECT j, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), i ->
+          ((CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2001) - 1000) / 1000.0) AS pv
+        FROM range(0, 4) t(j)),
+      bck AS (SELECT e.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+            THEN CAST(POWER(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, planes p GROUP BY e.vec_id),
+      c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bck b USING (vec_id)),
+      q AS (SELECT * FROM c WHERE vec_id < 10),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${cosineSql("q.v", "c.v")}, 6) AS sim
+        FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      r AS (SELECT qid, cid, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS INT) AS rank
+        FROM scored)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** IVF coarse-quantizer ANN: KMeans cells + nProbe-cell search
     * (approximate; rows-only — the KMeans fit is not SQL-expressible).
@@ -73,7 +93,10 @@ object SimQueries extends QueryGroup {
     None)
 
   /** Multimodal plumbing: binary media column → batched feature extraction
-    * (stubbed decode) → per-format feature stats. Rows-only (mapPartitions). */
+    * (stubbed decode) → per-format feature stats. The decode stub digests the
+    * payload with MD5, so DuckDB reproduces feature 0 from the same hex
+    * (bytes 0 and 7 of the digest): the mapPartitions batch path is oracled
+    * end-to-end even though the plumbing itself is not SQL. */
   val q51MultimodalFeatures = QueryDef(
     "q51_multimodal_features",
     (s, d) => {
@@ -85,10 +108,19 @@ object SimQueries extends QueryGroup {
           round(avg(col("f0")), 6).as("avg_f0"))
         .orderBy("format")
     },
-    None)
+    // f0 = (digest[0]*256 + digest[7]) / 65536 — a power-of-two division of
+    // a 16-bit int, exact in float and double alike
+    Some("""WITH f AS (SELECT
+        (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) * 256
+         + CAST('0x' || substr(md5(text), 15, 2) AS BIGINT)) / 65536.0 AS f0
+      FROM documents)
+      SELECT 'fake/raw' AS format, COUNT(*) AS n,
+        ROUND(AVG(f0), 6) AS avg_f0
+      FROM f GROUP BY 1 ORDER BY 1"""))
 
   /** Resize + frame sampling over video-like media: every 4th frame of the
-    * stub-resized payloads. Rows-only. */
+    * stub-resized payloads. Frame counts derive from the synthesized
+    * n_frames = n_chars % 16 + 1, so the explode is oracled arithmetically. */
   val q52FrameSample = QueryDef(
     "q52_frame_sample",
     (s, d) => {
@@ -98,7 +130,10 @@ object SimQueries extends QueryGroup {
         .groupBy("format").agg(count(lit(1)).as("n_frames"))
         .orderBy("format")
     },
-    None)
+    Some("""WITH m AS (SELECT (n_chars % 16 + 1) AS nf FROM documents)
+      SELECT 'fake/raw' AS format,
+        CAST(SUM((nf - 1) // 4 + 1) AS BIGINT) AS n_frames
+      FROM m GROUP BY 1 ORDER BY 1"""))
 
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk,
