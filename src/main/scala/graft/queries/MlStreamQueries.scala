@@ -84,5 +84,65 @@ object MlStreamQueries extends QueryGroup {
     },
     None)
 
-  override val defs: Seq[QueryDef] = Seq(q62FeatureCorr, q63Sessionize, q64MlLeaderboard)
+  /** Interval join (range join on an equi key): views within 10 minutes
+    * after a click by the same user — the batch twin of the stream-stream
+    * join in EventStreams.clickViewJoin. Scalar roll-up keeps the oracle
+    * compact; the microsecond gap sum is integer-exact.
+    */
+  val q66IntervalJoin = QueryDef(
+    "q66_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      graft.ops.AsofJoin.intervalJoin(clicks, views, "user_id", "c_ts", "v_ts",
+        "10 minutes")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"),
+          sum(unix_micros(col("v_ts")) - unix_micros(col("c_ts")))
+            .cast("bigint").as("gap_us_total"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users,
+        CAST(SUM(epoch_us(v.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us_total
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE"""))
+
+  /** Backward as-of join (AsofJoin.asofBackward): each click is annotated
+    * with the user's most recent view at-or-before it. DuckDB's native
+    * ASOF LEFT JOIN is the oracle — an independent implementation of the
+    * same semantics. The view side is pre-aggregated to unique
+    * (user_id, ts) so tie-resolution is engine-independent.
+    */
+  val q67AsofJoin = QueryDef(
+    "q67_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+      graft.ops.AsofJoin.asofBackward(clicks, views, "user_id", "ts", "ts",
+        Seq("v_value"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"), col("asof_v_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'),
+      views AS (SELECT user_id, ts, MAX(value) AS v_value FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT c.event_id, epoch_us(c.ts) AS ts_us, c.value,
+        epoch_us(v.ts) AS asof_ts_us, v.v_value AS asof_v_value
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND v.ts <= c.ts
+      ORDER BY c.event_id"""))
+
+  override val defs: Seq[QueryDef] = Seq(q62FeatureCorr, q63Sessionize,
+    q64MlLeaderboard, q66IntervalJoin, q67AsofJoin)
 }

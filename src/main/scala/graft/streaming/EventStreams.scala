@@ -120,6 +120,34 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Streaming ingest dedup: drop repeated event ids with state bounded by
+    * the watermark (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * the batch keep-first dedup (W1) and the exactly-once-ish guard a
+    * training-data ingest needs. State per key is one timestamp; eviction
+    * follows the watermark, so the operator is safe on unbounded streams.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Stream-stream interval join: for each click, the views by the same user
+    * within `gap` after it. Both sides carry watermarks so the join state is
+    * bounded (Spark evicts rows older than watermark + interval). The range
+    * rides on a user_id EQUI join — no cross product.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      gap: String = "10 minutes", watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("c_ts"),
+      col("event_id").as("c_id")).withWatermark("c_ts", watermark)
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("v_id")).withWatermark("v_ts", watermark)
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr(s"INTERVAL $gap"))
+      .drop("v_user")
+  }
+
   /** Incremental file-stream ingestion of an events directory with
     * AvailableNow semantics (the Trigger.AvailableNow analog of the
     * reference's scheduled batch pull).

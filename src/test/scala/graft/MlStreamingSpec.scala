@@ -148,6 +148,47 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: dropDuplicatesWithinWatermark dedups event ids across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val deduped = EventStreams.dedupEvents(mem.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.Event(1, t(1), 1, "click", 1.0),
+        EventStreams.Event(1, t(1), 1, "click", 1.0), // same batch dup
+        EventStreams.Event(2, t(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(1, t(3), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("streaming: stream-stream interval join emits only in-window pairs") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[EventStreams.Event]
+    val views = MemoryStream[EventStreams.Event]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val joined = EventStreams.clickViewJoin(clicks.toDF(), views.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(EventStreams.Event(10, t(0), 1, "click", 1.0))
+      views.addData(
+        EventStreams.Event(20, t(5), 1, "view", 2.0),   // within 10 min
+        EventStreams.Event(21, t(25), 1, "view", 2.0),  // outside
+        EventStreams.Event(22, t(5), 2, "view", 2.0))   // other user
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test").select("c_id", "v_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 20L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming: file stream over events dir with AvailableNow terminates and matches batch") {
     val batch = Tables.events(spark, sf001)
     // stage the normalized events as a parquet dir (the raw testdata carries
