@@ -92,6 +92,38 @@ object SimQueries extends QueryGroup {
     },
     None)
 
+  /** Embedding near-dup CLUSTERING: cosine pair generation composed with the
+    * connected-components operator (pointer-jumping min-label) — the same
+    * pairs→clusters→keep-decision shape q55 exercises for text, here over
+    * the embedding space. Auto strategy at threshold 0.4 dispatches to the
+    * blocked-exact plan, so the DuckDB recursive-CTE oracle sees identical
+    * edges.
+    */
+  val q68EmbedClusters = QueryDef(
+    "q68_embed_clusters",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      val comps = graft.text.DedupOps.connectedComponents(
+        pairs, e.select(col("vec_id").as("doc")))
+      comps.groupBy("cluster").agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM ev a, ev b WHERE a.vec_id < b.vec_id
+          AND ROUND(${cosineSql("a.v", "b.v")}, 6) >= 0.4),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
+
   /** Multimodal plumbing: binary media column → batched feature extraction
     * (stubbed decode) → per-format feature stats. The decode stub digests the
     * payload with MD5, so DuckDB reproduces feature 0 from the same hex
@@ -136,6 +168,6 @@ object SimQueries extends QueryGroup {
       FROM m GROUP BY 1 ORDER BY 1"""))
 
   override val defs: Seq[QueryDef] = Seq(
-    q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk,
+    q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample)
 }
