@@ -25,6 +25,13 @@ with DAG(
     schedule_interval="@weekly",       # airflow_auto_model.py:17-19
     catchup=True,
 ) as dag:
+    # the reference's workflow verifies the store before scraping
+    # (run-scraper.yml:21-43); PreflightJob is that assert as a Spark job
+    preflight = BashOperator(
+        task_id="preflight_store_check",
+        bash_command=SUBMIT.format(cls="graft.jobs.PreflightJob")
+        + f" {DATA}/links {DATA}/properties",
+    )
     scrape = BashOperator(
         task_id="run_scraper",
         bash_command=SUBMIT.format(cls="graft.jobs.ScrapeJob")
@@ -46,4 +53,4 @@ with DAG(
         + f" {DATA}/clean {DATA}/model",
     )
 
-    scrape >> export >> preprocess >> model
+    preflight >> scrape >> export >> preprocess >> model

@@ -67,6 +67,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs broadcast NLJ in plan")
   }
 
+  test("q67: as-of join is one keyed shuffle + window — no range cross join") {
+    val p = planOf(graft.queries.MlStreamQueries.q67AsofJoin.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join degenerated into a cross product")
+    assert(p.contains("Window"), "expected the ordered carry-forward window")
+  }
+
   test("projection-only read prunes the parquet schema") {
     val df = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
     val p = formatted(df)
