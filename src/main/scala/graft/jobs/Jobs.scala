@@ -95,11 +95,11 @@ object ScrapeJob {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Hadoop FileSystem, not java.io.File — works on HDFS/S3A/local alike. */
-  private[jobs] def pathExists(spark: SparkSession, p: String): Boolean =
+  private[graft] def pathExists(spark: SparkSession, p: String): Boolean =
     hadoopFs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
   /** INSERT OR IGNORE ≡ dedup on key then union (SURVEY §2.1 S12). */
-  private[jobs] def appendDedup(spark: SparkSession, rows: DataFrame,
+  private[graft] def appendDedup(spark: SparkSession, rows: DataFrame,
       dir: String, key: String): Unit = {
     val merged =
       if (pathExists(spark, dir)) {
@@ -113,7 +113,7 @@ object ScrapeJob {
     * through the Hadoop FileSystem API so the swap works on HDFS/S3A too
     * (java.io.File rename silently no-ops on non-local storage).
     */
-  private[jobs] def overwriteAtomic(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+  private[graft] def overwriteAtomic(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     val tmp = dir + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = hadoopFs(spark, dir)

@@ -38,6 +38,16 @@ object Aggregates {
       .limit(1)
       .select(col(column))
 
+  /** A11 scale path: HyperLogLog++ approximate distinct count. Exact
+    * `countDistinct` shuffles every distinct value; the sketch shuffles one
+    * fixed-size buffer per partition — the 100 TB form. `rsd` is the target
+    * relative standard deviation (accuracy/buffer tradeoff). Accuracy vs
+    * exact is pinned in OpsSpec; not oracled (sketch internals are
+    * engine-specific by design).
+    */
+  def approxDistinct(df: DataFrame, column: String, rsd: Double = 0.02): Long =
+    df.agg(approx_count_distinct(col(column), rsd)).head().getLong(0)
+
   /** value_counts with percentage (preprocessing.py:270-271, 299-307).
     * The total is a scalar broadcast via a windowless cross-join-free
     * `sum over ()` — one shuffle for the groupBy, the pct is derived.

@@ -77,5 +77,30 @@ object WindowExtraQueries extends QueryGroup {
       COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  override val defs: Seq[QueryDef] = Seq(q34WindowSuite, q53EmbeddingStats, q35SaltedAgg)
+  /** Salted join — big side salted, small side replicated saltFactor× —
+    * identical result to the direct equi join (the oracle computes the
+    * direct form); the salt spreads one hot supplier key over 16 reducers.
+    */
+  val q69SaltedJoin = QueryDef(
+    "q69_salted_join",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val small = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(big, small, "suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+          sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS cnt
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  override val defs: Seq[QueryDef] = Seq(q34WindowSuite, q53EmbeddingStats,
+    q35SaltedAgg, q69SaltedJoin)
 }

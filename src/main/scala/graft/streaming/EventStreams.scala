@@ -148,6 +148,22 @@ object EventStreams {
       .drop("v_user")
   }
 
+  /** Idempotent micro-batch upsert sink: every micro-batch goes through the
+    * S12 dedup-then-union upsert keyed on `key`, so a replayed batch (after
+    * a failure/restart) is a no-op — exactly-once EFFECTS on top of Spark's
+    * at-least-once batch replay, the streaming face of the reference's
+    * INSERT OR IGNORE.
+    */
+  def writeUpsertStream(events: DataFrame, dir: String, checkpoint: String,
+      key: String = "event_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.jobs.ScrapeJob.appendDedup(
+          batch.sparkSession, batch.toDF(), dir, key)
+      }
+      .start()
+
   /** Incremental file-stream ingestion of an events directory with
     * AvailableNow semantics (the Trigger.AvailableNow analog of the
     * reference's scheduled batch pull).

@@ -189,6 +189,29 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: foreachBatch upsert sink is idempotent under batch replay") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.writeUpsertStream(mem.toDF(), s"$base/events", s"$base/ckpt")
+    try {
+      mem.addData(
+        EventStreams.Event(1, t(1), 1, "click", 1.0),
+        EventStreams.Event(2, t(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      // overlapping key in a later batch: existing row wins, no duplicate
+      mem.addData(
+        EventStreams.Event(2, t(9), 9, "click", 9.0),
+        EventStreams.Event(3, t(3), 2, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/events")
+      assert(got.count() == 3)
+      val e2 = got.filter($"event_id" === 2).as[EventStreams.Event].head()
+      assert(e2.user_id == 1 && e2.value == 2.0, "replayed key overwrote the original")
+    } finally q.stop()
+  }
+
   test("streaming: file stream over events dir with AvailableNow terminates and matches batch") {
     val batch = Tables.events(spark, sf001)
     // stage the normalized events as a parquet dir (the raw testdata carries

@@ -67,6 +67,14 @@ class OpsSpec extends SparkSpec {
     assert(mn == 5.95 && mx == 95.05) // pandas-style linear interpolation
   }
 
+  test("A11 scale path: approx_count_distinct within rsd of exact") {
+    val li = Tables.lineitem(spark, sf001)
+    val exact = li.select("l_partkey").distinct().count()
+    val approx = graft.ops.Aggregates.approxDistinct(li, "l_partkey", rsd = 0.02)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.05, s"approx=$approx exact=$exact err=$err")
+  }
+
   test("A1: cleanMissingData drops columns above the threshold") {
     val df = Seq((Some(1), None: Option[Int]), (Some(2), Some(3)))
       .toDF("keep", "mostly_null")
