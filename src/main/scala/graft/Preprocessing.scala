@@ -159,11 +159,12 @@ object Preprocessing {
       MissingData.fillWithStat(encoded, Seq("Number_of_facades"), "mode"),
       Seq("landSurface", "Living_area"), "median")
     // winsorize numeric columns to learned quantile bounds                 :556-580
-    clipCols.foldLeft(statFilled) { case (acc, (c, lo, hi)) =>
-      if (acc.columns.contains(c))
-        CastOps.winsorize(acc.withColumn(c, col(c).cast("double")), c, lo, hi)
-      else acc
+    // — ALL bounds in one aggregate pass, all clips in one projection
+    val present = clipCols.filter(c => statFilled.columns.contains(c._1))
+    val casted = present.foldLeft(statFilled) { case (acc, (c, _, _)) =>
+      acc.withColumn(c, col(c).cast("double"))
     }
+    CastOps.winsorizeMany(casted, present)
   }
 
   /** Final filter: coordinate sanity (preprocessing.py:583). */

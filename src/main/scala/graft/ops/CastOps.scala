@@ -34,11 +34,23 @@ object CastOps {
     * An all-null column has no percentiles — returned unchanged (pandas clip
     * with NaN bounds is likewise a no-op).
     */
-  def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double): DataFrame = {
-    val bounds = df
-      .agg(expr(s"percentile($column, array($pLo, $pHi))"))
-      .head().getSeq[Double](0)
-    if (bounds == null) df
-    else df.withColumn(column, clip(col(column), bounds(0), bounds(1)))
+  def winsorize(df: DataFrame, column: String, pLo: Double, pHi: Double): DataFrame =
+    winsorizeMany(df, Seq((column, pLo, pHi)))
+
+  /** Winsorize several columns with ONE aggregate pass: all bound pairs are
+    * collected in a single job, then every clip fuses into one projection.
+    * A per-column loop would scan the (100 TB) frame once per column.
+    */
+  def winsorizeMany(df: DataFrame, specs: Seq[(String, Double, Double)]): DataFrame = {
+    if (specs.isEmpty) return df
+    val aggs = specs.map { case (c, lo, hi) =>
+      expr(s"percentile($c, array($lo, $hi))").as(s"__b_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    specs.zipWithIndex.foldLeft(df) { case (acc, ((c, _, _), i)) =>
+      val bounds = row.getSeq[Double](i)
+      if (bounds == null) acc
+      else acc.withColumn(c, clip(col(c), bounds(0), bounds(1)))
+    }
   }
 }

@@ -49,21 +49,32 @@ object MissingData {
     * same barrier shape as the reference; row data stays on executors.
     * Columns absent from the frame are skipped (pandas `if column in df`).
     */
-  def fillWithStat(df: DataFrame, columns: Seq[String], method: String): DataFrame =
-    columns.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
-      val fill: Option[Any] = method match {
-        case "mode" =>
-          Aggregates.modeSmallest(acc, c).collect().headOption.map(_.get(0))
-        case "median" =>
-          Option(acc.agg(percentile(col(c).cast("double"), lit(0.5))).head().get(0))
-        case "mean" =>
-          Option(acc.agg(avg(col(c).cast("double"))).head().get(0))
-        case other => throw new IllegalArgumentException(s"method $other")
-      }
-      fill match {
-        case Some(v: java.lang.Number) => acc.na.fill(Map(c -> v.doubleValue()))
-        case Some(v)                   => acc.na.fill(Map(c -> v.toString))
-        case None                      => acc
-      }
+  def fillWithStat(df: DataFrame, columns: Seq[String], method: String): DataFrame = {
+    val present = columns.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    method match {
+      case "mode" =>
+        // one groupBy per column is unavoidable for exact modes, but the
+        // fill values apply as a single projection
+        present.foldLeft(df) { (acc, c) =>
+          Aggregates.modeSmallest(acc, c).collect().headOption.map(_.get(0)) match {
+            case Some(v: java.lang.Number) => acc.na.fill(Map(c -> v.doubleValue()))
+            case Some(v)                   => acc.na.fill(Map(c -> v.toString))
+            case None                      => acc
+          }
+        }
+      case "median" | "mean" =>
+        // ONE aggregate pass for every column — not a scan per column
+        val aggs = present.map { c =>
+          val v = col(c).cast("double")
+          (if (method == "median") percentile(v, lit(0.5)) else avg(v)).as(c)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val fills = present.flatMap(c =>
+          Option(row.getAs[Any](c)).map(v =>
+            c -> v.asInstanceOf[java.lang.Number].doubleValue())).toMap
+        if (fills.isEmpty) df else df.na.fill(fills)
+      case other => throw new IllegalArgumentException(s"method $other")
     }
+  }
 }
