@@ -111,6 +111,36 @@ object TextQueries extends QueryGroup {
       SELECT doc_id, h AS rhash FROM r JOIN t USING (doc_id)
       WHERE pos = n ORDER BY doc_id"""))
 
+  /** Character-n-gram language-ID variant (trigram profiles) vs the labeled
+    * lang column — the classic n-gram-profile heuristic next to q41's
+    * stopword scorer. */
+  val q70LangIdNgram = QueryDef(
+    "q70_lang_id_ngram",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("predicted", TextAnalysis.langIdNgram(col("text")))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted"),
+    Some {
+      val scores = TextAnalysis.TrigramProfiles.map { case (l, gs) =>
+        val arr = gs.map(g => s"'$g'").mkString("[", ", ", "]")
+        s"len(list_filter($arr, p -> list_contains(grams, p))) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.TrigramProfiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+      s"""WITH g AS (SELECT lang,
+            list_distinct(CASE WHEN len(text) >= 3
+              THEN list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))
+              ELSE [] END) AS grams
+            FROM documents),
+      sc AS (SELECT lang, $scores FROM g),
+      p AS (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted
+            FROM (SELECT *, $m AS m FROM sc))
+      SELECT lang, predicted, COUNT(*) AS cnt FROM p
+      GROUP BY lang, predicted ORDER BY lang, predicted"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(
-    q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash)
+    q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
+    q70LangIdNgram)
 }

@@ -65,10 +65,42 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scores = LangProfiles.map { case (l, p) => l -> profileScore(toks, p) }
+    argmaxLang(scores)
+  }
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
     }
+  }
+
+  /** Per-language character-trigram profiles (most frequent trigrams of each
+    * language, spaces included) for the n-gram language-ID variant.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", "ion", " of"),
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "cht"),
+    "es" -> Seq(" de", "los", " la", "ión", "nte", "que", " es"),
+    "fr" -> Seq(" le", "les", "ent", " la", "des", "ais", " et"))
+
+  /** Distinct character trigrams of the text (empty below 3 chars). */
+  def charTrigrams(text: Column): Column =
+    array_distinct(
+      when(length(text) >= 3,
+        transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>")))
+
+  /** Character-n-gram language ID: argmax count of profile trigrams present
+    * (each counted once), first-profile-wins on ties, "und" when all zero —
+    * the classic n-gram-profile heuristic next to the stopword variant.
+    */
+  def langIdNgram(text: Column): Column = {
+    val grams = charTrigrams(text)
+    val scores = TrigramProfiles.map { case (l, p) =>
+      l -> size(array_intersect(grams, array(p.map(lit): _*)))
+    }
+    argmaxLang(scores)
   }
 
   /** Deterministic quality score in [0,1]: length prior + lexical diversity +
