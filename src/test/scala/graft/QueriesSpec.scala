@@ -16,9 +16,28 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  /** Queries whose plan is ALLOWED a broadcast nested-loop join — each one
+    * broadcasts a side that is tiny BY CONSTRUCTION, which is exactly when
+    * BNLJ is the right plan:
+    *  - q19: 10-row city dim against the spatial theta predicate
+    *  - q24: single-row set-op counts combined into one summary row
+    *  - q48: the bounded query set scored against a streaming corpus scan
+    *         (the corpus itself never shuffles)
+    *  - q65: the nLists-row centroid table probed per query
+    */
+  private val bnljIntended = Set(
+    "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk")
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name runs at sf0.001 with rows") {
+    test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
       val df = fn(spark, sf001)
+      // fleet-wide plan regression guard: nothing may plan an all-pairs
+      // cartesian product, and BNLJ only where a tiny dim makes it right
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljIntended(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a broadcast nested-loop join")
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
