@@ -146,6 +146,54 @@ object DedupQueries extends QueryGroup {
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""
     })
 
+  /** The dedup DECISION on the same pair graph as q55: keep the min-id doc
+    * per near-dup cluster, singletons survive. One summary row pins total,
+    * survivors, and removed counts. */
+  val q71DedupKeep = QueryDef(
+    "q71_dedup_keep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val kept = DedupOps.dedupByClusters(pairs, docs.select(col("doc_id").as("doc")))
+      val total = docs.count()
+      val nKept = kept.count()
+      import s.implicits._
+      Seq((total, nKept, total - nKept)).toDF("n_total", "n_kept", "n_removed")
+    },
+    Some {
+      val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 3).map { j =>
+        val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
+        s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
+      }.mkString(" UNION ALL ")
+      // docs outside the pair graph are singletons and survive; inside the
+      // graph exactly one per component survives
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+      g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in_graph,
+                   CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters FROM labels)
+      SELECT n_total, n_total - n_in_graph + n_clusters AS n_kept,
+        n_in_graph - n_clusters AS n_removed FROM t, g"""
+    })
+
   /** Winnowing fingerprints (k=8 char-grams, window w=4): per-doc
     * fingerprint-set stats. */
   val q58Winnowing = QueryDef(
@@ -172,5 +220,5 @@ object DedupQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
-    q58Winnowing)
+    q71DedupKeep, q58Winnowing)
 }

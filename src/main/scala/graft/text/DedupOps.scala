@@ -194,6 +194,20 @@ object DedupOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** The dedup DECISION: from a (doc, cluster) labeling, keep exactly one
+    * representative per cluster — the minimum doc id, which is also the
+    * cluster label, so the keep-set is a plain filter (no extra shuffle);
+    * singleton docs are their own cluster and survive automatically.
+    */
+  def keepRepresentatives(labels: DataFrame): DataFrame =
+    labels.filter(col("doc") === col("cluster")).select("doc")
+
+  /** End-to-end near-dup dedup: candidate pairs → connected components →
+    * keep min-id per cluster. Returns the surviving docs frame.
+    */
+  def dedupByClusters(pairs: DataFrame, docs: DataFrame): DataFrame =
+    keepRepresentatives(connectedComponents(pairs, docs))
+
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every character
     * k-gram, then keep the minimum hash of every w-length window of
     * consecutive k-grams. The selected minima are the document's
