@@ -48,6 +48,27 @@ object Aggregates {
   def approxDistinct(df: DataFrame, column: String, rsd: Double = 0.02): Long =
     df.agg(approx_count_distinct(col(column), rsd)).head().getLong(0)
 
+  /** A7 scale path: approximate percentiles via Spark's quantile sketch
+    * (Greenwald-Khanna): mergeable fixed-size partial state instead of
+    * shuffling values — the 100 TB form of the quantile barrier. `accuracy`
+    * trades state size for error (1/accuracy relative rank error). Exact
+    * `percentile` stays the oracle-path default; accuracy pinned in OpsSpec.
+    */
+  def approxQuantiles(df: DataFrame, column: String, probs: Seq[Double],
+      accuracy: Int = 10000): Seq[Double] =
+    df.agg(percentile_approx(col(column),
+        array(probs.map(lit): _*), lit(accuracy)))
+      .head().getSeq[Double](0)
+
+  /** Stratified sample with per-stratum fractions (seeded, reproducible for
+    * a fixed seed+partitioning) — training-data curation's "rebalance by
+    * source/language/quality-bucket" step. Map-side filter per row: no
+    * shuffle at all.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
   /** value_counts with percentage (preprocessing.py:270-271, 299-307).
     * The total is a scalar broadcast via a windowless cross-join-free
     * `sum over ()` — one shuffle for the groupBy, the pct is derived.

@@ -75,6 +75,31 @@ class OpsSpec extends SparkSpec {
     assert(err < 0.05, s"approx=$approx exact=$exact err=$err")
   }
 
+  test("A7 scale path: approx quantiles close to exact percentiles") {
+    val o = Tables.orders(spark, sf001)
+    val approx = graft.ops.Aggregates.approxQuantiles(
+      o, "o_totalprice", Seq(0.25, 0.5, 0.75))
+    val exact = o.agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))"))
+      .head().getSeq[Double](0)
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+    }
+  }
+
+  test("stratified sample: per-stratum fractions roughly honored, no shuffle") {
+    val li = Tables.lineitem(spark, sf001)
+    val sampled = graft.ops.Aggregates.stratifiedSample(
+      li, "l_returnflag", Map("A" -> 0.1, "N" -> 0.5, "R" -> 0.0))
+    val got = sampled.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("R"))
+    assert(math.abs(got("A").toDouble / base("A") - 0.1) < 0.05)
+    assert(math.abs(got("N").toDouble / base("N") - 0.5) < 0.1)
+    assert(!sampled.queryExecution.executedPlan.toString().contains("Exchange"))
+  }
+
   test("A1: cleanMissingData drops columns above the threshold") {
     val df = Seq((Some(1), None: Option[Int]), (Some(2), Some(3)))
       .toDF("keep", "mostly_null")
