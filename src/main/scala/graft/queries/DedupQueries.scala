@@ -152,7 +152,9 @@ object DedupQueries extends QueryGroup {
   val q71DedupKeep = QueryDef(
     "q71_dedup_keep",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // bounded id range: q55 already exercises the full-corpus clustering;
+      // this query pins the keep-decision arithmetic, not corpus scale
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 4000)
       val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
       val kept = DedupOps.dedupByClusters(pairs, docs.select(col("doc_id").as("doc")))
@@ -171,7 +173,8 @@ object DedupQueries extends QueryGroup {
       }.mkString(" UNION ALL ")
       // docs outside the pair graph are singletons and survive; inside the
       // graph exactly one per component survives
-      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      s"""WITH RECURSIVE dd AS (SELECT doc_id, text FROM documents WHERE doc_id < 4000),
+      w AS (SELECT doc_id, string_split(text, ' ') AS words FROM dd),
       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
              FROM w),
@@ -187,7 +190,7 @@ object DedupQueries extends QueryGroup {
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a),
-      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dd),
       g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in_graph,
                    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters FROM labels)
       SELECT n_total, n_total - n_in_graph + n_clusters AS n_kept,
