@@ -146,6 +146,34 @@ object DedupQueries extends QueryGroup {
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""
     })
 
+  /** SimHash chunk-indexed near-dup pairs (Hamming ≤ 3 over 16-bit
+    * signatures; pigeonhole candidates from 4-bit chunk equality). */
+  val q72SimhashPairs = QueryDef(
+    "q72_simhash_pairs",
+    (s, d) => DedupOps.simhashNearDupPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 2000), "doc_id", col("text"))
+      .orderBy("d1", "d2"),
+    Some {
+      val bits = 16
+      val sums = (0 until bits)
+        .map(b => s"SUM(((hv >> $b) & 1) * 2 - 1) AS s_$b").mkString(", ")
+      val combine = (0 until bits)
+        .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             FROM documents WHERE doc_id < 2000),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS hv FROM t),
+      sm AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      s AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sm),
+      ch AS (SELECT doc_id, simhash, c, (simhash >> (4 * c)) & 15 AS v
+             FROM s, range(0, 4) t(c)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+      SELECT d1, d2,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      FROM cand JOIN s x ON d1 = x.doc_id JOIN s y ON d2 = y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 3 ORDER BY d1, d2"""
+    })
+
   /** The dedup DECISION on the same pair graph as q55: keep the min-id doc
     * per near-dup cluster, singletons survive. One summary row pins total,
     * survivors, and removed counts. */
@@ -223,5 +251,5 @@ object DedupQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
-    q71DedupKeep, q58Winnowing)
+    q71DedupKeep, q72SimhashPairs, q58Winnowing)
 }

@@ -194,6 +194,31 @@ object DedupOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** SimHash near-dup pairs via the classic chunk index: split the `bits`-bit
+    * signature into `chunks` equal chunks; by pigeonhole, any pair within
+    * Hamming distance < `chunks` shares at least one identical chunk, so
+    * candidates come from an equi join on (chunk_id, chunk_value) — never
+    * all pairs — and only candidates get the exact popcount verify
+    * (`bit_count(x XOR y)`, codegen'd built-ins).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: Column,
+      maxHamming: Int = 3, bits: Int = 16, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val width = bits / chunks
+    val sig = simhash(df, idCol, textCol, bits)
+    val chunked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * width).bitwiseAND((1 << width) - 1)): _*))
+        .as(Seq("chunk", "v")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** The dedup DECISION: from a (doc, cluster) labeling, keep exactly one
     * representative per cluster — the minimum doc id, which is also the
     * cluster label, so the keep-set is a plain filter (no extra shuffle);
