@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "graft_substr_score" -> (exprs => SubstringSetScore(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -94,14 +94,28 @@ object TextAnalysis {
   /** Character-n-gram language ID: argmax count of profile trigrams present
     * (each counted once), first-profile-wins on ties, "und" when all zero —
     * the classic n-gram-profile heuristic next to the stopword variant.
+    *
+    * |distinct_trigrams(text) ∩ profile| ≡ number of profile trigrams that
+    * occur in the text as substrings, so the score is the codegen'd
+    * SubstringSetScore expression (one fused contains-loop, no per-row
+    * trigram arrays) — bit-identical to the HOF formulation (pinned in
+    * TextAnalysisSpec) and to the q70 oracle.
     */
   def langIdNgram(text: Column): Column = {
-    val grams = charTrigrams(text)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val scores = TrigramProfiles.map { case (l, p) =>
-      l -> size(array_intersect(grams, array(p.map(lit): _*)))
+      l -> ColumnBridge.column(graft.functions.SubstringSetScore(
+        ColumnBridge.expression(text),
+        ColumnBridge.expression(array(p.map(lit): _*))))
     }
     argmaxLang(scores)
   }
+
+  /** The interpreted HOF formulation of the trigram score (kept as the
+    * reference twin for the codegen expression's equivalence test).
+    */
+  def trigramProfileScoreHof(text: Column, profile: Seq[String]): Column =
+    size(array_intersect(charTrigrams(text), array(profile.map(lit): _*)))
 
   /** Deterministic quality score in [0,1]: length prior + lexical diversity +
     * stopword plausibility. Rounded to 6 decimals so downstream exact-decimal

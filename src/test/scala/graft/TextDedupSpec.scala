@@ -25,6 +25,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("SubstringSetScore ≡ the HOF trigram-intersect formulation on real data") {
+    val docs = Tables.documents(spark, sf001).limit(300)
+    TextAnalysis.TrigramProfiles.foreach { case (lang, profile) =>
+      val pairs = docs.select(
+        TextAnalysis.trigramProfileScoreHof(col("text"), profile).as("hof"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SubstringSetScore(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              array(profile.map(lit): _*)))).as("gen"))
+        .as[(Int, Int)].collect()
+      assert(pairs.forall { case (a, b) => a == b }, s"diverged for $lang")
+    }
+    // edge cases: empty text, text shorter than a trigram, exact trigram
+    val edge = Seq("", "ab", "the", "xthex").toDF("text")
+      .select(TextAnalysis.trigramProfileScoreHof(col("text"), Seq("the", "he ")).as("hof"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SubstringSetScore(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              array(lit("the"), lit("he "))))).as("gen"))
+      .as[(Int, Int)].collect()
+    assert(edge.forall { case (a, b) => a == b })
+  }
+
+  test("graft_substr_score callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_substr_score('the cat', array('the', 'dog', 'cat')) AS s")
+      .as[Int].head()
+    assert(got == 2)
+  }
+
   test("qualityScore is in [0,1] and deterministic") {
     val docs = Tables.documents(spark, sf001)
     val stats = docs.select(TextAnalysis.qualityScore($"text").as("q"))
