@@ -15,7 +15,7 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
     TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
-    WindowExtraQueries, GroupingQueries)
+    WindowExtraQueries, GroupingQueries, CurationQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

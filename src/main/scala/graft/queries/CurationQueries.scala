@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.Curation
+
+/** Corpus-curation operators over the documents table: per-domain caps,
+  * repetition metrics, composite C4/Gopher-style rule filters.
+  */
+object CurationQueries extends QueryGroup {
+
+  /** Per-source cap: at most 5 docs per source (ordered by doc_id) — the
+    * "no domain dominates the corpus" rule. Output: per-source counts
+    * before/after the cap.
+    */
+  val q73DomainCap = QueryDef(
+    "q73_domain_cap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val capped = Curation.capPerGroup(docs, "source", Seq("doc_id"), 5)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(capped.groupBy("source").agg(count(lit(1)).as("n_kept")), Seq("source"))
+        .orderBy("source")
+    },
+    Some("""WITH capped AS (SELECT source FROM (
+        SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn <= 5)
+      SELECT d.source, d.n_docs, c.n_kept FROM
+        (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) d
+        JOIN (SELECT source, COUNT(*) AS n_kept FROM capped GROUP BY source) c
+        USING (source)
+      ORDER BY source"""))
+
+  /** Token- and bigram-level repetition ratios (Gopher-style repetition
+    * signals) for a bounded doc range. */
+  val q74Repetition = QueryDef(
+    "q74_repetition",
+    (s, d) => Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        Curation.tokenRepetitionRatio(col("text")).as("tok_rep"),
+        Curation.bigramRepetitionRatio(col("text")).as("bigram_rep"))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 50),
+      g AS (SELECT doc_id, words,
+          list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')) AS grams
+        FROM w)
+      SELECT doc_id,
+        CASE WHEN len(words) <= 0 THEN 0.0
+          ELSE ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+        END AS tok_rep,
+        CASE WHEN len(words) - 1 <= 0 THEN 0.0
+          ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (len(words) - 1), 6)
+        END AS bigram_rep
+      FROM g ORDER BY doc_id"""))
+
+  /** Composite C4-style rule filter: per-rule violation counts + survivors,
+    * one summary row over the whole corpus. */
+  val q75C4Filter = QueryDef(
+    "q75_c4_filter",
+    (s, d) => {
+      val flagged = Curation.c4RuleFlags(Tables.documents(s, d), col("text"))
+      flagged.agg(
+        count(lit(1)).as("n_docs"),
+        sum((!col("r_min_words")).cast("bigint")).cast("bigint").as("v_min_words"),
+        sum((!col("r_word_len")).cast("bigint")).cast("bigint").as("v_word_len"),
+        sum((!col("r_stopword")).cast("bigint")).cast("bigint").as("v_stopword"),
+        sum((!col("r_repetition")).cast("bigint")).cast("bigint").as("v_repetition"),
+        sum(col("keep").cast("bigint")).cast("bigint").as("n_kept"))
+    },
+    Some {
+      val stop = graft.text.TextAnalysis.LangProfiles.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH f AS (SELECT
+          len(words) >= 50 AS r_min_words,
+          mean_len >= 2.0 AND mean_len <= 10.0 AS r_word_len,
+          len(list_filter($stop, p -> list_contains(list_distinct(words), p))) > 0 AS r_stopword,
+          (CASE WHEN len(words) <= 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+          END) <= 0.8 AS r_repetition
+        FROM (SELECT words, CAST(len(text) - (len(words) - 1) AS DOUBLE) / len(words) AS mean_len
+              FROM (SELECT text, string_split(text, ' ') AS words FROM documents)))
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CAST(NOT r_min_words AS BIGINT)) AS BIGINT) AS v_min_words,
+        CAST(SUM(CAST(NOT r_word_len AS BIGINT)) AS BIGINT) AS v_word_len,
+        CAST(SUM(CAST(NOT r_stopword AS BIGINT)) AS BIGINT) AS v_stopword,
+        CAST(SUM(CAST(NOT r_repetition AS BIGINT)) AS BIGINT) AS v_repetition,
+        CAST(SUM(CAST(r_min_words AND r_word_len AND r_stopword AND r_repetition AS BIGINT)) AS BIGINT) AS n_kept
+      FROM f"""
+    })
+
+  override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition, q75C4Filter)
+}

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the keep/drop machinery of a training-data
+  * pipeline on top of the per-doc signals (TextAnalysis) and dedup
+  * (DedupOps) — per-domain caps, repetition metrics, and composite
+  * C4/Gopher-style rule filters. All pure Column/window logic: partitioned
+  * windows and codegen'd expressions only.
+  */
+object Curation {
+
+  /** Keep at most `n` rows per group, by the given order (per-domain caps:
+    * no single source may dominate the corpus). Window partitioned by the
+    * group key — one shuffle, no hot global partition.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Duplicate-token fraction: 1 − distinct/total tokens (0 for empty). */
+  def tokenRepetitionRatio(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val total = size(toks)
+    when(total <= 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / total, 6))
+  }
+
+  /** Duplicate-bigram fraction: 1 − distinct/total word 2-grams (0 when the
+    * text has fewer than 2 tokens) — the Gopher-style repetition signal one
+    * level above tokens.
+    */
+  def bigramRepetitionRatio(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val total = size(toks) - 1
+    // DedupOps.shingles is already distinct; total comes from the token count
+    when(total <= 0, 0.0).otherwise(
+      round(lit(1.0) - size(DedupOps.shingles(text, 2)).cast("double") / total, 6))
+  }
+
+  /** C4/Gopher-style composite quality rules, each as a boolean column:
+    * enough words, sane mean word length, contains an English stopword,
+    * not dominated by repetition. Returns the input plus one flag per rule
+    * and a `keep` conjunction — counting/filtering composes downstream.
+    */
+  def c4RuleFlags(df: DataFrame, textCol: Column,
+      minWords: Int = 50, meanLenLo: Double = 2.0, meanLenHi: Double = 10.0,
+      maxRepetition: Double = 0.8): DataFrame = {
+    val toks = TextAnalysis.tokens(textCol)
+    val nWords = size(toks)
+    val meanLen = (length(textCol) - (nWords - 1)).cast("double") / nWords
+    val out = df
+      .withColumn("r_min_words", nWords >= minWords)
+      .withColumn("r_word_len", meanLen >= meanLenLo && meanLen <= meanLenHi)
+      .withColumn("r_stopword",
+        TextAnalysis.profileScore(toks, TextAnalysis.LangProfiles.head._2) > 0)
+      .withColumn("r_repetition", tokenRepetitionRatio(textCol) <= maxRepetition)
+    out.withColumn("keep",
+      col("r_min_words") && col("r_word_len") && col("r_stopword") && col("r_repetition"))
+  }
+}
