@@ -90,5 +90,44 @@ object CurationQueries extends QueryGroup {
       FROM f"""
     })
 
-  override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition, q75C4Filter)
+  /** PII redaction: deterministic synthetic emails/phones are injected into
+    * the text (derived from doc_id), scrubbed, and the replacement counts
+    * verified — both regexes are RE2-compatible so DuckDB reproduces the
+    * scrub byte-for-byte. */
+  val q76PiiRedact = QueryDef(
+    "q76_pii_redact",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val salted = docs.withColumn("dirty",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +32 2 "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" 456 789")))
+      salted
+        .withColumn("clean", Curation.redactPii(col("dirty")))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((length(col("dirty")) - length(col("clean"))).cast("bigint"))
+            .cast("bigint").as("chars_removed"),
+          sum((size(split(col("clean"), "<EMAIL>", -1)) - 1).cast("bigint"))
+            .cast("bigint").as("n_emails"),
+          sum((size(split(col("clean"), "<PHONE>", -1)) - 1).cast("bigint"))
+            .cast("bigint").as("n_phones"))
+    },
+    Some(s"""WITH dirty AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +32 2 '
+            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' 456 789' AS dirty
+        FROM documents WHERE doc_id < 200),
+      c AS (SELECT dirty,
+          regexp_replace(regexp_replace(dirty,
+            '${Curation.EmailRe}', '<EMAIL>', 'g'),
+            '${Curation.PhoneRe}', '<PHONE>', 'g') AS clean
+        FROM dirty)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(dirty) - len(clean)) AS BIGINT) AS chars_removed,
+        CAST(SUM(len(string_split(clean, '<EMAIL>')) - 1) AS BIGINT) AS n_emails,
+        CAST(SUM(len(string_split(clean, '<PHONE>')) - 1) AS BIGINT) AS n_phones
+      FROM c"""))
+
+  override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
+    q75C4Filter, q76PiiRedact)
 }

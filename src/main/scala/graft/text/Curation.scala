@@ -44,6 +44,19 @@ object Curation {
       round(lit(1.0) - size(DedupOps.shingles(text, 2)).cast("double") / total, 6))
   }
 
+  /** PII redaction: replace email addresses and international-format phone
+    * numbers with placeholder tokens — the standard scrub step before
+    * training-data release. Patterns are deliberately RE2-compatible (no
+    * backrefs/lookarounds) so external engines reproduce them exactly;
+    * `regexp_replace` is codegen'd and replaces all occurrences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}[0-9 .-]{6,14}[0-9]"
+
+  def redactPii(text: Column,
+      emailToken: String = "<EMAIL>", phoneToken: String = "<PHONE>"): Column =
+    regexp_replace(regexp_replace(text, EmailRe, emailToken), PhoneRe, phoneToken)
+
   /** C4/Gopher-style composite quality rules, each as a boolean column:
     * enough words, sane mean word length, contains an English stopword,
     * not dominated by repetition. Returns the input plus one flag per rule
