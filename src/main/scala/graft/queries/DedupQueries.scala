@@ -225,6 +225,41 @@ object DedupQueries extends QueryGroup {
         n_in_graph - n_clusters AS n_removed FROM t, g"""
     })
 
+  /** Incremental exact dedup: an incoming batch (which overlaps the existing
+    * corpus AND contains intra-batch duplicates) is cleaned with one anti
+    * join + one keep-first — the per-batch production shape. */
+  val q77IncrementalDedup = QueryDef(
+    "q77_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") < 600)
+      // incoming: ids 400-1199 (400-599 duplicate existing text) plus a
+      // second copy of every %7==0 doc under a shifted id (intra-batch dups)
+      val incoming = docs.filter(col("doc_id") >= 400 && col("doc_id") < 1200)
+        .unionAll(docs.filter(col("doc_id") >= 400 && col("doc_id") < 1200
+          && col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val kept = DedupOps.incrementalExactDedup(incoming, existing,
+        "doc_id", md5(col("text")))
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+    Some("""WITH existing AS (SELECT md5(text) AS k FROM documents WHERE doc_id < 600),
+      incoming AS (
+        SELECT doc_id, md5(text) AS k FROM documents
+          WHERE doc_id >= 400 AND doc_id < 1200
+        UNION ALL
+        SELECT doc_id + 100000, md5(text) FROM documents
+          WHERE doc_id >= 400 AND doc_id < 1200 AND doc_id % 7 = 0),
+      fresh AS (SELECT * FROM incoming WHERE k NOT IN (SELECT k FROM existing)),
+      kept AS (SELECT k, MIN(doc_id) AS doc_id FROM fresh GROUP BY k)
+      SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM kept"""))
+
   /** Winnowing fingerprints (k=8 char-grams, window w=4): per-doc
     * fingerprint-set stats. */
   val q58Winnowing = QueryDef(
@@ -251,5 +286,5 @@ object DedupQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
-    q71DedupKeep, q72SimhashPairs, q58Winnowing)
+    q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q58Winnowing)
 }

@@ -194,6 +194,21 @@ object DedupOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Production-shape INCREMENTAL exact dedup: clean an incoming batch
+    * against the existing corpus without touching the corpus — anti join on
+    * the content key (the existing side reduces to its distinct keys, which
+    * at scale is the pre-built dedup index), then keep-first within the
+    * batch itself. The corpus is never re-clustered; per-batch cost is one
+    * keyed anti join + one bounded window.
+    */
+  def incrementalExactDedup(incoming: DataFrame, existing: DataFrame,
+      idCol: String, keyExpr: Column): DataFrame = {
+    val inKeyed = incoming.withColumn("__key", keyExpr)
+    val exKeys = existing.select(keyExpr.as("__key")).distinct()
+    val newOnly = inKeyed.join(exKeys, Seq("__key"), "left_anti")
+    graft.ops.Dedup.keepFirst(newOnly, Seq("__key"), Seq(idCol)).drop("__key")
+  }
+
   /** SimHash near-dup pairs via the classic chunk index: split the `bits`-bit
     * signature into `chunks` equal chunks; by pigeonhole, any pair within
     * Hamming distance < `chunks` shares at least one identical chunk, so
