@@ -103,6 +103,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got(9L) == 9L)
   }
 
+  test("connectedComponents: local union-find and distributed pointer " +
+      "jumping agree exactly") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 3L)).toDF("d1", "d2")
+    val docs = (1L to 12L).toDF("doc")
+    def labels(threshold: Long) = DedupOps
+      .connectedComponents(pairs, docs, driverMaxPairs = threshold)
+      .as[(Long, Long)].collect().toSet
+    val local = labels(1000000L)
+    val dist = labels(0L)
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local.contains((10L, 1L)) && local.contains((8L, 7L)) &&
+      local.contains((5L, 5L)))
+  }
+
   test("simhash: identical texts collide, disjoint-vocab texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
