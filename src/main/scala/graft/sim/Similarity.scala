@@ -149,7 +149,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
 
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
