@@ -22,7 +22,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object JdbcStore {
 
-  /** Read one table; partitioned range scan when `partitionCol` is given. */
+  /** Read one table; partitioned range scan when `partitionCol` is given.
+    * When no explicit bounds are passed, the ACTUAL min/max of the partition
+    * column are probed first (one tiny query) — default bounds like
+    * [0, Long.MaxValue) would put every real-world id in the first stride
+    * and silently serialize the whole scan into one task.
+    */
   def readTable(spark: SparkSession, url: String, table: String,
       partitionCol: Option[String] = None,
       lowerBound: Long = 0L, upperBound: Long = Long.MaxValue,
@@ -32,7 +37,18 @@ object JdbcStore {
     driver.foreach(props.setProperty("driver", _))
     partitionCol match {
       case Some(c) =>
-        spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, props)
+        if (lowerBound == 0L && upperBound == Long.MaxValue) {
+          val r = spark.read
+            .jdbc(url, s"(SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table) b", props)
+            .head()
+          if (r.isNullAt(0)) spark.read.jdbc(url, table, props) // empty table
+          else
+            // upper bound is an exclusive stride boundary in Spark's JDBC
+            // partitioner: +1 keeps the max row in the last partition
+            spark.read.jdbc(url, table, c, r.getLong(0), r.getLong(1) + 1,
+              numPartitions, props)
+        } else
+          spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, props)
       case None =>
         spark.read.jdbc(url, table, props)
     }

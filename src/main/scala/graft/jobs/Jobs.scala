@@ -139,18 +139,24 @@ object PreflightJob {
   }
 
   def run(spark: SparkSession, linksDir: String, propertiesDir: String): Unit = {
-    require(ScrapeJob.pathExists(spark, linksDir),
-      s"links store missing: $linksDir")
-    val links = spark.read.parquet(linksDir)
-    val expected = graft.schema.Schemas.links.fieldNames.toSet
-    val missing = expected -- links.columns.toSet
-    require(missing.isEmpty, s"links store lacks columns: $missing")
-    val nLinks = links.count()
-    val propsPresent = ScrapeJob.pathExists(spark, propertiesDir)
-    val nProps = if (propsPresent) spark.read.parquet(propertiesDir).count() else 0L
-    // the reference prints its environment at this point; counts are the
-    // useful operational facts here
-    println(s"preflight ok: links=$nLinks properties=$nProps (store present=$propsPresent)")
+    // An ABSENT store is a valid bootstrap state — ScrapeJob creates it on
+    // first run (Jobs.scala links0 fallback), so failing here would deadlock
+    // the DAG forever on a fresh deployment. What preflight guards against is
+    // a PRESENT-but-corrupt/misshapen store, which would make the scrape
+    // write garbage on top of garbage. (The reference could hard-require its
+    // store because the SQLite file ships committed in the repo.)
+    if (ScrapeJob.pathExists(spark, linksDir)) {
+      val links = spark.read.parquet(linksDir)
+      val expected = graft.schema.Schemas.links.fieldNames.toSet
+      val missing = expected -- links.columns.toSet
+      require(missing.isEmpty, s"links store lacks columns: $missing")
+      val nLinks = links.count()
+      val propsPresent = ScrapeJob.pathExists(spark, propertiesDir)
+      val nProps = if (propsPresent) spark.read.parquet(propertiesDir).count() else 0L
+      println(s"preflight ok: links=$nLinks properties=$nProps (store present=$propsPresent)")
+    } else {
+      println(s"preflight ok: links store absent (bootstrap run) at $linksDir")
+    }
   }
 }
 

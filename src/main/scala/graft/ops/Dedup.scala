@@ -18,11 +18,18 @@ object Dedup {
 
   private val RN = "__graft_rn"
 
-  /** Keep the first row per `keys`, "first" defined by ascending `orderCols`. */
-  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+  /** Keep the first `n` rows per `keys`, "first" defined by ascending
+    * `orderCols` (per-group caps and keep-first dedup are the same window).
+    */
+  def keepTopN(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      n: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.withColumn(RN, row_number().over(w)).filter(col(RN) === 1).drop(RN)
+    df.withColumn(RN, row_number().over(w)).filter(col(RN) <= n).drop(RN)
   }
+
+  /** Keep the first row per `keys`, "first" defined by ascending `orderCols`. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame =
+    keepTopN(df, keys, orderCols, 1)
 
   /** Attach a read-order ordinal usable as the keep-first order column when the
     * input has no natural key. Stable for a fixed file layout (same guarantee

@@ -17,8 +17,17 @@ case class ScoredHit(cid: Long, sim: Double)
   * Ordering matches the window it replaces: sim DESC, cid ASC.
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredHit]] {
-  private def ord: Ordering[ScoredHit] =
-    Ordering.by((h: ScoredHit) => (-h.sim, h.cid))
+  // sim DESC via java.lang.Double.compare, which ranks a NaN as the largest
+  // double — the same ordering Spark's desc() and DuckDB's ORDER BY ... DESC
+  // use. graft's own scoring paths never feed NaN (zero-norm cosines become
+  // NULL and are filtered), but user-supplied scores must not silently
+  // invert the window ordering this aggregate replaces.
+  private def ord: Ordering[ScoredHit] = new Ordering[ScoredHit] {
+    override def compare(a: ScoredHit, b: ScoredHit): Int = {
+      val c = java.lang.Double.compare(b.sim, a.sim)
+      if (c != 0) c else java.lang.Long.compare(a.cid, b.cid)
+    }
+  }
   // amortized trim: let the buffer grow to 2k, then cut back to k
   private def trim(s: Seq[ScoredHit]): Seq[ScoredHit] =
     if (s.length <= 2 * k) s else s.sorted(ord).take(k)
@@ -64,6 +73,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Null-safe rounded cosine from precomputed norms: a zero-norm operand
+    * has no defined cosine → NULL (SQL division semantics; ANSI mode would
+    * otherwise raise DIVIDE_BY_ZERO at runtime). Threshold filters drop the
+    * NULLs naturally; ranked paths exclude them before the top-k aggregate.
+    */
+  private def safeSim(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb =!= 0.0, round(dot(a, b) / (na * nb), 6))
+
   /** Two-phase per-query top-k over a scored relation (qid, cid, sim):
     * map-side bounded heaps (TopKAgg partial) → one balanced shuffle of
     * |partitions|·|Q|·k partial states → per-qid merge → posexplode into
@@ -71,7 +88,8 @@ object Similarity {
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[ScoredHit])
-    scored.groupBy("qid")
+    scored.filter(col("sim").isNotNull) // zero-norm vectors have no cosine
+      .groupBy("qid")
       .agg(topk(col("cid").cast("long"), col("sim")).as("hits"))
       .select(col("qid"), posexplode(col("hits")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
@@ -94,7 +112,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -132,7 +150,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -184,7 +202,7 @@ object Similarity {
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -211,7 +229,9 @@ object Similarity {
     * near-dup" dedup mode, NEVER as a cross join. Two plans, picked by how
     * selective banded LSH can be at the requested threshold:
     *
-    *  - '''banded-lsh''' (sub-quadratic; real near-dup thresholds ≥ ~0.7):
+    *  - '''banded-lsh''' (sub-quadratic; at the default bandBits=8 and
+    *    recall 0.999 the dispatch criterion below selects it for
+    *    threshold ≳ 0.72 — the real near-dup regime):
     *    candidate pairs from banded hyperplane LSH — same shape as
     *    `DedupOps.lshCandidatePairs` for text — with the exact cosine
     *    computed INLINE in the band join (joining vectors back to a deduped
@@ -260,7 +280,7 @@ object Similarity {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("d1"), col("y.id").as("d2"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")), 6).as("sim"))
+        safeSim(col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }
@@ -288,7 +308,7 @@ object Similarity {
       .select(
         least(col("xid"), col("yid")).as("d1"),
         greatest(col("xid"), col("yid")).as("d2"),
-        round(dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6).as("sim"))
+        safeSim(col("xv"), col("yv"), col("xn"), col("yn")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

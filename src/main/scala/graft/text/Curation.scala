@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: the keep/drop machinery of a training-data
@@ -13,16 +12,12 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Keep at most `n` rows per group, by the given order (per-domain caps:
-    * no single source may dominate the corpus). Window partitioned by the
-    * group key — one shuffle, no hot global partition.
+    * no single source may dominate the corpus). Same partitioned window as
+    * keep-first dedup — delegates to Dedup.keepTopN.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCols: Seq[String],
-      n: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
-  }
+      n: Int): DataFrame =
+    graft.ops.Dedup.keepTopN(df, Seq(groupCol), orderCols, n)
 
   /** Duplicate-token fraction: 1 − distinct/total tokens (0 for empty). */
   def tokenRepetitionRatio(text: Column): Column = {

@@ -56,6 +56,16 @@ class JdbcStoreSpec extends SparkSpec {
     assert(ranged.select("classified_id").as[Long].collect().sorted.toSeq ==
       (1L to 25L))
 
+    // no explicit bounds: min/max are probed, so the strides cover the real
+    // id range instead of degenerating into one hot partition
+    val probed = JdbcStore.readTable(spark, url, "links",
+      partitionCol = Some("classified_id"), numPartitions = 4)
+    assert(probed.rdd.getNumPartitions == 4)
+    val perPart = probed.rdd
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.max <= 13, s"degenerate stride: $perPart")
+    assert(probed.count() == 25)
+
     // write path: append new rows, read back through the same interface
     val more = Seq((26L, "https://x.be/classified/house/for-sale/a/1000/26",
       26L, "pending")).toDF("id", "url", "classified_id", "status")

@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the ordered carry-forward window")
   }
 
+  test("q74: doc-id bound is pushed to the documents scan; columns pruned") {
+    val p = formatted(graft.queries.CurationQueries.q74Repetition.fn(spark, sf001))
+    assert(p.contains("LessThan(doc_id,50)"), "id bound not pushed to scan")
+    assert(!p.contains("n_chars"), "unused columns not pruned from ReadSchema")
+  }
+
   test("projection-only read prunes the parquet schema") {
     val df = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
     val p = formatted(df)

@@ -39,6 +39,24 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(approx).nonEmpty, "LSH found none of the true top-k")
   }
 
+  test("zero-norm vectors have no cosine: excluded from top-k and pairs, " +
+      "no ANSI divide-by-zero crash") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f)), // zero norm -> sim undefined (NULL)
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0)
+    val top = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 3)
+      .orderBy("rank").select("cid").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L), s"zero-norm vector should be excluded, got $top")
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = -1.0, strategy = "blocked")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "zero-norm vector should pair with nothing")
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("cosineNearDupPairs: every strategy reproduces the all-pairs result " +
       "on the fixture (blocked always; LSH at recall-1 parameters)") {
     val e = Tables.embeddings(spark, sf001)

@@ -86,18 +86,18 @@ class JobsSpec extends SparkSpec {
     assert(counter.total == 50)
   }
 
-  test("PreflightJob: passes on a valid store, fails on missing or misshapen") {
+  test("PreflightJob: bootstrap (absent store) and valid store pass; " +
+      "misshapen store refuses") {
     val base = java.nio.file.Files.createTempDirectory("preflight").toString
     val (linksDir, propsDir) = (s"$base/links", s"$base/properties")
-    // missing store -> refuse
-    intercept[IllegalArgumentException] {
-      PreflightJob.run(spark, linksDir, propsDir)
-    }
+    // absent store is the bootstrap state — ScrapeJob creates it, so
+    // preflight must NOT block the first scheduled run
+    PreflightJob.run(spark, linksDir, propsDir)
     // valid store -> ok (properties absent is allowed: first run has none)
     ScrapeJob.overwriteAtomic(spark,
       graft.ingest.LinkState.emptyLinks(spark), linksDir)
     PreflightJob.run(spark, linksDir, propsDir)
-    // misshapen store -> refuse
+    // present-but-misshapen store -> refuse
     ScrapeJob.overwriteAtomic(spark, Seq((1L, "x")).toDF("id", "whatever"), linksDir)
     intercept[IllegalArgumentException] {
       PreflightJob.run(spark, linksDir, propsDir)
