@@ -26,7 +26,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(10).collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query-name prefixes to run (dev iteration); driver passes none
+    val wanted = args.toSeq
+    val selected =
+      if (wanted.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => wanted.exists(n.startsWith) }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -102,7 +102,27 @@ object Models {
       numFolds: Int = 6, nIter: Int = 10, seed: Long = 42,
       parallelism: Int = 4,
       zoo: Seq[(String, org.apache.spark.ml.PipelineStage, Pipeline => Array[ParamMap])] = null): (EvalResult, Seq[EvalResult]) = {
-    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)  // M3
+    // the CV loop below re-reads train once per (model, param, fold) and the
+    // final refit re-reads df — without a persist every one of those fits
+    // replays the full upstream plan from the source scan
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = df.persist(lvl)
+    val Array(train, test) = cached.randomSplit(Array(0.8, 0.2), seed)  // M3
+    train.persist(lvl)
+    test.persist(lvl)
+    try selectBestModelOn(cached, train, test, features, target,
+      numFolds, nIter, seed, parallelism, zoo)
+    finally {
+      train.unpersist(blocking = false)
+      test.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+    }
+  }
+
+  private def selectBestModelOn(df: DataFrame, train: DataFrame, test: DataFrame,
+      features: Seq[String], target: String,
+      numFolds: Int, nIter: Int, seed: Long, parallelism: Int,
+      zoo: Seq[(String, org.apache.spark.ml.PipelineStage, Pipeline => Array[ParamMap])]): (EvalResult, Seq[EvalResult]) = {
     val evalRmse = new RegressionEvaluator()
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("rmse")
     val evalR2 = new RegressionEvaluator()

@@ -165,18 +165,28 @@ object Similarity {
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 2, seed: Long = 42): DataFrame = {
+      k: Int, nLists: Int = 16, nProbe: Int = 2, seed: Long = 42,
+      quantizerMaxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // persisted: KMeans init + every Lloyd iteration + the cell-assign
+    // transform below each re-read this projection — uncached that is
+    // O(iterations) replays of the source scan + norm/vector conversion
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("fv", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nLists).setSeed(seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a coarse quantizer doesn't need a converged clustering — cells just
+    // need to be balanced-ish; cap Lloyd iterations accordingly
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(quantizerMaxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(c)
-    // assign cells in one pass (transform keeps all columns)
-    val cells = model.transform(c).drop("fv")
+    // assign cells in one pass (transform keeps all columns); materialized
+    // via localCheckpoint so the corpus persist can be released eagerly —
+    // the scoring join below re-reads cells, not the persisted projection
+    val cells = model.transform(c).drop("fv").localCheckpoint(true)
+    c.unpersist(blocking = false)
 
     // centroid table: nLists rows — broadcast everywhere
     val spark = corpus.sparkSession
