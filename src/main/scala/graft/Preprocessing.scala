@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.encode.TargetEncoder
+import graft.encode.TargetEncoderModel
 import graft.enrich.{CityProximity, Geocode, Province}
 import graft.ops._
 
@@ -130,12 +130,101 @@ object Preprocessing {
     ("landSurface", 0.10, 0.90),
     ("Number_of_bedrooms", 0.01, 0.99))
 
+  /** All driver-collected statistics of barrier 3 from ONE action. */
+  private case class BarrierStats(
+      modes: Map[String, Any],                     // col -> mode (String | Double)
+      encodings: Map[String, Map[String, Double]], // cat col -> category -> mean
+      medians: Map[String, Double])
+
+  /** Compute, in a single job, everything barrier 3 needs from the data:
+    * per-category (count, target-sum) histograms for the encoded
+    * categoricals, the value histogram of the numeric mode columns, and the
+    * exact medians — a union of grouped aggregates over the (persisted)
+    * upstream frame, collected once.
+    *
+    * From that one tiny collect the driver derives the pandas-tie-break
+    * modes AND the post-mode-fill target-encoding maps: filling nulls with
+    * the mode before fitting is equivalent to folding the null group's
+    * target mass into the mode category, so fit-after-fill never needs a
+    * second pass. Replaces five sequential driver barriers (2 mode collects,
+    * 2 encoder fits, 1 mode + 1 median collect) with one.
+    */
+  private def fusedBarrierStats(df: DataFrame, catCols: Seq[String],
+      numModeCols: Seq[String], medianCols: Seq[String],
+      target: String): BarrierStats = {
+    val t = col(target).cast("double")
+    val catBranches = catCols.map { c =>
+      df.groupBy(lit(c).as("stat_col"), col(c).cast("string").as("cat_s"),
+          lit(null).cast("double").as("cat_n"))
+        .agg(count(lit(1)).as("n"), sum(t).as("p_sum"), count(t).as("p_cnt"))
+        .withColumn("med", lit(null).cast("double"))
+    }
+    val numBranches = numModeCols.map { c =>
+      df.groupBy(lit(c).as("stat_col"), lit(null).cast("string").as("cat_s"),
+          col(c).cast("double").as("cat_n"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_sum", lit(null).cast("double"))
+        .withColumn("p_cnt", lit(null).cast("bigint"))
+        .withColumn("med", lit(null).cast("double"))
+    }
+    val medBranch = if (medianCols.isEmpty) Nil else {
+      val aggs = medianCols.map(c => percentile(col(c).cast("double"), lit(0.5)).as(c))
+      val stacked = medianCols.map(c => s"'med:$c', `$c`").mkString(", ")
+      Seq(df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${medianCols.size}, $stacked) as (stat_col, med)")
+        .select(col("stat_col"), lit(null).cast("string").as("cat_s"),
+          lit(null).cast("double").as("cat_n"), lit(0L).as("n"),
+          lit(null).cast("double").as("p_sum"), lit(null).cast("bigint").as("p_cnt"),
+          col("med")))
+    }
+    val branches = catBranches ++ numBranches ++ medBranch
+    if (branches.isEmpty) return BarrierStats(Map.empty, Map.empty, Map.empty)
+    val rows = branches.reduce(_.unionByName(_)).collect()
+    val byCol = rows.groupBy(_.getString(0))
+
+    val catModes = catCols.flatMap { c =>
+      val nn = byCol.getOrElse(c, Array.empty[org.apache.spark.sql.Row]).filter(!_.isNullAt(1))
+      if (nn.isEmpty) None
+      else Some(c -> nn.minBy(r => (-r.getLong(3), r.getString(1))).getString(1))
+    }.toMap
+    val numModes = numModeCols.flatMap { c =>
+      val nn = byCol.getOrElse(c, Array.empty[org.apache.spark.sql.Row]).filter(!_.isNullAt(2))
+      if (nn.isEmpty) None
+      else Some(c -> nn.minBy(r => (-r.getLong(3), r.getDouble(2))).getDouble(2))
+    }.toMap
+    val encodings = catCols.map { c =>
+      val rs = byCol.getOrElse(c, Array.empty[org.apache.spark.sql.Row])
+      val nullG = rs.find(_.isNullAt(1))
+      def sumCnt(r: org.apache.spark.sql.Row): (Double, Long) =
+        (if (r.isNullAt(4)) 0.0 else r.getDouble(4), if (r.isNullAt(5)) 0L else r.getLong(5))
+      val m = rs.filter(!_.isNullAt(1)).flatMap { r =>
+        val cat = r.getString(1)
+        val (s0, c0) = sumCnt(r)
+        val (s1, c1) = if (catModes.get(c).contains(cat))
+          nullG.map(sumCnt).getOrElse((0.0, 0L)) else (0.0, 0L)
+        if (c0 + c1 > 0) Some(cat -> (s0 + s1) / (c0 + c1)) else None
+      }.toMap
+      c -> m
+    }.toMap
+    val medians = medianCols.flatMap { c =>
+      byCol.getOrElse(s"med:$c", Array.empty[org.apache.spark.sql.Row]).headOption
+        .filter(!_.isNullAt(6)).map(c -> _.getDouble(6))
+    }.toMap
+    BarrierStats(catModes ++ numModes, encodings, medians)
+  }
+
   /** Barrier 3: categorical fills + target encoding + stat fills + winsorize.
     * preprocessing.py:526-580, step for step:
     *   remaps (:526-537) → mode fill of State_of_building AND epc (:541) →
     *   target-encode BOTH against Price (:544) → mode fill Number_of_facades /
     *   median fill landSurface+Living_area (:546-547, method defaults to
     *   'mode' for the facades call) → per-column quantile clips (:556-580).
+    *
+    * All statistics those steps need come from `fusedBarrierStats` (one
+    * action); the fills are column-disjoint from the encoded categoricals, so
+    * applying them as one projection before the encoding joins is equivalent
+    * to the reference's sequential order. Stage total: two driver barriers
+    * (stats + clip bounds) instead of seven.
     */
   def encodeStage(df: DataFrame,
       clipCols: Seq[(String, Double, Double)] = ClipBounds): DataFrame = {
@@ -145,23 +234,26 @@ object Preprocessing {
           StateRemap.map { case (k, v) => k.replace("_", " ").capitalize ->
             v.replace("_", " ").capitalize }))
       .withColumn("epc", TextOps.remapWithFallback(col("epc"), EpcRemap))
-    // mode fill (pandas tie-break) for the two encoded categoricals        :541
-    val modeFilled =
-      MissingData.fillWithStat(remapped, Seq("State_of_building", "epc"), "mode")
-    // target-encode State_of_building AND epc against Price                :544
-    val encoded = Seq("State_of_building", "epc").foldLeft(modeFilled) { (acc, c) =>
-      val enc = new TargetEncoder()
-        .setInputCol(c).setTargetCol("Price").setOutputCol(s"${c}_encoded")
-      enc.fit(acc).transform(acc)
+    val catCols = Seq("State_of_building", "epc").filter(remapped.columns.contains)
+    val stats = fusedBarrierStats(remapped,
+      catCols,
+      Seq("Number_of_facades").filter(remapped.columns.contains),
+      Seq("landSurface", "Living_area").filter(remapped.columns.contains),
+      target = "Price")
+    // every stat fill (modes :541,:546 + medians :547) as ONE projection
+    val filled = if (stats.modes.isEmpty && stats.medians.isEmpty) remapped
+      else remapped.na.fill(stats.modes ++ stats.medians)
+    // target-encode both categoricals against Price (:544) — broadcast joins
+    // against the driver-derived post-fill maps
+    val encoded = catCols.foldLeft(filled) { (acc, c) =>
+      new TargetEncoderModel(
+        org.apache.spark.ml.util.Identifiable.randomUID("targetEncoder"),
+        stats.encodings.getOrElse(c, Map.empty), c, s"${c}_encoded").transform(acc)
     }
-    // numeric stat fills                                                   :546-547
-    val statFilled = MissingData.fillWithStat(
-      MissingData.fillWithStat(encoded, Seq("Number_of_facades"), "mode"),
-      Seq("landSurface", "Living_area"), "median")
     // winsorize numeric columns to learned quantile bounds                 :556-580
     // — ALL bounds in one aggregate pass, all clips in one projection
-    val present = clipCols.filter(c => statFilled.columns.contains(c._1))
-    val casted = present.foldLeft(statFilled) { case (acc, (c, _, _)) =>
+    val present = clipCols.filter(c => encoded.columns.contains(c._1))
+    val casted = present.foldLeft(encoded) { case (acc, (c, _, _)) =>
       acc.withColumn(c, col(c).cast("double"))
     }
     CastOps.winsorizeMany(casted, present)
