@@ -129,7 +129,14 @@ object Models {
       .setLabelCol(target).setPredictionCol("prediction").setMetricName("r2")
 
     val families = Option(zoo).getOrElse(modelZoo(target))
-    val results = families.map { case (name, stage, gridFor) =>
+    // families run CONCURRENTLY: each CrossValidator is internally parallel
+    // (`parallelism` fits in flight), but the per-family setup/teardown gaps
+    // serialize if families run one after another; concurrent submission also
+    // keeps executor slots full on a real cluster. Future.traverse preserves
+    // family order, so the leaderboard stays deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.traverse(families) { case (name, stage, gridFor) => Future {
       val pipe = pipelineFor(features, target, stage)
       val grid = randomSearchGrid(gridFor(pipe), nIter, seed)         // M7
       val maps = if (grid.isEmpty) new ParamGridBuilder().build() else grid
@@ -146,7 +153,7 @@ object Models {
       val pred = best.transform(test)
       EvalResult(name, fitted.avgMetrics.min, evalRmse.evaluate(pred),
         evalR2.evaluate(pred), best, pipe, bestMap)                    // M5
-    }
+    } }, scala.concurrent.duration.Duration.Inf)
     val winner0 = results.minBy(_.cvRmse)                              // M8
     val refit = winner0.pipeline.fit(df, winner0.bestParams)           // full-data refit
     (winner0.copy(model = refit), results)
