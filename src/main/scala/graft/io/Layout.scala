@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators for curated-corpus output — the write-side half
+  * of a 100 TB pipeline. Two concerns:
+  *
+  *  1. DATA SKIPPING: range-cluster the output on a filter/lookup key so each
+  *     parquet file covers a narrow [min, max] slice of it. Readers filtering
+  *     on that key then prune whole files from the footer statistics alone
+  *     (Spark's parquet scan does this natively) — at corpus scale the
+  *     difference between touching 1/1000th of the files and all of them.
+  *
+  *  2. SMALL-FILE COMPACTION: incremental appends leave thousands of tiny
+  *     files; metadata pressure and per-file open cost then dominate reads.
+  *     Compaction rewrites a directory to ~`targetBytes` files while
+  *     PRESERVING the range clustering (repartitionByRange again, not
+  *     coalesce — coalesce would concatenate unrelated ranges and destroy
+  *     the skipping property).
+  */
+object Layout {
+
+  /** Range-clustered, sorted-within-file parquet write: global range
+    * partition on `clusterCols` (sampled range boundaries — even output file
+    * sizes even under skew) + sortWithinPartitions so row groups inside each
+    * file are also ordered (page-level statistics stay selective).
+    */
+  def clusteredWrite(df: DataFrame, path: String, numFiles: Int,
+      clusterCols: String*): Unit = {
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Per-file [min, max] envelope of `column` plus row count — the skipping
+    * metadata a reader's file prune would use, surfaced as a DataFrame (via
+    * `input_file_name`, no footer parsing). Disjoint envelopes across files
+    * == the clustering actually bought data skipping; LayoutSpec pins that.
+    */
+  def fileStats(spark: SparkSession, path: String, column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(column)).as("lo"), max(col(column)).as("hi"))
+
+  /** Compact a parquet directory to ~`targetBytes` output files, preserving
+    * range clustering on `clusterCols`. File count is derived from the
+    * directory's actual byte size (Hadoop FileSystem — works on HDFS/S3,
+    * not just local disk), never hard-coded.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long, clusterCols: String*): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val numFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    if (clusterCols.nonEmpty) clusteredWrite(df, outPath, numFiles, clusterCols: _*)
+    else df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

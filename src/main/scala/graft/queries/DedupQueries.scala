@@ -260,6 +260,66 @@ object DedupQueries extends QueryGroup {
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM kept"""))
 
+  /** Bloom-prefiltered incremental exact dedup: same contract as q77 but the
+    * batch is prefiltered map-side by a Bloom sketch of the corpus keys, so
+    * only might-contain rows reach the anti-join shuffle. The result is
+    * EXACT (the oracle is the plain set-difference SQL) — the sketch decides
+    * where rows are verified, never whether they survive. */
+  val q78BloomDedup = QueryDef(
+    "q78_bloom_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 150 && col("doc_id") < 500)
+        .unionAll(docs.filter(col("doc_id") >= 150 && col("doc_id") < 500
+          && col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val kept = DedupOps.incrementalExactDedupBloom(incoming, existing,
+        "doc_id", md5(col("text")), expectedKeys = 10000L)
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).cast("bigint").as("id_sum"))
+    },
+    Some("""WITH existing AS (SELECT md5(text) AS k FROM documents WHERE doc_id < 250),
+      incoming AS (
+        SELECT doc_id, md5(text) AS k FROM documents
+          WHERE doc_id >= 150 AND doc_id < 500
+        UNION ALL
+        SELECT doc_id + 100000, md5(text) FROM documents
+          WHERE doc_id >= 150 AND doc_id < 500 AND doc_id % 11 = 0),
+      fresh AS (SELECT * FROM incoming WHERE k NOT IN (SELECT k FROM existing)),
+      kept AS (SELECT k, MIN(doc_id) AS doc_id FROM fresh GROUP BY k)
+      SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM kept"""))
+
+  /** Corpus-wide exact paragraph dedup with document reconstruction (the
+    * RefinedWeb/FineWeb repetition remover): each distinct paragraph survives
+    * only at its first occurrence (min doc id, then min position); documents
+    * reassemble from surviving paragraphs in order. Exact reconstructed-text
+    * oracle. */
+  val q79ParagraphDedup = QueryDef(
+    "q79_paragraph_dedup",
+    (s, d) => DedupOps.paragraphDedup(
+      Tables.documents(s, d).filter(col("doc_id") < 300), "doc_id", col("text"))
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, '. ') AS parts
+               FROM documents WHERE doc_id < 300),
+      e AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS pos, parts FROM d),
+      p AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos, parts[pos] AS para FROM e),
+      m AS (SELECT para, MIN(doc_id) AS mdoc FROM p GROUP BY para),
+      m2 AS (SELECT p.para AS para, p.doc_id AS doc_id, MIN(p.pos) AS mpos
+             FROM p JOIN m ON p.para = m.para AND p.doc_id = m.mdoc
+             GROUP BY p.para, p.doc_id),
+      keep AS (SELECT p.doc_id, p.pos, p.para FROM p
+               JOIN m2 ON p.para = m2.para AND p.doc_id = m2.doc_id
+                 AND p.pos = m2.mpos),
+      r AS (SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text
+            FROM keep GROUP BY doc_id)
+      SELECT doc_id, text FROM r ORDER BY doc_id"""))
+
   /** Winnowing fingerprints (k=8 char-grams, window w=4): per-doc
     * fingerprint-set stats. */
   val q58Winnowing = QueryDef(
@@ -286,5 +346,6 @@ object DedupQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
-    q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q58Winnowing)
+    q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
+    q79ParagraphDedup, q58Winnowing)
 }

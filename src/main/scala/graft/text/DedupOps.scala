@@ -259,6 +259,69 @@ object DedupOps {
     graft.ops.Dedup.keepFirst(newOnly, Seq("__key"), Seq(idCol)).drop("__key")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — the 100 TB shape of
+    * [[incrementalExactDedup]]. The existing corpus's key set is summarized
+    * into a Bloom filter (one aggregate pass, fixed-size mergeable sketch;
+    * `spark.stat.bloomFilter` builds it distributed and ships ~`-n·ln(fpp)/
+    * ln(2)²` bits to the driver), broadcast to every executor, and used as a
+    * map-side prefilter: a batch row whose key the filter rejects CANNOT be
+    * in the corpus and skips the anti-join shuffle entirely. Only the
+    * might-contain rows (true dups + `fpp` false positives) take the exact
+    * anti join, so the result is EXACT — false positives cost a little work,
+    * never a wrong row. With mostly-fresh batches (the common case) this
+    * shrinks the shuffled batch side by ~(1 − dupRate − fpp).
+    *
+    * The bloom probe is a lambda over the broadcast sketch (Spark exposes no
+    * native might_contain Column function); it gates only which rows shuffle
+    * — every kept row is still verified by the exact anti join, so the probe
+    * is never a correctness dependency.
+    */
+  def incrementalExactDedupBloom(incoming: DataFrame, existing: DataFrame,
+      idCol: String, keyExpr: Column,
+      expectedKeys: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val exKeyed = existing.select(keyExpr.as("__key"))
+    val bloom = exKeyed.stat.bloomFilter("__key", expectedKeys, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val inKeyed = incoming.withColumn("__key", keyExpr)
+    val definitelyNew = inKeyed.filter(!mightContain(col("__key")))
+    val candidates = inKeyed.filter(mightContain(col("__key")))
+    val exKeys = exKeyed.distinct()
+    val verifiedNew = candidates.join(exKeys, Seq("__key"), "left_anti")
+    // intra-batch keep-first still covers the WHOLE batch (both halves)
+    graft.ops.Dedup.keepFirst(definitelyNew.unionByName(verifiedNew),
+      Seq("__key"), Seq(idCol)).drop("__key")
+  }
+
+  /** Corpus-wide exact PARAGRAPH dedup (the RefinedWeb/FineWeb repetition
+    * remover): split each document on `sep`, keep each distinct paragraph
+    * only at its FIRST occurrence (min doc id, then min position within that
+    * doc), and reassemble each document from its surviving paragraphs in
+    * original order. Documents left with no paragraphs drop out.
+    *
+    * Shape: posexplode → min-struct groupBy keyed by paragraph (partial
+    * aggregation absorbs hot paragraphs map-side — no window over a skewed
+    * key) → equi join back → per-doc sort_array rebuild. Three shuffles,
+    * all keyed, no all-pairs anything.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: Column,
+      sep: String = ". "): DataFrame = {
+    val parts = split(textCol, java.util.regex.Pattern.quote(sep))
+    val paras = df.select(col(idCol).as("__doc"),
+        posexplode(parts).as(Seq("__pos", "__para")))
+    val firsts = paras.groupBy("__para")
+      .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
+      .select(col("__para"), col("__first.__doc").as("__doc"),
+        col("__first.__pos").as("__pos"))
+    paras.join(firsts, Seq("__para", "__doc", "__pos"))
+      .groupBy(col("__doc"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__para")))),
+          s => s("__para")), sep).as("text"))
+      .select(col("__doc").as(idCol), col("text"))
+  }
+
   /** SimHash near-dup pairs via the classic chunk index: split the `bits`-bit
     * signature into `chunks` equal chunks; by pigeonhole, any pair within
     * Hamming distance < `chunks` shares at least one identical chunk, so

@@ -152,4 +152,34 @@ class TextDedupSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+  test("incrementalExactDedupBloom reproduces the plain incremental dedup exactly") {
+    // 300 incoming docs: ~1/3 duplicate the corpus, ~1/5 duplicate each other
+    val existing = (0 until 120).map(i => (i.toLong, s"corpus text number ${i % 80}"))
+      .toDF("doc_id", "text")
+    val incoming = (200 until 500).map(i =>
+      (i.toLong, if (i % 3 == 0) s"corpus text number ${i % 80}"
+                 else s"fresh text ${i % 60} payload")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val plain = ids(DedupOps.incrementalExactDedup(
+      incoming, existing, "doc_id", md5($"text")))
+    // undersized sketch (high fpp) on purpose: false positives must only cost
+    // verification work, never change the result
+    val bloom = ids(DedupOps.incrementalExactDedupBloom(
+      incoming, existing, "doc_id", md5($"text"), expectedKeys = 50L, fpp = 0.2))
+    assert(bloom == plain && plain.nonEmpty)
+  }
+
+  test("paragraphDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val df = Seq(
+      (1L, "A. B. C"),
+      (2L, "B. D"),   // B first seen in doc 1 -> doc 2 keeps only D
+      (3L, "C"),      // C first seen in doc 1 -> doc 3 vanishes
+      (4L, "E. E. F") // intra-doc dup: first E survives
+    ).toDF("doc_id", "text")
+    val got = DedupOps.paragraphDedup(df, "doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A. B. C", 2L -> "D", 4L -> "E. F"))
+  }
+
 }
