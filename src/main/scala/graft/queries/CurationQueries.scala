@@ -32,6 +32,25 @@ object CurationQueries extends QueryGroup {
         USING (source)
       ORDER BY source"""))
 
+  /** Corpus-mix sampling rates: per-language keep probabilities that land
+    * the downsampled corpus on a target language mixture (training-mix
+    * planning). Rate table is |languages| rows; the oracle recomputes
+    * min(1, share·N/n) exactly. */
+  val q80MixRates = QueryDef(
+    "q80_mix_rates",
+    (s, d) => Curation.mixRates(Tables.documents(s, d), "lang",
+      Map("en" -> 0.6, "fr" -> 0.25, "de" -> 0.15)).orderBy("lang"),
+    Some("""WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      t AS (SELECT SUM(n_docs) AS total FROM g),
+      r AS (SELECT lang, n_docs,
+              CAST(CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.25
+                   WHEN 'de' THEN 0.15 ELSE 0.0 END AS DOUBLE) AS target_share,
+              total FROM g, t)
+      SELECT lang, n_docs, target_share,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE),
+          target_share * total / n_docs), 6) AS rate
+      FROM r ORDER BY lang"""))
+
   /** Token- and bigram-level repetition ratios (Gopher-style repetition
     * signals) for a bounded doc range. */
   val q74Repetition = QueryDef(
@@ -129,5 +148,5 @@ object CurationQueries extends QueryGroup {
       FROM c"""))
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
-    q75C4Filter, q76PiiRedact)
+    q75C4Filter, q76PiiRedact, q80MixRates)
 }

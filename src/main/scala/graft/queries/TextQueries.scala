@@ -140,7 +140,57 @@ object TextQueries extends QueryGroup {
       GROUP BY lang, predicted ORDER BY lang, predicted"""
     })
 
+  /** URL canonicalization (graft.text.UrlOps): messy synthetic crawl URLs —
+    * mixed-case scheme/host, www prefixes, default ports, tracking params,
+    * unsorted query strings, trailing slashes, fragments — collapse to one
+    * canonical form per resource. The oracle runs the same RE2-compatible
+    * regex pipeline in DuckDB; output is the canonical-URL histogram.
+    */
+  val q81UrlCanon = QueryDef(
+    "q81_url_canon",
+    (s, d) => {
+      val k = col("o_orderkey")
+      val url = concat(
+        when(k % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+        when(k % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("docs.example.org")),
+        when(k % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/"), (k % 50).cast("string"),
+        when(k % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (k % 7).cast("string"), lit("&a=1"),
+        when(k % 6 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.orders(s, d).select(url.as("u"))
+        .select(graft.text.UrlOps.canonicalizeUrl(col("u")).as("canon_url"))
+        .groupBy("canon_url").agg(count(lit(1)).as("n"))
+        .orderBy("canon_url")
+    },
+    Some(s"""WITH u AS (SELECT
+        (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        (CASE WHEN o_orderkey % 3 = 0 THEN 'WWW.Example.COM' ELSE 'docs.example.org' END) ||
+        (CASE WHEN o_orderkey % 5 = 0 THEN ':443' ELSE '' END) ||
+        '/Path/' || CAST(o_orderkey % 50 AS VARCHAR) ||
+        (CASE WHEN o_orderkey % 4 = 0 THEN '/' ELSE '' END) ||
+        '?utm_source=feed&b=' || CAST(o_orderkey % 7 AS VARCHAR) || '&a=1' ||
+        (CASE WHEN o_orderkey % 6 = 0 THEN '#frag' ELSE '' END) AS u
+        FROM orders),
+      c AS (SELECT
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          '^www\\.', ''), ':(80|443)$$', '') ||
+        regexp_replace(
+          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/$$', '') ||
+        (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+          AS canon_url
+        FROM (SELECT u, list_sort(list_filter(
+            string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+            p -> len(p) > 0 AND NOT regexp_matches(p,
+              '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')))
+          AS kept FROM u))
+      SELECT canon_url, COUNT(*) AS n FROM c
+      GROUP BY canon_url ORDER BY canon_url"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
-    q70LangIdNgram)
+    q70LangIdNgram, q81UrlCanon)
 }

@@ -72,4 +72,37 @@ object Curation {
     out.withColumn("keep",
       col("r_min_words") && col("r_word_len") && col("r_stopword") && col("r_repetition"))
   }
+
+  /** Corpus-mix sampling rates: given target shares per group (language,
+    * source, quality bucket — the training-mix spec), compute each group's
+    * keep probability so downsampled counts land on the target mixture,
+    * capped at 1 (a group can only be downsampled; upweighting is the
+    * trainer's job). rate_g = min(1, share_g · N_total / n_g).
+    *
+    * One groupBy + a windowless scalar total — the rate table is |groups|
+    * rows. Groups absent from `targetShares` get rate 0 (dropped from the
+    * mix), mirroring an explicit mixture spec.
+    */
+  def mixRates(df: DataFrame, groupCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shares = typedLit(targetShares)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_share",
+        coalesce(element_at(shares, col(groupCol)), lit(0.0)))
+      .withColumn("rate", round(
+        least(lit(1.0), col("target_share") * sum(col("n_docs")).over(Window.partitionBy())
+          / col("n_docs")), 6))
+  }
+
+  /** Apply a mixture: seeded per-group Bernoulli sampling at the `mixRates`
+    * rates — one map-side filter, no shuffle (`sampleBy` semantics). Rates
+    * are collected from the (tiny) rate table.
+    */
+  def rebalance(df: DataFrame, groupCol: String, rates: DataFrame,
+      seed: Long = 42L): DataFrame = {
+    val fractions = rates.select(col(groupCol), col("rate")).collect()
+      .map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    df.stat.sampleBy(groupCol, fractions, seed)
+  }
 }

@@ -202,15 +202,20 @@ object DedupOps {
 
   private def connectedComponentsDistributed(pairs: DataFrame, docs: DataFrame,
       maxIter: Int): DataFrame = {
-    // localCheckpoint per iteration: without it the logical plan nests one
+    // checkpoint per iteration: without it the logical plan nests one
     // join+aggregate per round and analysis/codegen memory grows until OOM —
-    // the standard iterative-DataFrame trap (at cluster scale use a reliable
-    // checkpoint dir instead of local)
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc"), col("doc").as("label"))
-      .localCheckpoint(true)
+    // the standard iterative-DataFrame trap. When the session has a RELIABLE
+    // checkpoint dir configured (HDFS/S3 — `sc.setCheckpointDir`), use it:
+    // executor loss mid-iteration then recovers from storage instead of
+    // failing the job (localCheckpoint pins blocks to executors and dies
+    // with them). Local mode / tests fall back to localCheckpoint.
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    val edges = ckpt(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b"))), true)
+    var labels = ckpt(docs.select(col("doc"), col("doc").as("label")), true)
     // labels only ever decrease, so the label sum is a strictly-monotone
     // convergence witness — one aggregate instead of a join+count per round
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -232,9 +237,8 @@ object DedupOps {
       // action — it materializes the checkpoint partitions and computes the
       // convergence witness in the same job (an eager checkpoint would cost
       // a second job per round)
-      val next = viaNbr.unionByName(hop)
-        .groupBy("doc").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      val next = ckpt(viaNbr.unionByName(hop)
+        .groupBy("doc").agg(min("label").as("label")), false)
       val s = labelSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s

@@ -1,0 +1,47 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus work — URL-keyed dedup and
+  * domain-level statistics are only as good as the key, and raw crawl URLs
+  * differ in case, tracking parameters, parameter order, default ports and
+  * trailing slashes while naming the same resource.
+  *
+  * Everything is regex + array Column logic (no UDFs); patterns are
+  * RE2-compatible (no backrefs/lookarounds) so external engines reproduce
+  * the canonical form bit-for-bit — the DuckDB oracle for q81 runs the same
+  * expressions.
+  */
+object UrlOps {
+
+  /** Tracking parameters dropped during canonicalization (utm_*, click ids). */
+  val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+  /** Canonical form:
+    *  - scheme and host lowercased; leading `www.` and default ports
+    *    (`:80`, `:443`) stripped from the host;
+    *  - path kept case-sensitive (RFC 3986: only scheme+host are
+    *    case-insensitive) minus any trailing `/`;
+    *  - query string minus tracking params, remaining params sorted for
+    *    order-independence (`?b=2&a=1` == `?a=1&b=2`);
+    *  - fragment dropped.
+    * Null-safe: a null URL canonicalizes to null.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = regexp_replace(
+      regexp_replace(rawHost, "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && not(p.rlike(TrackingParamRe))))
+    val queryPart = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    when(url.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+  }
+}

@@ -182,4 +182,54 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> "A. B. C", 2L -> "D", 4L -> "E. F"))
   }
 
+  test("connectedComponents distributed path uses a reliable checkpoint dir when set") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+      val docs = (1L to 9L).toDF("doc")
+      // driverMaxPairs = 0 forces the distributed path
+      val got = DedupOps.connectedComponents(pairs, docs, driverMaxPairs = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got(3L) == 1L && got(8L) == 7L && got(5L) == 5L)
+      // the reliable checkpoint actually wrote to the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no checkpoint files written to the reliable dir")
+    } finally spark.sparkContext.setCheckpointDir(null) // None in local mode
+  }
+
+  test("mixRates caps at 1 and hits target shares; rebalance approximates them") {
+    import graft.text.Curation
+    // 800 en / 150 fr / 50 de; targets 50/25/25 -> fr,de upcapped at 1.0
+    val docs = ((0 until 800).map(i => (i.toLong, "en")) ++
+      (800 until 950).map(i => (i.toLong, "fr")) ++
+      (950 until 1000).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val rates = Curation.mixRates(docs, "lang",
+      Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25))
+    val m = rates.select($"lang", $"rate").as[(String, Double)].collect().toMap
+    assert(m("en") == 0.625 && m("fr") == 1.0 && m("de") == 1.0)
+    val sampled = Curation.rebalance(docs, "lang", rates, seed = 7L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // Bernoulli sampling: en should land near 500 (well under 800), fr/de intact
+    assert(sampled("fr") == 150L && sampled("de") == 50L)
+    assert(math.abs(sampled("en") - 500L) < 80L, s"en sampled ${sampled("en")}")
+  }
+
+  test("canonicalizeUrl collapses case/port/tracking/order/slash/fragment variants") {
+    import graft.text.UrlOps
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/a/?utm_source=x&b=2&a=1#frag",
+      "https://example.com/Path/a?a=1&b=2",
+      "http://example.com:80/Path/a?a=1&b=2",     // different scheme survives
+      "https://example.com/Path/A?a=1&b=2",       // path case survives
+      null)
+    val got = urls.toDF("u").select(UrlOps.canonicalizeUrl($"u")).as[String].collect()
+    assert(got(0) == "https://example.com/Path/a?a=1&b=2")
+    assert(got(1) == got(0))
+    assert(got(2) == "http://example.com/Path/a?a=1&b=2")
+    assert(got(3) == "https://example.com/Path/A?a=1&b=2")
+    assert(got(4) == null)
+  }
+
 }
