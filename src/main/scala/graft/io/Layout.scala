@@ -45,6 +45,48 @@ object Layout {
       .agg(count(lit(1)).as("rows"),
         min(col(column)).as("lo"), max(col(column)).as("hi"))
 
+  /** Morton (Z-order) value of two bit-bounded non-negative ints: bits of
+    * `x` land on even positions, `y` on odd — points close in BOTH
+    * dimensions get close z values, so range-clustering on z yields files
+    * whose [min, max] envelopes are narrow in both columns at once (the
+    * multi-column data-skipping layout single-column clustering can't give).
+    * Pure shift/and/or Column arithmetic — whole-stage codegen, and exactly
+    * reproducible by any engine with integer bit ops (q83's oracle).
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-order-clustered write on two numeric columns: each column is min-max
+    * scaled to `bits` bits (one tiny aggregate), interleaved into a z value,
+    * and the output is range-partitioned + sorted on it. Readers filtering
+    * on EITHER column (or both) prune files from footer stats; LayoutSpec
+    * pins that both per-file envelopes stay narrow.
+    */
+  def zorderWrite(df: DataFrame, path: String, numFiles: Int,
+      xCol: String, yCol: String, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(xCol)).cast("double").as("xlo"), max(col(xCol)).cast("double").as("xhi"),
+      min(col(yCol)).cast("double").as("ylo"), max(col(yCol)).cast("double").as("yhi"))
+      .head()
+    val maxV = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lo) * maxV / (hi - lo)).cast("long")
+    val z = zValue(
+      scaled(xCol, r.getDouble(0), r.getDouble(1)),
+      scaled(yCol, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a parquet directory to ~`targetBytes` output files, preserving
     * range clustering on `clusterCols`. File count is derived from the
     * directory's actual byte size (Hadoop FileSystem — works on HDFS/S3,

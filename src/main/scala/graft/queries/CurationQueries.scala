@@ -147,6 +147,52 @@ object CurationQueries extends QueryGroup {
         CAST(SUM(len(string_split(clean, '<PHONE>')) - 1) AS BIGINT) AS n_phones
       FROM c"""))
 
+  /** Sequence-packing plan (graft.text.Packing): documents concatenated per
+    * source in doc_id order and cut into 4096-char context windows — per
+    * stream: windows needed, payload, boundary straddlers. Running-sum
+    * window per stream; the oracle recomputes offsets with the same
+    * window function. */
+  val q82ChunkPack = QueryDef(
+    "q82_chunk_pack",
+    (s, d) => graft.text.Packing.chunkSummary(
+      Tables.documents(s, d), "source", "doc_id", col("n_chars"), 4096L)
+      .orderBy("source"),
+    Some("""WITH p AS (SELECT source, doc_id, n_chars,
+        SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS end_off
+        FROM documents),
+      q AS (SELECT source, n_chars, end_off - n_chars AS start_off,
+        (end_off - n_chars) // 4096 AS chunk_first,
+        CASE WHEN n_chars > 0 THEN (end_off - 1) // 4096
+             ELSE (end_off - n_chars) // 4096 END AS chunk_last
+        FROM p)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_size,
+        CAST(MAX(chunk_last) + 1 AS BIGINT) AS n_windows,
+        CAST(SUM(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_straddlers
+      FROM q GROUP BY source ORDER BY source"""))
+
+  /** Morton (Z-order) interleave (io.Layout.zValue): the multi-column
+    * clustering key behind zorderWrite, pinned bit-for-bit against DuckDB's
+    * integer bit arithmetic. */
+  val q83ZValue = QueryDef(
+    "q83_zvalue",
+    (s, d) => Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        graft.io.Layout.zValue(
+          col("o_orderkey") % 256, col("o_custkey") % 256, 8).as("z"))
+      .orderBy("o_orderkey"),
+    Some {
+      // parens around every shift term: DuckDB parses a << b | c << d
+      // left-to-right, so an unparenthesized OR-chain overflows the shift
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
-    q75C4Filter, q76PiiRedact, q80MixRates)
+    q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue)
 }

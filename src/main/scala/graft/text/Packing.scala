@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: documents are
+  * concatenated per stream (source/shard) in a deterministic order and cut
+  * into fixed-size context windows. The planner below computes, per
+  * document, which windows it lands in — the metadata a packing writer
+  * needs — without materializing the concatenation.
+  *
+  * Scale shape: one running-sum window per stream (shuffle keyed by the
+  * stream column; each stream's ordering is independent, so streams spread
+  * across the cluster). No global sort, no collect. At 100 TB the stream
+  * column is the shard key, so window state stays bounded per task.
+  */
+object Packing {
+
+  /** Per-document packing plan: `start_off` (chars before it in its
+    * stream), `chunk_first`/`chunk_last` (0-based window ids it spans at
+    * `windowSize`), and `n_chunks` — documents longer than a window span
+    * several (they are split across windows, the standard packing-with-
+    * overflow used when concatenating corpora into fixed-length samples).
+    * `sizeCol` is any additive length measure (chars, tokens).
+    */
+  def chunkPlan(df: DataFrame, streamCol: String, orderCol: String,
+      sizeCol: Column, windowSize: Long): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withEnd = df.withColumn("__end_off", sum(sizeCol).over(w))
+      .withColumn("start_off", col("__end_off") - sizeCol)
+    withEnd
+      .withColumn("chunk_first", floor(col("start_off") / windowSize))
+      .withColumn("chunk_last",
+        when(sizeCol > 0, floor((col("__end_off") - 1) / windowSize))
+          .otherwise(floor(col("start_off") / windowSize)))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .drop("__end_off")
+  }
+
+  /** Stream-level packing summary: windows needed, documents, payload, and
+    * how many documents straddle a window boundary (each straddler costs a
+    * split at write time — a packing-efficiency signal).
+    */
+  def chunkSummary(df: DataFrame, streamCol: String, orderCol: String,
+      sizeCol: Column, windowSize: Long): DataFrame =
+    chunkPlan(df, streamCol, orderCol, sizeCol, windowSize)
+      .groupBy(col(streamCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(sizeCol).as("total_size"),
+        (max(col("chunk_last")) + 1).as("n_windows"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+}

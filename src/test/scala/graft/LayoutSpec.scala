@@ -52,4 +52,43 @@ class LayoutSpec extends SparkSpec {
     assert(back.select(sum($"doc_id")).as[Long].head() ==
       docs.select(sum($"doc_id")).as[Long].head())
   }
+  test("zorderWrite keeps BOTH per-file column envelopes narrow (grid fixture)") {
+    // 64x64 grid: x = i % 64, y = i / 64 — independent dimensions
+    val grid = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val zpath = tmp("zorder")
+    Layout.zorderWrite(grid, zpath, numFiles = 16, "x", "y", bits = 6)
+    def envWidths(path: String, c: String): Array[Long] =
+      Layout.fileStats(spark, path, c).as[(String, Long, Long, Long)]
+        .collect().map(s => s._4 - s._3)
+    val xw = envWidths(zpath, "x"); val yw = envWidths(zpath, "y")
+    assert(xw.length == 16)
+    // each z-tile covers a sub-rectangle: both dims well under the full 0-63
+    assert(xw.max <= 32 && yw.max <= 32,
+      s"x widths ${xw.toSeq}, y widths ${yw.toSeq}")
+    // single-column range clustering on x leaves y unpruned - the contrast
+    val rpath = tmp("range1d")
+    Layout.clusteredWrite(grid, rpath, numFiles = 16, "x")
+    assert(envWidths(rpath, "y").max == 63L)
+  }
+
+  test("Packing.chunkPlan: offsets, spans, straddlers on a hand fixture") {
+    import graft.text.Packing
+    val docs = Seq(
+      ("s", 1L, 3000L), ("s", 2L, 2000L),  // doc2 straddles the 4096 boundary
+      ("s", 3L, 100L),                     // fits inside window 1
+      ("t", 9L, 9000L)                     // spans windows 0-2 alone
+    ).toDF("source", "doc_id", "sz")
+    val got = Packing.chunkPlan(docs, "source", "doc_id", col("sz"), 4096L)
+      .select($"doc_id", $"start_off", $"chunk_first", $"chunk_last", $"n_chunks")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, 1L)))
+    assert(got(2L) == ((2L, 3000L, 0L, 1L, 2L)))
+    assert(got(3L) == ((3L, 5000L, 1L, 1L, 1L)))
+    assert(got(9L) == ((9L, 0L, 0L, 2L, 3L)))
+    val sum = Packing.chunkSummary(docs, "source", "doc_id", col("sz"), 4096L)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(sum("s") == (("s", 3L, 5100L, 2L, 1L)))
+    assert(sum("t") == (("t", 1L, 9000L, 3L, 1L)))
+  }
+
 }
