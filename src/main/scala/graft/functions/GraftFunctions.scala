@@ -13,7 +13,8 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)),
-    "graft_substr_score" -> (exprs => SubstringSetScore(exprs.head, exprs(1))))
+    "graft_substr_score" -> (exprs => SubstringSetScore(exprs.head, exprs(1))),
+    "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -166,7 +166,23 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2, seed: Long = 42,
-      quantizerMaxIter: Int = 10): DataFrame = {
+      quantizerMaxIter: Int = 10): DataFrame =
+    queryIvfIndex(
+      buildIvfIndex(corpus, idCol, vecCol, nLists, seed, quantizerMaxIter),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** A built IVF index: `centroids` is nLists rows of (cell, centroid) —
+    * always broadcastable; `cells` is the corpus re-keyed by nearest cell
+    * with precomputed norms. Build once, query many; [[saveIvfIndex]] /
+    * [[loadIvfIndex]] persist it as parquet (cells partitioned BY CELL, so a
+    * probed query's broadcast join prunes unprobed cells at the file level
+    * via dynamic partition pruning — the index read scales with nProbe/
+    * nLists, not corpus size).
+    */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, seed: Long = 42, quantizerMaxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -184,16 +200,35 @@ object Similarity {
     val model = km.fit(c)
     // assign cells in one pass (transform keeps all columns); materialized
     // via localCheckpoint so the corpus persist can be released eagerly —
-    // the scoring join below re-reads cells, not the persisted projection
+    // downstream scoring joins re-read cells, not the persisted projection
     val cells = model.transform(c).drop("fv").localCheckpoint(true)
     c.unpersist(blocking = false)
 
-    // centroid table: nLists rows — broadcast everywhere
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq.toDF("cell", "centroid")
+    IvfIndex(centroids, cells)
+  }
 
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells")
+        .select(col("cid"), col("cv"), col("cn"), col("cell").cast("int").as("cell")))
+
+  /** Probe + score against a built index: each query finds its `nProbe`
+    * nearest centroids (broadcast nLists-row table, bounded top-k
+    * aggregate), then scores ONLY vectors in probed cells — candidate
+    * volume ≈ nProbe/nLists of the corpus.
+    */
+  def queryIvfIndex(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     // probe list per query: the nProbe closest centroids by euclidean
     // distance (the quantizer metric) via the same bounded top-k aggregate
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
@@ -202,14 +237,14 @@ object Similarity {
     val dist2 = aggregate(
       zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("negd", -dist2)
       .groupBy("qid").agg(probeAgg(col("cell").cast("long"), col("negd")).as("hits"))
       .select(col("qid"), explode(col("hits.cid")).as("cell"))
       .select(col("qid"), col("cell").cast("int").as("cell"))
 
     // score only vectors in probed cells; queries re-joined by qid (broadcast)
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+    val scored = index.cells.join(broadcast(probes), Seq("cell"))
       .join(broadcast(q), Seq("qid"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))

@@ -45,6 +45,15 @@ object TextAnalysis {
     ColumnBridge.column(graft.functions.RollingHash(ColumnBridge.expression(text)))
   }
 
+  /** Deflate compression ratio (codegen'd custom Expression) — the
+    * boilerplate/repetition curation signal; see
+    * graft.functions.CompressionRatio.
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CompressionRatio(ColumnBridge.expression(text)))
+  }
+
   /** Per-language stopword profiles for the language-ID heuristic.
     * Order matters: ties resolve to the earlier language.
     */

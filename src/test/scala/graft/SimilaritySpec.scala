@@ -138,4 +138,22 @@ class SimilaritySpec extends SparkSpec {
     val bad = frames.filter($"frame_idx" % 4 =!= 0).count()
     assert(bad == 0 && frames.count() > 0)
   }
+  test("IVF index save/load round-trip: loaded index answers like the built one") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 8)
+    val direct = Similarity.queryIvfIndex(idx, queries, "vec_id", "embedding", k = 10)
+      .select("qid", "rank", "cid").as[(Long, Int, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val viaDisk = Similarity.queryIvfIndex(loaded, queries, "vec_id", "embedding", k = 10)
+      .select("qid", "rank", "cid").as[(Long, Int, Long)].collect().toSet
+    assert(viaDisk == direct && direct.nonEmpty)
+    // cells live under cell=N partition dirs -> probed reads prune files
+    val parts = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(parts.length == 8, s"expected 8 cell partitions, got ${parts.length}")
+  }
+
 }

@@ -232,4 +232,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4) == null)
   }
 
+  test("compressionRatio orders repetitive < natural < random; codegen + SQL agree") {
+    val rep = "spam spam spam " * 60
+    val nat = "the quick brown fox jumps over the lazy dog and then wanders " +
+      "slowly home across nineteen quiet frozen meadows before sunrise " * 4
+    val rnd = (new scala.util.Random(42)).alphanumeric.take(900).mkString
+    val df = Seq(("rep", rep), ("nat", nat), ("rnd", rnd), ("empty", ""))
+      .toDF("k", "t")
+    val got = df.select($"k", TextAnalysis.compressionRatio($"t").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(got("rep") < got("nat") && got("nat") < got("rnd"),
+      s"ordering violated: $got")
+    assert(got("rep") < 0.2 && got("rnd") > 0.7 && got("empty") == 1.0)
+    // SQL registration path computes the identical value
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cr_docs")
+    val viaSql = spark.sql(
+      "SELECT k, graft_compression_ratio(t) AS r FROM cr_docs")
+      .as[(String, Double)].collect().toMap
+    assert(viaSql == got)
+  }
+
 }
