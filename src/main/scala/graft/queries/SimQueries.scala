@@ -167,7 +167,40 @@ object SimQueries extends QueryGroup {
         CAST(SUM((nf - 1) // 4 + 1) AS BIGINT) AS n_frames
       FROM m GROUP BY 1 ORDER BY 1"""))
 
+  /** int8 scalar quantization (sim.Quantization): per-vector scale, codes,
+    * and max reconstruction error — exact cross-engine oracle (same HOF
+    * arithmetic and rounding in DuckDB list functions). */
+  val q84QuantizeInt8 = QueryDef(
+    "q84_quantize_int8",
+    (s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val scale = graft.sim.Quantization.int8Scale(v)
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .withColumn("__scale", scale)
+        .withColumn("__codes", graft.sim.Quantization.quantizeInt8(v, col("__scale")))
+        .select(col("vec_id"),
+          round(col("__scale"), 6).as("scale"),
+          round(graft.sim.Quantization.maxAbsError(v, col("__codes"), col("__scale")), 6)
+            .as("max_err"),
+          aggregate(col("__codes"), lit(0L), (acc, q) => acc + abs(q)).as("code_l1"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 200),
+      s AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+      q AS (SELECT vec_id, v, sc,
+          list_transform(v, x -> CAST(CASE WHEN sc > 0
+            THEN round(x / sc, 0) ELSE 0.0 END AS INTEGER)) AS codes
+        FROM s)
+      SELECT vec_id, ROUND(sc, 6) AS scale,
+        ROUND(list_max(list_transform(list_zip(v, codes),
+          p -> abs(p[1] - CAST(p[2] AS DOUBLE) * sc))), 6) AS max_err,
+        CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1
+      FROM q ORDER BY vec_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
-    q51MultimodalFeatures, q52FrameSample)
+    q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8)
 }

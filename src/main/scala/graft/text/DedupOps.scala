@@ -67,6 +67,25 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW MinHash signature columns via higher-order functions — no
+    * explode, no groupBy, no shuffle. For BATCH work prefer
+    * [[minhashSignatures]] (codegen'd explode+groupBy measured 3× faster);
+    * this projection form exists for STREAMING, where Append-mode stateful
+    * operators forbid upstream aggregations — a pure projection composes
+    * with flatMapGroupsWithState where the groupBy form cannot.
+    * The md5 array materializes in its own projection (the size filter
+    * between projections blocks CollapseProject from inlining it per seed).
+    */
+  def minhashSignatureProjection(df: DataFrame, idCol: String, textCol: Column,
+      n: Int): DataFrame = {
+    val sigCols = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hv"), h => (h * a + b) % MinhashP)).as(s"sig_$i")
+    }
+    df.select(col(idCol), transform(shingles(textCol, n), md5Int32(_)).as("__hv"))
+      .filter(size(col("__hv")) > 0)
+      .select(col(idCol) +: sigCols: _*)
+  }
+
   /** LSH banding over the signature: bandsOf consecutive signature slots per
     * band; returns candidate pairs (d1 < d2) sharing at least one band.
     */

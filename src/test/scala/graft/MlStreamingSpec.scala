@@ -242,4 +242,51 @@ class MlStreamingSpec extends SparkSpec {
     val total = sessions.agg(sum("n_events")).head().getLong(0)
     assert(total == ev.count())
   }
+  test("streaming near-dup: band matcher emits pairs as later dups arrive") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DedupStreams
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val banded = DedupStreams.bandedDocs(docs, "doc_id", "text")
+    val cands = DedupStreams.nearDupCandidates(banded)
+    val q = cands.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog tonight"
+      val b = "completely different words about spark shuffles and joins"
+      mem.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      // batch 1: no dups yet
+      assert(spark.table("neardup_test").count() == 0)
+      // batch 2: doc 3 duplicates doc 1 -> pair (1,3) emitted NOW
+      mem.addData((3L, a))
+      q.processAllAvailable()
+      val got = spark.table("neardup_test")
+        .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 3L)))
+      // batch 3: another copy pairs with BOTH earlier copies
+      mem.addData((4L, a))
+      q.processAllAvailable()
+      val got2 = spark.table("neardup_test")
+        .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+      assert(got2 == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup agrees with the batch LSH pair graph on a replay") {
+    import graft.streaming.DedupStreams
+    import graft.text.DedupOps
+    val docs = Tables.documents(spark, sf001).filter($"doc_id" < 150)
+    // batch truth
+    val sig = DedupOps.minhashSignatures(docs, "doc_id", $"text", 2)
+    val batchPairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // "stream" the same corpus through the stateful matcher in one batch
+    // (flatMapGroupsWithState also runs on batch Datasets)
+    val banded = DedupStreams.bandedDocs(docs, "doc_id", "text")
+    val streamed = DedupStreams.nearDupCandidates(banded, maxIdsPerBand = 1000)
+      .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == batchPairs, s"stream ${streamed.size} vs batch ${batchPairs.size}")
+  }
+
 }

@@ -156,4 +156,28 @@ class SimilaritySpec extends SparkSpec {
     assert(parts.length == 8, s"expected 8 cell partitions, got ${parts.length}")
   }
 
+  test("int8 quantization: error bounded by scale/2, top-k recall stays high") {
+    import graft.sim.Quantization
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val v = col("embedding").cast("array<double>")
+    val q = emb.withColumn("__s", Quantization.int8Scale(v))
+      .withColumn("__c", Quantization.quantizeInt8(v, col("__s")))
+    // per-element reconstruction error <= scale/2 (+ fp slack)
+    val viol = q.filter(
+      Quantization.maxAbsError(v, col("__c"), col("__s")) > col("__s") / 2 + 1e-9)
+      .count()
+    assert(viol == 0L)
+    // ANN over dequantized vectors keeps most of the exact top-10
+    val deq = q.select(col("vec_id"),
+      Quantization.dequantizeInt8(col("__c"), col("__s")).as("embedding"))
+    val queries = emb.filter($"vec_id" < 10)
+    def top(c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(queries, c, "vec_id", "embedding", 10)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val exact = top(emb)
+    val approx = top(deq)
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized recall $overlap")
+  }
+
 }
