@@ -173,6 +173,31 @@ object CurationQueries extends QueryGroup {
           AS n_straddlers
       FROM q GROUP BY source ORDER BY source"""))
 
+  /** Benchmark decontamination: training docs sharing >= 1 word 5-gram with
+    * the "benchmark" slice are flagged with their hit counts — the test-set
+    * leakage guard. Benchmark shingles broadcast; the corpus never
+    * shuffles. */
+  val q85Decontam = QueryDef(
+    "q85_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminationFlags(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
+        docs.filter(col("doc_id") < 20),
+        "doc_id", col("text"), n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(words) - 3),
+          i -> array_to_string(words[i:i+4], ' ')))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= 5),
+      train AS (SELECT * FROM sh5 WHERE doc_id >= 100 AND doc_id < 400),
+      bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id < 20)
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM train JOIN bench USING (s)
+      GROUP BY doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id"""))
+
   /** Morton (Z-order) interleave (io.Layout.zValue): the multi-column
     * clustering key behind zorderWrite, pinned bit-for-bit against DuckDB's
     * integer bit arithmetic. */
@@ -194,5 +219,6 @@ object CurationQueries extends QueryGroup {
     })
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
-    q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue)
+    q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
+    q85Decontam)
 }

@@ -73,6 +73,28 @@ object Curation {
       col("r_min_words") && col("r_word_len") && col("r_stopword") && col("r_repetition"))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share at least
+    * `minHits` word `n`-gram(s) with any benchmark/eval document — the
+    * standard guard against test-set leakage into training data.
+    *
+    * Shape: both sides explode to distinct shingles; the benchmark side's
+    * shingle set is tiny relative to the corpus (eval suites are small), so
+    * Spark broadcasts it and the "join" is a map-side hash probe over the
+    * training corpus — no corpus shuffle at all. Returns (train id, n_hits)
+    * per contaminated doc.
+    */
+  def decontaminationFlags(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: Column, n: Int, minHits: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val trainSh = train.select(col(idCol),
+      explode(DedupOps.shingles(textCol, n)).as("__sh"))
+    val benchSh = bench.select(explode(DedupOps.shingles(textCol, n)).as("__sh"))
+      .distinct()
+    trainSh.join(broadcast(benchSh), Seq("__sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Corpus-mix sampling rates: given target shares per group (language,
     * source, quality bucket — the training-mix spec), compute each group's
     * keep probability so downsampled counts land on the target mixture,

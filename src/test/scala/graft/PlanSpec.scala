@@ -85,4 +85,25 @@ class PlanSpec extends SparkSpec {
     val p = formatted(df)
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
   }
+  test("q85: benchmark shingles broadcast — the training corpus never shuffles") {
+    val p = formatted(graft.queries.CurationQueries.q85Decontam.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast probe of bench shingles")
+    assert(!p.contains("SortMergeJoin"), "corpus side degraded to a shuffle join")
+  }
+
+  test("q84: quantization is a pure projection — no shuffle before the sort") {
+    val p = formatted(graft.queries.SimQueries.q84QuantizeInt8.fn(spark, sf001))
+    // exactly one exchange: the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected shuffles in a per-row op:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)]"),
+      "vec_id bound not pushed to the embeddings scan")
+  }
+
+  test("q82: packing plan is one keyed window shuffle per stream") {
+    val p = planOf(graft.queries.CurationQueries.q82ChunkPack.fn(spark, sf001))
+    assert(p.contains("Window"), "expected the running-sum window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
 }
