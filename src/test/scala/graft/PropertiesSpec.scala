@@ -101,4 +101,70 @@ class PropertiesSpec extends SparkSpec {
       m.transform(df).count() == rows.size
     }, n = 5)
   }
+  test("canonicalizeUrl is idempotent and drops only tracking params") {
+    import graft.text.UrlOps
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "docs.example.org", "a.b.C.net")
+      port <- Gen.oneOf("", ":80", ":443")
+      path <- Gen.oneOf("", "/A/b", "/x", "/x/")
+      params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "gclid=9", "z=3"))
+      frag <- Gen.oneOf("", "#f")
+    } yield {
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$www$host$port$path$q$frag"
+    }
+    check("url-canon", Prop.forAll(genUrl) { u =>
+      val once = Seq(u).toDF("u")
+        .select(UrlOps.canonicalizeUrl($"u")).as[String].head()
+      val twice = Seq(once).toDF("u")
+        .select(UrlOps.canonicalizeUrl($"u")).as[String].head()
+      val nonTracking = Seq("a=1", "b=2", "z=3").filter(u.contains)
+      twice == once &&
+        // scheme/host lowered; path case preserved
+        once == once.toLowerCase(java.util.Locale.ROOT).replace("/a/b", "/A/b") &&
+        nonTracking.forall(once.contains) &&
+        !once.contains("utm_") && !once.contains("gclid") &&
+        !once.contains("#")
+    }, n = 40)
+  }
+
+  test("paragraphDedup: output never repeats a paragraph corpus-wide; payload shrinks") {
+    import graft.text.DedupOps
+    val genDocs = Gen.listOfN(12, Gen.listOfN(3,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    check("para-dedup", Prop.forAll(genDocs) { paraLists =>
+      val docs = paraLists.zipWithIndex
+        .map { case (ps, i) => (i.toLong, ps.mkString(". ")) }
+        .toDF("doc_id", "text")
+      val out = DedupOps.paragraphDedup(docs, "doc_id", $"text")
+        .as[(Long, String)].collect()
+      val allParas = out.flatMap(_._2.split("\\. "))
+      // every distinct paragraph survives exactly once, somewhere
+      allParas.length == allParas.distinct.length &&
+        allParas.toSet == paraLists.flatten.toSet
+    }, n = 15)
+  }
+
+  test("chunkPlan: spans tile the stream payload exactly") {
+    import graft.text.Packing
+    val genSizes = Gen.listOfN(10, Gen.chooseNum(0L, 9000L))
+    check("chunk-pack", Prop.forAll(genSizes) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (sz, i) => ("s", i.toLong, sz) }
+        .toDF("source", "doc_id", "sz")
+      val rows = Packing.chunkPlan(docs, "source", "doc_id", $"sz", 4096L)
+        .orderBy("doc_id")
+        .select($"start_off", $"chunk_first", $"chunk_last")
+        .as[(Long, Long, Long)].collect()
+      // offsets are the prefix sums; chunk ids consistent with offsets
+      val prefix = sizes.scanLeft(0L)(_ + _)
+      rows.zipWithIndex.forall { case ((off, cf, cl), i) =>
+        off == prefix(i) && cf == off / 4096 &&
+          cl == (if (sizes(i) > 0) (off + sizes(i) - 1) / 4096 else off / 4096) &&
+          cl >= cf
+      }
+    }, n = 15)
+  }
+
 }
