@@ -190,7 +190,36 @@ object TextQueries extends QueryGroup {
       SELECT canon_url, COUNT(*) AS n FROM c
       GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** BM25 top-20 (graft.text.Retrieval): bag-of-words corpus search with
+    * Lucene-style idf — query-term filter BEFORE any shuffle, so work is
+    * proportional to the terms' posting lists. Exact oracle: DuckDB
+    * recomputes tf/df/dl and the same closed-form score.
+    */
+  val q86Bm25 = QueryDef(
+    "q86_bm25_topk",
+    (s, d) => graft.text.Retrieval.bm25(
+      Tables.documents(s, d), "doc_id", col("text"),
+      Seq("spark", "shuffle", "window"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+          len(string_split(text, ' ')) AS dl
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS n,
+          CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM documents),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM t
+        WHERE term IN ('spark', 'shuffle', 'window')
+        GROUP BY doc_id, dl, term),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT doc_id,
+          ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+          AS s
+        FROM tf JOIN dft USING (term), stats)
+      SELECT doc_id, ROUND(SUM(s), 6) AS score FROM sc
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
-    q70LangIdNgram, q81UrlCanon)
+    q70LangIdNgram, q81UrlCanon, q86Bm25)
 }

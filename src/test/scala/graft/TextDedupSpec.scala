@@ -253,4 +253,35 @@ class TextDedupSpec extends SparkSpec {
     assert(viaSql == got)
   }
 
+  test("inverted index: postings round-trip, bucket pruning reads only wanted buckets") {
+    import graft.text.Retrieval
+    val docs = Tables.documents(spark, sf001).filter($"doc_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("inv-idx").toString + "/idx"
+    Retrieval.buildInvertedIndex(docs, "doc_id", $"text", dir, buckets = 16)
+    val postings = Retrieval.lookupPostings(spark, dir, Seq("spark", "window"), 16)
+    // ground truth from a straight recount
+    val truth = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin("spark", "window"))
+      .groupBy("term", "doc_id").count()
+      .as[(String, Long, Long)].collect().toSet
+    val got = postings.select($"term", $"doc_id", $"tf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == truth && got.nonEmpty)
+    // partition pruning: the scan only touches the wanted bucket dirs
+    val scanned = postings.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("bucket"), "bucket partition filter missing from scan")
+  }
+
+  test("bm25: docs containing more query terms outscore docs with none") {
+    import graft.text.Retrieval
+    val docs = Seq(
+      (1L, "spark shuffle window spark spark"),
+      (2L, "spark alone here"),
+      (3L, "nothing relevant at all whatsoever")).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", $"text", Seq("spark", "shuffle", "window"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L) && !got.contains(3L))
+  }
+
 }
