@@ -88,8 +88,23 @@ object DedupOps {
 
   /** LSH banding over the signature: bandsOf consecutive signature slots per
     * band; returns candidate pairs (d1 < d2) sharing at least one band.
+    *
+    * Hot-bucket cap: a single band value shared by m documents contributes
+    * m·(m−1)/2 pairs — one viral boilerplate text at corpus scale turns the
+    * self-join quadratic (the band-bucket twin of the n-gram stop-shingle
+    * problem). Buckets larger than `maxBucket` are CHAINED instead of
+    * paired all-to-all: members sort-rank within the bucket and each links
+    * only to its successor, so the bucket stays one connected component for
+    * downstream clustering (connected components / keep-decision semantics
+    * are IDENTICAL) at O(m) pairs instead of O(m²). Buckets at or under the
+    * cap are exhaustively paired, so with no oversized bucket (the
+    * fixtures; asserted in TextDedupSpec) output is exactly the uncapped
+    * pair set. Pairwise consumers at scale should treat chained buckets as
+    * "same cluster" evidence, which is what every caller here does.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, bandsOf: Int = 2): DataFrame = {
+  def lshCandidatePairs(sig: DataFrame, idCol: String, bandsOf: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    log.info(s"lshCandidatePairs: chaining band buckets larger than $maxBucket")
     val k = MinhashSeeds.size
     val nBands = k / bandsOf
     val bandVals = (0 until nBands).map { j =>
@@ -99,11 +114,27 @@ object DedupOps {
     }
     val bands = sig.select(col(idCol), explode(array(bandVals: _*)).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_val"))
-    val l = bands.select(col(idCol).as("d1"), col("band_id"), col("band_val"))
-    val r = bands.select(col(idCol).as("d2"), col("band_id"), col("band_val"))
-    l.join(r, Seq("band_id", "band_val"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_id"), col("band_val"))
+    // size via an ORDER-FREE window (no per-bucket sort; partitioning is the
+    // same hash(band_id, band_val) the join below needs, so the exchange is
+    // shared); the row_number sort is paid only by oversized buckets
+    val sized = bands.withColumn("__m", count(lit(1)).over(w))
+    val small = sized.filter(col("__m") <= maxBucket).drop("__m")
+    val l = small.select(col(idCol).as("d1"), col("band_id"), col("band_val"))
+    val r = small.select(col(idCol).as("d2"), col("band_id"), col("band_val"))
+    val exhaustive = l.join(r, Seq("band_id", "band_val"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2")
+    // oversized buckets: rank-successor chain (id-sorted, so d1 < d2)
+    val big = sized.filter(col("__m") > maxBucket)
+      .withColumn("__rk", row_number().over(w.orderBy(col(idCol))))
+    val chained = big.select(col(idCol).as("d1"),
+        col("band_id"), col("band_val"), col("__rk"))
+      .join(big.select(col(idCol).as("d2"), col("band_id"), col("band_val"),
+        (col("__rk") - 1).as("__rk")), Seq("band_id", "band_val", "__rk"))
+      .select("d1", "d2")
+    exhaustive.unionByName(chained).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold` within

@@ -284,4 +284,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) > got(2L) && !got.contains(3L))
   }
 
+  test("lshCandidatePairs: bucket cap keeps clusters connected without quadratic pairs") {
+    // 60 identical docs -> every band bucket holds all 60
+    val clones = (0 until 60).map(i => (i.toLong, "same words all the way down here"))
+    val df = (clones :+ (999L, "completely different text payload")).toDF("doc_id", "text")
+    val sig = DedupOps.minhashSignatures(df, "doc_id", $"text", 2)
+    val uncapped = DedupOps.lshCandidatePairs(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 60 * 59 / 2)
+    // cap 10 -> oversized buckets chain: O(m) pairs, same single component
+    val capped = DedupOps.lshCandidatePairs(sig, "doc_id", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.size == 59, s"expected 59 chain pairs, got ${capped.size}")
+    val docs = df.select($"doc_id".as("doc"))
+    val labels = DedupOps.connectedComponents(capped.toSeq.toDF("d1", "d2"), docs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 60L).forall(labels(_) == 0L) && labels(999L) == 999L)
+    // under the cap, output is exactly the uncapped pair set
+    val same = DedupOps.lshCandidatePairs(sig, "doc_id", maxBucket = 60)
+      .as[(Long, Long)].collect().toSet
+    assert(same == uncapped)
+  }
+
 }
