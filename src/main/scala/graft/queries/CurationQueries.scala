@@ -173,6 +173,21 @@ object CurationQueries extends QueryGroup {
           AS n_straddlers
       FROM q GROUP BY source ORDER BY source"""))
 
+  /** Deterministic exact-k per-group sample: md5(seed|id) ranking makes the
+    * selection a pure function of (seed, id) — reproducible across re-runs
+    * and engines, which is exactly what the oracle demonstrates. */
+  val q87HashSample = QueryDef(
+    "q87_hash_sample",
+    (s, d) => Curation.deterministicSample(
+      Tables.documents(s, d).select("doc_id", "source"),
+      "source", "doc_id", k = 3)
+      .orderBy("source", "doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rk <= 3 ORDER BY source, doc_id"""))
+
   /** Benchmark decontamination: training docs sharing >= 1 word 5-gram with
     * the "benchmark" slice are flagged with their hit counts — the test-set
     * leakage guard. Benchmark shingles broadcast; the corpus never
@@ -220,5 +235,5 @@ object CurationQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
-    q85Decontam)
+    q85Decontam, q87HashSample)
 }

@@ -117,6 +117,22 @@ object Curation {
           / col("n_docs")), 6))
   }
 
+  /** DETERMINISTIC exact-k sample per group: rank rows inside each group by
+    * md5(seed ‖ id) and keep the k smallest. Unlike `rand()`-based sampling
+    * this is a pure function of (seed, id) — re-runs, retries, AQE re-plans
+    * and other engines all select the SAME rows (the reproducibility
+    * property a training-data pipeline needs for auditable subsets), and
+    * it's exact-k where Bernoulli sampling only hits k in expectation.
+    * One partitioned window, no shuffle beyond its group keying.
+    */
+  def deterministicSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = row_number().over(Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol)))
+    df.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Apply a mixture: seeded per-group Bernoulli sampling at the `mixRates`
     * rates — one map-side filter, no shuffle (`sampleBy` semantics). Rates
     * are collected from the (tiny) rate table.

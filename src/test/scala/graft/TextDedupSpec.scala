@@ -306,4 +306,16 @@ class TextDedupSpec extends SparkSpec {
     assert(same == uncapped)
   }
 
+  test("deterministicSample: exact k per group, invariant to partitioning, seed-sensitive") {
+    import graft.text.Curation
+    val docs = Tables.documents(spark, sf001).select("doc_id", "source")
+    def sample(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Curation.deterministicSample(df, "source", "doc_id", 3, seed)
+        .as[(Long, String)].collect().toSet
+    val a = sample(docs, "42")
+    val b = sample(docs.repartition(17), "42")   // layout must not matter
+    assert(a == b && a.groupBy(_._2).forall(_._2.size == 3))
+    assert(sample(docs, "43") != a)              // different seed, different subset
+  }
+
 }
