@@ -173,6 +173,40 @@ object CurationQueries extends QueryGroup {
           AS n_straddlers
       FROM q GROUP BY source ORDER BY source"""))
 
+  /** Packed-window MATERIALIZATION: the write side of q82 — documents cut
+    * at 4096-char window boundaries and reassembled per (source, window).
+    * md5 of every window's text compared exactly cross-engine. */
+  val q88PackWindows = QueryDef(
+    "q88_pack_windows",
+    (s, d) => graft.text.Packing.packWindows(
+      Tables.documents(s, d), "source", "doc_id", col("text"), 4096L)
+      .select(col("source"), col("chunk_id"),
+        md5(col("window_text")).as("win_md5"),
+        length(col("window_text")).cast("bigint").as("win_len"),
+        col("n_docs"))
+      .orderBy("source", "chunk_id"),
+    Some("""WITH p AS (SELECT source, doc_id, text, len(text) AS sz,
+          CAST(SUM(len(text)) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        FROM documents),
+      q AS (SELECT *, end_off - sz AS start_off FROM p WHERE sz > 0),
+      c AS (SELECT source, text, sz, start_off, end_off,
+          unnest(range(start_off // 4096, (end_off - 1) // 4096 + 1)) AS chunk_id
+        FROM q),
+      f AS (SELECT source, chunk_id, start_off,
+          substr(text,
+            CAST(greatest(chunk_id * 4096 - start_off, 0) AS INTEGER) + 1,
+            CAST(least((chunk_id + 1) * 4096, end_off)
+              - greatest(chunk_id * 4096, start_off) AS INTEGER)) AS frag
+        FROM c),
+      w AS (SELECT source, chunk_id,
+          md5(string_agg(frag, '' ORDER BY start_off)) AS win_md5,
+          CAST(SUM(len(frag)) AS BIGINT) AS win_len,
+          COUNT(*) AS n_docs
+        FROM f GROUP BY source, chunk_id)
+      SELECT source, chunk_id, win_md5, win_len, n_docs FROM w
+      ORDER BY source, chunk_id"""))
+
   /** Deterministic exact-k per-group sample: md5(seed|id) ranking makes the
     * selection a pure function of (seed, id) — reproducible across re-runs
     * and engines, which is exactly what the oracle demonstrates. */
@@ -235,5 +269,5 @@ object CurationQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
-    q85Decontam, q87HashSample)
+    q85Decontam, q87HashSample, q88PackWindows)
 }

@@ -39,6 +39,40 @@ object Packing {
       .drop("__end_off")
   }
 
+  /** MATERIALIZE the packed windows: every output row is one fixed-size
+    * context window of its stream — documents are cut at window boundaries
+    * (overflow split) and fragments reassemble in stream order. The write
+    * side of [[chunkPlan]]: explode each doc into the windows it spans,
+    * slice the overlapping substring per window, regroup by window.
+    * Shuffles: the per-stream running-sum window + one groupBy(stream,
+    * window) — both keyed; fragment slicing is pure projection.
+    */
+  def packWindows(df: DataFrame, streamCol: String, orderCol: String,
+      textCol: Column, windowSize: Long): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sized = df.select(col(streamCol), col(orderCol), textCol.as("__text"))
+      .withColumn("__sz", length(col("__text")).cast("long"))
+      .withColumn("__end", sum(col("__sz")).over(w))
+      .withColumn("__start", col("__end") - col("__sz"))
+      .filter(col("__sz") > 0)
+    val frags = sized
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("__start") / windowSize),
+        floor((col("__end") - 1) / windowSize))))
+      .withColumn("__fs", greatest(col("chunk_id") * windowSize - col("__start"), lit(0L)))
+      .withColumn("__fl",
+        least((col("chunk_id") + 1) * windowSize, col("__end"))
+          - greatest(col("chunk_id") * windowSize, col("__start")))
+      .withColumn("__frag", col("__text").substr(col("__fs") + 1, col("__fl")))
+    frags.groupBy(col(streamCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__start"), col("__frag")))),
+          s => s("__frag")), "").as("window_text"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Stream-level packing summary: windows needed, documents, payload, and
     * how many documents straddle a window boundary (each straddler costs a
     * split at write time — a packing-efficiency signal).
