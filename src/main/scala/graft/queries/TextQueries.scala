@@ -219,7 +219,27 @@ object TextQueries extends QueryGroup {
       SELECT doc_id, ROUND(SUM(s), 6) AS score FROM sc
       GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""))
 
+  /** Unigram-LM perplexity proxy: corpus-trained token frequencies score
+    * each doc's length-normalized NLL; the 20 most "surprising" documents.
+    * Decimal-cast term sums make the float total order-independent. */
+  val q89UnigramNll = QueryDef(
+    "q89_unigram_nll",
+    (s, d) => TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", col("text"))
+      .orderBy(col("nll").desc, col("doc_id")).limit(20),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0),
+      dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM tt GROUP BY doc_id, tok),
+      tf AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS c FROM dt GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tf)
+      SELECT doc_id,
+        ROUND(CAST(SUM(CAST(n * -ln(CAST(c AS DOUBLE) / total)
+            AS DECIMAL(38,12))) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS nll,
+        CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM dt JOIN tf USING (tok), tot
+      GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
-    q70LangIdNgram, q81UrlCanon, q86Bm25)
+    q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll)
 }

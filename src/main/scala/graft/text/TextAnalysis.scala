@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -146,4 +146,41 @@ object TextAnalysis {
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
       .cast("double") / length(text)
+
+  /** Unigram-LM negative log-likelihood per document — the CCNet-style
+    * perplexity proxy: train a unigram model on the corpus itself (token
+    * frequencies), score each document by its length-normalized NLL
+    * Σ n_t·(−ln c_t/N) / Σ n_t. High-NLL docs are "surprising" (rare-token
+    * soup, boilerplate noise); low-NLL docs are stereotyped. The in-corpus
+    * twin of scoring against an external LM — no model artifact needed.
+    *
+    * Scale shape: one explode feeds a (doc, token) partial-aggregated count
+    * (map-side combine collapses repeats before the shuffle); the global
+    * frequency table derives from THAT (vocab-sized groupBy, no second
+    * explode); the corpus total is a 1-row aggregate broadcast back. The
+    * scoring join is a keyed equi-join on token — skew from stop-words is
+    * bounded because each doc contributes each token once (df ≤ |docs| per
+    * token), and AQE splits any residual hot token range.
+    *
+    * Float contract: each NLL term is decimal(38,12)-cast before summing
+    * (order-independent across partitions and engines), final value rounded
+    * to 6.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode(tokens(textCol)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    val tf = docTok.groupBy("tok").agg(sum("n").as("c"))
+    val total = tf.agg(sum("c").as("total"))
+    docTok.join(tf, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(
+          sum((col("n") * -log(col("c").cast("double") / col("total")))
+            .cast("decimal(38,12)")).cast("double")
+            / sum(col("n")), 6).as("nll"),
+        sum(col("n")).as("n_tokens"))
+  }
 }

@@ -65,6 +65,27 @@ class TextDedupSpec extends SparkSpec {
     assert(stats._1 >= 0.0 && stats._2 <= 1.0)
   }
 
+  test("unigramNll: uniform corpus scores ln(V); rare-token doc scores higher") {
+    // 4 docs over a 4-token vocab, each token appearing twice except one
+    // doc of two rare tokens — hand-checkable frequencies
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c c c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramNll(df, "doc_id", $"text")
+      .orderBy($"doc_id").collect()
+    // totals: a=2 b=2 c=3 d=1 N=8
+    def nll(cs: Seq[Long]): Double = {
+      val raw = cs.map(c => -math.log(c / 8.0)).sum / cs.size
+      math.rint(raw * 1e6) / 1e6
+    }
+    assert(got.map(_.getAs[Double]("nll")).toSeq ==
+      Seq(nll(Seq(2, 2)), nll(Seq(2, 2)), nll(Seq(3, 3, 3)), nll(Seq(1))))
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq == Seq(2L, 2L, 3L, 1L))
+    // the single rare token is the most surprising document
+    val top = TextAnalysis.unigramNll(df, "doc_id", $"text")
+      .orderBy($"nll".desc).select("doc_id").as[Long].head()
+    assert(top == 4L)
+  }
+
   test("exactDupGroups finds only true duplicate groups") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
     val got = DedupOps.exactDupGroups(df, "id", md5($"text")).collect()
