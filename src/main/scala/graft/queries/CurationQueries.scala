@@ -207,6 +207,67 @@ object CurationQueries extends QueryGroup {
       SELECT source, chunk_id, win_md5, win_len, n_docs FROM w
       ORDER BY source, chunk_id"""))
 
+  /** Gopher rule battery: per-source failure counts for each quality rule
+    * plus survivors of the full conjunction. minWords lowered to 20 so the
+    * synthetic corpus (30-40-word docs) exercises both branches. */
+  val q90GopherRules = QueryDef(
+    "q90_gopher_rules",
+    (s, d) => Curation.gopherRuleFlags(
+      Tables.documents(s, d), col("text"), minWords = 20)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("g_words"), 1L).otherwise(0L)).as("f_words"),
+        sum(when(!col("g_word_len"), 1L).otherwise(0L)).as("f_word_len"),
+        sum(when(!col("g_symbol"), 1L).otherwise(0L)).as("f_symbol"),
+        sum(when(!col("g_bullet"), 1L).otherwise(0L)).as("f_bullet"),
+        sum(when(!col("g_ellipsis"), 1L).otherwise(0L)).as("f_ellipsis"),
+        sum(when(!col("g_alpha"), 1L).otherwise(0L)).as("f_alpha"),
+        sum(when(!col("g_stopword"), 1L).otherwise(0L)).as("f_stopword"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy("source"),
+    Some {
+      val stops = graft.text.TextAnalysis.LangProfiles.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      // plain (non-interpolated) strings so regex backslashes stay literal
+      """WITH w AS (SELECT source, text,
+          list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS words
+        FROM documents),
+      m AS (SELECT source,
+          len(words) AS nw,
+          len(string_split(text, chr(10))) AS nl,
+          CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words)
+            AS mean_len,
+          (len(text) - len(replace(text, '#', ''))) AS hashes,
+          (len(text) - len(replace(text, '...', ''))) / 3 AS ells,
+          len(regexp_extract_all(text, '(?m)^[ \t]*[-*""" + "•" + """]')) AS bl,
+          len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+          len(list_filter(words, t -> regexp_matches(t, '[a-zA-Z]'))) AS aw,
+          len(list_filter(""" + stops + """, p -> list_contains(words, p))) AS sh
+        FROM w),
+      f AS (SELECT source,
+          (nw >= 20 AND nw <= 100000) AS g_words,
+          (nw > 0 AND mean_len >= 3.0 AND mean_len <= 10.0) AS g_word_len,
+          (nw > 0 AND CAST(hashes + ells AS DOUBLE) / nw <= 0.1) AS g_symbol,
+          (CAST(bl AS DOUBLE) / nl <= 0.9) AS g_bullet,
+          (CAST(el AS DOUBLE) / nl <= 0.3) AS g_ellipsis,
+          (nw > 0 AND CAST(aw AS DOUBLE) / nw >= 0.8) AS g_alpha,
+          (sh >= 2) AS g_stopword
+        FROM m)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN NOT g_words THEN 1 ELSE 0 END) AS BIGINT) AS f_words,
+        CAST(SUM(CASE WHEN NOT g_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_word_len,
+        CAST(SUM(CASE WHEN NOT g_symbol THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+        CAST(SUM(CASE WHEN NOT g_bullet THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet,
+        CAST(SUM(CASE WHEN NOT g_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis,
+        CAST(SUM(CASE WHEN NOT g_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+        CAST(SUM(CASE WHEN NOT g_stopword THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+        CAST(SUM(CASE WHEN g_words AND g_word_len AND g_symbol AND g_bullet
+          AND g_ellipsis AND g_alpha AND g_stopword THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keep
+      FROM f GROUP BY source ORDER BY source"""
+    })
+
   /** Deterministic exact-k per-group sample: md5(seed|id) ranking makes the
     * selection a pure function of (seed, id) — reproducible across re-runs
     * and engines, which is exactly what the oracle demonstrates. */
@@ -269,5 +330,5 @@ object CurationQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
-    q85Decontam, q87HashSample, q88PackWindows)
+    q85Decontam, q87HashSample, q88PackWindows, q90GopherRules)
 }

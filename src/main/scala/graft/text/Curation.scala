@@ -73,6 +73,52 @@ object Curation {
       col("r_min_words") && col("r_word_len") && col("r_stopword") && col("r_repetition"))
   }
 
+  /** The fuller Gopher-style rule battery (Rae et al. 2021 §A1.1 quality
+    * heuristics, re-expressed as Column predicates): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio (# and … proxies for
+    * scraped-markup noise), bullet- and ellipsis-line fractions, fraction
+    * of words containing a letter, and a minimum distinct-stopword count.
+    * Complements [[c4RuleFlags]] (which covers the C4 basics) with the
+    * line-structure and symbol rules. One flag column per rule plus the
+    * `keep` conjunction; everything is a whitespace/regex projection, so
+    * the filter is a single codegen'd map stage — no shuffle, no UDFs.
+    */
+  def gopherRuleFlags(df: DataFrame, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      meanLenLo: Double = 3.0, meanLenHi: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = filter(TextAnalysis.tokensWs(textCol), t => length(t) > 0)
+    val nWords = size(toks)
+    val nLines = size(split(textCol, "\n"))
+    // mean word length without a per-token fold: non-whitespace chars / words
+    val meanLen = length(regexp_replace(textCol, "\\s", "")).cast("double") / nWords
+    val hashCount = length(textCol) - length(replace(textCol, lit("#"), lit("")))
+    val ellipsisCount =
+      (length(textCol) - length(replace(textCol, lit("..."), lit("")))) / lit(3)
+    val bulletLines = regexp_count(textCol, lit("(?m)^[ \\t]*[-*\u2022]"))
+    val ellipsisLines = regexp_count(textCol, lit("(?m)\\.\\.\\.$"))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopHits = TextAnalysis.profileScore(toks, TextAnalysis.LangProfiles.head._2)
+    df
+      .withColumn("g_words", nWords >= minWords && nWords <= maxWords)
+      .withColumn("g_word_len",
+        nWords > 0 && meanLen >= meanLenLo && meanLen <= meanLenHi)
+      .withColumn("g_symbol",
+        nWords > 0 && (hashCount + ellipsisCount).cast("double") / nWords <= maxSymbolRatio)
+      .withColumn("g_bullet",
+        bulletLines.cast("double") / nLines <= maxBulletFrac)
+      .withColumn("g_ellipsis",
+        ellipsisLines.cast("double") / nLines <= maxEllipsisFrac)
+      .withColumn("g_alpha",
+        nWords > 0 && alphaWords.cast("double") / nWords >= minAlphaFrac)
+      .withColumn("g_stopword", stopHits >= minStopwords)
+      .withColumn("keep",
+        col("g_words") && col("g_word_len") && col("g_symbol") && col("g_bullet")
+          && col("g_ellipsis") && col("g_alpha") && col("g_stopword"))
+  }
+
   /** Benchmark DECONTAMINATION: flag training documents that share at least
     * `minHits` word `n`-gram(s) with any benchmark/eval document — the
     * standard guard against test-set leakage into training data.

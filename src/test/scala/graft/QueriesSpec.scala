@@ -24,9 +24,12 @@ class QueriesSpec extends SparkSpec {
     *  - q48: the bounded query set scored against a streaming corpus scan
     *         (the corpus itself never shuffles)
     *  - q65: the nLists-row centroid table probed per query
+    *  - q89: the 1-row corpus token total attached to every (doc, token)
+    *         partial count (scalar broadcast, not a pair explosion)
     */
   private val bnljIntended = Set(
-    "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk")
+    "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
+    "q89_unigram_nll")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

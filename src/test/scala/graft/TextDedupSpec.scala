@@ -237,6 +237,33 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(sampled("en") - 500L) < 80L, s"en sampled ${sampled("en")}")
   }
 
+  test("gopherRuleFlags: each rule trips on its designed offender only") {
+    import graft.text.Curation
+    // 31 words, mean word length 4.5, stopwords {the, and}
+    val good = (("the quick brown foxes jumped over and beyond sleeping dogs " * 3)
+      + "end").trim
+    val cases = Seq(
+      (1L, good),                                          // passes all
+      (2L, "the a of and or but"),                         // too few words
+      (3L, good + " " + Seq.fill(30)("#").mkString(" ")),  // symbol ratio
+      (4L, (1 to 30).map(i => s"- the item $i").mkString("\n")), // bullets
+      (5L, (1 to 30).map(i => s"the line $i goes on...").mkString("\n")), // ellipses
+      (6L, good + " " + Seq.fill(40)("123").mkString(" ")), // alpha fraction
+      (7L, ("zz yy xx ww vv uu tt ss " * 4).trim)          // no stopwords
+    ).toDF("id", "text")
+    val got = Curation.gopherRuleFlags(cases, $"text", minWords = 20)
+      .select($"id", $"g_words", $"g_symbol", $"g_bullet", $"g_ellipsis",
+        $"g_alpha", $"g_stopword", $"keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(7), "good doc keeps")
+    assert(!got(2L).getBoolean(1) && !got(2L).getBoolean(7), "word count trips")
+    assert(!got(3L).getBoolean(2) && got(3L).getBoolean(1), "symbol ratio trips")
+    assert(!got(4L).getBoolean(3), "bullet fraction trips")
+    assert(!got(5L).getBoolean(4), "ellipsis fraction trips")
+    assert(!got(6L).getBoolean(5), "alpha fraction trips")
+    assert(!got(7L).getBoolean(6) && !got(7L).getBoolean(7), "stopword rule trips")
+  }
+
   test("canonicalizeUrl collapses case/port/tracking/order/slash/fragment variants") {
     import graft.text.UrlOps
     val urls = Seq(
