@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators for curated-corpus output — the write-side half
@@ -102,4 +102,57 @@ object Layout {
     if (clusterCols.nonEmpty) clusteredWrite(df, outPath, numFiles, clusterCols: _*)
     else df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
   }
+
+  /** Hash shard assignment: shard = md5(seed ‖ id) mod n. Fully parallel
+    * (pure projection, no shuffle), deterministic across engines and
+    * re-runs, balanced in EXPECTATION by count — the default 100 TB path
+    * for spreading a corpus over training-output shards. Use
+    * [[balancedShards]] when per-shard WEIGHT (token count) must balance
+    * tightly.
+    */
+  def hashShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String = "42"): DataFrame =
+    df.withColumn("shard",
+      pmod(conv(substring(md5(concat_ws("|", lit(seed),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong)).cast("int"))
+
+  /** Token-balanced shard assignment: rank documents by (weight desc, id)
+    * and deal them serpentine over the shards — pass 0 left-to-right,
+    * pass 1 right-to-left — so every shard receives one document per pass
+    * and the heavy head spreads evenly (the deterministic near-LPT
+    * heuristic). Per-shard totals then differ by at most one pass's spread.
+    *
+    * The global rank is computed SCALABLY: range-repartition on the sort
+    * key + in-partition sort gives a total order across partitions, and
+    * `zipWithIndex` assigns contiguous indices with one extra (cheap)
+    * count job for the per-partition offsets — no single-partition window
+    * anywhere. The rank is deterministic because (weight desc, id) is a
+    * total order regardless of where the sampled range boundaries land.
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(weightCol).desc, col(idCol))
+      .sortWithinPartitions(col(weightCol).desc, col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val n = lit(nShards.toLong)
+    val pass = floor(col("__rank") / n)
+    val pos = col("__rank") % n
+    ranked.withColumn("shard",
+      when(pass % 2 === 0, pos).otherwise(n - 1 - pos).cast("int"))
+      .drop("__rank")
+  }
+
+  /** Deterministic pseudo-random training order inside a shard (or stream):
+    * sort by this key instead of `rand()` — reproducible across retries,
+    * AQE re-plans, and engines. */
+  def shuffleKey(idCol: Column, seed: String = "42"): Column =
+    md5(concat_ws("|", lit(seed), idCol.cast("string")))
 }

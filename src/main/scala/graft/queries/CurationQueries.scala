@@ -328,7 +328,44 @@ object CurationQueries extends QueryGroup {
       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
     })
 
+  /** Token-balanced serpentine shard assignment (io.Layout.balancedShards:
+    * distributed rank via range-repartition + zipWithIndex, no global
+    * window) plus the deterministic md5 training-shuffle order, pinned
+    * exactly: per-shard doc/token totals and an md5 over the ids in
+    * shuffle order. */
+  val q91ShardAssign = QueryDef(
+    "q91_shard_assign",
+    (s, d) => {
+      import graft.io.Layout
+      val docs = Tables.documents(s, d).withColumn("w",
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+      Layout.balancedShards(docs, "doc_id", "w", 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("tok_total"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(
+              Layout.shuffleKey(col("doc_id")).as("k"),
+              col("doc_id").cast("string").as("i")))),
+            p => p("i")), ",")).as("order_md5"))
+        .orderBy("shard")
+    },
+    Some("""WITH r AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+      rk AS (SELECT doc_id, w,
+          ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) - 1 AS rnk FROM r),
+      s AS (SELECT doc_id, w,
+          CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8
+               ELSE 7 - (rnk % 8) END AS INT) AS shard
+        FROM rk)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(w) AS BIGINT) AS tok_total,
+        md5(string_agg(CAST(doc_id AS VARCHAR), ','
+          ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)))) AS order_md5
+      FROM s GROUP BY shard ORDER BY shard"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
-    q85Decontam, q87HashSample, q88PackWindows, q90GopherRules)
+    q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign)
 }

@@ -12,6 +12,40 @@ class LayoutSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(name).resolve("out").toString
 
+  test("balancedShards: serpentine deal balances token totals tightly") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("w", size(split($"text", " ")).cast("long"))
+    val sharded = Layout.balancedShards(docs, "doc_id", "w", 8)
+    val totals = sharded.groupBy("shard").agg(sum($"w").as("t"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect()
+    assert(totals.length == 8)
+    assert(totals.map(_._3).sum == docs.count())
+    val ws = totals.map(_._2)
+    // serpentine over a desc-sorted deal: spread bounded by one max-weight doc
+    val maxW = docs.agg(max($"w")).as[Long].head()
+    assert(ws.max - ws.min <= maxW, s"spread ${ws.max - ws.min} > maxW $maxW")
+    // deterministic: re-running assigns identical shards
+    val a = sharded.select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val b = Layout.balancedShards(docs, "doc_id", "w", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
+  test("hashShards: pure projection, deterministic, count-balanced in expectation") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val sharded = Layout.hashShards(docs, "doc_id", 8)
+    // no shuffle: the plan has no exchange at all
+    assert(!sharded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = sharded.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(counts.size == 8)
+    // expectation n/8 per shard; allow generous 3-sigma-ish slack for 500 docs
+    counts.values.foreach(c => assert(math.abs(c - n / 8) < n / 8 * 0.6, counts))
+    val again = Layout.hashShards(docs, "doc_id", 8)
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(counts == again)
+  }
+
   test("clusteredWrite yields pairwise-disjoint per-file ranges (data skipping)") {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
     val path = tmp("layout")
