@@ -124,6 +124,64 @@ object SimQueries extends QueryGroup {
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
+  /** SemDeDup (sim.Similarity.semDedup): cell-scoped semantic dedup with
+    * the diversity-keep representative policy, pinned exactly per cell —
+    * counts plus an md5 over the kept ids. Seed centroids (first 8 vectors)
+    * make the quantizer cross-engine deterministic. */
+  val q92SemDedup = QueryDef(
+    "q92_semdedup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      Similarity.semDedup(e, "vec_id", "embedding", cents, 0.4)
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(when(!col("keep"), col("cluster"))).as("n_groups"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+          md5(array_join(transform(sort_array(collect_list(
+            when(col("keep"), struct(col("id").as("k"),
+              col("id").cast("string").as("i"))))),
+            p => p("i")), ",")).as("kept_md5"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
+        WHERE vec_id < 8),
+      sc AS (SELECT e.vec_id, c.cell,
+          ROUND(${cosineSql("e.v", "c.cv")}, 6) AS simc
+        FROM ev e, cent c),
+      asg AS (SELECT vec_id, cell, simc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY simc DESC, cell) AS rn FROM sc) WHERE rn = 1),
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN ev x ON x.vec_id = a.vec_id
+        JOIN ev y ON y.vec_id = b.vec_id
+        WHERE ROUND(${cosineSql("x.v", "y.v")}, 6) >= 0.4),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a),
+      fl AS (SELECT g.vec_id, g.cell, g.simc,
+          COALESCE(l.cluster, g.vec_id) AS cluster
+        FROM asg g LEFT JOIN labels l ON l.doc = g.vec_id),
+      kp AS (SELECT vec_id, cell, cluster,
+          (ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY simc ASC, vec_id) = 1) AS keep
+        FROM fl)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(COUNT(DISTINCT CASE WHEN NOT keep THEN cluster END) AS BIGINT)
+          AS n_groups,
+        CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(string_agg(CASE WHEN keep THEN CAST(vec_id AS VARCHAR) END, ','
+          ORDER BY vec_id)) AS kept_md5
+      FROM kp GROUP BY cell ORDER BY cell"""))
+
   /** Multimodal plumbing: binary media column → batched feature extraction
     * (stubbed decode) → per-format feature stats. The decode stub digests the
     * payload with MD5, so DuckDB reproduces feature 0 from the same hex
@@ -202,5 +260,5 @@ object SimQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
-    q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8)
+    q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup)
 }

@@ -316,6 +316,68 @@ object Similarity {
     else blockedExactPairs(vecs, threshold, nBlocks)
   }
 
+  /** Deterministic coarse quantizer for [[semDedup]]: the first `k` corpus
+    * vectors (by id) ARE the cell centroids — a zero-iteration k-means||
+    * style init that any engine reproduces exactly (no Lloyd fixpoint, no
+    * RNG). For production quality swap in [[buildIvfIndex]]'s trained
+    * centroids; the dedup semantics are identical for any centroid table.
+    */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cell"), asDouble(col(vecCol)).as("centroid"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * scoped to quantizer cells. Each vector joins its nearest centroid
+    * (broadcast k-row table; rounded cosine with smaller-cell tie-break, so
+    * the assignment is reproducible cross-engine); exact pairwise cosine
+    * runs ONLY within a cell; components at `threshold` form semantic-dup
+    * groups; each group keeps its member FARTHEST from the centroid
+    * (min cell-similarity, the paper's diversity-keep policy; id breaks
+    * ties) and drops the rest. Singletons survive untouched.
+    *
+    * Scale shape: the O(n²) global pair space shrinks to Σ|cell|² — with a
+    * real quantizer cells are ~n/k, so comparisons drop by ~k. The within-
+    * cell self-join is a keyed equi-join on cell (no CartesianProduct); a
+    * pathologically hot cell at corpus scale gets the same cap treatment as
+    * LSH band buckets (chain, or re-quantize the cell with more centroids).
+    *
+    * Returns one row per input vector: (id, cell, cluster, keep).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+    val cents = centroids
+      .select(col("cell"), asDouble(col("centroid")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("simc", safeSim(col("v"), col("cv"), col("n"), col("cn")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("simc").desc, col("cell"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("v"), col("n"), col("cell"), col("simc"))
+      // three consumers below (pairs ×2 sides, keep-join); one shuffle in
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cell"), col("id").as("d1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val r = assigned.select(col("cell"), col("id").as("d2"),
+      col("v").as("v2"), col("n").as("n2"))
+    val pairs = l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
+      .withColumn("sim", safeSim(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select("d1", "d2")
+    val labels = graft.text.DedupOps.connectedComponents(
+      pairs, assigned.select(col("id").as("doc")))
+    val out = assigned.join(labels, assigned("id") === labels("doc"))
+      .select(col("id"), col("cell"), col("simc"), col("cluster"))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("simc").asc, col("id"))) === 1)
+      .select(col("id"), col("cell"), col("cluster"), col("keep"))
+    out
+  }
+
   private def bandedLshPairs(vecs: DataFrame, threshold: Double,
       bandBits: Int, bands: Int): DataFrame = {
     val banded = vecs.select(col("id"), col("v"), col("n"),

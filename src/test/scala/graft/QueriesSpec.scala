@@ -26,10 +26,12 @@ class QueriesSpec extends SparkSpec {
     *  - q65: the nLists-row centroid table probed per query
     *  - q89: the 1-row corpus token total attached to every (doc, token)
     *         partial count (scalar broadcast, not a pair explosion)
+    *  - q92: the k-row seed-centroid table probed per vector (quantizer
+    *         assignment, same shape as q65's probe)
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
-    "q89_unigram_nll")
+    "q89_unigram_nll", "q92_semdedup")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

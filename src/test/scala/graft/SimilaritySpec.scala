@@ -98,6 +98,30 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(approx).nonEmpty, "IVF found none of the true top-k")
   }
 
+  test("semDedup: cell-scoped groups, diversity-keep picks farthest from centroid") {
+    // centroids: c0=(1,0), c1=(0,1). 10/11/12 are near-identical vectors in
+    // cell 0 (pairwise cos > 0.999, but only ~0.95 to the centroid, so the
+    // seed stays outside the group); 12 has the lowest centroid similarity
+    // → the kept representative. 20 lands in cell 1 at cos 0.98 to the
+    // seed (< 0.99 threshold) → singleton.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),          // seeds
+      (10L, Seq(10.0f, 3.0f)), (11L, Seq(10.0f, 3.1f)),      // dup group, cell 0
+      (12L, Seq(10.0f, 3.2f)),                               // farthest from c0
+      (20L, Seq(1.0f, 5.0f))                                 // singleton, cell 1
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(vecs, "vec_id", "embedding", 2)
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", cents, 0.99)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    // seeds 0,1 join their own cells; 10/11/12 group in cell 0 (pairwise
+    // cos > 0.99); group rep = 12 (lowest simc to centroid); 20 survives
+    val kept = got.filter(_._3).map(_._1).toSet
+    assert(got.find(_._1 == 10L).get._2 == 0 && got.find(_._1 == 20L).get._2 == 1)
+    assert(!kept.contains(10L) && !kept.contains(11L) && kept.contains(12L))
+    assert(kept.contains(20L) && kept.contains(0L) && kept.contains(1L))
+  }
+
   test("bandingFor: more selective bands need more of them") {
     val l8 = Similarity.bandingFor(0.8, 8)
     val l4 = Similarity.bandingFor(0.8, 4)
