@@ -239,7 +239,98 @@ object TextQueries extends QueryGroup {
       FROM dt JOIN tf USING (tok), tot
       GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
 
+  /** HTML → text extraction (text.HtmlText): the WET-generation step.
+    * HTML is synthesized deterministically around each document (title,
+    * style/script subtrees, comments, entities, block tags), then both
+    * engines run the same RE2 extraction chain — md5-compared output. */
+  val q93HtmlExtract = QueryDef(
+    "q93_html_extract",
+    (s, d) => {
+      import graft.text.HtmlText
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; more</title><style>p{color:red}</style>" +
+          "<script>var x=1&&2;</script></head><body><!-- nav --><p>"),
+        col("text"),
+        lit("</p><div>tail &lt;b&gt;&nbsp;end</div></body></html>"))
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          HtmlText.htmlTitle(html).as("title"),
+          length(HtmlText.htmlToText(html)).cast("bigint").as("text_len"),
+          md5(HtmlText.htmlToText(html)).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || ' &amp; more</title><style>p{color:red}</style>'
+        || '<script>var x=1&&2;</script></head><body><!-- nav --><p>'
+        || text || '</p><div>tail &lt;b&gt;&nbsp;end</div></body></html>' AS html
+      FROM documents WHERE doc_id < 50),
+      s1 AS (SELECT doc_id, html, regexp_replace(html,
+        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+      s2 AS (SELECT doc_id, html,
+        regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, html, regexp_replace(t,
+        '(?i)<br[^>]*>|</p>|</div>|</h[1-6]>|</li>|</tr>', chr(10), 'g') AS t
+        FROM s2),
+      s4 AS (SELECT doc_id, html,
+        regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, html,
+        replace(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+      s6 AS (SELECT doc_id, html,
+        trim(regexp_replace(regexp_replace(t, '[ \t]+', ' ', 'g'),
+          ' *\n[ \n]*', chr(10), 'g')) AS txt FROM s5)
+      SELECT doc_id,
+        trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+        CAST(len(txt) AS BIGINT) AS text_len,
+        md5(txt) AS text_md5
+      FROM s6 ORDER BY doc_id"""))
+
+  /** Corpus report card: the per-source health dashboard a curation run
+    * publishes — docs, tokens, chars, exact-dup rate, language spread,
+    * median doc length, mean quality — ALL from one groupBy (a single
+    * shuffle, one pass over the corpus; no per-metric jobs). */
+  val q94CorpusReport = QueryDef(
+    "q94_corpus_report",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("nt", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(expr("percentile(nt, 0.5)"), 6).as("p50_tokens"),
+        decAvg(col("q"), 6).as("avg_quality"))
+      .orderBy("source"),
+    Some("""WITH b AS (SELECT source, lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        md5(text) AS h,
+        ROUND(0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+          + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + 0.3 * least(1.0,
+              CAST(len(list_filter(['the', 'a', 'of', 'and', 'is', 'to'],
+                p -> list_contains(string_split(text, ' '), p))) AS DOUBLE)
+              * 10.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+      FROM documents)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality
+      FROM b GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
-    q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll)
+    q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
+    q94CorpusReport)
 }

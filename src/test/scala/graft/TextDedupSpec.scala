@@ -264,6 +264,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!got(7L).getBoolean(6) && !got(7L).getBoolean(7), "stopword rule trips")
   }
 
+  test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
+    import graft.text.HtmlText
+    val html = """<HTML><head><TITLE> My &amp; Title </TITLE>
+      |<SCRIPT type="x">if (a<b && c>d) { alert("<p>not text</p>") }</SCRIPT>
+      |<style>p { color: red }</style></head>
+      |<body><!-- <p>commented out</p> -->
+      |<h1>Header</h1><p>one &amp;lt; two</p><ul><li>item</li></ul>
+      |<p>line<br/>break&nbsp;&#39;quoted&#39;</p></body></HTML>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(HtmlText.htmlToText($"h").as("t"), HtmlText.htmlTitle($"h").as("ti"))
+      .as[(String, String)].head()
+    assert(got._2 == "My &amp; Title")  // title is extracted, not decoded
+    assert(!got._1.contains("alert") && !got._1.contains("color"), got._1)
+    assert(!got._1.contains("commented"), got._1)
+    assert(got._1.contains("Header\n"), got._1)          // block closer → newline
+    // single-pass decode: &amp;lt; becomes the literal "&lt;", not "<"
+    assert(got._1.contains("one &lt; two"), got._1)
+    assert(got._1.contains("line\nbreak 'quoted'"), got._1)
+    assert(!got._1.contains("  "), got._1)               // collapsed spaces
+  }
+
   test("canonicalizeUrl collapses case/port/tracking/order/slash/fragment variants") {
     import graft.text.UrlOps
     val urls = Seq(
