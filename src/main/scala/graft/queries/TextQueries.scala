@@ -329,8 +329,25 @@ object TextQueries extends QueryGroup {
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality
       FROM b GROUP BY source ORDER BY source"""))
 
+  /** Learned BPE merge table (text.Bpe.learnMerges): one distributed pair
+    * aggregate per round over the collapsed (word, freq) table. Iterative
+    * argmax is not SQL-expressible → rows-only; the exact merge sequence is
+    * pinned by the hand-computed golden spec (TextDedupSpec). Deterministic
+    * under any partition layout: the per-round argmax total-orders on
+    * (freq desc, left, right). */
+  val q95BpeMerges = QueryDef(
+    "q95_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      graft.text.Bpe.learnMerges(Tables.documents(s, d), col("text"), 8)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("rank", "left", "right", "pair_freq")
+    },
+    None)
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
-    q94CorpusReport)
+    q94CorpusReport, q95BpeMerges)
 }

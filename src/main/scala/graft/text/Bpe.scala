@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — a REAL
+  * learned subword tokenizer, the production counterpart of
+  * [[TextAnalysis.bpeIshTokens]]'s regex proxy. Training is the part that
+  * must scale with the corpus, and it does: the corpus collapses once into
+  * a (word, freq) table (one groupBy — distinct words, not documents), and
+  * every merge round is ONE distributed aggregate over that table's
+  * adjacent symbol pairs plus one projection applying the winning merge.
+  * The driver holds only the learned merge list (nMerges rows) and the
+  * 1-row argmax per round; documents are never re-scanned after the first
+  * collapse.
+  *
+  * Encoding (applying learned merges to new text) is inherently an
+  * imperative per-word loop; it runs as a JVM UDF over a broadcast merge
+  * table (see [[encode]]).
+  */
+object Bpe {
+
+  /** End-of-word marker, as in the original BPE formulation (lets the
+    * tokenizer distinguish word-final subwords). */
+  val Eow = "</w>"
+
+  /** Split a word into initial symbols: characters plus the EOW marker. */
+  private def initialSymbols(word: String): Seq[String] =
+    word.map(_.toString) :+ Eow
+
+  /** Greedy left-to-right application of ONE merge to a symbol sequence —
+    * the same fold the distributed projection uses, exposed for encode. */
+  private[text] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+      else acc :+ s
+    }
+
+  /** Encode one word with a learned merge list (applied in learned order). */
+  private[text] def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(initialSymbols(word)) { case (syms, (a, b)) =>
+      applyMerge(syms, a, b)
+    }
+
+  /** Learn `nMerges` BPE merges from the corpus. Returns (left, right,
+    * pairFreq) in merge order. Deterministic: the argmax tie-breaks on
+    * (freq desc, left asc, right asc), so re-runs and engines agree.
+    */
+  def learnMerges(df: DataFrame, textCol: Column, nMerges: Int): Seq[(String, String, Long)] = {
+    val spark = df.sparkSession
+    // corpus → (word, freq): the one document-scale pass
+    var words = df.select(explode(TextAnalysis.tokens(textCol)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(split(col("w"), ""), array(lit(Eow))).as("syms"))
+      .localCheckpoint(true)
+
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      // adjacent (overlapping) pair counts weighted by word frequency
+      val top = words
+        // IF guards fully-merged single-symbol words: sequence(1, 0) would
+        // DESCEND (Spark gotcha), fabricating a null pair
+        .select(col("freq"), explode(expr(
+          "IF(size(syms) < 2, array(), transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS a, syms[i] AS b)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case None => done = true
+        case Some(r: Row) =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((a, b, n))
+          // apply the merge everywhere: greedy left-to-right fold per word;
+          // checkpoint keeps the plan flat across rounds (iterative-DF trap)
+          val ab = a + b
+          words = words.select(col("freq"), expr(
+            s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+              s"IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)} " +
+              s"AND x = ${sqlLit(b)}, " +
+              "concat(slice(acc, 1, size(acc) - 1), array(" + sqlLit(ab) + ")), " +
+              "concat(acc, array(x))))").as("syms"))
+            .localCheckpoint(true)
+          i += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Distributed encode: tokenize each document and segment every word with
+    * the learned merges. Unbounded ordered merge application is genuinely
+    * imperative (not expressible as a fixed-depth Column expression), so
+    * this sits on the documented second rung of the extension ladder: a JVM
+    * Scala UDF with the merge table broadcast once per executor — no
+    * per-row serialization of the merges, no Python round-trip.
+    * Output: (original columns..., bpe_tokens array, n_bpe_tokens).
+    */
+  def encode(df: DataFrame, textCol: Column,
+      merges: Seq[(String, String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    val mergeList = merges.map(m => (m._1, m._2))
+    val bc = spark.sparkContext.broadcast(mergeList)
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else text.split(" ").iterator.filter(_.nonEmpty)
+        .flatMap(w => encodeWord(w, bc.value)).toSeq
+    }
+    df.withColumn("bpe_tokens", enc(textCol))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+}

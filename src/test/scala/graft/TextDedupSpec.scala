@@ -264,6 +264,26 @@ class TextDedupSpec extends SparkSpec {
     assert(!got(7L).getBoolean(6) && !got(7L).getBoolean(7), "stopword rule trips")
   }
 
+  test("BPE learnMerges reproduces the classic hand-computed merge sequence") {
+    import graft.text.Bpe
+    // Sennrich-style toy corpus as documents: low×5, lowest×2 (one word per
+    // row times freq so the word-frequency collapse is exercised)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest")).toDF("text")
+    val merges = Bpe.learnMerges(docs, col("text"), 4)
+    // pair counts round 1: (l,o)=7 (o,w)=7 … tie broken lexicographically →
+    // (l,o,7); then (lo,w,7); then (low,</w>)=5 beats est pairs (2)
+    assert(merges.take(3) == Seq(("l", "o", 7L), ("lo", "w", 7L), ("low", "</w>", 5L)))
+    assert(merges.length == 4)
+    // encode applies merges in order; "low" collapses to one token
+    val enc = Bpe.encode(docs.limit(1), col("text"), merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("low</w>"))
+    // unseen word still segments deterministically with learned merges
+    val other = Bpe.encode(Seq("lower").toDF("text"), col("text"), merges)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(other.head == "low" && other.map(_.length).sum == "lower".length + 4)
+  }
+
   test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
     import graft.text.HtmlText
     val html = """<HTML><head><TITLE> My &amp; Title </TITLE>
