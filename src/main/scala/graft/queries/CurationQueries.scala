@@ -365,7 +365,39 @@ object CurationQueries extends QueryGroup {
           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)))) AS order_md5
       FROM s GROUP BY shard ORDER BY shard"""))
 
+  /** Corpus release diff (Curation.corpusDiff): v1 drops ids ≡3 (mod 10),
+    * v2 drops ids ≡6 and perturbs text of ids ≡0 (mod 7) — all four
+    * statuses exercised. Exact md5 compare under one full-outer join. */
+  val q96CorpusDiff = QueryDef(
+    "q96_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 10 =!= 6).withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      Curation.corpusDiff(v1, v2, "doc_id", md5(col("text")))
+        .groupBy("status").agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy("status")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents
+          WHERE doc_id % 10 <> 3),
+      v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+          THEN text || ' v2' ELSE text END) AS fp2 FROM documents
+          WHERE doc_id % 10 <> 6),
+      j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS id,
+          CASE WHEN fp1 IS NULL THEN 'added'
+               WHEN fp2 IS NULL THEN 'removed'
+               WHEN fp1 <> fp2 THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(id) AS min_id, MAX(id) AS max_id
+      FROM j GROUP BY status ORDER BY status"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
-    q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign)
+    q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
+    q96CorpusDiff)
 }

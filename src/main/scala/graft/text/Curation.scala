@@ -141,6 +141,26 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Corpus release diff: classify every document across two snapshot
+    * versions as added / removed / changed / unchanged by comparing a
+    * content fingerprint under a keyed full-outer join on the id — the
+    * audit step between corpus releases. One shuffle on the id; the
+    * fingerprint column expression is evaluated on each side's projection
+    * (never materialized corpus-wide beyond the join payload).
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      fp: Column): DataFrame = {
+    val a = v1.select(col(idCol).as("id"), fp.as("fp1"))
+    val b = v2.select(col(idCol).as("id"), fp.as("fp2"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged"))
+      .select(col("id"), col("status"))
+  }
+
   /** Corpus-mix sampling rates: given target shares per group (language,
     * source, quality bucket — the training-mix spec), compute each group's
     * keep probability so downsampled counts land on the target mixture,
