@@ -396,8 +396,81 @@ object CurationQueries extends QueryGroup {
         MIN(id) AS min_id, MAX(id) AS max_id
       FROM j GROUP BY status ORDER BY status"""))
 
+  /** FLAGSHIP curation pipeline, end-to-end in one lazy plan: Gopher rule
+    * filter → exact keep-first dedup on the content hash → per-source cap →
+    * per-language release report. The curation twin of q60's preprocessing
+    * chain: three keyed shuffles total (dedup window, cap window, final
+    * groupBy) and zero driver barriers — every stage composes lazily. */
+  val q97CurationE2e = QueryDef(
+    "q97_curation_e2e",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val passed = Curation.gopherRuleFlags(docs, col("text"), minWords = 20)
+        .filter(col("keep"))
+        .select(docs.columns.map(col): _*)
+      val unique = graft.ops.Dedup.keepFirst(
+        passed.withColumn("__h", md5(col("text"))), Seq("__h"), Seq("doc_id"))
+        .drop("__h")
+      val capped = Curation.capPerGroup(unique, "source", Seq("doc_id"), 15)
+      capped
+        .withColumn("nt", graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("q", graft.text.TextAnalysis.qualityScore(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          graft.ops.Aggregates.decAvg(col("q"), 6).as("avg_quality"))
+        .orderBy("lang")
+    },
+    Some {
+      val stops = graft.text.TextAnalysis.LangProfiles.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      """WITH w AS (SELECT doc_id, source, lang, text,
+          list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS words
+        FROM documents),
+      m AS (SELECT doc_id, source, lang, text, words,
+          len(words) AS nw,
+          len(string_split(text, chr(10))) AS nl,
+          CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+            / len(words) AS mean_len,
+          (len(text) - len(replace(text, '#', ''))) AS hashes,
+          (len(text) - len(replace(text, '...', ''))) / 3 AS ells,
+          len(regexp_extract_all(text, '(?m)^[ \t]*[-*""" + "•" + """]')) AS bl,
+          len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+          len(list_filter(words, t -> regexp_matches(t, '[a-zA-Z]'))) AS aw,
+          len(list_filter(""" + stops + """, p -> list_contains(words, p))) AS sh
+        FROM w),
+      passed AS (SELECT doc_id, source, lang, text FROM m
+        WHERE nw >= 20 AND nw <= 100000
+          AND nw > 0 AND mean_len >= 3.0 AND mean_len <= 10.0
+          AND CAST(hashes + ells AS DOUBLE) / nw <= 0.1
+          AND CAST(bl AS DOUBLE) / nl <= 0.9
+          AND CAST(el AS DOUBLE) / nl <= 0.3
+          AND CAST(aw AS DOUBLE) / nw >= 0.8
+          AND sh >= 2),
+      uniq AS (SELECT doc_id, source, lang, text FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) AS rn FROM passed) WHERE rn = 1),
+      capped AS (SELECT doc_id, lang, text FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY doc_id) AS rn FROM uniq) WHERE rn <= 15),
+      sc AS (SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          ROUND(0.3 * least(1.0,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+            + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+            + 0.3 * least(1.0,
+                CAST(len(list_filter(['the', 'a', 'of', 'and', 'is', 'to'],
+                  p -> list_contains(string_split(text, ' '), p))) AS DOUBLE)
+                * 10.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+        FROM capped)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality
+      FROM sc GROUP BY lang ORDER BY lang"""
+    })
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
-    q96CorpusDiff)
+    q96CorpusDiff, q97CurationE2e)
 }

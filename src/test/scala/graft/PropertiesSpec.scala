@@ -167,4 +167,20 @@ class PropertiesSpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("BPE: merges learned from any corpus segment any word losslessly") {
+    import graft.text.Bpe
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genCorpus = Gen.listOfN(8, Gen.listOfN(4, word).map(_.mkString(" ")))
+    check("bpe-lossless", Prop.forAll(genCorpus, word) { (texts, probe) =>
+      val merges = Bpe.learnMerges(texts.toDF("text"), $"text", 5)
+      // every merge concatenates adjacent symbols, so concatenating the
+      // encoded segments of ANY word (seen or not) reconstructs it exactly
+      val enc = Bpe.encode(Seq(probe).toDF("text"), $"text", merges)
+        .select("bpe_tokens").as[Seq[String]].head()
+      enc.mkString == probe + "</w>" &&
+        merges.map(_._3) == merges.map(_._3).sorted.reverse
+    }, n = 8)
+  }
+
 }
