@@ -258,7 +258,58 @@ object SimQueries extends QueryGroup {
         CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1
       FROM q ORDER BY vec_id"""))
 
+  /** ANN quality gate (sim.Similarity.recallAtK): per-query recall@3 of
+    * the hyperplane-LSH search against the brute-force exact answer. Both
+    * pipelines are deterministic and SQL-reproducible, so the RECALL
+    * NUMBERS themselves are exactly oracled — the eval harness is a
+    * first-class verified operator, not a side script. */
+  val q98AnnRecall = QueryDef(
+    "q98_ann_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      val approx = Similarity.lshTopK(q, e, "vec_id", "embedding",
+        k = 3, nPlanes = 4)
+      Similarity.recallAtK(approx, exact, "qid", "cid").orderBy("qid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      xscored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${cosineSql("q.v", "c.v")}, 6) AS sim
+        FROM e c, q WHERE q.vec_id <> c.vec_id),
+      exact AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        FROM xscored) WHERE rank <= 3),
+      planes AS (SELECT j, list_transform(range(0, (SELECT len(v) FROM e LIMIT 1)), i ->
+          ((CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+            % 2001) - 1000) / 1000.0) AS pv
+        FROM range(0, 4) t(j)),
+      bck AS (SELECT e.vec_id,
+          CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+            THEN CAST(POWER(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e, planes p GROUP BY e.vec_id),
+      c AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bck b USING (vec_id)),
+      qb AS (SELECT * FROM c WHERE vec_id < 10),
+      ascored AS (SELECT qb.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${cosineSql("qb.v", "c.v")}, 6) AS sim
+        FROM qb JOIN c ON qb.bucket = c.bucket AND qb.vec_id <> c.vec_id),
+      approx AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        FROM ascored) WHERE rank <= 3),
+      hits AS (SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact x JOIN approx a ON x.qid = a.qid AND x.cid = a.cid
+        GROUP BY x.qid),
+      base AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY qid)
+      SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+      FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
-    q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup)
+    q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
+    q98AnnRecall)
 }

@@ -316,6 +316,25 @@ object Similarity {
     else blockedExactPairs(vecs, threshold, nBlocks)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * quality gate that tunes nProbe / nPlanes / banding before an ANN
+    * method ships. Per query: |approx ∩ exact| / |exact|. Two keyed
+    * aggregates + one semi join on (qid, cid); never touches vectors, so
+    * the evaluation costs |Q|·k rows regardless of corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+      idCol: String): DataFrame = {
+    val a = approx.select(col(qidCol).as("qid"), col(idCol).as("cid"))
+    val x = exact.select(col(qidCol).as("qid"), col(idCol).as("cid"))
+    val hits = x.join(a, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    x.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Deterministic coarse quantizer for [[semDedup]]: the first `k` corpus
     * vectors (by id) ARE the cell centroids — a zero-iteration k-means||
     * style init that any engine reproduces exactly (no Lloyd fixpoint, no
