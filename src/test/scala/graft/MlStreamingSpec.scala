@@ -168,6 +168,37 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: gopher filter + PII redact + content dedup compose on a stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // quality rules and redaction are pure projections (streaming-legal as
+    // Append ops); content dedup rides dropDuplicatesWithinWatermark
+    val good = ("the quick brown foxes jumped over and beyond sleeping dogs " * 3).trim
+    val flagged = graft.text.Curation.gopherRuleFlags(
+      mem.toDF().toDF("doc_id", "ts", "text"), col("text"), minWords = 20)
+      .filter(col("keep"))
+      .withColumn("clean", graft.text.Curation.redactPii(col("text")))
+      .withColumn("h", md5(col("clean")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("h"))
+    val q = flagged.select("doc_id", "clean").writeStream.format("memory")
+      .queryName("curation_stream_test").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, t(1), good + " mail me at a.b@example.com"),
+        (2L, t(1), "too short"),                    // fails gopher word count
+        (3L, t(2), good))
+      q.processAllAvailable()
+      mem.addData((4L, t(3), good))                 // cross-batch content dup of 3
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream_test")
+        .select("doc_id", "clean").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L, 3L), s"got ${rows.keySet}")
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("example.com"))
+    } finally q.stop()
+  }
+
   test("streaming: stream-stream interval join emits only in-window pairs") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[EventStreams.Event]
