@@ -346,8 +346,53 @@ object TextQueries extends QueryGroup {
     },
     None)
 
+  /** INCREMENTAL report maintenance: the corpus splits into an existing
+    * partition and a new batch; each side aggregates independently to
+    * distributive partials (counts, token/char/quality sums) and the
+    * published report MERGES the partials — the daily-batch dashboard
+    * pattern that never rescans the historical corpus. The oracle computes
+    * the same report from the FULL union in one pass: merged partials must
+    * equal the full recompute exactly (sums are decimal ⇒ associative).
+    * Derived ratios (avg quality) come from merged sums, not averaged
+    * averages. */
+  val q99IncrementalReport = QueryDef(
+    "q99_incremental_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("nt", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("q").cast("decimal(28,6)")).as("q_sum"))
+      val existing = partial(docs.filter(col("doc_id") % 5 =!= 0))
+      val batch = partial(docs.filter(col("doc_id") % 5 === 0))
+      existing.unionByName(batch)
+        .groupBy("source")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("q_sum")).as("__qs"))
+        .withColumn("avg_quality",
+          col("__qs").cast("double") / col("n_docs"))
+        .drop("__qs")
+        .orderBy("source")
+    },
+    Some("""WITH sc AS (SELECT source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        ROUND(0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+          + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + 0.3 * least(1.0,
+              CAST(len(list_filter(['the', 'a', 'of', 'and', 'is', 'to'],
+                p -> list_contains(string_split(text, ' '), p))) AS DOUBLE)
+              * 10.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS q
+      FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM sc GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
-    q94CorpusReport, q95BpeMerges)
+    q94CorpusReport, q95BpeMerges, q99IncrementalReport)
 }
