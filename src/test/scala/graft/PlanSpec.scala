@@ -106,4 +106,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q89: unigram NLL partially aggregates (doc,token) before its shuffle") {
+    val p = formatted(graft.queries.TextQueries.q89UnigramNll.fn(spark, sf001))
+    // map-side combine on the exploded tokens: partial_count under the
+    // (doc_id, tok) HashAggregate, so token rows collapse before moving
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"), "scalar total must broadcast")
+  }
+
+  test("q91: balanced shards rank via range partition — no global window") {
+    val p = planOf(graft.queries.CurationQueries.q91ShardAssign.fn(spark, sf001))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      "expected a distributed range repartition for the global rank")
+    assert(!p.contains("Window"), "global rank must not use a window")
+  }
+
+  test("q93: HTML extraction is a pure projection — no shuffle before the sort") {
+    val p = formatted(graft.queries.TextQueries.q93HtmlExtract.fn(spark, sf001))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected shuffles in a per-row op:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]"),
+      "doc_id bound not pushed to the documents scan")
+  }
+
 }
