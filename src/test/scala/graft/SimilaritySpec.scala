@@ -122,6 +122,27 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(0L) && kept.contains(1L))
   }
 
+  test("semDedup with TRAINED IVF centroids: output partitions the corpus validly") {
+    // the production path: swap seed centroids for the KMeans quantizer's
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(e, "vec_id", "embedding", nLists = 4)
+    val out = Similarity.semDedup(e, "vec_id", "embedding",
+      idx.centroids.select(col("cell"), col("centroid")), 0.4).cache()
+    val n = e.count()
+    assert(out.count() == n, "one row per input vector")
+    assert(out.select("id").distinct().count() == n, "ids unique")
+    // every dup group keeps exactly one member; singletons keep themselves
+    val perCluster = out.groupBy("cluster")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("kept"))
+      .select("kept").as[Long].collect()
+    assert(perCluster.forall(_ == 1L), "exactly one representative per cluster")
+    // groups never span cells (pairs are cell-scoped)
+    val cellsPerCluster = out.groupBy("cluster")
+      .agg(countDistinct("cell").as("nc")).select("nc").as[Long].collect()
+    assert(cellsPerCluster.forall(_ == 1L), "a dup group crossed cells")
+    out.unpersist()
+  }
+
   test("bandingFor: more selective bands need more of them") {
     val l8 = Similarity.bandingFor(0.8, 8)
     val l4 = Similarity.bandingFor(0.8, 4)
