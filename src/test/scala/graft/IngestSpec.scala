@@ -110,4 +110,26 @@ class IngestSpec extends SparkSpec {
     val got = Sitemap.listingUrls(spark, index, fetcher).as[String].collect().toSeq
     assert(got == Seq(u1)) // distinct + for-sale house/apartment only
   }
+
+  test("readJsonTolerant: good rows flow, corrupt lines quarantined with accounting") {
+    import graft.ingest.JsonIngest
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"id": 1, "text": "ok one"}""",
+      """{"id": 2, "text": "ok two"}""",
+      """{"id": 3, "text": "truncated""",            // malformed
+      """not json at all""",                         // malformed
+      """{"id": 5, "text": "ok three"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "feed.jsonl"),
+      lines.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val t = JsonIngest.readJsonTolerant(spark, s"$dir/feed.jsonl", schema)
+    assert(t.good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    val quarantined = t.corrupt.as[String].collect()
+    assert(quarantined.length == 2 && quarantined.exists(_.contains("not json")))
+    val stats = JsonIngest.ingestStats(t).as[(Long, Long, Double)].head()
+    assert(stats == ((3L, 2L, 0.4)))
+  }
 }
