@@ -469,8 +469,32 @@ object CurationQueries extends QueryGroup {
       FROM sc GROUP BY lang ORDER BY lang"""
     })
 
+  /** Sliding-window chunking with overlap (Packing.chunkSliding): chunk
+    * geometry + exact chunk text md5-pinned for the first 100 docs —
+    * size 256, stride 192 ⇒ 64-char overlap. */
+  val q100ChunkSliding = QueryDef(
+    "q100_chunk_sliding",
+    (s, d) => graft.text.Packing.chunkSliding(
+      Tables.documents(s, d).filter(col("doc_id") < 100),
+      "doc_id", col("text"), size = 256, stride = 192)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_md5"),
+        length(col("chunk_text")).cast("bigint").as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+          WHERE doc_id < 100),
+      c AS (SELECT doc_id, text,
+          unnest(range(0, CAST(CASE WHEN n <= 256 THEN 1
+            ELSE ceil(CAST(n - 256 AS DOUBLE) / 192) + 1 END AS BIGINT))) AS idx
+        FROM d)
+      SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        md5(substr(text, CAST(idx * 192 + 1 AS INT), 256)) AS chunk_md5,
+        CAST(len(substr(text, CAST(idx * 192 + 1 AS INT), 256)) AS BIGINT)
+          AS chunk_len
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
-    q96CorpusDiff, q97CurationE2e)
+    q96CorpusDiff, q97CurationE2e, q100ChunkSliding)
 }

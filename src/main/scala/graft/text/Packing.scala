@@ -73,6 +73,27 @@ object Packing {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Per-document SLIDING-window chunking with overlap — the
+    * embedding/retrieval prep step (chunk i covers [i·stride, i·stride+size);
+    * stride < size ⇒ consecutive chunks overlap by size−stride so no
+    * boundary context is lost). Pure projection + one explode; no shuffle,
+    * no window — chunk geometry is arithmetic on the doc's own length.
+    * Contrast [[packWindows]], which cuts a whole STREAM into disjoint
+    * fixed windows across documents.
+    */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val n = length(col("__text"))
+    val nChunks = when(n <= size, lit(1L)).otherwise(
+      ceil((n - size).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol), textCol.as("__text"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("__text").substr(
+          (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("chunk_text"))
+  }
+
   /** Stream-level packing summary: windows needed, documents, payload, and
     * how many documents straddle a window boundary (each straddler costs a
     * split at write time — a packing-efficiency signal).

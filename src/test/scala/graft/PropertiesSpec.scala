@@ -167,6 +167,23 @@ class PropertiesSpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("chunkSliding: stride prefixes + final chunk reconstruct the document") {
+    import graft.text.Packing
+    val genText = Gen.choose(1, 900).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    check("chunk-sliding", Prop.forAll(genText) { text =>
+      val chunks = Packing.chunkSliding(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", $"text", 64, 48)
+        .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+      val rebuilt = chunks.init.map(_.take(48)).mkString + chunks.last
+      rebuilt == text &&
+        chunks.init.forall(_.length == 64) &&       // only the tail is short
+        chunks.init.zip(chunks.tail).forall {       // 16-char overlap
+          case (a, b) => a.drop(48) == b.take(a.length - 48)
+        }
+    }, n = 20)
+  }
+
   test("BPE: merges learned from any corpus segment any word losslessly") {
     import graft.text.Bpe
     val word = Gen.choose(1, 8).flatMap(n =>
