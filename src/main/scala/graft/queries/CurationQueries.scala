@@ -493,8 +493,66 @@ object CurationQueries extends QueryGroup {
           AS chunk_len
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** SFT conversation lint (Curation.conversationFlags): conversations are
+    * synthesized deterministically from documents (2-4 turns; ids ≡0 mod 11
+    * get a role repeat, ids ≡0 mod 13 an empty final turn), then the
+    * array<struct> validator runs — per-turn-count rule failure counts.
+    * 3-turn conversations close on 'user', so v_closes fails for that whole
+    * stratum by construction (the lint catching a real shape defect). */
+  val q101ConversationQa = QueryDef(
+    "q101_conversation_qa",
+    (s, d) => {
+      val nTurns = (col("doc_id") % 3 + 2).cast("int")
+      val conv = transform(sequence(lit(0), nTurns - 1), i => struct(
+        when(col("doc_id") % 11 === 0 && i === 1, lit("user"))
+          .otherwise(when(i % 2 === 0, lit("user")).otherwise(lit("assistant")))
+          .as("role"),
+        when(col("doc_id") % 13 === 0 && i === nTurns - 1, lit(""))
+          .otherwise(col("text").substr(i * 40 + 1, lit(40))).as("content")))
+      Curation.conversationFlags(
+        Tables.documents(s, d).withColumn("conv", conv), col("conv"))
+        .groupBy("n_turns")
+        .agg(count(lit(1)).as("n_convs"),
+          sum(when(!col("v_opens"), 1L).otherwise(0L)).as("f_opens"),
+          sum(when(!col("v_alternates"), 1L).otherwise(0L)).as("f_alternates"),
+          sum(when(!col("v_nonempty"), 1L).otherwise(0L)).as("f_nonempty"),
+          sum(when(!col("v_closes"), 1L).otherwise(0L)).as("f_closes"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_valid"))
+        .orderBy("n_turns")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+          CAST(doc_id % 3 + 2 AS INT) AS n_turns,
+          list_transform(range(0, CAST(doc_id % 3 + 2 AS BIGINT)), i ->
+            struct_pack(
+              role := CASE WHEN doc_id % 11 = 0 AND i = 1 THEN 'user'
+                           WHEN i % 2 = 0 THEN 'user'
+                           ELSE 'assistant' END,
+              content := CASE WHEN doc_id % 13 = 0 AND i = doc_id % 3 + 1
+                              THEN ''
+                              ELSE substr(text, CAST(i * 40 + 1 AS INT), 40)
+                         END)) AS conv
+        FROM documents),
+      f AS (SELECT n_turns,
+          (list_transform(conv, t -> t.role)[1] IN ('user', 'system')) AS v_opens,
+          (len(list_filter(range(1, n_turns), i ->
+            list_transform(conv, t -> t.role)[i]
+              = list_transform(conv, t -> t.role)[i + 1])) = 0) AS v_alternates,
+          (len(list_filter(conv, t -> len(t.content) = 0)) = 0) AS v_nonempty,
+          (list_transform(conv, t -> t.role)[-1] = 'assistant') AS v_closes
+        FROM c)
+      SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs,
+        CAST(SUM(CASE WHEN NOT v_opens THEN 1 ELSE 0 END) AS BIGINT) AS f_opens,
+        CAST(SUM(CASE WHEN NOT v_alternates THEN 1 ELSE 0 END) AS BIGINT)
+          AS f_alternates,
+        CAST(SUM(CASE WHEN NOT v_nonempty THEN 1 ELSE 0 END) AS BIGINT)
+          AS f_nonempty,
+        CAST(SUM(CASE WHEN NOT v_closes THEN 1 ELSE 0 END) AS BIGINT) AS f_closes,
+        CAST(SUM(CASE WHEN v_opens AND v_alternates AND v_nonempty AND v_closes
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+      FROM f GROUP BY n_turns ORDER BY n_turns"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
-    q96CorpusDiff, q97CurationE2e, q100ChunkSliding)
+    q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa)
 }

@@ -141,6 +141,29 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** SFT conversation QA: validate an array<struct<role,content>> column —
+    * the lint pass an instruction-tuning dataset runs before training.
+    * Rules: opens with user/system, roles strictly alternate, no empty
+    * turn, closes with assistant. All higher-order array expressions over
+    * the nested column (no explode — the conversation stays one row), so
+    * the lint is a shuffle-free projection.
+    */
+  def conversationFlags(df: DataFrame, convCol: Column): DataFrame = {
+    val roles = transform(convCol, t => t.getField("role"))
+    val n = size(convCol)
+    val adjacentSame = zip_with(
+      slice(roles, lit(1), n - 1), slice(roles, lit(2), n - 1),
+      (a, b) => a === b)
+    df.withColumn("n_turns", n)
+      .withColumn("v_opens", element_at(roles, 1).isin("user", "system"))
+      .withColumn("v_alternates", !exists(adjacentSame, x => x))
+      .withColumn("v_nonempty",
+        forall(convCol, t => length(t.getField("content")) > 0))
+      .withColumn("v_closes", element_at(roles, -1) === "assistant")
+      .withColumn("keep",
+        col("v_opens") && col("v_alternates") && col("v_nonempty") && col("v_closes"))
+  }
+
   /** Corpus release diff: classify every document across two snapshot
     * versions as added / removed / changed / unchanged by comparing a
     * content fingerprint under a keyed full-outer join on the id — the
