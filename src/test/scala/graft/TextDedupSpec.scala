@@ -237,6 +237,24 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(sampled("en") - 500L) < 80L, s"en sampled ${sampled("en")}")
   }
 
+  test("empty corpus: core curation operators return empty, never crash") {
+    // empty partitions are routine at scale (a filter that matches nothing,
+    // a new source with no docs yet); every operator must pass them through
+    val docs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val embs = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(DedupOps.minhashSignatures(docs, "doc_id", $"text", 2).count() == 0)
+    assert(graft.text.Packing.packWindows(
+      docs.withColumn("src", lit("a")), "src", "doc_id", $"text", 64).count() == 0)
+    assert(graft.text.Packing.chunkSliding(docs, "doc_id", $"text", 64, 48).count() == 0)
+    assert(TextAnalysis.unigramNll(docs, "doc_id", $"text").count() == 0)
+    assert(graft.text.Curation.gopherRuleFlags(docs, $"text").count() == 0)
+    assert(graft.text.Curation.corpusDiff(docs, docs, "doc_id", md5($"text")).count() == 0)
+    assert(graft.text.Bpe.learnMerges(docs, $"text", 3).isEmpty)
+    val cents = graft.sim.Similarity.seedCentroids(embs, "vec_id", "embedding", 2)
+    assert(graft.sim.Similarity.semDedup(embs, "vec_id", "embedding", cents, 0.5)
+      .count() == 0)
+  }
+
   test("gopherRuleFlags: each rule trips on its designed offender only") {
     import graft.text.Curation
     // 31 words, mean word length 4.5, stopwords {the, and}
