@@ -551,8 +551,41 @@ object CurationQueries extends QueryGroup {
           THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       FROM f GROUP BY n_turns ORDER BY n_turns"""))
 
+  /** Gopher char-level repetition metrics (Curation.ngramCharStats): the
+    * most-frequent-bigram and duplicated-bigram character fractions for the
+    * first 60 docs, gram identity included so the argmax tie-break is
+    * pinned cross-engine. */
+  val q102NgramCharStats = QueryDef(
+    "q102_ngram_char_stats",
+    (s, d) => Curation.ngramCharStats(
+      Tables.documents(s, d).filter(col("doc_id") < 60),
+      "doc_id", col("text"), n = 2)
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, len(text) AS tl,
+          string_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 60),
+      g AS (SELECT doc_id, tl, unnest(list_transform(
+          range(1, greatest(len(words) - 1, 0) + 1),
+          i -> array_to_string(words[i:i+1], ' '))) AS gram
+        FROM w),
+      c AS (SELECT doc_id, tl, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY doc_id, tl, gram),
+      t AS (SELECT doc_id, tl, gram, cnt,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM c),
+      d AS (SELECT doc_id,
+          CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END)
+            AS BIGINT) AS dup_chars
+        FROM c GROUP BY doc_id)
+      SELECT t.doc_id, t.gram AS top_gram, t.cnt AS top_count,
+        ROUND(CAST(t.cnt * len(t.gram) AS DOUBLE) / t.tl, 6) AS top_frac,
+        ROUND(CAST(d.dup_chars AS DOUBLE) / t.tl, 6) AS dup_frac
+      FROM t JOIN d ON t.doc_id = d.doc_id
+      WHERE t.rn = 1 ORDER BY t.doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
-    q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa)
+    q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
+    q102NgramCharStats)
 }

@@ -141,6 +141,48 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Gopher's character-level repetition metrics (Rae et al. 2021 §A1.1):
+    * for word `n`-grams of each document, the fraction of characters
+    * covered by occurrences of the MOST FREQUENT n-gram (top_frac) and by
+    * ALL n-grams occurring more than once (dup_frac). Catches the crawl
+    * failure token-level ratios miss: a page looping one long phrase.
+    *
+    * Shape: one explode of non-distinct n-grams → (doc, gram) count with
+    * map-side partial aggregation → one per-doc aggregate. The per-doc
+    * argmax is a min(struct(-count, gram)) — no window over hot keys, and
+    * the (-count, gram) struct order makes the tie-break (smallest gram)
+    * reproducible cross-engine.
+    *
+    * Fractions are occurrences × gram-chars / doc-chars: overlapping
+    * occurrences are each counted (same as the pair counting in BPE), so a
+    * pathological "a a a a" doc can exceed 1.0 — callers threshold, they
+    * don't treat it as a probability.
+    */
+  def ngramCharStats(df: DataFrame, idCol: String, textCol: Column,
+      n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(textCol)
+    val grams = when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+    val exploded = df
+      .select(col(idCol), length(textCol).as("__len"), explode(grams).as("gram"))
+    exploded
+      .groupBy(col(idCol), col("__len"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("__top"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+          .otherwise(0L)).as("__dup_chars"),
+        first(col("__len")).as("__len"))
+      .select(col(idCol),
+        col("__top.g").as("top_gram"),
+        (-col("__top.nc")).cast("bigint").as("top_count"),
+        round((-col("__top.nc") * length(col("__top.g"))).cast("double")
+          / col("__len"), 6).as("top_frac"),
+        round(col("__dup_chars").cast("double") / col("__len"), 6).as("dup_frac"))
+  }
+
   /** SFT conversation QA: validate an array<struct<role,content>> column —
     * the lint pass an instruction-tuning dataset runs before training.
     * Rules: opens with user/system, roles strictly alternate, no empty

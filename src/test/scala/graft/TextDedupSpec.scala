@@ -255,6 +255,27 @@ class TextDedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("ngramCharStats: hand-computed top/dup bigram char fractions") {
+    import graft.text.Curation
+    val df = Seq(
+      (1L, "a b a b a b"),     // "a b"×3, "b a"×2; len 11
+      (2L, "x y z"),           // all bigrams unique
+      (3L, "w")                // no bigrams → no output row
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramCharStats(df, "doc_id", $"text", 2)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getAs[String]("top_gram") == "a b" && r1.getAs[Long]("top_count") == 3L)
+    assert(r1.getAs[Double]("top_frac") == math.rint(9.0 / 11 * 1e6) / 1e6)
+    // dup chars = 3·3 ("a b") + 2·3 ("b a") = 15 — overlaps counted, > 1.0 ok
+    assert(r1.getAs[Double]("dup_frac") == math.rint(15.0 / 11 * 1e6) / 1e6)
+    val r2 = got(1)
+    // unique bigrams: top count 1, lexicographically smallest gram wins
+    assert(r2.getAs[Long]("top_count") == 1L && r2.getAs[String]("top_gram") == "x y")
+    assert(r2.getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("gopherRuleFlags: each rule trips on its designed offender only") {
     import graft.text.Curation
     // 31 words, mean word length 4.5, stopwords {the, and}
