@@ -391,8 +391,35 @@ object TextQueries extends QueryGroup {
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality
       FROM sc GROUP BY source ORDER BY source"""))
 
+  /** Interpolated bigram-LM NLL (λ=0.9): the 20 most surprising documents
+    * by transition likelihood. Same float contract as q89. */
+  val q103BigramNll = QueryDef(
+    "q103_bigram_nll",
+    (s, d) => TextAnalysis.bigramNll(Tables.documents(s, d), "doc_id", col("text"))
+      .orderBy(col("nll").desc, col("doc_id")).limit(20),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+          CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+          FROM t WHERE len(ws) >= 2) q
+        GROUP BY doc_id, p.w1, p.w2),
+      bi AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+      u1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+      u2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+      tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS total FROM bi),
+      sc AS (SELECT doc_id, n,
+          CAST(c12 AS DOUBLE) / c1 * 0.9
+            + (CAST(c2 AS DOUBLE) / total) * 0.09999999999999998 AS p
+        FROM db JOIN bi USING (w1, w2) JOIN u1 USING (w1) JOIN u2 USING (w2), tot)
+      SELECT doc_id,
+        ROUND(CAST(SUM(CAST(n * -ln(p) AS DECIMAL(38,12))) AS DOUBLE)
+          / CAST(SUM(n) AS BIGINT), 6) AS nll,
+        CAST(SUM(n) AS BIGINT) AS n_bigrams
+      FROM sc GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
-    q94CorpusReport, q95BpeMerges, q99IncrementalReport)
+    q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll)
 }

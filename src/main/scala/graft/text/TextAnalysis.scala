@@ -166,6 +166,49 @@ object TextAnalysis {
     * (order-independent across partitions and engines), final value rounded
     * to 6.
     */
+  /** Interpolated bigram-LM NLL — the next rung above [[unigramNll]]:
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N, scored over each
+    * document's bigram transitions (length-normalized). Jelinek-Mercer
+    * interpolation keeps unseen-in-corpus transitions finite without
+    * discounting machinery, and every term is a ratio of corpus counts —
+    * no model artifact, fully SQL-reproducible.
+    *
+    * Shape: one explode to (doc, w1, w2) partial counts; corpus bigram and
+    * unigram tables derive from that same aggregate (no second pass over
+    * documents); scoring is two keyed equi-joins plus the 1-row total
+    * broadcast. Decimal-cast term sums keep the float total
+    * order-independent.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: Column,
+      lambda: Double = 0.9): DataFrame = {
+    val toks = tokens(textCol)
+    val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    val docBi = df
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val bi = docBi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val uniFromBi = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    // w2 marginal + corpus size from the SAME bigram table (transitions
+    // define the event space, so normalizations stay consistent)
+    val uni2 = bi.groupBy("w2").agg(sum("c12").as("c2"))
+    val total = bi.agg(sum("c12").as("total"))
+    val p = col("c12").cast("double") / col("c1") * lambda +
+      (col("c2").cast("double") / col("total")) * (1 - lambda)
+    docBi
+      .join(bi, Seq("w1", "w2"))
+      .join(uniFromBi, Seq("w1"))
+      .join(uni2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum((col("n") * -log(p)).cast("decimal(38,12)")).cast("double")
+          / sum(col("n")), 6).as("nll"),
+        sum(col("n")).as("n_bigrams"))
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     val docTok = df
       .select(col(idCol), explode(tokens(textCol)).as("tok"))

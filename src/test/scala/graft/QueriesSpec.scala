@@ -30,10 +30,11 @@ class QueriesSpec extends SparkSpec {
     *         assignment, same shape as q65's probe)
     *  - q98: reuses q48's brute-force scorer (broadcast bounded query set)
     *         as the exact baseline for the recall evaluation
+    *  - q103: the 1-row corpus bigram total, as in q89
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
-    "q89_unigram_nll", "q92_semdedup", "q98_ann_recall")
+    "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -86,6 +86,19 @@ class TextDedupSpec extends SparkSpec {
     assert(top == 4L)
   }
 
+  test("bigramNll: stereotyped transitions score lower than a novel sequence") {
+    val df = (Seq.fill(6)((0L, "a b a b a b")) ++ Seq((9L, "c d e f g h")))
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(df, "doc_id", $"text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    // the a/b docs share every transition (high p); doc 6's transitions are
+    // each unique in the corpus (low p) -> strictly higher NLL
+    assert(got(6L) > got(0L), got.toString)
+    assert((0L to 5L).map(got).distinct.size == 1, "identical docs score identically")
+  }
+
   test("exactDupGroups finds only true duplicate groups") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
     val got = DedupOps.exactDupGroups(df, "id", md5($"text")).collect()
