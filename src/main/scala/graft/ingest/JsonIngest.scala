@@ -18,10 +18,17 @@ object JsonIngest {
 
   val CorruptCol = "_corrupt_record"
 
-  final case class Tolerant(good: DataFrame, corrupt: DataFrame)
+  /** `release()` unpersists the shared raw cache once good/corrupt have
+    * been written — long-running ingest drivers must not accumulate dead
+    * cached batches. */
+  final case class Tolerant(good: DataFrame, corrupt: DataFrame,
+      private val raw: DataFrame) {
+    def release(): Unit = raw.unpersist(blocking = false)
+  }
 
   /** Read JSONL at `path` against `schema`; split good vs corrupt.
-    * The returned `corrupt` frame carries the raw offending line.
+    * The returned `corrupt` frame carries the raw offending line. Call
+    * `release()` on the result after consuming both sides.
     */
   def readJsonTolerant(spark: SparkSession, path: String,
       schema: StructType): Tolerant = {
@@ -36,7 +43,8 @@ object JsonIngest {
       .cache()
     Tolerant(
       good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      corrupt = raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+      corrupt = raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)),
+      raw = raw)
   }
 
   /** Ingest-health one-liner: totals the reader saw, for the run report. */

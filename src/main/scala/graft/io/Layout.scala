@@ -73,6 +73,12 @@ object Layout {
       min(col(xCol)).cast("double").as("xlo"), max(col(xCol)).cast("double").as("xhi"),
       min(col(yCol)).cast("double").as("ylo"), max(col(yCol)).cast("double").as("yhi"))
       .head()
+    // empty input: min/max are null — write the empty dataset (same
+    // behavior as clusteredWrite on empty input) instead of NPE on getDouble
+    if (r.isNullAt(0)) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val maxV = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)

@@ -173,16 +173,21 @@ object TextQueries extends QueryGroup {
         (CASE WHEN o_orderkey % 6 = 0 THEN '#frag' ELSE '' END) AS u
         FROM orders),
       c AS (SELECT
-        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
-        regexp_replace(regexp_replace(
-          lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-          '^www\\.', ''), ':(80|443)$$', '') ||
+        sch || '://' ||
+        (CASE WHEN sch = 'http' THEN regexp_replace(hostw, ':80$$', '')
+              WHEN sch = 'https' THEN regexp_replace(hostw, ':443$$', '')
+              ELSE hostw END) ||
         regexp_replace(
           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
           '/$$', '') ||
         (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
           AS canon_url
-        FROM (SELECT u, list_sort(list_filter(
+        FROM (SELECT u,
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+          regexp_replace(
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+            '^www\\.', '') AS hostw,
+          list_sort(list_filter(
             string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
             p -> len(p) > 0 AND NOT regexp_matches(p,
               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')))

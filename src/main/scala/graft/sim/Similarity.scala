@@ -388,12 +388,17 @@ object Similarity {
       .select("d1", "d2")
     val labels = graft.text.DedupOps.connectedComponents(
       pairs, assigned.select(col("id").as("doc")))
+    // materialize the result eagerly while `assigned` is still cached, then
+    // release the cache — repeated semDedup calls must not accumulate
+    // persisted assignment tables for the session lifetime
     val out = assigned.join(labels, assigned("id") === labels("doc"))
       .select(col("id"), col("cell"), col("simc"), col("cluster"))
       .withColumn("keep", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(col("simc").asc, col("id"))) === 1)
       .select(col("id"), col("cell"), col("cluster"), col("keep"))
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
     out
   }
 

@@ -78,22 +78,21 @@ object Bpe {
           val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((a, b, n))
           // apply the merge everywhere: greedy left-to-right fold per word;
-          // checkpoint keeps the plan flat across rounds (iterative-DF trap)
-          val ab = a + b
-          words = words.select(col("freq"), expr(
-            s"aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-              s"IF(size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)} " +
-              s"AND x = ${sqlLit(b)}, " +
-              "concat(slice(acc, 1, size(acc) - 1), array(" + sqlLit(ab) + ")), " +
-              "concat(acc, array(x))))").as("syms"))
+          // checkpoint keeps the plan flat across rounds (iterative-DF trap).
+          // Column DSL + lit(), NOT SQL-string splicing: symbols containing
+          // quotes/backslashes must never be parsed as SQL text. (Spark's
+          // And short-circuits, so element_at on the empty acc never runs.)
+          words = words.select(col("freq"),
+            aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
             .localCheckpoint(true)
           i += 1
       }
     }
     merges.result()
   }
-
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Distributed encode: tokenize each document and segment every word with
     * the learned merges. Unbounded ordered merge application is genuinely

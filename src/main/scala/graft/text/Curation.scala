@@ -193,15 +193,21 @@ object Curation {
   def conversationFlags(df: DataFrame, convCol: Column): DataFrame = {
     val roles = transform(convCol, t => t.getField("role"))
     val n = size(convCol)
+    // slice length must be >= 0: an EMPTY conversation (the malformed row
+    // this lint exists to flag) must score keep=false, not crash the job
+    val adj = greatest(n - 1, lit(0))
     val adjacentSame = zip_with(
-      slice(roles, lit(1), n - 1), slice(roles, lit(2), n - 1),
+      slice(roles, lit(1), adj), slice(roles, lit(2), adj),
       (a, b) => a === b)
     df.withColumn("n_turns", n)
-      .withColumn("v_opens", element_at(roles, 1).isin("user", "system"))
+      .withColumn("v_opens",
+        // when-guarded: element_at on an empty array raises under ANSI mode
+        when(n > 0, element_at(roles, 1).isin("user", "system")).otherwise(false))
       .withColumn("v_alternates", !exists(adjacentSame, x => x))
       .withColumn("v_nonempty",
         forall(convCol, t => length(t.getField("content")) > 0))
-      .withColumn("v_closes", element_at(roles, -1) === "assistant")
+      .withColumn("v_closes",
+        when(n > 0, element_at(roles, -1) === "assistant").otherwise(false))
       .withColumn("keep",
         col("v_opens") && col("v_alternates") && col("v_nonempty") && col("v_closes"))
   }

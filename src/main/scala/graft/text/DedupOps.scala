@@ -338,14 +338,20 @@ object DedupOps {
     val bloom = exKeyed.stat.bloomFilter("__key", expectedKeys, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    // probe once: both halves of the split read the cached keyed batch, not
+    // the source twice (double source I/O + double probe otherwise)
     val inKeyed = incoming.withColumn("__key", keyExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = inKeyed.filter(!mightContain(col("__key")))
     val candidates = inKeyed.filter(mightContain(col("__key")))
     val exKeys = exKeyed.distinct()
     val verifiedNew = candidates.join(exKeys, Seq("__key"), "left_anti")
-    // intra-batch keep-first still covers the WHOLE batch (both halves)
-    graft.ops.Dedup.keepFirst(definitelyNew.unionByName(verifiedNew),
-      Seq("__key"), Seq(idCol)).drop("__key")
+    // intra-batch keep-first still covers the WHOLE batch (both halves);
+    // materialize eagerly so the batch cache can be released here
+    val out = graft.ops.Dedup.keepFirst(definitelyNew.unionByName(verifiedNew),
+      Seq("__key"), Seq(idCol)).drop("__key").localCheckpoint(true)
+    inKeyed.unpersist(blocking = false)
+    out
   }
 
   /** Corpus-wide exact PARAGRAPH dedup (the RefinedWeb/FineWeb repetition

@@ -38,6 +38,9 @@ object Retrieval {
     val statsRow = withLen.agg(
       count(lit(1)).as("n"), sum(col("__dl")).as("sumdl")).head()
     val n = statsRow.getLong(0)
+    // empty corpus: sum() is null and avgdl would be 0/0 — return the empty
+    // score table rather than NPE (a new source with no documents yet)
+    if (n == 0L) return tf.select(col(idCol), lit(0.0).as("score")).limit(0)
     val avgdl = statsRow.getLong(1).toDouble / n
     // document frequency per query term (matched rows only — tiny)
     val dfT = tf.groupBy("__term").agg(count(lit(1)).as("__df"))

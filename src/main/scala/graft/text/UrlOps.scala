@@ -19,8 +19,10 @@ object UrlOps {
   val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
 
   /** Canonical form:
-    *  - scheme and host lowercased; leading `www.` and default ports
-    *    (`:80`, `:443`) stripped from the host;
+    *  - scheme and host lowercased; leading `www.` stripped; the port
+    *    stripped only when it is the SCHEME'S default (`:80` for http,
+    *    `:443` for https) — `http://h:443` names a real non-default-port
+    *    service and must stay distinct;
     *  - path kept case-sensitive (RFC 3986: only scheme+host are
     *    case-insensitive) minus any trailing `/`;
     *  - query string minus tracking params, remaining params sorted for
@@ -31,8 +33,10 @@ object UrlOps {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    val host = regexp_replace(
-      regexp_replace(rawHost, "^www\\.", ""), ":(80|443)$", "")
+    val hostNoWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .otherwise(hostNoWww)
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
       "/$", "")

@@ -131,5 +131,6 @@ class IngestSpec extends SparkSpec {
     assert(quarantined.length == 2 && quarantined.exists(_.contains("not json")))
     val stats = JsonIngest.ingestStats(t).as[(Long, Long, Double)].head()
     assert(stats == ((3L, 2L, 0.4)))
+    t.release()
   }
 }

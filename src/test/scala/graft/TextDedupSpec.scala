@@ -266,6 +266,17 @@ class TextDedupSpec extends SparkSpec {
     val cents = graft.sim.Similarity.seedCentroids(embs, "vec_id", "embedding", 2)
     assert(graft.sim.Similarity.semDedup(embs, "vec_id", "embedding", cents, 0.5)
       .count() == 0)
+    assert(graft.text.Retrieval.bm25(docs, "doc_id", $"text", Seq("x")).count() == 0)
+    val zdir = java.nio.file.Files.createTempDirectory("zempty").resolve("out").toString
+    graft.io.Layout.zorderWrite(
+      docs.withColumn("a", col("doc_id")).withColumn("b", col("doc_id")),
+      zdir, 2, "a", "b")
+    assert(spark.read.parquet(zdir).count() == 0)
+    // an EMPTY conversation is flagged invalid, not a crash
+    val conv = spark.sql("SELECT array() AS conv")
+      .select(col("conv").cast("array<struct<role:string,content:string>>").as("conv"))
+    val flags = graft.text.Curation.conversationFlags(conv, col("conv")).head()
+    assert(!flags.getAs[Boolean]("keep") && flags.getAs[Int]("n_turns") == 0)
   }
 
   test("ngramCharStats: hand-computed top/dup bigram char fractions") {
@@ -334,6 +345,14 @@ class TextDedupSpec extends SparkSpec {
     val other = Bpe.encode(Seq("lower").toDF("text"), col("text"), merges)
       .select("bpe_tokens").as[Seq[String]].head()
     assert(other.head == "low" && other.map(_.length).sum == "lower".length + 4)
+    // symbols containing backslashes/quotes survive merge application (the
+    // merge fold is Column DSL, never SQL-string splicing)
+    val tricky = Seq("""p\q p\q p'r""").toDF("text")
+    val m2 = Bpe.learnMerges(tricky, col("text"), 2)
+    assert(m2.length == 2)
+    val enc2 = Bpe.encode(tricky, col("text"), m2)
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc2.mkString == """p\q</w>p\q</w>p'r</w>""")
   }
 
   test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
@@ -371,6 +390,11 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2) == "http://example.com/Path/a?a=1&b=2")
     assert(got(3) == "https://example.com/Path/A?a=1&b=2")
     assert(got(4) == null)
+    // NOT the scheme's default port → a real distinct service, kept
+    val cross = Seq("http://example.com:443/x", "https://example.com:80/x")
+      .toDF("u").select(UrlOps.canonicalizeUrl($"u")).as[String].collect()
+    assert(cross(0) == "http://example.com:443/x")
+    assert(cross(1) == "https://example.com:80/x")
   }
 
   test("compressionRatio orders repetitive < natural < random; codegen + SQL agree") {
