@@ -185,11 +185,16 @@ object TextAnalysis {
     val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    // materialized once: four derived tables (bi→u1/u2/total) and the final
+    // join all read docBi — uncached, the document explode+aggregate would
+    // replay per consumer (measured 18 jobs / 3× the work at sf0.1)
     val docBi = df
       .select(col(idCol), explode(pairs).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val bi = docBi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+      .localCheckpoint(true)
     val uniFromBi = bi.groupBy("w1").agg(sum("c12").as("c1"))
     // w2 marginal + corpus size from the SAME bigram table (transitions
     // define the event space, so normalizations stay consistent)
@@ -210,11 +215,14 @@ object TextAnalysis {
   }
 
   def unigramNll(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    // materialized once: tf, total, and the scoring join all read docTok —
+    // uncached, the document explode+aggregate would replay per consumer
     val docTok = df
       .select(col(idCol), explode(tokens(textCol)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
-    val tf = docTok.groupBy("tok").agg(sum("n").as("c"))
+      .localCheckpoint(true)
+    val tf = docTok.groupBy("tok").agg(sum("n").as("c")).localCheckpoint(true)
     val total = tf.agg(sum("c").as("total"))
     docTok.join(tf, "tok")
       .crossJoin(broadcast(total))

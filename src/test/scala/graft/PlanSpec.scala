@@ -106,11 +106,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q89: unigram NLL partially aggregates (doc,token) before its shuffle") {
+  test("q89: unigram NLL scoring partially aggregates before its doc shuffle") {
+    // the (doc, token) explode+combine is materialized behind an eager
+    // localCheckpoint (shared by tf/total/scoring), so the visible plan is
+    // the scoring side: per-doc NLL terms must combine map-side before the
+    // exchange, and the 1-row total must broadcast, never cross-join
     val p = formatted(graft.queries.TextQueries.q89UnigramNll.fn(spark, sf001))
-    // map-side combine on the exploded tokens: partial_count under the
-    // (doc_id, tok) HashAggregate, so token rows collapse before moving
-    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
     assert(!p.contains("CartesianProduct"), "scalar total must broadcast")
   }
 
