@@ -31,15 +31,42 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => wanted.exists(n.startsWith) }
+    var errors = 0
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => errors += 1 }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver parses the LAST ~2000 chars of output, so the JSON line must
+    // stay comfortably under that: per-query detail is limited to the fixed
+    // HEADLINE set (values rounded to ms); `value` still totals EVERY query.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.filter(r => Headline(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Fixed headline subset reported per-query in the JSON line (the most
+    * expensive operators plus one representative per family); keep ≤ ~45
+    * entries so the line fits the driver's capture window.
+    */
+  private val Headline: Set[String] = Set(
+    "q01_pricing_summary", "q05_quantiles_price", "q09_corr",
+    "q16_join3_revenue", "q19_geo_theta_join", "q21_dedup_first",
+    "q22_topk_per_group", "q23_running_sum", "q25_cache_lookup",
+    "q31_date_agg", "q33_tumbling_window", "q34_window_suite",
+    "q36_rollup", "q41_lang_id", "q44_exact_dup", "q45_ngram_jaccard",
+    "q46_minhash_lsh", "q47_simhash", "q48_cosine_topk",
+    "q49_cosine_neardup", "q50_ann_lsh", "q55_dedup_clusters",
+    "q57_rolling_hash", "q58_winnowing", "q60_immo_pipeline",
+    "q61_link_lifecycle", "q63_sessionize", "q64_ml_leaderboard",
+    "q65_ivf_topk", "q68_embed_clusters", "q71_dedup_keep",
+    "q72_simhash_pairs", "q78_bloom_dedup", "q79_paragraph_dedup",
+    "q82_chunk_pack", "q85_decontamination", "q86_bm25_topk",
+    "q88_pack_windows", "q92_semdedup", "q94_corpus_report",
+    "q95_bpe_merges", "q97_curation_e2e", "q100_chunk_sliding",
+    "q103_bigram_nll")
 }
