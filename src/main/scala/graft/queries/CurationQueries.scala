@@ -583,9 +583,79 @@ object CurationQueries extends QueryGroup {
       FROM t JOIN d ON t.doc_id = d.doc_id
       WHERE t.rn = 1 ORDER BY t.doc_id"""))
 
+  /** Shared DuckDB CTE chain for the DSIR queries: hashed uni+bigram
+    * features, per-doc raw bucket counts, smoothed per-bucket log ratios
+    * target-vs-raw (target = English docs, raw = the rest; α=0.5, B=4096),
+    * per-doc log importance weights.
+    */
+  private val DsirCtes =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+          FROM documents),
+      f AS (
+        SELECT doc_id, lang, f FROM (
+          SELECT doc_id, lang, unnest(ws) AS f FROM t) u WHERE len(f) > 0
+        UNION ALL
+        SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS f
+          FROM t WHERE len(ws) >= 2),
+      fb AS (SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b FROM f),
+      db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM fb
+          WHERE lang <> 'en' GROUP BY doc_id, b),
+      rawc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS rc FROM db GROUP BY b),
+      tgtc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM fb
+          WHERE lang = 'en' GROUP BY b),
+      rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot FROM rawc),
+      tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttot FROM tgtc),
+      r AS (SELECT b,
+          ln((COALESCE(tc, 0) + 0.5) / (ttot + 0.5 * 4096))
+            - ln((rc + 0.5) / (rtot + 0.5 * 4096)) AS lr
+        FROM rawc LEFT JOIN tgtc USING (b), rt, tt),
+      w AS (SELECT doc_id,
+          ROUND(CAST(SUM(CAST(n * lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS logw,
+          CAST(SUM(n) AS BIGINT) AS n_feats
+        FROM db JOIN r USING (b) GROUP BY doc_id)"""
+
+  /** DSIR importance weights: hashed-n-gram log importance ratios of every
+    * non-English doc toward the English target distribution; the 20 most
+    * target-like documents. */
+  val q104DsirWeights = QueryDef(
+    "q104_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.dsirLogWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", col("text"))
+        .orderBy(col("logw").desc, col("doc_id")).limit(20)
+    },
+    Some(DsirCtes +
+      """ SELECT doc_id, logw, n_feats FROM w
+      ORDER BY logw DESC, doc_id LIMIT 20"""))
+
+  /** DSIR resampling: deterministic Gumbel-max top-k over the importance
+    * weights — a without-replacement draw from softmax(logw) that every
+    * engine reproduces exactly (uniforms from md5(seed‖doc_id)). */
+  val q105DsirResample = QueryDef(
+    "q105_dsir_resample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Curation.dsirLogWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", col("text"))
+      Curation.gumbelTopK(w, "doc_id", "logw", k = 15)
+        .select("doc_id", "logw", "n_feats", "key")
+    },
+    Some(DsirCtes +
+      """ SELECT doc_id, logw, n_feats,
+        ROUND(logw - ln(-ln(
+          (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 0.5) / 4294967296.0)), 6) AS key
+      FROM w ORDER BY key DESC, doc_id LIMIT 15"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
-    q102NgramCharStats)
+    q102NgramCharStats, q104DsirWeights, q105DsirResample)
 }

@@ -423,8 +423,97 @@ object TextQueries extends QueryGroup {
         CAST(SUM(n) AS BIGINT) AS n_bigrams
       FROM sc GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
 
+  /** CCNet-style perplexity buckets: split the corpus into head / middle /
+    * tail terciles of the unigram-LM NLL (CCNet §4.3 quality partitioning).
+    * Cutoffs come from TWO exact percentiles collected once and broadcast
+    * back as a projection predicate — no global sort, no ntile window over
+    * the corpus (a global ntile would funnel every row through one
+    * partition; the cutoff comparison is embarrassingly parallel).
+    */
+  val q106PplBuckets = QueryDef(
+    "q106_ppl_buckets",
+    (s, d) => {
+      val nll = TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", col("text"))
+      val cuts = nll.agg(
+        percentile(col("nll"), lit(1.0 / 3)).as("c1"),
+        percentile(col("nll"), lit(2.0 / 3)).as("c2"))
+      nll.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("nll") <= col("c1"), "head")
+            .when(col("nll") <= col("c2"), "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(min(col("nll")), 6).as("min_nll"),
+          round(max(col("nll")), 6).as("max_nll"),
+          sum(col("n_tokens")).as("tok_total"))
+        .orderBy("bucket")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tt AS (SELECT doc_id, tok FROM t WHERE len(tok) > 0),
+      dt AS (SELECT doc_id, tok, COUNT(*) AS n FROM tt GROUP BY doc_id, tok),
+      tf AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS c FROM dt GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tf),
+      nll AS (SELECT doc_id,
+          ROUND(CAST(SUM(CAST(n * -ln(CAST(c AS DOUBLE) / total)
+              AS DECIMAL(38,12))) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6)
+            AS nll,
+          CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM dt JOIN tf USING (tok), tot GROUP BY doc_id),
+      cuts AS (SELECT quantile_cont(nll, 1.0 / 3) AS c1,
+          quantile_cont(nll, 2.0 / 3) AS c2 FROM nll)
+      SELECT CASE WHEN nll <= c1 THEN 'head'
+            WHEN nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ROUND(MIN(nll), 6) AS min_nll,
+        ROUND(MAX(nll), 6) AS max_nll,
+        CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      FROM nll, cuts GROUP BY 1 ORDER BY bucket"""))
+
+  /** Vocabulary coverage curve: the 20 most frequent tokens with their
+    * cumulative corpus-coverage fraction — the "how much of the corpus do
+    * the top-k types explain" diagnostic behind vocab sizing. Top-k is a
+    * distributed TakeOrdered; the running sum's window sees only those k
+    * rows (never the corpus), so the single-partition window is bounded by
+    * k, not data size.
+    */
+  val q107VocabCoverage = QueryDef(
+    "q107_vocab_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = tf.agg(sum("c").as("total"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      tf.orderBy(col("c").desc, col("tok")).limit(20)
+        .crossJoin(broadcast(total))
+        .select(
+          row_number().over(w).cast("bigint").as("rank"),
+          col("tok"), col("c"),
+          round(sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / col("total"), 6).as("cum_frac"))
+        .orderBy("rank")
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t
+          WHERE len(tok) > 0 GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tf),
+      top AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 20)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank,
+        tok, c,
+        ROUND(CAST(CAST(SUM(c) OVER (ORDER BY c DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS DOUBLE) / total, 6) AS cum_frac
+      FROM top, tot ORDER BY rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
-    q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll)
+    q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
+    q106PplBuckets, q107VocabCoverage)
 }

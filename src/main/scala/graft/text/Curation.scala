@@ -280,4 +280,87 @@ object Curation {
       .map(r => r.get(0).toString -> r.getDouble(1)).toMap
     df.stat.sampleBy(groupCol, fractions, seed)
   }
+
+  /** Hashed n-gram features (unigrams + word bigrams) — the DSIR feature
+    * space. Unigrams drop empty tokens (consistent with unigramNll);
+    * bigrams are built over the raw token sequence (consistent with
+    * bigramNll). Hashing happens after the explode, per feature string.
+    */
+  private[text] def hashedNgramFeatures(textCol: Column): Column = {
+    val toks = TextAnalysis.tokens(textCol)
+    val uni = filter(toks, t => length(t) > 0)
+    val bi = when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    concat(uni, bi)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): fit hashed-n-gram bag models on a
+    * TARGET corpus (the distribution you want more of) and on the RAW pool,
+    * then weight every raw document by its log importance ratio
+    * Σ_b n_doc[b]·(ln p_target[b] − ln p_raw[b]) with add-α smoothing over
+    * `buckets` hash buckets. High-weight docs look like the target.
+    *
+    * Scale shape: each side is ONE explode into a map-side-combined
+    * (doc, bucket) partial count; both bucket-probability tables are ≤
+    * `buckets` rows, so the log-ratio table broadcasts and the scoring join
+    * is a map-side hash probe — the corpus is never shuffled beyond the
+    * (doc, bucket) aggregate. The raw (doc, bucket) table is materialized
+    * once because the raw marginal AND the scoring join both read it.
+    *
+    * Float contract: per-bucket log-ratios are pure functions of counts;
+    * per-doc terms are decimal(38,12)-cast before summing, total rounded
+    * to 6 — order-independent and cross-engine reproducible.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: Column, buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+    def bucketed(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(hashedNgramFeatures(textCol)).as("__f"): _*)
+        .withColumn("b", TextAnalysis.md5Int32(col("__f")) % buckets)
+        .drop("__f")
+    val rawDoc = bucketed(raw, Seq(col(idCol)))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val rawC = rawDoc.groupBy("b").agg(sum("n").as("rc"))
+    val tgtC = bucketed(target, Nil).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rTot = rawC.agg(sum("rc").as("rtot"))
+    val tTot = tgtC.agg(sum("tc").as("ttot"))
+    // every bucket that can appear in the scoring join appears in rawC, so
+    // a left join (absent target buckets smoothed to α mass) is total
+    val ratio = rawC.join(tgtC, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("b"),
+        (log((col("tc") + alpha) / (col("ttot") + alpha * buckets)) -
+          log((col("rc") + alpha) / (col("rtot") + alpha * buckets))).as("lr"))
+    rawDoc.join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum((col("n") * col("lr")).cast("decimal(38,12)"))
+          .cast("double"), 6).as("logw"),
+        sum(col("n")).as("n_feats"))
+  }
+
+  /** Importance RESAMPLING via deterministic Gumbel-max top-k (the second
+    * half of DSIR): treating each document's log-weight as a logit, adding
+    * independent Gumbel noise and keeping the k largest keys draws a
+    * without-replacement sample from softmax(logw). The uniform comes from
+    * md5(seed‖id) — a pure function of (seed, id), so retries, AQE
+    * re-plans, and external engines select the SAME k documents (unlike
+    * `rand()`; same property as [[deterministicSample]], but weighted).
+    * One projection + a distributed top-k (TakeOrdered) — no shuffle of
+    * the weight table.
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, logwCol: String,
+      k: Int, seed: String = "42"): DataFrame = {
+    // u in (0,1): (h + 0.5) / 2^32 can reach neither 0 nor 1, so the double
+    // log below is always finite
+    val u = (TextAnalysis.md5Int32(concat_ws("|", lit(seed),
+      col(idCol).cast("string"))) + 0.5) / 4294967296.0
+    weights
+      .withColumn("key", round(col(logwCol) - log(-log(u)), 6))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
 }

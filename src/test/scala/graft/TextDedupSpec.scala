@@ -483,4 +483,42 @@ class TextDedupSpec extends SparkSpec {
     assert(sample(docs, "43") != a)              // different seed, different subset
   }
 
+  test("dsirLogWeights: target-like raw docs outweigh off-target docs") {
+    import graft.text.Curation
+    val target = Seq.tabulate(8)(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the mat again"),   // mostly target n-grams
+      (2L, "zq xv qqq zzz kkk vvv www"))      // none
+      .toDF("doc_id", "text")
+    val byId = Curation.dsirLogWeights(raw, target, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 > byId(2L)._1)
+    // n_feats = unigrams + bigrams: 7 tokens -> 7 + 6 = 13
+    assert(byId(1L)._2 == 13L && byId(2L)._2 == 13L)
+  }
+
+  test("gumbelTopK: deterministic, exact k, and a dominant weight always wins") {
+    import graft.text.Curation
+    val w = Seq((1L, 100.0), (2L, 0.0), (3L, -1.0), (4L, 0.5), (5L, -3.0))
+      .toDF("doc_id", "logw")
+    def draw() = Curation.gumbelTopK(w, "doc_id", "logw", k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    val a = draw()
+    assert(a == draw() && a.size == 3)          // pure function of (seed, id)
+    // logw=100 dwarfs any Gumbel draw from the md5 uniform range
+    assert(a.contains(1L))
+    // a different seed may pick a different subset but stays exact-k
+    val b = Curation.gumbelTopK(w, "doc_id", "logw", k = 3, seed = "7")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(b.size == 3 && b.contains(1L))
+  }
+
+  test("vocab coverage cum_frac is nondecreasing and bounded by 1") {
+    val rows = SparkEntry.queries("q107_vocab_coverage")(spark, sf001)
+      .select("cum_frac").as[Double].collect()
+    assert(rows.nonEmpty && rows.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(rows.last <= 1.0 + 1e-9)
+  }
+
 }
