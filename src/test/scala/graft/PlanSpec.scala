@@ -131,4 +131,21 @@ class PlanSpec extends SparkSpec {
       "doc_id bound not pushed to the documents scan")
   }
 
+  test("q104: DSIR log-ratio table broadcasts — the corpus side never " +
+      "shuffles for the scoring join") {
+    // the ratio table is <= `buckets` rows; the scoring join over the
+    // (doc, bucket) counts must be a map-side broadcast probe, and the raw
+    // counts must partially aggregate before their exchange
+    val p = planOf(graft.queries.CurationQueries.q104DsirWeights.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast of the ratio table")
+    assert(!p.contains("SortMergeJoin"), "scoring join must not sort-merge")
+    assert(!p.contains("CartesianProduct"), "totals must broadcast")
+  }
+
+  test("q106: perplexity buckets assign via broadcast cutoffs, no global sort") {
+    val p = planOf(graft.queries.TextQueries.q106PplBuckets.fn(spark, sf001))
+    assert(!p.contains("Window"), "tercile assignment must not use a global window")
+    assert(!p.contains("CartesianProduct"), "1-row cutoffs must broadcast")
+  }
+
 }
