@@ -202,14 +202,20 @@ object TextAnalysis {
     val total = bi.agg(sum("c12").as("total"))
     val p = col("c12").cast("double") / col("c1") * lambda +
       (col("c2").cast("double") / col("total")) * (1 - lambda)
-    docBi
-      .join(bi, Seq("w1", "w2"))
+    // enrich the DISTINCT-bigram table with its marginals first (vocab-sized
+    // joins), then hit the big (doc, w1, w2) table exactly once: three
+    // corpus-table shuffles collapse to one, and p (two divisions + the mix)
+    // is evaluated once per corpus bigram instead of once per doc-bigram
+    val biP = bi
       .join(uniFromBi, Seq("w1"))
       .join(uni2, Seq("w2"))
       .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), p.as("p"))
+    docBi
+      .join(biP, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(
-        round(sum((col("n") * -log(p)).cast("decimal(38,12)")).cast("double")
+        round(sum((col("n") * -log(col("p"))).cast("decimal(38,12)")).cast("double")
           / sum(col("n")), 6).as("nll"),
         sum(col("n")).as("n_bigrams"))
   }
