@@ -653,9 +653,28 @@ object CurationQueries extends QueryGroup {
             AS BIGINT) + 0.5) / 4294967296.0)), 6) AS key
       FROM w ORDER BY key DESC, doc_id LIMIT 15"""))
 
+  /** Deterministic train/val/test split: md5-thresholded assignment at
+    * 0.8/0.1/0.1, audited per (lang, split) — a document can never migrate
+    * between splits across runs or corpus growth. */
+  val q109SplitAssign = QueryDef(
+    "q109_split_assign",
+    (s, d) => Curation.splitAssign(Tables.documents(s, d), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+      .orderBy("lang", "split"),
+    Some("""WITH a AS (SELECT doc_id, lang,
+        (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) + 0.5) / 4294967296.0 AS u FROM documents),
+      sp AS (SELECT doc_id, lang,
+          CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+               ELSE 'test' END AS split FROM a)
+      SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS min_id
+      FROM sp GROUP BY lang, split ORDER BY lang, split"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
-    q102NgramCharStats, q104DsirWeights, q105DsirResample)
+    q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign)
 }

@@ -308,8 +308,32 @@ object SimQueries extends QueryGroup {
         ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
       FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
 
+  /** Hard-negative mining: for the first 10 query vectors, the 3 most
+    * similar corpus vectors with a DIFFERENT label — the near-miss
+    * negatives contrastive training wants. Exactly oracled (brute-force
+    * twin with the label predicate). */
+  val q108HardNegatives = QueryDef(
+    "q108_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", 3)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${cosineSql("q.v", "c.v")}, 6) AS sim
+        FROM e c, q WHERE q.vec_id <> c.vec_id AND q.label <> c.label),
+      r AS (SELECT qid, cid, sim,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS INT) AS rank
+        FROM scored)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
-    q98AnnRecall)
+    q98AnnRecall, q108HardNegatives)
 }

@@ -116,6 +116,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-NEGATIVE mining for contrastive training: for each query, the k
+    * most similar corpus vectors with a DIFFERENT label — near-misses are
+    * the negatives that sharpen an embedding model. Same scale shape as
+    * [[bruteForceTopK]] (broadcast queries, one corpus pass, map-side
+    * bounded top-k heaps); the label inequality is evaluated inside the
+    * same codegen stage as the dot product, so mismatched-label pairs never
+    * reach the aggregate.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
+        col(labelCol).as("qlbl"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"),
+        col(labelCol).as("clbl"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid") && col("clbl") =!= col("qlbl"))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * md5-derived value in [-1, 1). Reproducible anywhere, no RNG state.
     */

@@ -342,6 +342,24 @@ object Curation {
         sum(col("n")).as("n_feats"))
   }
 
+  /** Deterministic train/val/test split assignment: a pure function of
+    * (seed, id) maps each row to a uniform in (0,1) and thresholds it at
+    * the cumulative fractions. No shuffle, no RNG state — a document keeps
+    * its split across re-runs, retries, and engines (the leakage guarantee
+    * an eval pipeline needs: a doc can never migrate from test into train
+    * when the corpus grows, because its uniform never changes).
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      seed: String = "42"): DataFrame = {
+    val u = (TextAnalysis.md5Int32(concat_ws("|", lit(seed),
+      col(idCol).cast("string"))) + 0.5) / 4294967296.0
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
   /** Importance RESAMPLING via deterministic Gumbel-max top-k (the second
     * half of DSIR): treating each document's log-weight as a logit, adding
     * independent Gumbel noise and keeping the k largest keys draws a

@@ -225,4 +225,20 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"quantized recall $overlap")
   }
 
+  test("hardNegatives: every hit has a different label and is the best such hit") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter($"vec_id" < 5)
+    val negs = Similarity.hardNegatives(queries, emb, "vec_id", "embedding", "label", 3)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = negs.select("qid", "rank", "cid", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, _, c, _) => labels(q) != labels(c) })
+    // vs the unconstrained top-k: any shared (qid, cid) must score identically
+    val free = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    assert(rows.forall { case (q, _, c, s) => free.get((q, c)).forall(_ == s) })
+  }
+
 }

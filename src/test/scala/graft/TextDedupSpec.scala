@@ -514,6 +514,19 @@ class TextDedupSpec extends SparkSpec {
     assert(b.size == 3 && b.contains(1L))
   }
 
+  test("splitAssign: deterministic, partition-invariant, fractions roughly hold") {
+    import graft.text.Curation
+    val docs = Tables.documents(spark, sf01).select("doc_id")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.splitAssign(df, "doc_id").as[(Long, String)].collect().toMap
+    val a = splits(docs)
+    assert(a == splits(docs.repartition(13)))    // layout must not matter
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1)
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
   test("vocab coverage cum_frac is nondecreasing and bounded by 1") {
     val rows = SparkEntry.queries("q107_vocab_coverage")(spark, sf001)
       .select("cum_frac").as[Double].collect()
