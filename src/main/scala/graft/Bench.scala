@@ -41,7 +41,9 @@ object Bench {
     // stay comfortably under that: per-query detail is limited to the fixed
     // HEADLINE set (values rounded to ms); `value` still totals EVERY query.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.filter(r => Headline(r._1))
+    // dev runs (explicit prefixes) report every selected query; driver runs
+    // (no args) cap the detail at the headline set to keep the line short
+    val qs = (if (wanted.isEmpty) results.filter(r => Headline(r._1)) else results)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

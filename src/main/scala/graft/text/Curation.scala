@@ -160,12 +160,9 @@ object Curation {
     */
   def ngramCharStats(df: DataFrame, idCol: String, textCol: Column,
       n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(textCol)
-    val grams = when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
     val exploded = df
-      .select(col(idCol), length(textCol).as("__len"), explode(grams).as("gram"))
+      .select(col(idCol), length(textCol).as("__len"),
+        explode(TextAnalysis.wordNgrams(textCol, n)).as("gram"))
     exploded
       .groupBy(col(idCol), col("__len"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -287,12 +284,8 @@ object Curation {
     * bigramNll). Hashing happens after the explode, per feature string.
     */
   private[text] def hashedNgramFeatures(textCol: Column): Column = {
-    val toks = TextAnalysis.tokens(textCol)
-    val uni = filter(toks, t => length(t) > 0)
-    val bi = when(size(toks) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-    concat(uni, bi)
+    val uni = filter(TextAnalysis.tokens(textCol), t => length(t) > 0)
+    concat(uni, TextAnalysis.wordNgrams(textCol, 2))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language

@@ -22,15 +22,11 @@ object DedupOps {
   import TextAnalysis.{md5Int32, tokens}
 
   /** Word n-gram shingles (distinct), as an array column. Empty when the text
-    * has fewer than n tokens (guards Spark's descending `sequence`).
+    * has fewer than n tokens. Delegates to TextAnalysis.wordNgrams (the
+    * O(n·tokens) zip_with-of-slices form, not element_at-per-index).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    val grams = transform(sequence(lit(1), count),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(count >= 1, grams).otherwise(array()))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.wordNgrams(text, n))
 
   /** Exact-duplicate groups: key = md5 of a normalized prefix (or full text).
     * Returns one row per duplicated key with its cardinality.

@@ -33,6 +33,25 @@ object TextAnalysis {
     */
   def md5Int32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** ALL word n-grams (non-distinct, space-joined), empty array when the
+    * text has fewer than n tokens.
+    *
+    * Built by zip_with over n shifted slices of the token array — NOT by
+    * `transform(sequence(…), i => element_at(toks, i))`: higher-order
+    * lambdas re-evaluate every non-lambda subexpression per element, so an
+    * element_at(split(text), i) body splits the whole text once per index —
+    * O(len·tokens) per document. The slice form splits n times total.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    val grams = (1 until n).foldLeft(slice(toks, lit(1), count)) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(1 + o), count),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(count >= 1, grams).otherwise(array().cast("array<string>"))
+  }
+
   /** 60-bit document fingerprint (15 md5 hex chars → long). */
   def fingerprint(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
@@ -182,9 +201,11 @@ object TextAnalysis {
   def bigramNll(df: DataFrame, idCol: String, textCol: Column,
       lambda: Double = 0.9): DataFrame = {
     val toks = tokens(textCol)
+    // zip_with over shifted slices, not element_at-per-index (see wordNgrams)
+    val cnt = greatest(size(toks) - 1, lit(0))
     val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(zip_with(slice(toks, lit(1), cnt), slice(toks, lit(2), cnt),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
     // materialized once: four derived tables (bi→u1/u2/total) and the final
     // join all read docBi — uncached, the document explode+aggregate would
     // replay per consumer (measured 18 jobs / 3× the work at sf0.1)

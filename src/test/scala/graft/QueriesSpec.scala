@@ -31,10 +31,18 @@ class QueriesSpec extends SparkSpec {
     *  - q98: reuses q48's brute-force scorer (broadcast bounded query set)
     *         as the exact baseline for the recall evaluation
     *  - q103: the 1-row corpus bigram total, as in q89
+    *  - q104/q105: the two 1-row corpus totals attached to the ≤buckets-row
+    *         DSIR ratio table (the corpus-side scoring join is a BHJ)
+    *  - q106: the 1-row percentile-cutoff pair against the per-doc NLL table
+    *  - q107: the 1-row corpus token total against the top-k vocab rows
+    *  - q108: the bounded query set scored against a streaming corpus scan,
+    *         as in q48
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
-    "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll")
+    "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll",
+    "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
+    "q107_vocab_coverage", "q108_hard_negatives")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
