@@ -511,9 +511,71 @@ object TextQueries extends QueryGroup {
           AS DOUBLE) / total, 6) AS cum_frac
       FROM top, tot ORDER BY rank"""))
 
+  /** Hybrid retrieval: BM25 top-20 and dense-cosine top-20 (query vector =
+    * vec_id 0, ids aligned with doc_id) fused by reciprocal rank — the
+    * standard sparse+dense combination, with every stage after the two
+    * rankers bounded by k. Exactly oracled end-to-end. */
+  val q110RrfFusion = QueryDef(
+    "q110_rrf_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sparse = graft.text.Retrieval.bm25(
+        Tables.documents(s, d), "doc_id", col("text"),
+        Seq("spark", "shuffle", "window"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        // bounded window: sees only the 20 TakeOrdered rows
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val e = Tables.embeddings(s, d)
+      val dense = graft.sim.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0), e, "vec_id", "embedding", 20)
+        .select(col("cid").as("doc_id"), col("rank"))
+      graft.text.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+          len(string_split(text, ' ')) AS dl
+        FROM documents),
+      stats AS (SELECT COUNT(*) AS n,
+          CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM documents),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM t
+        WHERE term IN ('spark', 'shuffle', 'window')
+        GROUP BY doc_id, dl, term),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT doc_id,
+          ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+          AS s
+        FROM tf JOIN dft USING (term), stats),
+      bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS score FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20),
+      sp AS (SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT v FROM e WHERE vec_id = 0),
+      scored AS (SELECT c.vec_id AS doc_id,
+          ROUND(${cosineSqlText("q.v", "c.v")}, 6) AS sim
+        FROM e c, q WHERE c.vec_id <> 0),
+      dn AS (SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS INT) AS rank
+        FROM scored QUALIFY rank <= 20),
+      u AS (SELECT doc_id, rank FROM sp
+        UNION ALL SELECT doc_id, rank FROM dn)
+      SELECT doc_id,
+        ROUND(CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(38,12))) AS DOUBLE), 6)
+          AS rrf,
+        CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""))
+
+  private def cosineSqlText(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
-    q106PplBuckets, q107VocabCoverage)
+    q106PplBuckets, q107VocabCoverage, q110RrfFusion)
 }

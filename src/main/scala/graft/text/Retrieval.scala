@@ -55,6 +55,29 @@ object Retrieval {
       .agg(round(sum(col("__s")), 6).as("score"))
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists (Cormack et al. 2009):
+    * each list contributes 1/(k + rank) per document; the summed score
+    * fuses heterogeneous rankers (BM25 + dense ANN being the standard
+    * hybrid-retrieval pair) without calibrating their score scales.
+    * Inputs are (id, rank) frames whose size is the per-ranker top-k, so
+    * everything after the rankers is bounded-by-k work: a union of tiny
+    * frames, one aggregate. Contributions are decimal-cast before summing
+    * (order-independent), total rounded to 6.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(kRrf) + col(rankCol))).as("__contrib")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("__contrib").cast("decimal(38,12)")).cast("double"), 6)
+          .as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Inverted index: (term, doc, tf) postings, written partitioned by a
     * bounded term-hash bucket (a raw term partition column would create one
     * directory per vocabulary word). Query-time: bucket pruning narrows the
