@@ -200,4 +200,21 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
+    import graft.text.TextAnalysis
+    // split(" ") semantics incl. empty tokens from doubled/leading spaces
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "d e")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check("wordNgrams reference", Prop.forAll(textGen, Gen.choose(1, 4)) {
+      (text, n) =>
+        val got = Seq(text).toDF("t")
+          .select(TextAnalysis.wordNgrams(col("t"), n).as("g"))
+          .as[Seq[String]].head()
+        val toks = text.split(" ", -1).toSeq
+        val want = if (toks.size < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        got == want
+    }, n = 40)
+  }
+
 }
