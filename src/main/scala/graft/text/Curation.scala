@@ -317,8 +317,11 @@ object Curation {
       .localCheckpoint(true)
     val rawC = rawDoc.groupBy("b").agg(sum("n").as("rc"))
     val tgtC = bucketed(target, Nil).groupBy("b").agg(count(lit(1)).as("tc"))
-    val rTot = rawC.agg(sum("rc").as("rtot"))
-    val tTot = tgtC.agg(sum("tc").as("ttot"))
+    // coalesce: an EMPTY side sums to null — smooth to the α prior instead
+    // of nulling every log-ratio (an empty target is a misconfiguration a
+    // pipeline should survive, not a crash or silent null column)
+    val rTot = rawC.agg(coalesce(sum("rc"), lit(0L)).as("rtot"))
+    val tTot = tgtC.agg(coalesce(sum("tc"), lit(0L)).as("ttot"))
     // every bucket that can appear in the scoring join appears in rawC, so
     // a left join (absent target buckets smoothed to α mass) is total
     val ratio = rawC.join(tgtC, Seq("b"), "left")

@@ -277,6 +277,20 @@ class TextDedupSpec extends SparkSpec {
       .select(col("conv").cast("array<struct<role:string,content:string>>").as("conv"))
     val flags = graft.text.Curation.conversationFlags(conv, col("conv")).head()
     assert(!flags.getAs[Boolean]("keep") && flags.getAs[Int]("n_turns") == 0)
+    // DSIR: empty raw -> empty weights; empty TARGET -> finite (non-null)
+    // weights from the smoothing prior, not a null column
+    import graft.text.Curation
+    val some = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Curation.dsirLogWeights(docs, some, "doc_id", $"text").count() == 0)
+    val wEmptyTgt = Curation.dsirLogWeights(some, docs, "doc_id", $"text")
+      .select("logw").as[Double].collect()
+    assert(wEmptyTgt.length == 1 && !wEmptyTgt.head.isNaN)
+    assert(Curation.splitAssign(docs, "doc_id").count() == 0)
+    assert(Curation.gumbelTopK(
+      docs.withColumn("logw", lit(0.0)), "doc_id", "logw", 3).count() == 0)
+    assert(graft.sim.Similarity.hardNegatives(
+      embs.withColumn("label", lit(0)), embs.withColumn("label", lit(0)),
+      "vec_id", "embedding", "label", 3).count() == 0)
   }
 
   test("ngramCharStats: hand-computed top/dup bigram char fractions") {
