@@ -672,9 +672,30 @@ object CurationQueries extends QueryGroup {
         CAST(MIN(doc_id) AS BIGINT) AS min_id
       FROM sp GROUP BY lang, split ORDER BY lang, split"""))
 
+  /** Length-bucketed batching audit: per power-of-two token-length bucket,
+    * the padding-waste accounting that decides inference batch shapes. */
+  val q111LengthBuckets = QueryDef(
+    "q111_length_buckets",
+    (s, d) => graft.text.Packing.lengthBuckets(
+      Tables.documents(s, d)
+        .select(graft.text.TextAnalysis.tokenCount(col("text")).as("n_toks")),
+      col("n_toks"))
+      .orderBy("bucket"),
+    Some("""WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+      b AS (SELECT n, CASE WHEN n > 0 THEN
+            GREATEST(16, CAST(POWER(2, CEIL(LOG2(CAST(n AS DOUBLE)))) AS BIGINT))
+          ELSE 16 END AS bucket FROM t)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS tok_total,
+        CAST(SUM(bucket - n) AS BIGINT) AS pad_total,
+        ROUND(CAST(SUM(bucket - n) AS BIGINT)
+          / (CAST(bucket AS DOUBLE) * COUNT(*)), 6) AS waste_frac
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
-    q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign)
+    q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
+    q111LengthBuckets)
 }

@@ -107,4 +107,28 @@ object Packing {
         sum(sizeCol).as("total_size"),
         (max(col("chunk_last")) + 1).as("n_windows"),
         sum(when(col("n_chunks") > 1, 1L).otherwise(0L)).as("n_straddlers"))
+
+  /** Length-bucketed batching audit for padded inference/training: assign
+    * each sequence to the next power-of-two length bucket (floored at
+    * `minBucket`) and report per-bucket document count, payload, padding
+    * tokens, and waste fraction — the "how much compute goes to pad
+    * tokens" diagnostic that decides bucket boundaries. A pure projection
+    * + one groupBy over ≤ log2(maxLen) buckets: no shuffle beyond the
+    * bucket-sized aggregate.
+    */
+  def lengthBuckets(df: DataFrame, sizeCol: Column,
+      minBucket: Int = 16): DataFrame = {
+    val n = sizeCol.cast("double")
+    val bucket = greatest(lit(minBucket.toLong),
+      pow(lit(2.0), ceil(log(2.0, n))).cast("long"))
+    df.select(when(n > 0, bucket).otherwise(lit(minBucket.toLong)).as("bucket"),
+        sizeCol.cast("long").as("__n"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("tok_total"),
+        sum(col("bucket") - col("__n")).as("pad_total"))
+      .withColumn("waste_frac", round(
+        col("pad_total").cast("double") / (col("bucket") * col("n_docs")), 6))
+  }
 }
