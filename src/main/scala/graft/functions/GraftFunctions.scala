@@ -14,7 +14,8 @@ object GraftFunctions {
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "graft_rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "graft_substr_score" -> (exprs => SubstringSetScore(exprs.head, exprs(1))),
-    "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)))
+    "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)),
+    "graft_md5_long" -> (exprs => Md5Long(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -30,8 +30,13 @@ object TextAnalysis {
   /** Portable 32-bit-range hash of a string: first 8 hex chars of md5 as a
     * long. Chosen over Spark's murmur `hash()` because the DuckDB oracle can
     * compute the identical value (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`).
+    * Backed by the codegen'd Md5Long expression (bit-identical to the
+    * conv/substring chain, minus the hex round-trip per row).
     */
-  def md5Int32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def md5Int32(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.Md5Long(ColumnBridge.expression(c)))
+  }
 
   /** ALL word n-grams (non-distinct, space-joined), empty array when the
     * text has fewer than n tokens.

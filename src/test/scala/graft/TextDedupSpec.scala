@@ -528,6 +528,20 @@ class TextDedupSpec extends SparkSpec {
     assert(b.size == 3 && b.contains(1L))
   }
 
+  test("Md5Long ≡ conv(substring(md5,1,8),16,10) on real text; SQL-registered") {
+    val docs = Tables.documents(spark, sf001)
+    val mismatches = docs.select(
+      TextAnalysis.md5Int32($"text").as("fast"),
+      conv(substring(md5($"text"), 1, 8), 16, 10).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0L)
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_md5_long('abc') AS h").as[Long].head()
+    val expected = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("abc").take(8), 16)
+    assert(viaSql == expected)
+  }
+
   test("splitAssign: deterministic, partition-invariant, fractions roughly hold") {
     import graft.text.Curation
     val docs = Tables.documents(spark, sf01).select("doc_id")
