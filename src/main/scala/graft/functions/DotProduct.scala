@@ -15,8 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the HOF fold AND to DuckDB's `list_dot_product` — the oracle parity the
   * similarity queries rely on.
   */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression,
+    strict: Boolean = false) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -31,9 +31,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // strict mode (used by DotProductRewrite) reproduces the HOF fold's null
+  // semantics: zip_with null-pads a length mismatch, nulling the whole sum
+  override def nullable: Boolean = strict || super.nullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -49,13 +54,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val mismatch =
+        if (strict)
+          s"""if ($a.numElements() != $b.numElements()) {
+                ${ev.isNull} = true;
+              } else """
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        $mismatch{
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 

@@ -17,15 +17,20 @@ object GraftFunctions {
     "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)),
     "graft_md5_long" -> (exprs => Md5Long(exprs.head)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // idempotent: extraOptimizations is tiny, Seq.contains is fine
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -33,4 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

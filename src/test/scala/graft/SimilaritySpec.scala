@@ -225,6 +225,30 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"quantized recall $overlap")
   }
 
+  test("DotProductRewrite: the HOF dot-product pattern optimizes to the " +
+      "codegen expression with identical results and null semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf001).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val hof = df.select($"vec_id",
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("d"))
+    assert(hof.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("dotproduct"), "rewrite did not fire")
+    val direct = df.select($"vec_id",
+      graft.sim.Similarity.dot($"v", $"v").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(hof.as[(Long, Double)].collect().toMap == direct)
+    // zip_with null-pads mismatched lengths, nulling the fold — the strict
+    // rewrite must reproduce that, not fold the common prefix
+    val mm = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D),
+        (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d""")
+    assert(mm.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("dotproduct") || mm.head().isNullAt(0))
+    assert(mm.head().isNullAt(0))
+  }
+
   test("hardNegatives: every hit has a different label and is the best such hit") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter($"vec_id" < 5)
