@@ -692,10 +692,51 @@ object CurationQueries extends QueryGroup {
           / (CAST(bucket AS DOUBLE) * COUNT(*)), 6) AS waste_frac
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  /** Approximate-sketch accuracy audit: HyperLogLog++ distinct counts and
+    * approx percentiles against their exact twins, with within-tolerance
+    * flags. At 100 TB the sketches ARE the practical path (one pass, fixed
+    * memory, mergeable across partitions — exact distinct shuffles every
+    * key); this query keeps their error budget under the correctness gate:
+    * the oracle recomputes the EXACT values and expects every tolerance
+    * flag to be true, so a Spark-side sketch regression fails the
+    * round's CORRECTNESS file, not just a dashboard.
+    */
+  val q112ApproxAudit = QueryDef(
+    "q112_approx_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__parts_apx"),
+        countDistinct(col("l_suppkey")).as("n_supps_exact"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("__supps_apx"),
+        percentile(col("l_quantity").cast("double"), lit(0.5)).as("qty_p50_exact"),
+        percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000))
+          .as("__qty_p50_apx"))
+      .select(
+        col("n_parts_exact"),
+        (abs(col("__parts_apx") - col("n_parts_exact")).cast("double")
+          / col("n_parts_exact") <= 0.05).as("parts_apx_ok"),
+        col("n_supps_exact"),
+        (abs(col("__supps_apx") - col("n_supps_exact")).cast("double")
+          / col("n_supps_exact") <= 0.05).as("supps_apx_ok"),
+        round(col("qty_p50_exact"), 6).as("qty_p50_exact_r"),
+        (abs(col("__qty_p50_apx") - col("qty_p50_exact"))
+          <= greatest(abs(col("qty_p50_exact")) * 0.02, lit(1.0))).as("qty_apx_ok"))
+    },
+    Some("""SELECT
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+      TRUE AS parts_apx_ok,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact,
+      TRUE AS supps_apx_ok,
+      ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS qty_p50_exact_r,
+      TRUE AS qty_apx_ok
+      FROM lineitem"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
-    q111LengthBuckets)
+    q111LengthBuckets, q112ApproxAudit)
 }
