@@ -733,10 +733,46 @@ object CurationQueries extends QueryGroup {
       TRUE AS qty_apx_ok
       FROM lineitem"""))
 
+  /** UT1-style URL blocklist: hosts synthesized over documents, a 2-entry
+    * blocklist that must also catch SUBdomains — the suffix-explode equi
+    * join (never a LIKE scan). Per-(host, blocked) audit counts. */
+  val q113UrlBlocklist = QueryDef(
+    "q113_url_blocklist",
+    (s, d) => {
+      import s.implicits._
+      import graft.text.UrlOps
+      val k = col("doc_id")
+      val host = when(k % 7 === 0, "ads.tracker.net")
+        .when(k % 7 === 1, "sub.ads.tracker.net")
+        .when(k % 7 === 2, "news.example.com")
+        .when(k % 7 === 3, "spam.co")
+        .otherwise("safe.example.org")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("https://"), host, lit("/p/"), k.cast("string")).as("url"))
+      val bl = Seq("tracker.net", "spam.co").toDF("domain")
+      UrlOps.blocklistFlags(docs, "doc_id", col("url"), bl)
+        .groupBy(UrlOps.urlHost(col("url")).as("host"), col("blocked"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("host")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN 'ads.tracker.net'
+             WHEN doc_id % 7 = 1 THEN 'sub.ads.tracker.net'
+             WHEN doc_id % 7 = 2 THEN 'news.example.com'
+             WHEN doc_id % 7 = 3 THEN 'spam.co'
+             ELSE 'safe.example.org' END AS host FROM documents),
+      f AS (SELECT doc_id, host,
+          EXISTS (SELECT 1 FROM (VALUES ('tracker.net'), ('spam.co')) b(d)
+                  WHERE u.host = b.d OR u.host LIKE '%.' || b.d) AS blocked
+        FROM u)
+      SELECT host, blocked, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS min_id
+      FROM f GROUP BY host, blocked ORDER BY host"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
-    q111LengthBuckets, q112ApproxAudit)
+    q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist)
 }

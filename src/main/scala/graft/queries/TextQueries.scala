@@ -573,9 +573,56 @@ object TextQueries extends QueryGroup {
   private def cosineSqlText(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Per-source distinctive terms (c-TF-IDF): term frequency within the
+    * source × inverse SOURCE frequency — the "what makes this source
+    * different" summary a corpus card shows per domain. One explode into a
+    * (source, term) partial-aggregated count; source-df and the rank window
+    * both run over vocab-sized tables (the window partitions by source, so
+    * no single-partition funnel).
+    */
+  val q114SourceTerms = QueryDef(
+    "q114_source_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val sf = tf.groupBy("term").agg(count(lit(1)).as("df_s"))
+      val nSources = docs.agg(countDistinct(col("source")).as("n_src"))
+      val scored = tf.join(sf, Seq("term"))
+        .crossJoin(broadcast(nSources))
+        .withColumn("tfidf", round(
+          col("tf") * log((col("n_src") + 1.0) / (col("df_s") + 1.0)), 6))
+      val w = Window.partitionBy("source")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("source", "rank", "term", "tf", "tfidf")
+        .orderBy("source", "rank")
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+      tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+        WHERE len(term) > 0 GROUP BY source, term),
+      sf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_s FROM tf
+        GROUP BY term),
+      ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+        FROM documents),
+      sc AS (SELECT source, term, tf,
+          ROUND(tf * ln((n_src + 1.0) / (df_s + 1.0)), 6) AS tfidf
+        FROM tf JOIN sf USING (term), ns),
+      r AS (SELECT source, term, tf, tfidf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM sc)
+      SELECT source, rank, term, tf, tfidf FROM r
+      WHERE rank <= 3 ORDER BY source, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
-    q106PplBuckets, q107VocabCoverage, q110RrfFusion)
+    q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms)
 }

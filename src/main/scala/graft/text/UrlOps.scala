@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus work — URL-keyed dedup and
@@ -47,5 +47,48 @@ object UrlOps {
       concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
     when(url.isNull, lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path, queryPart))
+  }
+
+  /** Lowercased host (port stripped) of a URL — the key for domain-level
+    * stats and blocklists.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** Every registrable suffix of a dotted host, most-specific first:
+    * `a.b.co` → [`a.b.co`, `b.co`, `co`]. The bounded explode (≤ label
+    * count) that turns suffix blocklist matching into an EQUI join.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    // slice is evaluated per output element, but labels is O(#labels) tiny
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /** UT1-style URL blocklist filter: a row is blocked when its host OR ANY
+    * parent domain appears in the blocklist (`ads.x.com` is blocked by
+    * `x.com`). Scale shape: the corpus side explodes into ≤ label-count
+    * suffix rows and EQUI-joins the broadcast blocklist — no per-pair
+    * LIKE scan, no BNLJ — then a left-semi-derived flag joins back on the
+    * caller's key (NOT monotonically_increasing_id, whose values are not
+    * stable across the two plan branches under AQE/retries). Returns the
+    * input plus a `blocked` flag.
+    */
+  def blocklistFlags(df: DataFrame, idCol: String, urlCol: Column,
+      blocklist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val hits = df
+      .select(col(idCol),
+        explode(hostSuffixes(urlHost(urlCol))).as("__suffix"))
+      .join(broadcast(blocklist.select(col(blocklist.columns.head).as("__suffix"))),
+        Seq("__suffix"))
+      .select(col(idCol)).distinct()
+      .withColumn("__blocked", lit(true))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("blocked", coalesce(col("__blocked"), lit(false)))
+      .drop("__blocked")
   }
 }

@@ -42,7 +42,8 @@ class QueriesSpec extends SparkSpec {
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
     "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll",
     "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
-    "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion")
+    "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
+    "q114_source_terms")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

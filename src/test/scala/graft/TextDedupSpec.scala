@@ -528,6 +528,21 @@ class TextDedupSpec extends SparkSpec {
     assert(b.size == 3 && b.contains(1L))
   }
 
+  test("blocklistFlags: parent domains block subdomains, never substring-siblings") {
+    import graft.text.UrlOps
+    val rows = Seq(
+      (1L, "https://tracker.net/x"),        // exact
+      (2L, "https://ads.tracker.net/x"),    // subdomain
+      (3L, "https://nottracker.net/x"),     // substring sibling - NOT blocked
+      (4L, "https://safe.org/x"),
+      (5L, "https://a.b.spam.co:8080/x"))   // deep subdomain + port
+      .toDF("id", "url")
+    val bl = Seq("tracker.net", "spam.co").toDF("domain")
+    val got = UrlOps.blocklistFlags(rows, "id", col("url"), bl)
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+  }
+
   test("Md5Long ≡ conv(substring(md5,1,8),16,10) on real text; SQL-registered") {
     val docs = Tables.documents(spark, sf001)
     val mismatches = docs.select(
