@@ -769,10 +769,63 @@ object CurationQueries extends QueryGroup {
         CAST(MIN(doc_id) AS BIGINT) AS min_id
       FROM f GROUP BY host, blocked ORDER BY host"""))
 
+  /** C4 line-level filtering: multi-line pages synthesized deterministically
+    * (8-token lines; ~1/3 lack terminal punctuation; doc%5 gets a
+    * "javascript" boilerplate line, doc%7 a too-short line), then the line
+    * rules drop offenders and the document reassembles from survivors —
+    * md5-compared against the oracle's identical pipeline. */
+  val q115C4Lines = QueryDef(
+    "q115_c4_lines",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      val nl = greatest(ceil(size(col("__toks")) / lit(8.0)).cast("int"), lit(1))
+      val lines = docs
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), nl - 1),
+          i => array_join(slice(col("__toks"), i * 8 + 1, lit(8)), " "))))
+        .withColumnRenamed("pos", "idx")
+        .withColumn("line",
+          when(col("doc_id") % 5 === 0 && col("idx") === 0,
+            "please enable javascript to continue.")
+          .when(col("doc_id") % 7 === 0 && col("idx") === 1, "click here.")
+          .otherwise(concat(col("col"),
+            when((col("doc_id") + col("idx")) % 3 =!= 0, ".").otherwise(""))))
+      Curation.c4LineFilter(lines, "doc_id", "idx", col("line"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 100),
+      l0 AS (SELECT doc_id, unnest(list_transform(
+          range(0, GREATEST(CAST(ceil(len(words) / 8.0) AS INT), 1)),
+          i -> struct_pack(idx := i,
+            line := array_to_string(words[i*8+1 : i*8+8], ' ')))) AS p
+        FROM w),
+      l1 AS (SELECT doc_id, p.idx AS idx,
+          CASE WHEN doc_id % 5 = 0 AND p.idx = 0
+               THEN 'please enable javascript to continue.'
+               WHEN doc_id % 7 = 0 AND p.idx = 1 THEN 'click here.'
+               ELSE p.line || CASE WHEN (doc_id + p.idx) % 3 <> 0
+                    THEN '.' ELSE '' END END AS line
+        FROM l0),
+      f AS (SELECT doc_id, idx, line,
+          (regexp_matches(line, '[.!?"'']$')
+            AND len(list_filter(string_split(line, ' '), t -> len(t) > 0)) >= 5
+            AND NOT contains(lower(line), 'javascript')
+            AND NOT contains(lower(line), 'lorem ipsum')
+            AND NOT contains(lower(line), 'cookie')) AS keep
+        FROM l1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+          ORDER BY idx), '')) AS clean_md5
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
-    q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist)
+    q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines)
 }

@@ -338,6 +338,37 @@ object Curation {
         sum(col("n")).as("n_feats"))
   }
 
+  /** C4 LINE-level filtering (Raffel et al. 2020 §2.2): drop lines that
+    * don't end in terminal punctuation, have fewer than `minWords` words,
+    * or carry boilerplate markers ("javascript", cookie/lorem notices);
+    * reassemble each document from its surviving lines in order. The
+    * page-cleaning step that runs BEFORE document-level quality rules.
+    *
+    * Input is (id, line_idx, line); output one row per document:
+    * n_lines, n_kept, and the reassembled text. Shape: a pure projection
+    * of per-line rule flags, then ONE groupBy(id) that rebuilds the text
+    * with an order-preserving sorted collect — no window, no second pass.
+    */
+  def c4LineFilter(lines: DataFrame, idCol: String, idxCol: String,
+      lineCol: Column, minWords: Int = 5): DataFrame = {
+    val words = size(filter(split(lineCol, " "), t => length(t) > 0))
+    val keep = lineCol.rlike("[.!?\"']$") && words >= minWords &&
+      !lower(lineCol).contains("javascript") &&
+      !lower(lineCol).contains("lorem ipsum") &&
+      !lower(lineCol).contains("cookie")
+    lines
+      .select(col(idCol), col(idxCol).as("__idx"), lineCol.as("__line"),
+        keep.as("__keep"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx").as("i"), col("__line").as("l"))))),
+          p => p("l")), "\n").as("clean_text"))
+  }
+
   /** Deterministic train/val/test split assignment: a pure function of
     * (seed, id) maps each row to a uniform in (0,1) and thresholds it at
     * the cumulative fractions. No shuffle, no RNG state — a document keeps
