@@ -822,10 +822,33 @@ object CurationQueries extends QueryGroup {
           ORDER BY idx), '')) AS clean_md5
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Token-weighted corpus-mix rates: per-language keep probabilities that
+    * land the downsampled corpus on a target TOKEN mixture (the unit a
+    * training mix is specified in), not a document mixture. */
+  val q116MixTokens = QueryDef(
+    "q116_mix_tokens",
+    (s, d) => Curation.mixRatesWeighted(Tables.documents(s, d), "lang",
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+      Map("en" -> 0.5, "fr" -> 0.2, "de" -> 0.15, "es" -> 0.1, "zh" -> 0.05))
+      .orderBy("lang"),
+    Some("""WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w_tokens
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(w_tokens) AS BIGINT) AS total FROM g),
+      r AS (SELECT lang, n_docs, w_tokens,
+          CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.2
+               WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.05
+               ELSE 0.0 END AS DOUBLE) AS target_share, total FROM g, t)
+      SELECT lang, n_docs, w_tokens, target_share,
+        ROUND(LEAST(CAST(1.0 AS DOUBLE),
+          target_share * total / w_tokens), 6) AS rate
+      FROM r ORDER BY lang"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
-    q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines)
+    q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
+    q116MixTokens)
 }

@@ -267,6 +267,27 @@ object Curation {
     df.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Token-WEIGHTED mix rates: like [[mixRates]] but the budget is counted
+    * in a weight column (tokens) instead of documents — the form a training
+    * mix is actually specified in ("15% of TOKENS from code"). rate_g =
+    * min(1, share_g · W_total / w_g); decimal sums keep the per-group
+    * weights order-independent.
+    */
+  def mixRatesWeighted(df: DataFrame, groupCol: String, weight: Column,
+      targetShares: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shares = typedLit(targetShares)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(weight.cast("decimal(38,0)")).cast("bigint").as("w_tokens"))
+      .withColumn("target_share",
+        coalesce(element_at(shares, col(groupCol)), lit(0.0)))
+      .withColumn("rate", round(
+        least(lit(1.0), col("target_share")
+          * sum(col("w_tokens")).over(Window.partitionBy())
+          / col("w_tokens")), 6))
+  }
+
   /** Apply a mixture: seeded per-group Bernoulli sampling at the `mixRates`
     * rates — one map-side filter, no shuffle (`sampleBy` semantics). Rates
     * are collected from the (tiny) rate table.
