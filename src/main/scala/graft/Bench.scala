@@ -32,20 +32,24 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => wanted.exists(n.startsWith) }
     var errors = 0
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (seconds, succeeded); the caller decides whether a failure
+    // counts toward `errors` so the re-time pass can't double-count one
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => errors += 1 }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, time(fn))
+      val (t, ok) = time(fn)
+      if (!ok) errors += 1
+      (name, fn, t, ok)
     }
     // repeat-run spread on the heavy queries is JIT/GC noise, not plan
     // changes (measured 85-130 s totals on identical code); re-time the
     // >2 s tail once and keep the min so round-over-round comparisons see
-    // the plan, not the JVM's mood. Cost: a few extra seconds per round.
-    val results = firstPass.map { case (name, fn, t1) =>
-      name -> (if (t1 > 2.0) math.min(t1, time(fn)) else t1)
+    // the plan, not the JVM's mood. Failed queries are never re-timed.
+    val results = firstPass.map { case (name, fn, t1, ok) =>
+      name -> (if (ok && t1 > 2.0) math.min(t1, time(fn)._1) else t1)
     }
     // The driver parses the LAST ~2000 chars of output, so the JSON line must
     // stay comfortably under that: per-query detail is limited to the fixed

@@ -32,7 +32,8 @@ case class DotProduct(left: Expression, right: Expression,
   override def dataType: DataType = DoubleType
 
   // strict mode (used by DotProductRewrite) reproduces the HOF fold's null
-  // semantics: zip_with null-pads a length mismatch, nulling the whole sum
+  // semantics exactly: zip_with null-pads a length mismatch AND a null
+  // element nulls its product — either nulls the whole sum
   override def nullable: Boolean = strict || super.nullable
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,6 +44,7 @@ case class DotProduct(left: Expression, right: Expression,
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (strict && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -54,6 +56,12 @@ case class DotProduct(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (strict)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       val mismatch =
         if (strict)
           s"""if ($a.numElements() != $b.numElements()) {
@@ -65,9 +73,10 @@ case class DotProduct(left: Expression, right: Expression,
           int $n = java.lang.Math.min($a.numElements(), $b.numElements());
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
             $s += $a.getDouble($i) * $b.getDouble($i);
           }
-          ${ev.value} = $s;
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
       """
     })

@@ -683,7 +683,7 @@ object CurationQueries extends QueryGroup {
       .orderBy("bucket"),
     Some("""WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
       b AS (SELECT n, CASE WHEN n > 0 THEN
-            GREATEST(16, CAST(POWER(2, CEIL(LOG2(CAST(n AS DOUBLE)))) AS BIGINT))
+            GREATEST(16, CAST(1 AS BIGINT) << length(bin(CAST(n - 1 AS BIGINT))))
           ELSE 16 END AS bucket FROM t)
       SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n) AS BIGINT) AS tok_total,

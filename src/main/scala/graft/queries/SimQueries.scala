@@ -12,7 +12,9 @@ import graft.sim.Similarity
   */
 object SimQueries extends QueryGroup {
 
-  private def cosineSql(a: String, b: String): String =
+  /** DuckDB cosine fragment shared by the similarity and hybrid-retrieval
+    * oracles — one definition so a formula tweak can't diverge them. */
+  private[queries] def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** Brute-force cosine top-3 for the first 10 query vectors. */

@@ -433,7 +433,11 @@ object TextQueries extends QueryGroup {
   val q106PplBuckets = QueryDef(
     "q106_ppl_buckets",
     (s, d) => {
+      // materialized once: the cutoff aggregate AND the bucket assignment
+      // both read the per-doc NLL table — uncached, the whole scoring join
+      // would replay per consumer
       val nll = TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", col("text"))
+        .localCheckpoint(true)
       val cuts = nll.agg(
         percentile(col("nll"), lit(1.0 / 3)).as("c1"),
         percentile(col("nll"), lit(2.0 / 3)).as("c2"))
@@ -483,10 +487,12 @@ object TextQueries extends QueryGroup {
     "q107_vocab_coverage",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // materialized once: the corpus total and the top-k both read tf
       val tf = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val total = tf.agg(sum("c").as("total"))
       val w = Window.orderBy(col("c").desc, col("tok"))
       tf.orderBy(col("c").desc, col("tok")).limit(20)
@@ -557,7 +563,7 @@ object TextQueries extends QueryGroup {
         FROM embeddings),
       q AS (SELECT v FROM e WHERE vec_id = 0),
       scored AS (SELECT c.vec_id AS doc_id,
-          ROUND(${cosineSqlText("q.v", "c.v")}, 6) AS sim
+          ROUND(${SimQueries.cosineSql("q.v", "c.v")}, 6) AS sim
         FROM e c, q WHERE c.vec_id <> 0),
       dn AS (SELECT doc_id,
           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS INT) AS rank
@@ -569,9 +575,6 @@ object TextQueries extends QueryGroup {
           AS rrf,
         CAST(COUNT(*) AS BIGINT) AS n_lists
       FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""))
-
-  private def cosineSqlText(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** Per-source distinctive terms (c-TF-IDF): term frequency within the
     * source × inverse SOURCE frequency — the "what makes this source
@@ -585,10 +588,12 @@ object TextQueries extends QueryGroup {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      // materialized once: source-df and the scoring join both read tf
       val tf = docs
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val sf = tf.groupBy("term").agg(count(lit(1)).as("df_s"))
       val nSources = docs.agg(countDistinct(col("source")).as("n_src"))
       val scored = tf.join(sf, Seq("term"))

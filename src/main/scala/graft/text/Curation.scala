@@ -240,16 +240,10 @@ object Curation {
     * mix), mirroring an explicit mixture spec.
     */
   def mixRates(df: DataFrame, groupCol: String,
-      targetShares: Map[String, Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val shares = typedLit(targetShares)
-    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
-      .withColumn("target_share",
-        coalesce(element_at(shares, col(groupCol)), lit(0.0)))
-      .withColumn("rate", round(
-        least(lit(1.0), col("target_share") * sum(col("n_docs")).over(Window.partitionBy())
-          / col("n_docs")), 6))
-  }
+      targetShares: Map[String, Double]): DataFrame =
+    // document-counted mix = token-weighted mix with unit weights; one
+    // rate formula to maintain
+    mixRatesWeighted(df, groupCol, lit(1L), targetShares).drop("w_tokens")
 
   /** DETERMINISTIC exact-k sample per group: rank rows inside each group by
     * md5(seed ‖ id) and keep the k smallest. Unlike `rand()`-based sampling

@@ -118,9 +118,15 @@ object Packing {
     */
   def lengthBuckets(df: DataFrame, sizeCol: Column,
       minBucket: Int = 16): DataFrame = {
-    val n = sizeCol.cast("double")
+    val n = sizeCol.cast("long")
+    // next power of two >= n by INTEGER math: 2^(bit length of n-1).
+    // ceil(log2(n)) via doubles overshoots on exact powers of two where
+    // ln(n)/ln(2) lands at k + 4e-16 (n = 2^29, 2^31, ...), which would
+    // disagree with an engine computing log2 exactly — bin() length can't.
+    // pow(2, k) is exact for integral k (powers of two are representable);
+    // the Scala shiftleft() overload only takes a literal bit count
     val bucket = greatest(lit(minBucket.toLong),
-      pow(lit(2.0), ceil(log(2.0, n))).cast("long"))
+      pow(lit(2.0), length(bin(n - 1)).cast("double")).cast("long"))
     df.select(when(n > 0, bucket).otherwise(lit(minBucket.toLong)).as("bucket"),
         sizeCol.cast("long").as("__n"))
       .groupBy("bucket")

@@ -282,7 +282,9 @@ class MlStreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // awaitTermination returns false on timeout — fail HERE, not at the
+      // output assert with a confusing missing-ids message
+      assert(q.awaitTermination(120000), "stream did not finish in time")
     }
     mkEvents(0L to 9L).write.parquet(srcDir)        // first run: ids 0-9
     runOnce()

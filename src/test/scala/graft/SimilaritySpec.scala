@@ -244,9 +244,13 @@ class SimilaritySpec extends SparkSpec {
     val mm = spark.sql(
       """SELECT aggregate(zip_with(array(1.0D, 2.0D), array(3.0D),
         (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d""")
-    assert(mm.queryExecution.optimizedPlan.toString.toLowerCase
-      .contains("dotproduct") || mm.head().isNullAt(0))
     assert(mm.head().isNullAt(0))
+    // a null ELEMENT nulls the stock fold too — strict mode must match,
+    // not read the slot as 0.0
+    val ne = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)),
+        array(2.0D, 3.0D), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS d""")
+    assert(ne.head().isNullAt(0))
   }
 
   test("hardNegatives: every hit has a different label and is the best such hit") {
