@@ -200,6 +200,22 @@ class PropertiesSpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("lengthBuckets: bucket is the least power of two >= max(n, 16), " +
+      "including exact powers of two past 2^29 where ln-based log2 overshoots") {
+    import graft.text.Packing
+    val ns = (Seq(1L, 15L, 16L, 17L, 536870912L /* 2^29 */, (1L << 31),
+      (1L << 39), (1L << 39) + 1) ++
+      (1 to 40).map(k => (1L << (k % 45)) + k)).distinct
+    val got = Packing.lengthBuckets(ns.toDF("n"), col("n"), minBucket = 16)
+      .select("bucket", "n_docs")
+      .as[(Long, Long)].collect().toMap
+    def ref(n: Long): Long = {
+      var b = 16L; while (b < n) b <<= 1; b
+    }
+    val expect = ns.groupBy(ref).map { case (b, xs) => b -> xs.size.toLong }
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
     import graft.text.TextAnalysis
     // split(" ") semantics incl. empty tokens from doubled/leading spaces
