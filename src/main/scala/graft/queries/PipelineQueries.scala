@@ -65,7 +65,41 @@ object PipelineQueries extends QueryGroup {
           round(avg(col("State_of_building_encoded")), 2).as("avg_state_encoded"))
         .orderBy("Province", "State_of_building")
     },
-    None)
+    // An INDEPENDENT derivation, not a replay of the Spark plan: on this
+    // fixture the geocode fill, city flags, stat fills, and winsorize clips
+    // provably cannot change the grouped output (no nulls to fill; clips
+    // happen after the encodings are learned; flags add columns only), so
+    // the oracle reduces the chain to its output-relevant core — the
+    // sale_annuity/Price filters, category cleanup + remaps, subtype
+    // regroup + House filter, province range map, and the two target
+    // encodings learned on the House-only frame.
+    Some("""WITH base AS (SELECT
+        c_custkey % 4 AS sub4,
+        c_custkey % 37 AS ann37,
+        CASE WHEN c_custkey % 41 = 0 THEN NULL
+             ELSE c_acctbal * 100 + 150000 END AS price,
+        CAST('9' || lpad(CAST(c_custkey % 999 AS VARCHAR), 3, '0') AS INT)
+          AS postal,
+        CASE WHEN c_custkey % 7 = 0 THEN 'To renovate' ELSE 'Good' END
+          AS state,
+        CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+             WHEN 2 THEN 'C' WHEN 3 THEN 'D' WHEN 4 THEN 'A' ELSE 'F' END
+          AS epc
+      FROM customer),
+      f AS (SELECT * FROM base
+        WHERE ann37 <> 0 AND price IS NOT NULL AND sub4 <> 2),
+      ee AS (SELECT epc, AVG(price) AS epc_encoded FROM f GROUP BY epc),
+      es AS (SELECT state, AVG(price) AS st_encoded FROM f GROUP BY state),
+      j AS (SELECT f.postal, f.state, e.epc_encoded, s2.st_encoded
+        FROM f JOIN ee e USING (epc) JOIN es s2 USING (state))
+      SELECT CASE WHEN postal >= 9000 AND postal < 10000 THEN 'East Flanders'
+             WHEN postal >= 8000 AND postal < 9000 THEN 'West Flanders'
+             END AS Province,
+        state AS State_of_building,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(AVG(epc_encoded), 2) AS avg_epc_encoded,
+        ROUND(AVG(st_encoded), 2) AS avg_state_encoded
+      FROM j GROUP BY 1, 2 ORDER BY Province, State_of_building"""))
 
   /** Link-state lifecycle over two synthetic sitemap snapshots (urls derived
     * from the orders table): snapshot diff, inactive transition, scrape
