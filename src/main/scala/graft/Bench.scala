@@ -49,7 +49,11 @@ object Bench {
     // >2 s tail once and keep the min so round-over-round comparisons see
     // the plan, not the JVM's mood. Failed queries are never re-timed.
     val results = firstPass.map { case (name, fn, t1, ok) =>
-      name -> (if (ok && t1 > 2.0) math.min(t1, time(fn)._1) else t1)
+      name -> (if (ok && t1 > 2.0) {
+        // a failed retry must not replace a successful first-pass time
+        val (t2, ok2) = time(fn)
+        if (ok2) math.min(t1, t2) else t1
+      } else t1)
     }
     // The driver parses the LAST ~2000 chars of output, so the JSON line must
     // stay comfortably under that: per-query detail is limited to the fixed

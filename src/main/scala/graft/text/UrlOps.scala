@@ -50,11 +50,14 @@ object UrlOps {
   }
 
   /** Lowercased host (port stripped) of a URL — the key for domain-level
-    * stats and blocklists.
+    * stats and blocklists. The scheme is OPTIONAL: crawl URL fields often
+    * carry bare `www.example.com/page` forms, and a blocklist that silently
+    * passes those is a filter bypass, so the host is whatever precedes the
+    * first `/`, `?` or `#` when no `scheme://` prefix is present.
     */
   def urlHost(url: Column): Column =
     regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      lower(regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)),
       ":[0-9]+$", "")
 
   /** Every registrable suffix of a dotted host, most-specific first:

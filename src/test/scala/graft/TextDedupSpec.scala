@@ -535,12 +535,15 @@ class TextDedupSpec extends SparkSpec {
       (2L, "https://ads.tracker.net/x"),    // subdomain
       (3L, "https://nottracker.net/x"),     // substring sibling - NOT blocked
       (4L, "https://safe.org/x"),
-      (5L, "https://a.b.spam.co:8080/x"))   // deep subdomain + port
+      (5L, "https://a.b.spam.co:8080/x"),   // deep subdomain + port
+      (6L, "www.ads.tracker.net/x"),        // scheme-less - still blocked
+      (7L, "spam.co"))                      // bare host, no path
       .toDF("id", "url")
     val bl = Seq("tracker.net", "spam.co").toDF("domain")
     val got = UrlOps.blocklistFlags(rows, "id", col("url"), bl)
       .select("id", "blocked").as[(Long, Boolean)].collect().toMap
-    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true))
   }
 
   test("Md5Long ≡ conv(substring(md5,1,8),16,10) on real text; SQL-registered") {
