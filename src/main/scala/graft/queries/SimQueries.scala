@@ -94,6 +94,64 @@ object SimQueries extends QueryGroup {
     },
     None)
 
+  /** Squared-L2 DuckDB fragment matching Similarity.dist2's summation
+    * structure (three in-order dot products). */
+  private def d2Sql(a: String, b: String): String =
+    s"list_dot_product($a,$a) - 2*list_dot_product($a,$b) + list_dot_product($b,$b)"
+
+  /** One Lloyd iteration as two DuckDB CTEs: `asg` = argmin cell per vector
+    * (rounded d2, smaller-cell tie-break), `cent` = element-wise round-6
+    * means over the assignment. Mirrors Similarity.lloydCentroids step for
+    * step so the oracle replays the exact centroid trajectory. */
+  private def lloydStepSql(asg: String, cent: String, prevCent: String): String =
+    s"""$asg AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
+          FROM ev e, $prevCent c) WHERE rn = 1),
+      $cent AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (
+          SELECT a.cell, p.pos, ROUND(AVG(p.val), 6) AS val
+          FROM $asg a JOIN px p USING (vec_id) GROUP BY a.cell, p.pos)
+        GROUP BY cell)"""
+
+  /** IVF top-k with the DETERMINISTIC Lloyd quantizer — the exact-oracle
+    * counterpart of q65: seeded init (first 8 vectors), two unrolled
+    * k-means iterations under the round-6 float contract, nProbe=2 cell
+    * probing, exact in-cell cosine top-3. The DuckDB oracle replays the
+    * whole trajectory — init, both iterations, final assignment, probing,
+    * scoring — CTE for CTE. */
+  val q117IvfLloyd = QueryDef(
+    "q117_ivf_lloyd",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lloydIvfTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 3, nLists = 8, iters = 2, nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      asg AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
+          FROM ev e, c2 c) WHERE rn = 1),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 2),
+      cand AS (SELECT pr.qid, a.vec_id AS cid, ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+        FROM pr JOIN asg a ON a.cell = pr.cell
+        JOIN ev e ON e.vec_id = a.vec_id
+        JOIN q ON q.vec_id = pr.qid
+        WHERE a.vec_id <> pr.qid),
+      r AS (SELECT qid, cid, sim, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS INT) AS rank FROM cand)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Embedding near-dup CLUSTERING: cosine pair generation composed with the
     * connected-components operator (pointer-jumping min-label) — the same
     * pairs→clusters→keep-decision shape q55 exercises for text, here over
@@ -337,5 +395,5 @@ object SimQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
-    q98AnnRecall, q108HardNegatives)
+    q98AnnRecall, q108HardNegatives, q117IvfLloyd)
 }

@@ -245,6 +245,96 @@ object Similarity {
       spark.read.parquet(s"$dir/cells")
         .select(col("cid"), col("cv"), col("cn"), col("cell").cast("int").as("cell")))
 
+  /** Squared euclidean distance expanded to three in-order dot products —
+    * the exact summation structure the DuckDB oracle replays
+    * (`list_dot_product(a,a) - 2*list_dot_product(a,b) +
+    * list_dot_product(b,b)`), so both engines produce the same double.
+    */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Nearest driver-held centroid as a pure per-row projection: a `least`
+    * over nLists (rounded-d2, cell) structs — lexicographic struct ordering
+    * IS argmin-with-smaller-cell-tie-break. No join, no explode, no
+    * shuffle; the quantizer rides along as literals inside whole-stage
+    * codegen.
+    */
+  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    least(cents.map { case (cell, cv) =>
+      struct(round(dist2(v, typedLit(cv)), 6).as("d2"), lit(cell).as("cell"))
+    }: _*).getField("cell")
+
+  /** Deterministic Lloyd refinement of [[seedCentroids]]: `iters` unrolled
+    * k-means steps under the cross-engine float contract — squared-L2
+    * distances and element-wise centroid means are ROUNDED to 6 decimals
+    * before any comparison, argmin ties break toward the smaller cell, and
+    * a cell that loses all members drops out — so an external SQL engine
+    * replays the exact centroid trajectory CTE-for-CTE (q117's DuckDB
+    * oracle does). This is the fully-oracled counterpart of
+    * [[buildIvfIndex]], whose k-means|| init is RNG-dependent and therefore
+    * only recall-testable.
+    *
+    * Scale shape: centroids live on the driver (nLists×dim doubles —
+    * bounded) and each iteration is ONE corpus pass: the narrow
+    * [[nearestCell]] projection, then a map-side-combined (cell, pos) mean
+    * whose shuffle volume is partitions·nLists·dim partial sums, never the
+    * corpus. At 100 TB the quantizer trains on a sample with the same
+    * two-step shape; assignment stays a full-scan projection.
+    */
+  def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val e = corpus.select(asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = seedCentroids(corpus, idCol, vecCol, nLists)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+    val out = (1 to iters).foldLeft(init) { (cents, _) =>
+      e.select(nearestCell(col("cv"), cents).as("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("val"))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),
+          p => p.getField("val")).as("centroid"))
+        .orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+        .toSeq
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** IVF top-k over the [[lloydCentroids]] quantizer, exact-oracle
+    * edition: corpus vectors index under their nearest refined centroid
+    * (narrow projection), each query probes its `nProbe` closest cells
+    * (another pure projection — sort an nLists-element struct array, slice,
+    * explode), and exact rounded cosine runs only inside probed cells with
+    * the two-phase [[TopKAgg]] merge. Candidate volume ≈ nProbe/nLists of
+    * the corpus; nothing in the plan is all-pairs or |Q|-hot-partitioned.
+    */
+  def lloydIvfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 8, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val cents = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val cells = corpus
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+      .withColumn("cn", norm(col("cv")))
+    val probeRank = array_sort(array(cents.map { case (cell, cv) =>
+      struct(round(dist2(col("qv"), typedLit(cv)), 6).as("d2"),
+        lit(cell).as("cell"))
+    }: _*))
+    val probes = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(slice(probeRank, 1, nProbe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qn"), col("probe.cell").as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
+    topKPerQuery(scored, k)
+  }
+
   /** Probe + score against a built index: each query finds its `nProbe`
     * nearest centroids (broadcast nLists-row table, bounded top-k
     * aggregate), then scores ONLY vectors in probed cells — candidate

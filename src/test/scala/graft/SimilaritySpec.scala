@@ -98,6 +98,28 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.intersect(approx).nonEmpty, "IVF found none of the true top-k")
   }
 
+  test("lloydIvfTopK: probing ALL cells reduces to exact brute force; " +
+      "quantizer is deterministic") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    // nProbe = nLists → every cell probed → must EQUAL exhaustive search
+    val all = Similarity.lloydIvfTopK(q, e, "vec_id", "embedding", k = 3,
+      nLists = 4, iters = 2, nProbe = 4)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    assert(all == exact, "all-cell probe diverged from brute force")
+    // the refined centroids are a pure function of the data
+    val c1 = Similarity.lloydCentroids(e, "vec_id", "embedding", 4, 2)
+    val c2 = Similarity.lloydCentroids(e, "vec_id", "embedding", 4, 2)
+    assert(c1 == c2)
+    assert(c1.size <= 4 && c1.forall(_._2.size == 64))
+    // every component carries the round-6 contract
+    assert(c1.forall(_._2.forall(x => (math.round(x * 1e6) / 1e6) == x)))
+  }
+
   test("semDedup: cell-scoped groups, diversity-keep picks farthest from centroid") {
     // centroids: c0=(1,0), c1=(0,1). 10/11/12 are near-identical vectors in
     // cell 0 (pairwise cos > 0.999, but only ~0.95 to the centroid, so the
