@@ -672,6 +672,33 @@ object CurationQueries extends QueryGroup {
         CAST(MIN(doc_id) AS BIGINT) AS min_id
       FROM sp GROUP BY lang, split ORDER BY lang, split"""))
 
+  /** Model-based quality filtering: the fastText-style hashed linear
+    * scorer with a fixture weight vector w(b) = (b%41-20)/32 — exact in
+    * binary, so the per-document sum is order-independent and the DuckDB
+    * oracle replays feature hashing, scoring, and the sigmoid bit-for-bit
+    * under the round-6 contract. Top-20 highest-quality documents. */
+  val q118QualityClassifier = QueryDef(
+    "q118_quality_classifier",
+    (s, d) => Curation.hashedLinearScore(
+      Tables.documents(s, d), "doc_id", col("text"),
+      b => (b % 41 - lit(20)).cast("double") / lit(32.0))
+      .orderBy(col("score").desc, col("doc_id")).limit(20),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      f AS (SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(ws) AS f FROM t) u WHERE len(f) > 0
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS f
+          FROM t WHERE len(ws) >= 2),
+      fb AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b FROM f),
+      z AS (SELECT doc_id, SUM((b % 41 - 20) / 32.0) AS zs,
+          CAST(COUNT(*) AS BIGINT) AS n_feats FROM fb GROUP BY doc_id),
+      sc AS (SELECT doc_id, n_feats,
+          ROUND(1.0 / (1.0 + exp(-(zs / n_feats))), 6) AS score FROM z)
+      SELECT doc_id, n_feats, score, score >= 0.5 AS keep FROM sc
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   /** Length-bucketed batching audit: per power-of-two token-length bucket,
     * the padding-waste accounting that decides inference batch shapes. */
   val q111LengthBuckets = QueryDef(
@@ -850,5 +877,5 @@ object CurationQueries extends QueryGroup {
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
-    q116MixTokens)
+    q116MixTokens, q118QualityClassifier)
 }

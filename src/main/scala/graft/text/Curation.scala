@@ -353,6 +353,37 @@ object Curation {
         sum(col("n")).as("n_feats"))
   }
 
+  /** fastText-style linear quality scorer over hashed bag-of-n-gram
+    * features (Joulin et al. 2016, arXiv:1607.01759) — the model-based
+    * quality-filter stage of a curation pipeline (CCNet/GPT-3 style): each
+    * document's word unigrams+bigrams hash into `buckets` (the same
+    * [[hashedNgramFeatures]] space DSIR uses), `weightOf` maps a bucket id
+    * to its trained weight, and the document scores
+    * sigmoid(mean bucket weight). `weightOf` is a Column function, so a
+    * trained model ships either as literal arithmetic (as in q118's
+    * fixture) or an `element_at` over a broadcast literal weight array —
+    * either way the scorer is ONE explode + ONE map-side-combined groupBy
+    * riding whole-stage codegen; no UDF, no driver loop, nothing all-pairs.
+    * Documents with no features (empty text) produce no row, matching the
+    * DSIR scorer's contract.
+    *
+    * Cross-engine exactness: pick weights exact in binary (multiples of
+    * 2⁻ᵏ) and the per-document sum is order-independent; the sigmoid is
+    * rounded to 6 decimals (the float contract shared with the NLL/DSIR
+    * scorers, which q118's DuckDB oracle replays).
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: Column,
+      weightOf: Column => Column, buckets: Int = 4096,
+      threshold: Double = 0.5): DataFrame =
+    df.select(col(idCol), explode(hashedNgramFeatures(textCol)).as("__f"))
+      .withColumn("__b", TextAnalysis.md5Int32(col("__f")) % buckets)
+      .groupBy(col(idCol))
+      .agg(sum(weightOf(col("__b"))).as("__z"), count(lit(1)).as("n_feats"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__z") / col("n_feats")))), 6))
+      .withColumn("keep", col("score") >= threshold)
+      .drop("__z")
+
   /** C4 LINE-level filtering (Raffel et al. 2020 §2.2): drop lines that
     * don't end in terminal punctuation, have fewer than `minWords` words,
     * or carry boilerplate markers ("javascript", cookie/lorem notices);

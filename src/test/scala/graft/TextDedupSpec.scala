@@ -512,6 +512,32 @@ class TextDedupSpec extends SparkSpec {
     assert(byId(1L)._2 == 13L && byId(2L)._2 == 13L)
   }
 
+  test("hashedLinearScore: constant weights hit the closed-form sigmoid, " +
+      "empty docs drop, threshold keeps inclusively") {
+    import graft.text.Curation
+    val docs = Seq(
+      (1L, "the cat sat"),   // 3 unigrams + 2 bigrams = 5 features
+      (2L, ""),              // no features -> no row
+      (3L, "zq xv"))         // 2 + 1 = 3 features
+      .toDF("doc_id", "text")
+    // constant weight w: score = sigmoid(w) regardless of features
+    val up = Curation.hashedLinearScore(docs, "doc_id", col("text"),
+      _ => lit(0.25)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(up.keySet == Set(1L, 3L))
+    val sig025 = math.round(1.0 / (1.0 + math.exp(-0.25)) * 1e6) / 1e6
+    assert(up(1L) == ((5L, sig025, true)) && up(3L) == ((3L, sig025, true)))
+    // negative constant scores below 0.5 -> dropped by keep
+    val dn = Curation.hashedLinearScore(docs, "doc_id", col("text"),
+      _ => lit(-0.25)).collect().map(r => r.getBoolean(3))
+    assert(dn.forall(_ == false))
+    // zero weight lands exactly ON the threshold: keep is inclusive
+    val eq = Curation.hashedLinearScore(docs, "doc_id", col("text"),
+      _ => lit(0.0)).collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(eq.forall(_ == ((0.5, true))))
+  }
+
   test("gumbelTopK: deterministic, exact k, and a dominant weight always wins") {
     import graft.text.Curation
     val w = Seq((1L, 100.0), (2L, 0.0), (3L, -1.0), (4L, 0.5), (5L, -3.0))
