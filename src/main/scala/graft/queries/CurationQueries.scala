@@ -871,11 +871,36 @@ object CurationQueries extends QueryGroup {
           target_share * total / w_tokens), 6) AS rate
       FROM r ORDER BY lang"""))
 
+  /** Temperature-scaled multilingual sampling (T=2): tempered shares
+    * p ∝ tokens^(1/T) and the per-language up/down-sampling boost —
+    * no hand-written target map, unlike q116. Exact oracle: decimal token
+    * sums, pow + scalar-window normalizers, boost over the ROUNDED
+    * shares (matching the Spark column order of operations). */
+  val q119TemperatureMix = QueryDef(
+    "q119_temperature_mix",
+    (s, d) => Curation.temperatureMixShares(Tables.documents(s, d), "lang",
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+      temperature = 2.0)
+      .orderBy("lang"),
+    Some("""WITH g AS (SELECT lang,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w_tokens
+        FROM documents GROUP BY lang),
+      t AS (SELECT lang, w_tokens,
+          ROUND(CAST(w_tokens AS DOUBLE)
+            / CAST(SUM(w_tokens) OVER () AS DOUBLE), 6) AS natural_share,
+          ROUND(pow(CAST(w_tokens AS DOUBLE), 0.5)
+            / SUM(pow(CAST(w_tokens AS DOUBLE), 0.5)) OVER (), 6)
+            AS tempered_share
+        FROM g)
+      SELECT lang, w_tokens, natural_share, tempered_share,
+        ROUND(tempered_share / natural_share, 6) AS boost
+      FROM t ORDER BY lang"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
-    q116MixTokens, q118QualityClassifier)
+    q116MixTokens, q118QualityClassifier, q119TemperatureMix)
 }

@@ -282,6 +282,34 @@ object Curation {
           / col("w_tokens")), 6))
   }
 
+  /** Temperature-scaled sampling shares (multilingual mixing à la mBERT /
+    * XLM-R; UniMax's precursor): p_g ∝ n_g^(1/T) over per-group token
+    * mass. T=1 reproduces natural shares; T→∞ approaches uniform — the
+    * standard knob for up-sampling low-resource languages without a
+    * hand-written target-share map ([[mixRatesWeighted]] covers the
+    * explicit-target form). Output per group: token mass, natural share,
+    * tempered share, and the resulting sampling boost (tempered/natural).
+    *
+    * Shape: token mass sums in DECIMAL (exact, order-independent) in one
+    * map-side-combined groupBy; the normalizers are windows over the
+    * GROUP table (≤ #groups rows — scalar-sized, never over data rows);
+    * shares carry the round-6 cross-engine contract.
+    */
+  def temperatureMixShares(df: DataFrame, groupCol: String, weight: Column,
+      temperature: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val tempered = pow(col("w_tokens").cast("double"), lit(1.0 / temperature))
+    df.groupBy(col(groupCol))
+      .agg(sum(weight.cast("decimal(38,0)")).cast("bigint").as("w_tokens"))
+      .withColumn("natural_share", round(
+        col("w_tokens").cast("double")
+          / sum(col("w_tokens")).over(all).cast("double"), 6))
+      .withColumn("tempered_share", round(
+        tempered / sum(tempered).over(all), 6))
+      .withColumn("boost", round(col("tempered_share") / col("natural_share"), 6))
+  }
+
   /** Apply a mixture: seeded per-group Bernoulli sampling at the `mixRates`
     * rates — one map-side filter, no shuffle (`sampleBy` semantics). Rates
     * are collected from the (tiny) rate table.

@@ -538,6 +538,25 @@ class TextDedupSpec extends SparkSpec {
     assert(eq.forall(_ == ((0.5, true))))
   }
 
+  test("temperatureMixShares: T=1 is natural, T>1 boosts the small group " +
+      "and shrinks the large one") {
+    import graft.text.Curation
+    val docs = Seq.tabulate(90)(i => (i.toLong, "en", "a b c d")) ++
+      Seq.tabulate(10)(i => (100L + i, "zh", "x y"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val toks = graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+    val t1 = Curation.temperatureMixShares(df, "lang", toks, temperature = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // en: 90*4=360 tokens, zh: 10*2=20 -> natural 360/380, 20/380
+    assert(t1("en")._1 == 360L && t1("zh")._1 == 20L)
+    assert(t1.values.forall(v => v._2 == v._3 && v._4 == 1.0))
+    val t4 = Curation.temperatureMixShares(df, "lang", toks, temperature = 4.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(t4("zh")._2 > 1.0 && t4("en")._2 < 1.0) // low-resource boosted
+    assert(math.abs(t4.values.map(_._1).sum - 1.0) < 1e-5) // shares sum to 1
+  }
+
   test("gumbelTopK: deterministic, exact k, and a dominant weight always wins") {
     import graft.text.Curation
     val w = Seq((1L, 100.0), (2L, 0.0), (3L, -1.0), (4L, 0.5), (5L, -3.0))
