@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
       "doc_id bound not pushed to the documents scan")
   }
 
+  test("q117: Lloyd IVF scores via broadcast probe join — no cartesian, " +
+      "no |Q|-partition window") {
+    val p = planOf(SimQueries.q117IvfLloyd.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IVF scoring degenerated to an all-pairs join")
+    assert(p.contains("BroadcastHashJoin"), "probe join should broadcast the query side")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "per-query ranking must be the TopKAgg partial aggregate, not a window")
+  }
+
   test("q104: DSIR log-ratio table broadcasts — the corpus side never " +
       "shuffles for the scoring join") {
     // the ratio table is <= `buckets` rows; the scoring join over the
