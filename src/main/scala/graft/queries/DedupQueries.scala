@@ -56,32 +56,38 @@ object DedupQueries extends QueryGroup {
       WHERE jaccard >= 0.05 ORDER BY d1, d2"""))
 
   /** MinHash signatures + LSH banding: candidate pairs sharing ≥1 band. */
+  /** Shared DuckDB CTE block rebuilding DedupOps' minhash → LSH-band
+    * candidate pairs (shingles, 32-bit md5 hashes, per-seed signatures,
+    * 2-row bands, distinct collision pairs) — ONE definition so the
+    * q46/q55/q120 oracles cannot drift apart. Yields CTEs `w, sh, h, sig,
+    * bands, pairs`; prepend WITH (or WITH RECURSIVE) and compose. */
+  private val MinhashPairCtes: String = {
+    val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 3).map { j =>
+      val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
+      s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
+      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
+      bands AS ($bandSelects),
+      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"""
+  }
+
   val q46MinhashLsh = QueryDef(
     "q46_minhash_lsh",
     (s, d) => {
       val sig = DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), 2)
       DedupOps.lshCandidatePairs(sig, "doc_id", bandsOf = 2).orderBy("d1", "d2")
     },
-    Some {
-      val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-        s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 3).map { j =>
-        val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
-        s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
-             FROM w),
-      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
-      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
-      bands AS ($bandSelects)
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-      ORDER BY d1, d2"""
-    })
+    Some(s"WITH $MinhashPairCtes SELECT d1, d2 FROM pairs ORDER BY d1, d2"))
 
   /** 16-bit SimHash per document (token multiset, md5 bit votes). */
   val q47Simhash = QueryDef(
@@ -118,24 +124,7 @@ object DedupQueries extends QueryGroup {
         .filter(col("size") >= 2)
         .orderBy("cluster")
     },
-    Some {
-      val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
-        s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 3).map { j =>
-        val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
-        s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
-             FROM w),
-      h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
-      sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
-      bands AS ($bandSelects),
-      pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    Some(s"""WITH RECURSIVE $MinhashPairCtes,
       edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
       reach(a, b) AS (
         SELECT DISTINCT a, a FROM edges
@@ -143,8 +132,7 @@ object DedupQueries extends QueryGroup {
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
-      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""
-    })
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
   /** SimHash chunk-indexed near-dup pairs (Hamming ≤ 3 over 16-bit
     * signatures; pigeonhole candidates from 4-bit chunk equality). */
@@ -344,8 +332,48 @@ object DedupQueries extends QueryGroup {
         MIN(fp) AS min_fp, MAX(fp) AS max_fp
       FROM fps GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Train/test split LEAKAGE audit — the eval-integrity composition of
+    * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
+    * pairs: a near-dup pair whose members land in DIFFERENT splits means
+    * the held-out set is contaminated by a training near-duplicate. Both
+    * legs are deterministic (md5 split uniforms, md5 minhash), so the
+    * DuckDB oracle recomputes the full composition exactly. Scale shape:
+    * the split columns join onto the (already bucketed, never all-pairs)
+    * candidate pairs — two broadcast-able probes of the tiny pair set. */
+  val q120SplitLeakage = QueryDef(
+    "q120_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sp = graft.text.Curation.splitAssign(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id", bandsOf = 2)
+      pairs
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("split1")), Seq("d1"))
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("split2")), Seq("d2"))
+        .filter(col("split1") =!= col("split2"))
+        .groupBy("split1", "split2")
+        .agg(count(lit(1)).as("n_pairs"), min("d1").as("min_d1"))
+        .orderBy("split1", "split2")
+    },
+    Some(s"""WITH $MinhashPairCtes,
+      u AS (SELECT doc_id,
+          (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 0.5) / 4294967296.0 AS u FROM documents),
+      sp AS (SELECT doc_id,
+          CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+               ELSE 'test' END AS split FROM u),
+      lk AS (SELECT s1.split AS split1, s2.split AS split2, p.d1
+        FROM pairs p
+        JOIN sp s1 ON s1.doc_id = p.d1
+        JOIN sp s2 ON s2.doc_id = p.d2
+        WHERE s1.split <> s2.split)
+      SELECT split1, split2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(MIN(d1) AS BIGINT) AS min_d1
+      FROM lk GROUP BY split1, split2 ORDER BY split1, split2"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
-    q79ParagraphDedup, q58Winnowing)
+    q79ParagraphDedup, q58Winnowing, q120SplitLeakage)
 }

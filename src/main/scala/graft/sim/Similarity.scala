@@ -260,9 +260,15 @@ object Similarity {
     * codegen.
     */
   private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    least(cents.map { case (cell, cv) =>
-      struct(round(dist2(v, typedLit(cv)), 6).as("d2"), lit(cell).as("cell"))
-    }: _*).getField("cell")
+    cents match {
+      // least() needs ≥2 children; 1 and 0 centroids are degenerate but
+      // legal (a filtered-to-nothing corpus must flow through, not crash)
+      case Seq() => lit(null).cast("int")
+      case Seq((cell, _)) => lit(cell)
+      case _ => least(cents.map { case (cell, cv) =>
+        struct(round(dist2(v, typedLit(cv)), 6).as("d2"), lit(cell).as("cell"))
+      }: _*).getField("cell")
+    }
 
   /** Deterministic Lloyd refinement of [[seedCentroids]]: `iters` unrolled
     * k-means steps under the cross-engine float contract — squared-L2
@@ -315,6 +321,11 @@ object Similarity {
       vecCol: String, k: Int, nLists: Int = 8, iters: Int = 2,
       nProbe: Int = 2): DataFrame = {
     val cents = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    if (cents.isEmpty) { // empty corpus: empty result, canonical schema
+      val spark = queries.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "cid", "sim")
+    }
     val cells = corpus
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", nearestCell(col("cv"), cents))

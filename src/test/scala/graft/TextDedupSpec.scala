@@ -291,6 +291,15 @@ class TextDedupSpec extends SparkSpec {
     assert(graft.sim.Similarity.hardNegatives(
       embs.withColumn("label", lit(0)), embs.withColumn("label", lit(0)),
       "vec_id", "embedding", "label", 3).count() == 0)
+    // Lloyd IVF: empty corpus -> empty quantizer -> empty ranked result
+    assert(graft.sim.Similarity.lloydCentroids(embs, "vec_id", "embedding", 4, 2).isEmpty)
+    assert(graft.sim.Similarity.lloydIvfTopK(embs, embs, "vec_id", "embedding",
+      k = 3, nLists = 4, iters = 2, nProbe = 2).count() == 0)
+    // hashed linear scorer + temperature mix on nothing
+    assert(Curation.hashedLinearScore(docs, "doc_id", $"text", _ => lit(0.0))
+      .count() == 0)
+    assert(Curation.temperatureMixShares(
+      docs.withColumn("lang", lit("en")), "lang", lit(1L), 2.0).count() == 0)
   }
 
   test("ngramCharStats: hand-computed top/dup bigram char fractions") {
