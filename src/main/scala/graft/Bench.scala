@@ -70,8 +70,10 @@ object Bench {
   }
 
   /** Fixed headline subset reported per-query in the JSON line (the most
-    * expensive operators plus one representative per family); keep ≤ ~45
-    * entries so the line fits the driver's capture window.
+    * expensive operators plus one representative per family). Budget: each
+    * entry costs ~28 chars and the whole line must stay under the driver's
+    * ~2000-char capture tail (~200 chars of fixed fields) — keep ≤ ~60
+    * entries; 49 entries measure ~1.4 KB.
     */
   private val Headline: Set[String] = Set(
     "q01_pricing_summary", "q05_quantiles_price", "q09_corr",

@@ -55,7 +55,6 @@ object DedupQueries extends QueryGroup {
         FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       WHERE jaccard >= 0.05 ORDER BY d1, d2"""))
 
-  /** MinHash signatures + LSH banding: candidate pairs sharing ≥1 band. */
   /** Shared DuckDB CTE block rebuilding DedupOps' minhash → LSH-band
     * candidate pairs (shingles, 32-bit md5 hashes, per-seed signatures,
     * 2-row bands, distinct collision pairs) — ONE definition so the
@@ -81,6 +80,7 @@ object DedupQueries extends QueryGroup {
           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"""
   }
 
+  /** MinHash signatures + LSH banding: candidate pairs sharing ≥1 band. */
   val q46MinhashLsh = QueryDef(
     "q46_minhash_lsh",
     (s, d) => {

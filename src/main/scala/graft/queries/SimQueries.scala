@@ -99,15 +99,22 @@ object SimQueries extends QueryGroup {
   private def d2Sql(a: String, b: String): String =
     s"list_dot_product($a,$a) - 2*list_dot_product($a,$b) + list_dot_product($b,$b)"
 
-  /** One Lloyd iteration as two DuckDB CTEs: `asg` = argmin cell per vector
-    * (rounded d2, smaller-cell tie-break), `cent` = element-wise round-6
-    * means over the assignment. Mirrors Similarity.lloydCentroids step for
-    * step so the oracle replays the exact centroid trajectory. */
-  private def lloydStepSql(asg: String, cent: String, prevCent: String): String =
-    s"""$asg AS (SELECT vec_id, cell FROM (
+  /** Argmin cell assignment as a DuckDB CTE — rounded d2, smaller-cell
+    * tie-break. ONE definition used by every assignment in the q117 oracle
+    * (both Lloyd iterations and the final indexing), so a tie-break or
+    * rounding tweak cannot silently diverge them. */
+  private def argminCellSql(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
-          FROM ev e, $prevCent c) WHERE rn = 1),
+          FROM ev e, $cent c) WHERE rn = 1)"""
+
+  /** One Lloyd iteration as two DuckDB CTEs: `asg` = [[argminCellSql]],
+    * `cent` = element-wise round-6 means over the assignment. Mirrors
+    * Similarity.lloydCentroids step for step so the oracle replays the
+    * exact centroid trajectory. */
+  private def lloydStepSql(asg: String, cent: String, prevCent: String): String =
+    s"""${argminCellSql(asg, prevCent)},
       $cent AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (
           SELECT a.cell, p.pos, ROUND(AVG(p.val), 6) AS val
           FROM $asg a JOIN px p USING (vec_id) GROUP BY a.cell, p.pos)
@@ -134,10 +141,7 @@ object SimQueries extends QueryGroup {
       c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
       ${lloydStepSql("a1", "c1", "c0")},
       ${lloydStepSql("a2", "c2", "c1")},
-      asg AS (SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
-          FROM ev e, c2 c) WHERE rn = 1),
+      ${argminCellSql("asg", "c2")},
       q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
       pr AS (SELECT qid, cell FROM (
           SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -291,22 +291,25 @@ object Similarity {
       nLists: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val e = corpus.select(asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val init = seedCentroids(corpus, idCol, vecCol, nLists)
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
-      .toSeq
-    val out = (1 to iters).foldLeft(init) { (cents, _) =>
-      e.select(nearestCell(col("cv"), cents).as("cell"), posexplode(col("cv")))
-        .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("val"))
-        .groupBy("cell")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),
-          p => p.getField("val")).as("centroid"))
+    try {
+      val init = seedCentroids(corpus, idCol, vecCol, nLists)
         .orderBy("cell").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
         .toSeq
-    }
-    e.unpersist(blocking = false)
-    out
+      // an id filter can leave the corpus non-empty but the SEED set empty
+      // (no ids < nLists); there is nothing to refine — degenerate, not a crash
+      if (init.isEmpty) return Seq.empty
+      (1 to iters).foldLeft(init) { (cents, _) =>
+        e.select(nearestCell(col("cv"), cents).as("cell"), posexplode(col("cv")))
+          .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("val"))
+          .groupBy("cell")
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),
+            p => p.getField("val")).as("centroid"))
+          .orderBy("cell").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+          .toSeq
+      }
+    } finally e.unpersist(blocking = false)
   }
 
   /** IVF top-k over the [[lloydCentroids]] quantizer, exact-oracle
@@ -321,10 +324,18 @@ object Similarity {
       vecCol: String, k: Int, nLists: Int = 8, iters: Int = 2,
       nProbe: Int = 2): DataFrame = {
     val cents = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
-    if (cents.isEmpty) { // empty corpus: empty result, canonical schema
+    if (cents.isEmpty) {
+      // empty/seedless corpus: empty result in the SAME schema the scored
+      // path produces — qid keeps idCol's type, cid is the long topKPerQuery
+      // emits — so empty shards union cleanly with scored ones
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("qid", queries.schema(idCol).dataType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("cid", LongType),
+        StructField("sim", DoubleType)))
       val spark = queries.sparkSession
-      import spark.implicits._
-      return Seq.empty[(Long, Int, Long, Double)].toDF("qid", "rank", "cid", "sim")
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val cells = corpus
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))

@@ -389,11 +389,15 @@ object Curation {
     * to its trained weight, and the document scores
     * sigmoid(mean bucket weight). `weightOf` is a Column function, so a
     * trained model ships either as literal arithmetic (as in q118's
-    * fixture) or an `element_at` over a broadcast literal weight array —
-    * either way the scorer is ONE explode + ONE map-side-combined groupBy
-    * riding whole-stage codegen; no UDF, no driver loop, nothing all-pairs.
-    * Documents with no features (empty text) produce no row, matching the
-    * DSIR scorer's contract.
+    * fixture) or as `element_at(weights, b + 1)` over a broadcast literal
+    * weight array (SQL arrays are 1-indexed; buckets are 0-based) — either
+    * way the scorer is ONE explode + ONE map-side-combined groupBy riding
+    * whole-stage codegen; no UDF, no driver loop, nothing all-pairs.
+    * A bucket `weightOf` maps to NULL (e.g. an under-sized weight array)
+    * contributes weight 0 — an untrained/OOV bucket carries no signal —
+    * while still counting toward n_feats, so the mean's denominator is
+    * always the true feature count. Documents with no features (empty
+    * text) produce no row, matching the DSIR scorer's contract.
     *
     * Cross-engine exactness: pick weights exact in binary (multiples of
     * 2⁻ᵏ) and the per-document sum is order-independent; the sigmoid is
@@ -406,7 +410,8 @@ object Curation {
     df.select(col(idCol), explode(hashedNgramFeatures(textCol)).as("__f"))
       .withColumn("__b", TextAnalysis.md5Int32(col("__f")) % buckets)
       .groupBy(col(idCol))
-      .agg(sum(weightOf(col("__b"))).as("__z"), count(lit(1)).as("n_feats"))
+      .agg(sum(coalesce(weightOf(col("__b")), lit(0.0))).as("__z"),
+        count(lit(1)).as("n_feats"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-(col("__z") / col("n_feats")))), 6))
       .withColumn("keep", col("score") >= threshold)

@@ -295,6 +295,13 @@ class TextDedupSpec extends SparkSpec {
     assert(graft.sim.Similarity.lloydCentroids(embs, "vec_id", "embedding", 4, 2).isEmpty)
     assert(graft.sim.Similarity.lloydIvfTopK(embs, embs, "vec_id", "embedding",
       k = 3, nLists = 4, iters = 2, nProbe = 2).count() == 0)
+    // non-empty corpus whose ids all exceed nLists: empty SEED set — the
+    // quantizer degenerates to empty instead of NPEing on a null cell
+    val hi = Seq((100L, Seq(1.0f, 2.0f)), (101L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.sim.Similarity.lloydCentroids(hi, "vec_id", "embedding", 4, 1).isEmpty)
+    assert(graft.sim.Similarity.lloydIvfTopK(hi, hi, "vec_id", "embedding",
+      k = 2, nLists = 4, iters = 1, nProbe = 2).count() == 0)
     // hashed linear scorer + temperature mix on nothing
     assert(Curation.hashedLinearScore(docs, "doc_id", $"text", _ => lit(0.0))
       .count() == 0)
