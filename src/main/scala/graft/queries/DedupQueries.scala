@@ -55,6 +55,34 @@ object DedupQueries extends QueryGroup {
         FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id)
       WHERE jaccard >= 0.05 ORDER BY d1, d2"""))
 
+  /** Directed n-gram containment (asymmetric Jaccard): the quote /
+    * boilerplate-reuse detector symmetric Jaccard misses. Top-20 most
+    * contained (src, dst) pairs among the q45 document subset. */
+  val q121Containment = QueryDef(
+    "q121_containment",
+    (s, d) => DedupOps.ngramContainmentPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 60),
+      "doc_id", col("text"), 2, 0.1)
+      .orderBy(col("containment").desc, col("src"), col("dst")).limit(20),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 60),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
+             FROM w),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      dir AS (
+        SELECT d1 AS src, d2 AS dst,
+            ROUND(CAST(i AS DOUBLE) / x.n, 6) AS containment
+          FROM inter JOIN sz x ON d1 = x.doc_id
+        UNION ALL
+        SELECT d2, d1, ROUND(CAST(i AS DOUBLE) / y.n, 6)
+          FROM inter JOIN sz y ON d2 = y.doc_id)
+      SELECT src, dst, containment FROM dir WHERE containment >= 0.1
+      ORDER BY containment DESC, src, dst LIMIT 20"""))
+
   /** Shared DuckDB CTE block rebuilding DedupOps' minhash → LSH-band
     * candidate pairs (shingles, 32-bit md5 hashes, per-seed signatures,
     * 2-row bands, distinct collision pairs) — ONE definition so the
@@ -375,5 +403,5 @@ object DedupQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
-    q79ParagraphDedup, q58Winnowing, q120SplitLeakage)
+    q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment)
 }

@@ -147,8 +147,40 @@ object DedupOps {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double,
+      maxShingleDf: Int = 10000): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+
+  /** Directed n-gram CONTAINMENT: C(src→dst) = |src ∩ dst| / |src| — the
+    * asymmetric overlap that catches a short document quoted inside a long
+    * one, which symmetric Jaccard structurally misses (50 shingles fully
+    * inside 5000 score J ≈ 0.01 but C = 1.0 — the quote/boilerplate-reuse
+    * case). One [[shingleIntersections]] pass; each undirected intersection
+    * emits both directions. Output (src, dst, containment ≥ threshold).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double,
       maxShingleDf: Int = 10000): DataFrame = {
-    log.info(s"ngramJaccardPairs: stop-shingle cap document-frequency > $maxShingleDf")
+    val sized = shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+    sized.select(col("d1").as("src"), col("d2").as("dst"),
+        round(col("inter").cast("double") / col("sz1"), 6).as("containment"))
+      .unionAll(sized.select(col("d2").as("src"), col("d1").as("dst"),
+        round(col("inter").cast("double") / col("sz2"), 6).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Shared core of the exact n-gram overlap measures: per-pair distinct
+    * shingle intersection counts with both document sizes attached —
+    * (d1 < d2, inter, sz1, sz2). Stop-shingle capped as documented on
+    * [[ngramJaccardPairs]].
+    */
+  private def shingleIntersections(
+      df: DataFrame, idCol: String, textCol: Column, n: Int,
+      maxShingleDf: Int): DataFrame = {
+    log.info(s"shingleIntersections: stop-shingle cap document-frequency > $maxShingleDf")
     val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     // shingles are distinct per doc, so count(*) per shingle = document freq;
@@ -156,17 +188,12 @@ object DedupOps {
     val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("sh")
     val pruned = sh.join(broadcast(stop), Seq("sh"), "left_anti")
-    val inter = pruned.select(col("doc").as("d1"), col("sh"))
+    pruned.select(col("doc").as("d1"), col("sh"))
       .join(pruned.select(col("doc").as("d2"), col("sh")), Seq("sh"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), Seq("d1"))
       .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("d1", "d2", "jaccard")
   }
 
   /** The Spark-ML MinHashLSH path — the 100 TB alternative to the explicit

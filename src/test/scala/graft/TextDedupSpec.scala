@@ -554,6 +554,25 @@ class TextDedupSpec extends SparkSpec {
     assert(eq.forall(_ == ((0.5, true))))
   }
 
+  test("ngramContainmentPairs: full quote scores 1.0 toward the quoter " +
+      "while symmetric Jaccard stays low") {
+    import graft.text.DedupOps
+    // doc 2 is doc 1 verbatim plus a long unique tail
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+      (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val c = DedupOps.ngramContainmentPairs(docs, "doc_id", col("text"), 2, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((1L, 2L)) == 1.0)             // doc 1's 3 bigrams all inside doc 2
+    assert(c((2L, 1L)) == 0.2)             // 3 of doc 2's 15 bigrams
+    assert(!c.contains((3L, 1L)) && !c.contains((1L, 3L)))
+    val j = DedupOps.ngramJaccardPairs(docs, "doc_id", col("text"), 2, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 0.2)             // symmetric view buries the quote
+  }
+
   test("temperatureMixShares: T=1 is natural, T>1 boosts the small group " +
       "and shrinks the large one") {
     import graft.text.Curation
