@@ -91,6 +91,27 @@ class PropertiesSpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("ngram containment equals the set-arithmetic reference on random docs") {
+    val words = Gen.listOfN(8, Gen.oneOf("cat", "dog", "sat", "mat", "ran", "the"))
+      .map(_.mkString(" "))
+    check("containment-ref", Prop.forAll(Gen.listOfN(5, words)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.DedupOps
+        .ngramContainmentPairs(df, "doc_id", $"text", 2, 0.0)
+        .select("src", "dst", "containment").as[(Long, Long, Double)]
+        .collect().map { case (s, d, c) => (s, d) -> c }.toMap
+      def sh(t: String): Set[String] =
+        t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val ref = (for {
+        (a, i) <- texts.zipWithIndex; (b, j) <- texts.zipWithIndex
+        if i != j; inter = sh(a).intersect(sh(b)).size if inter > 0
+      } yield (i.toLong, j.toLong) ->
+        math.round(inter.toDouble / sh(a).size * 1e6) / 1e6).toMap
+      got == ref
+    }, n = 5)
+  }
+
   test("target-encode transform preserves row count (left-join semantics)") {
     check("target-encode", Prop.forAll(Gen.listOfN(25,
       Gen.zip(Gen.oneOf("A", "B", "C", "Z"), Gen.chooseNum(0.0, 1e6)))
