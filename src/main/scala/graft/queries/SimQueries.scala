@@ -94,6 +94,49 @@ object SimQueries extends QueryGroup {
     },
     None)
 
+  /** Incremental semantic dedup: the daily-increment production mode —
+    * batch vectors (vec_id ≥ 400) checked against the indexed corpus
+    * (vec_id < 400) within nearest-centroid cells only. Exact oracle
+    * replays assignment (argmax rounded cosine, smaller-cell tie-break),
+    * the cell-local batch→corpus scoring, and the per-cell audit. */
+  val q122IncrementalSemdedup = QueryDef(
+    "q122_incremental_semdedup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(col("vec_id") < 400)
+      val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 8)
+      Similarity.incrementalSemDupStats(
+        e.filter(col("vec_id") >= 400), corpus, "vec_id", "embedding",
+        cents, 0.35)
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
+        WHERE vec_id < 8),
+      co AS (SELECT vec_id, v FROM ev WHERE vec_id < 400),
+      ba AS (SELECT vec_id, v FROM ev WHERE vec_id >= 400),
+      aco AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
+          FROM co e, cent c) WHERE rn = 1),
+      aba AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
+          FROM ba e, cent c) WHERE rn = 1),
+      best AS (SELECT a.cell, a.vec_id AS bid,
+          MAX(ROUND(${cosineSql("x.v", "y.v")}, 6)) AS best_sim
+        FROM aba a JOIN ba x ON x.vec_id = a.vec_id
+        JOIN aco g ON g.cell = a.cell
+        JOIN co y ON y.vec_id = g.vec_id
+        GROUP BY a.cell, a.vec_id),
+      j AS (SELECT a.cell, a.vec_id AS bid, b.best_sim
+        FROM aba a LEFT JOIN best b ON b.cell = a.cell AND b.bid = a.vec_id)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_batch,
+        CAST(SUM(CASE WHEN best_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dups,
+        MAX(best_sim) AS max_sim
+      FROM j GROUP BY cell ORDER BY cell"""))
+
   /** Squared-L2 DuckDB fragment matching Similarity.dist2's summation
     * structure (three in-order dot products). */
   private def d2Sql(a: String, b: String): String =
@@ -399,5 +442,5 @@ object SimQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
-    q98AnnRecall, q108HardNegatives, q117IvfLloyd)
+    q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup)
 }

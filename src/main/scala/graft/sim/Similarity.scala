@@ -497,20 +497,63 @@ object Similarity {
     *
     * Returns one row per input vector: (id, cell, cluster, keep).
     */
-  def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+  /** Nearest-centroid cell assignment by ROUNDED cosine (argmax; the
+    * smaller cell breaks ties, so retries and external engines agree):
+    * (id, v, n, cell, simc). The deterministic assignment step shared by
+    * [[semDedup]] and [[incrementalSemDupStats]]. The per-id window spans
+    * |centroids| rows — bounded, never a hot partition.
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
     val cents = centroids
       .select(col("cell"), asDouble(col("centroid")).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val assigned = vecs.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("simc", safeSim(col("v"), col("cv"), col("n"), col("cn")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("simc").desc, col("cell"))))
       .filter(col("__rn") === 1)
       .select(col("id"), col("v"), col("n"), col("cell"), col("simc"))
+  }
+
+  /** Incremental semantic near-dup detection — the production daily-batch
+    * mode of [[semDedup]]: NEW vectors are checked against the EXISTING
+    * indexed corpus only (never batch-vs-batch, never all-pairs). Both
+    * sides take their [[assignCells]] cell; a batch vector is a duplicate
+    * when some same-cell corpus vector reaches `threshold` rounded cosine.
+    * Output per cell: batch size, dup count, best batch→corpus similarity.
+    * Scale shape: candidate volume is Σ|cell∩batch|·|cell∩corpus| via a
+    * cell equi join — the increment never touches out-of-cell corpus
+    * vectors (the same recall trade IVF probing makes), and a cell with no
+    * corpus members simply yields no-dup batch rows (null best_sim).
+    */
+  def incrementalSemDupStats(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val b = assignCells(batch, idCol, vecCol, centroids)
+    val c = assignCells(corpus, idCol, vecCol, centroids)
+    val best = b.select(col("cell"), col("id").as("bid"),
+        col("v").as("bv"), col("n").as("bn"))
+      .join(c.select(col("cell"), col("id").as("cid"),
+        col("v").as("cv"), col("n").as("cn")), Seq("cell"))
+      .withColumn("sim", safeSim(col("bv"), col("cv"), col("bn"), col("cn")))
+      .groupBy("cell", "bid").agg(max("sim").as("best_sim"))
+    b.select(col("cell"), col("id").as("bid"))
+      .join(best, Seq("cell", "bid"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("best_sim") >= threshold, 1L).otherwise(0L)).as("n_dups"),
+        max("best_sim").as("max_sim"))
+      .orderBy("cell")
+  }
+
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(df, idCol, vecCol, centroids)
       // three consumers below (pairs ×2 sides, keep-join); one shuffle in
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("cell"), col("id").as("d1"),

@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.forall(_._2.forall(x => (math.round(x * 1e6) / 1e6) == x)))
   }
 
+  test("incrementalSemDupStats: batch dups flagged against the corpus only, " +
+      "per matching cell") {
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1.0f, 0.01f)),   // near-copy of corpus 0 -> dup in cell 0
+      (11L, Seq(-1.0f, 1.0f)))   // cell 1, but only ~0.707 similar -> clean
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 2)
+    val got = Similarity.incrementalSemDupStats(
+      batch, corpus, "vec_id", "embedding", cents, 0.9)
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((0, 1L, 1L), (1, 1L, 0L)))
+    assert(got.head._4.exists(_ > 0.99) && got(1)._4.exists(s => s > 0.7 && s < 0.72))
+  }
+
   test("semDedup: cell-scoped groups, diversity-keep picks farthest from centroid") {
     // centroids: c0=(1,0), c1=(0,1). 10/11/12 are near-identical vectors in
     // cell 0 (pairwise cos > 0.999, but only ~0.95 to the centroid, so the
