@@ -91,5 +91,6 @@ object Bench {
     "q88_pack_windows", "q92_semdedup", "q94_corpus_report",
     "q95_bpe_merges", "q97_curation_e2e", "q100_chunk_sliding",
     "q103_bigram_nll", "q104_dsir_weights", "q110_rrf_fusion",
-    "q115_c4_lines", "q117_ivf_lloyd", "q118_quality_classifier")
+    "q115_c4_lines", "q117_ivf_lloyd", "q118_quality_classifier",
+    "q122_incremental_semdedup")
 }

@@ -28,6 +28,8 @@ class QueriesSpec extends SparkSpec {
     *         partial count (scalar broadcast, not a pair explosion)
     *  - q92: the k-row seed-centroid table probed per vector (quantizer
     *         assignment, same shape as q65's probe)
+    *  - q122: q92's centroid assignment applied to both the batch and the
+    *         corpus side (the scoring join itself is a cell equi join)
     *  - q98: reuses q48's brute-force scorer (broadcast bounded query set)
     *         as the exact baseline for the recall evaluation
     *  - q103: the 1-row corpus bigram total, as in q89
@@ -43,7 +45,7 @@ class QueriesSpec extends SparkSpec {
     "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll",
     "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
     "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
-    "q114_source_terms")
+    "q114_source_terms", "q122_incremental_semdedup")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
