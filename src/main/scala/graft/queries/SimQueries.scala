@@ -17,6 +17,19 @@ object SimQueries extends QueryGroup {
   private[queries] def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Nearest-centroid assignment by ROUNDED cosine as a DuckDB CTE —
+    * argmax with smaller-cell tie-break, mirroring Similarity.assignCells.
+    * ONE definition serving every quantizer assignment (q92's asg, q122's
+    * aco/aba) so a rounding or tie-break tweak cannot diverge them. Emits
+    * (vec_id, cell, simc); `cent` must expose (cell, cv). */
+  private def argmaxCosSql(name: String, src: String): String =
+    s"""$name AS (SELECT vec_id, cell, simc FROM (
+          SELECT e.vec_id, c.cell,
+            ROUND(${cosineSql("e.v", "c.cv")}, 6) AS simc,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
+          FROM $src e, cent c) WHERE rn = 1)"""
+
   /** Brute-force cosine top-3 for the first 10 query vectors. */
   val q48CosineTopK = QueryDef(
     "q48_cosine_topk",
@@ -115,14 +128,8 @@ object SimQueries extends QueryGroup {
         WHERE vec_id < 8),
       co AS (SELECT vec_id, v FROM ev WHERE vec_id < 400),
       ba AS (SELECT vec_id, v FROM ev WHERE vec_id >= 400),
-      aco AS (SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ROUND(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
-          FROM co e, cent c) WHERE rn = 1),
-      aba AS (SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY ROUND(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cell) AS rn
-          FROM ba e, cent c) WHERE rn = 1),
+      ${argmaxCosSql("aco", "co")},
+      ${argmaxCosSql("aba", "ba")},
       best AS (SELECT a.cell, a.vec_id AS bid,
           MAX(ROUND(${cosineSql("x.v", "y.v")}, 6)) AS best_sim
         FROM aba a JOIN ba x ON x.vec_id = a.vec_id
@@ -256,12 +263,7 @@ object SimQueries extends QueryGroup {
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
         WHERE vec_id < 8),
-      sc AS (SELECT e.vec_id, c.cell,
-          ROUND(${cosineSql("e.v", "c.cv")}, 6) AS simc
-        FROM ev e, cent c),
-      asg AS (SELECT vec_id, cell, simc FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-            ORDER BY simc DESC, cell) AS rn FROM sc) WHERE rn = 1),
+      ${argmaxCosSql("asg", "ev")},
       pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
         JOIN ev x ON x.vec_id = a.vec_id

@@ -480,23 +480,6 @@ object Similarity {
     df.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("cell"), asDouble(col(vecCol)).as("centroid"))
 
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
-    * scoped to quantizer cells. Each vector joins its nearest centroid
-    * (broadcast k-row table; rounded cosine with smaller-cell tie-break, so
-    * the assignment is reproducible cross-engine); exact pairwise cosine
-    * runs ONLY within a cell; components at `threshold` form semantic-dup
-    * groups; each group keeps its member FARTHEST from the centroid
-    * (min cell-similarity, the paper's diversity-keep policy; id breaks
-    * ties) and drops the rest. Singletons survive untouched.
-    *
-    * Scale shape: the O(n²) global pair space shrinks to Σ|cell|² — with a
-    * real quantizer cells are ~n/k, so comparisons drop by ~k. The within-
-    * cell self-join is a keyed equi-join on cell (no CartesianProduct); a
-    * pathologically hot cell at corpus scale gets the same cap treatment as
-    * LSH band buckets (chain, or re-quantize the cell with more centroids).
-    *
-    * Returns one row per input vector: (id, cell, cluster, keep).
-    */
   /** Nearest-centroid cell assignment by ROUNDED cosine (argmax; the
     * smaller cell breaks ties, so retries and external engines agree):
     * (id, v, n, cell, simc). The deterministic assignment step shared by
@@ -535,14 +518,15 @@ object Similarity {
       threshold: Double): DataFrame = {
     val b = assignCells(batch, idCol, vecCol, centroids)
     val c = assignCells(corpus, idCol, vecCol, centroids)
-    val best = b.select(col("cell"), col("id").as("bid"),
+    // LEFT join keeps batch rows in corpus-empty cells as a single
+    // null-sim row, so the batch assignment has ONE consumer — no second
+    // evaluation of the centroid window, no persist needed
+    b.select(col("cell"), col("id").as("bid"),
         col("v").as("bv"), col("n").as("bn"))
       .join(c.select(col("cell"), col("id").as("cid"),
-        col("v").as("cv"), col("n").as("cn")), Seq("cell"))
+        col("v").as("cv"), col("n").as("cn")), Seq("cell"), "left")
       .withColumn("sim", safeSim(col("bv"), col("cv"), col("bn"), col("cn")))
       .groupBy("cell", "bid").agg(max("sim").as("best_sim"))
-    b.select(col("cell"), col("id").as("bid"))
-      .join(best, Seq("cell", "bid"), "left")
       .groupBy("cell")
       .agg(count(lit(1)).as("n_batch"),
         sum(when(col("best_sim") >= threshold, 1L).otherwise(0L)).as("n_dups"),
@@ -550,6 +534,23 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * scoped to quantizer cells. Each vector joins its nearest centroid
+    * (broadcast k-row table; rounded cosine with smaller-cell tie-break, so
+    * the assignment is reproducible cross-engine); exact pairwise cosine
+    * runs ONLY within a cell; components at `threshold` form semantic-dup
+    * groups; each group keeps its member FARTHEST from the centroid
+    * (min cell-similarity, the paper's diversity-keep policy; id breaks
+    * ties) and drops the rest. Singletons survive untouched.
+    *
+    * Scale shape: the O(n²) global pair space shrinks to Σ|cell|² — with a
+    * real quantizer cells are ~n/k, so comparisons drop by ~k. The within-
+    * cell self-join is a keyed equi-join on cell (no CartesianProduct); a
+    * pathologically hot cell at corpus scale gets the same cap treatment as
+    * LSH band buckets (chain, or re-quantize the cell with more centroids).
+    *
+    * Returns one row per input vector: (id, cell, cluster, keep).
+    */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

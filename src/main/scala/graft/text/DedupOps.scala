@@ -163,14 +163,19 @@ object DedupOps {
     */
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: Column, n: Int, threshold: Double,
-      maxShingleDf: Int = 10000): DataFrame = {
-    val sized = shingleIntersections(df, idCol, textCol, n, maxShingleDf)
-    sized.select(col("d1").as("src"), col("d2").as("dst"),
-        round(col("inter").cast("double") / col("sz1"), 6).as("containment"))
-      .unionAll(sized.select(col("d2").as("src"), col("d1").as("dst"),
-        round(col("inter").cast("double") / col("sz2"), 6).as("containment")))
+      maxShingleDf: Int = 10000): DataFrame =
+    // both directions from ONE projection over the intersection pass (a
+    // unionAll of two selects would re-execute the post-shuffle joins)
+    shingleIntersections(df, idCol, textCol, n, maxShingleDf)
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst"),
+          round(col("inter").cast("double") / col("sz1"), 6).as("containment")),
+        struct(col("d2").as("src"), col("d1").as("dst"),
+          round(col("inter").cast("double") / col("sz2"), 6).as("containment"))))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"),
+        col("p.containment").as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** Shared core of the exact n-gram overlap measures: per-pair distinct
     * shingle intersection counts with both document sizes attached —
