@@ -248,6 +248,46 @@ object TextQueries extends QueryGroup {
     * HTML is synthesized deterministically around each document (title,
     * style/script subtrees, comments, entities, block tags), then both
     * engines run the same RE2 extraction chain — md5-compared output. */
+  /** Unicode-noise suffix exercising every normalizeText rule: curly
+    * quotes, em dash, ellipsis, NBSP, a zero-width split, a control byte
+    * (appended engine-side: Scala escape / DuckDB chr(7)). */
+  private val NormNoise = " \u201Cq\u201D \u2014 x\u2026\u00A0y\u200Bz"
+
+  /** Unicode text normalization (TextAnalysis.normalizeText): documents
+    * salted with the full noise alphabet, normalized, md5-compared
+    * cross-engine — the canonical form every dedup/hash key depends on.
+    * The DuckDB oracle replays the regex chain with RE2 \x{...} classes. */
+  val q123TextNormalize = QueryDef(
+    "q123_text_normalize",
+    (s, d) => Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextAnalysis.normalizeText(
+        concat(col("text"), lit(NormNoise + "\u0007"))).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id"),
+    Some(s"""WITH r AS (SELECT doc_id, text || '$NormNoise' || chr(7) AS raw
+          FROM documents WHERE doc_id < 200),
+      n1 AS (SELECT doc_id, regexp_replace(raw,
+          '[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]', '''', 'g') AS t FROM r),
+      n2 AS (SELECT doc_id, regexp_replace(t,
+          '[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]', '"', 'g') AS t FROM n1),
+      n3 AS (SELECT doc_id, regexp_replace(t,
+          '[\\x{2010}-\\x{2015}\\x{2212}]', '-', 'g') AS t FROM n2),
+      n4 AS (SELECT doc_id, regexp_replace(t, '\\x{2026}', '...', 'g') AS t FROM n3),
+      n5 AS (SELECT doc_id, regexp_replace(t,
+          '[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g')
+          AS t FROM n4),
+      n6 AS (SELECT doc_id, regexp_replace(t,
+          '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g') AS t FROM n5),
+      n7 AS (SELECT doc_id, regexp_replace(t,
+          '[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]',
+          '', 'g') AS t FROM n6),
+      n8 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS norm
+          FROM n7)
+      SELECT doc_id, md5(norm) AS norm_md5,
+        CAST(len(norm) AS BIGINT) AS n_chars
+      FROM n8 ORDER BY doc_id"""))
+
   val q93HtmlExtract = QueryDef(
     "q93_html_extract",
     (s, d) => {
@@ -629,5 +669,6 @@ object TextQueries extends QueryGroup {
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
-    q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms)
+    q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
+    q123TextNormalize)
 }

@@ -27,6 +27,32 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode text normalization — the canonical form computed BEFORE any
+    * hashing/dedup/tokenization, because every downstream key is only as
+    * stable as this step: curly quotes and primes fold to ASCII quotes,
+    * the dash family to `-`, the ellipsis to `...`, the NBSP/figure-space
+    * family to plain space, zero-width characters and C0/C1-style control
+    * bytes strip entirely, whitespace collapses to single spaces and
+    * trims. All RE2-compatible character-class regex (no UDF, no lookups)
+    * so it rides whole-stage codegen and external engines replay it
+    * byte-for-byte (q123's DuckDB oracle md5-compares the result).
+    * Deliberately NOT lossy beyond that: case, accents, and non-Latin
+    * scripts pass through — lossy folds (casefold, accent strip) are the
+    * caller's policy, not the canonical form's.
+    */
+  def normalizeText(c: Column): Column = {
+    val quotes1 = regexp_replace(c, "[\u2018\u2019\u201A\u201B]", "'")
+    val quotes2 = regexp_replace(quotes1, "[\u201C\u201D\u201E\u201F]", "\"")
+    val dashes = regexp_replace(quotes2, "[\u2010-\u2015\u2212]", "-")
+    val ellipsis = regexp_replace(dashes, "\u2026", "...")
+    val spaces = regexp_replace(ellipsis,
+      "[\u00A0\u2000-\u200A\u202F\u205F\u3000]", " ")
+    val zw = regexp_replace(spaces, "[\u200B-\u200D\uFEFF]", "")
+    val ctrl = regexp_replace(zw,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+    trim(regexp_replace(ctrl, "\\s+", " "))
+  }
+
   /** Portable 32-bit-range hash of a string: first 8 hex chars of md5 as a
     * long. Chosen over Spark's murmur `hash()` because the DuckDB oracle can
     * compute the identical value (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`).

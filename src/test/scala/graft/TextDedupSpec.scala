@@ -554,6 +554,31 @@ class TextDedupSpec extends SparkSpec {
     assert(eq.forall(_ == ((0.5, true))))
   }
 
+  test("normalizeText: every fold rule pinned; plain ASCII is a fixpoint") {
+    import graft.text.TextAnalysis.normalizeText
+    val cases = Seq(
+      "he said \u201Chi\u201D" -> "he said \"hi\"",          // curly double quotes
+      "it\u2019s \u2018x\u2019" -> "it's 'x'",               // curly single quotes
+      "a\u2014b \u2013 c" -> "a-b - c",                       // em/en dash
+      "wait\u2026 ok" -> "wait... ok",                         // ellipsis
+      "a\u00A0b\u2009c" -> "a b c",                           // NBSP + thin space
+      "z\u200Bw\uFEFFq" -> "zwq",                             // zero-width, BOM
+      "x\u0007y\u001Fz" -> "xyz",                             // control chars
+      "  a\t\tb  " -> "a b",                                  // collapse + trim
+      "plain ascii text." -> "plain ascii text.")               // fixpoint
+    val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+    val got = df.select($"i", normalizeText($"t").as("n"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i) == want, s"case $i: got '${got(i)}' want '$want'")
+    }
+    // idempotent: normalizing a normal form changes nothing
+    val twice = df.select(normalizeText(normalizeText($"t")).as("n2"),
+      normalizeText($"t").as("n1")).filter($"n1" =!= $"n2").count()
+    assert(twice == 0L)
+  }
+
   test("ngramContainmentPairs: full quote scores 1.0 toward the quoter " +
       "while symmetric Jaccard stays low") {
     import graft.text.DedupOps
