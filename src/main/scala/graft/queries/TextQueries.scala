@@ -251,7 +251,7 @@ object TextQueries extends QueryGroup {
   /** Unicode-noise suffix exercising every normalizeText rule: curly
     * quotes, em dash, ellipsis, NBSP, a zero-width split, a control byte
     * (appended engine-side: Scala escape / DuckDB chr(7)). */
-  private val NormNoise = " \u201Cq\u201D \u2014 x\u2026\u00A0y\u200Bz"
+  private val NormNoise = " \u201Cq\u201D \u2014 x\u2026\u00A0y\u200Bz 5\u20329\u2033\u2028p\u0085q\u009Cr"
 
   /** Unicode text normalization (TextAnalysis.normalizeText): documents
     * salted with the full noise alphabet, normalized, md5-compared
@@ -268,19 +268,19 @@ object TextQueries extends QueryGroup {
     Some(s"""WITH r AS (SELECT doc_id, text || '$NormNoise' || chr(7) AS raw
           FROM documents WHERE doc_id < 200),
       n1 AS (SELECT doc_id, regexp_replace(raw,
-          '[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]', '''', 'g') AS t FROM r),
+          '[\\x{2018}\\x{2019}\\x{201A}\\x{201B}\\x{2032}]', '''', 'g') AS t FROM r),
       n2 AS (SELECT doc_id, regexp_replace(t,
-          '[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]', '"', 'g') AS t FROM n1),
+          '[\\x{201C}\\x{201D}\\x{201E}\\x{201F}\\x{2033}]', '"', 'g') AS t FROM n1),
       n3 AS (SELECT doc_id, regexp_replace(t,
           '[\\x{2010}-\\x{2015}\\x{2212}]', '-', 'g') AS t FROM n2),
       n4 AS (SELECT doc_id, regexp_replace(t, '\\x{2026}', '...', 'g') AS t FROM n3),
       n5 AS (SELECT doc_id, regexp_replace(t,
-          '[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g')
+          '[\\x{00A0}\\x{0085}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]', ' ', 'g')
           AS t FROM n4),
       n6 AS (SELECT doc_id, regexp_replace(t,
           '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g') AS t FROM n5),
       n7 AS (SELECT doc_id, regexp_replace(t,
-          '[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]',
+          '[\\x{0001}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}\\x{0080}-\\x{0084}\\x{0086}-\\x{009F}]',
           '', 'g') AS t FROM n6),
       n8 AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS norm
           FROM n7)

@@ -31,9 +31,11 @@ object TextAnalysis {
     * hashing/dedup/tokenization, because every downstream key is only as
     * stable as this step: curly quotes and primes fold to ASCII quotes,
     * the dash family to `-`, the ellipsis to `...`, the NBSP/figure-space
-    * family to plain space, zero-width characters and C0/C1-style control
-    * bytes strip entirely, whitespace collapses to single spaces and
-    * trims. All RE2-compatible character-class regex (no UDF, no lookups)
+    * family plus NEL and the Unicode LINE/PARAGRAPH SEPARATORs to plain
+    * space, zero-width characters and C0/C1 control bytes strip entirely
+    * (NUL included Spark-side; the q123 oracle class starts at U+0001
+    * because a DuckDB VARCHAR cannot carry NUL at all), whitespace
+    * collapses to single spaces and trims. All RE2-compatible character-class regex (no UDF, no lookups)
     * so it rides whole-stage codegen and external engines replay it
     * byte-for-byte (q123's DuckDB oracle md5-compares the result).
     * Deliberately NOT lossy beyond that: case, accents, and non-Latin
@@ -41,15 +43,18 @@ object TextAnalysis {
     * caller's policy, not the canonical form's.
     */
   def normalizeText(c: Column): Column = {
-    val quotes1 = regexp_replace(c, "[\u2018\u2019\u201A\u201B]", "'")
-    val quotes2 = regexp_replace(quotes1, "[\u201C\u201D\u201E\u201F]", "\"")
+    val quotes1 = regexp_replace(c, "[\u2018\u2019\u201A\u201B\u2032]", "'")
+    val quotes2 = regexp_replace(quotes1, "[\u201C\u201D\u201E\u201F\u2033]", "\"")
     val dashes = regexp_replace(quotes2, "[\u2010-\u2015\u2212]", "-")
     val ellipsis = regexp_replace(dashes, "\u2026", "...")
+    // separators fold to SPACE (they separate words); NEL and the Unicode
+    // LINE/PARAGRAPH SEPARATORs belong here, not in the strip class
     val spaces = regexp_replace(ellipsis,
-      "[\u00A0\u2000-\u200A\u202F\u205F\u3000]", " ")
+      "[\u00A0\u0085\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]", " ")
     val zw = regexp_replace(spaces, "[\u200B-\u200D\uFEFF]", "")
+    // C0 (minus tab/LF/CR, handled as whitespace) + DEL + C1
     val ctrl = regexp_replace(zw,
-      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F\u0080-\u0084\u0086-\u009F]", "")
     trim(regexp_replace(ctrl, "\\s+", " "))
   }
 

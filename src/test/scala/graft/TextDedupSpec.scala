@@ -564,6 +564,9 @@ class TextDedupSpec extends SparkSpec {
       "a\u00A0b\u2009c" -> "a b c",                           // NBSP + thin space
       "z\u200Bw\uFEFFq" -> "zwq",                             // zero-width, BOM
       "x\u0007y\u001Fz" -> "xyz",                             // control chars
+      "5\u2032 9\u2033" -> "5' 9\"",                            // primes -> ascii quotes
+      "a\u2028b\u0085c" -> "a b c",                           // LINE SEP + NEL -> space
+      "x\u009Cy" -> "xy",                                        // C1 control
       "  a\t\tb  " -> "a b",                                  // collapse + trim
       "plain ascii text." -> "plain ascii text.")               // fixpoint
     val df = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
