@@ -874,8 +874,10 @@ object CurationQueries extends QueryGroup {
   /** Temperature-scaled multilingual sampling (T=2): tempered shares
     * p ∝ tokens^(1/T) and the per-language up/down-sampling boost —
     * no hand-written target map, unlike q116. Exact oracle: decimal token
-    * sums, pow + scalar-window normalizers, boost over the ROUNDED
-    * shares (matching the Spark column order of operations). */
+    * sums, pow + scalar-window normalizers; boost divides the UNROUNDED
+    * shares (round-6 only on output columns, matching the Spark order of
+    * operations — dividing a rounded-to-zero natural share would yield
+    * Infinity for rare groups). */
   val q119TemperatureMix = QueryDef(
     "q119_temperature_mix",
     (s, d) => Curation.temperatureMixShares(Tables.documents(s, d), "lang",
@@ -886,14 +888,14 @@ object CurationQueries extends QueryGroup {
           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w_tokens
         FROM documents GROUP BY lang),
       t AS (SELECT lang, w_tokens,
-          ROUND(CAST(w_tokens AS DOUBLE)
-            / CAST(SUM(w_tokens) OVER () AS DOUBLE), 6) AS natural_share,
-          ROUND(pow(CAST(w_tokens AS DOUBLE), 0.5)
-            / SUM(pow(CAST(w_tokens AS DOUBLE), 0.5)) OVER (), 6)
-            AS tempered_share
+          CAST(w_tokens AS DOUBLE)
+            / CAST(SUM(w_tokens) OVER () AS DOUBLE) AS natural_raw,
+          pow(CAST(w_tokens AS DOUBLE), 0.5)
+            / SUM(pow(CAST(w_tokens AS DOUBLE), 0.5)) OVER () AS tempered_raw
         FROM g)
-      SELECT lang, w_tokens, natural_share, tempered_share,
-        ROUND(tempered_share / natural_share, 6) AS boost
+      SELECT lang, w_tokens, ROUND(natural_raw, 6) AS natural_share,
+        ROUND(tempered_raw, 6) AS tempered_share,
+        ROUND(tempered_raw / natural_raw, 6) AS boost
       FROM t ORDER BY lang"""))
 
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,

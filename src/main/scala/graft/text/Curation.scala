@@ -293,21 +293,25 @@ object Curation {
     * Shape: token mass sums in DECIMAL (exact, order-independent) in one
     * map-side-combined groupBy; the normalizers are windows over the
     * GROUP table (≤ #groups rows — scalar-sized, never over data rows);
-    * shares carry the round-6 cross-engine contract.
+    * shares carry the round-6 cross-engine contract. `boost` divides the
+    * UNROUNDED shares (round-6 only on the final column): dividing the
+    * rounded natural_share would blow up to Infinity for any group holding
+    * under ~5e-7 of total token mass (its share rounds to 0.0) — plausible
+    * for a rare language in a large multilingual corpus.
     */
   def temperatureMixShares(df: DataFrame, groupCol: String, weight: Column,
       temperature: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
     val tempered = pow(col("w_tokens").cast("double"), lit(1.0 / temperature))
+    val naturalRaw = col("w_tokens").cast("double") /
+      sum(col("w_tokens")).over(all).cast("double")
+    val temperedRaw = tempered / sum(tempered).over(all)
     df.groupBy(col(groupCol))
       .agg(sum(weight.cast("decimal(38,0)")).cast("bigint").as("w_tokens"))
-      .withColumn("natural_share", round(
-        col("w_tokens").cast("double")
-          / sum(col("w_tokens")).over(all).cast("double"), 6))
-      .withColumn("tempered_share", round(
-        tempered / sum(tempered).over(all), 6))
-      .withColumn("boost", round(col("tempered_share") / col("natural_share"), 6))
+      .withColumn("natural_share", round(naturalRaw, 6))
+      .withColumn("tempered_share", round(temperedRaw, 6))
+      .withColumn("boost", round(temperedRaw / naturalRaw, 6))
   }
 
   /** Apply a mixture: seeded per-group Bernoulli sampling at the `mixRates`

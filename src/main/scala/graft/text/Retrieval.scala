@@ -63,13 +63,19 @@ object Retrieval {
     * everything after the rankers is bounded-by-k work: a union of tiny
     * frames, one aggregate. Contributions are decimal-cast before summing
     * (order-independent), total rounded to 6.
+    *
+    * Each input list is first deduplicated on id keeping its BEST (minimum)
+    * rank: a ranker that emits the same id twice would otherwise silently
+    * double-count its contribution and inflate `n_lists` past the number of
+    * rankers. The dedup is a groupBy over an already-k-bounded frame — free.
     */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
       kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     rankings
-      .map(_.select(col(idCol),
-        (lit(1.0) / (lit(kRrf) + col(rankCol))).as("__contrib")))
+      .map(_.groupBy(col(idCol)).agg(min(col(rankCol)).as(rankCol))
+        .select(col(idCol),
+          (lit(1.0) / (lit(kRrf) + col(rankCol))).as("__contrib")))
       .reduce(_.unionByName(_))
       .groupBy(col(idCol))
       .agg(

@@ -49,15 +49,22 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, path, queryPart))
   }
 
-  /** Lowercased host (port stripped) of a URL — the key for domain-level
-    * stats and blocklists. The scheme is OPTIONAL: crawl URL fields often
-    * carry bare `www.example.com/page` forms, and a blocklist that silently
-    * passes those is a filter bypass, so the host is whatever precedes the
-    * first `/`, `?` or `#` when no `scheme://` prefix is present.
+  /** Lowercased host (userinfo and port stripped) of a URL — the key for
+    * domain-level stats and blocklists. The scheme is OPTIONAL: crawl URL
+    * fields often carry bare `www.example.com/page` forms, and a blocklist
+    * that silently passes those is a filter bypass, so the host is whatever
+    * precedes the first `/`, `?` or `#` when no `scheme://` prefix is
+    * present. The userinfo strip closes the same bypass class:
+    * `https://x@blocked.com/p` must resolve to `blocked.com`, not
+    * `x@blocked.com` (whose dot-suffixes never equal a blocklist entry);
+    * this matches Spark's `parse_url(..., 'HOST')`, which also drops
+    * userinfo.
     */
   def urlHost(url: Column): Column =
     regexp_replace(
-      lower(regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)),
+      regexp_replace(
+        lower(regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)),
+        "^[^/?#@]*@", ""),
       ":[0-9]+$", "")
 
   /** Every registrable suffix of a dotted host, most-specific first:

@@ -479,6 +479,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) > got(2L) && !got.contains(3L))
   }
 
+  test("rrfFuse: duplicated id within one list counts once, at its best rank") {
+    import graft.text.Retrieval
+    val a = Seq((1L, 1L), (1L, 3L), (2L, 2L)).toDF("doc_id", "rank") // dup id 1
+    val b = Seq((1L, 2L), (2L, 1L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank")
+      .select($"doc_id", $"rrf", $"n_lists").as[(Long, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // id 1: 1/(60+1) + 1/(60+2), NOT + 1/(60+3); n_lists stays 2
+    // (rrf carries the round-6 output contract, hence the 1e-6 tolerance)
+    assert(got(1L)._2 == 2L && got(2L)._2 == 2L)
+    assert(math.abs(got(1L)._1 - (1.0 / 61 + 1.0 / 62)) < 1e-6)
+    assert(math.abs(got(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+  }
+
   test("lshCandidatePairs: bucket cap keeps clusters connected without quadratic pairs") {
     // 60 identical docs -> every band bucket holds all 60
     val clones = (0 until 60).map(i => (i.toLong, "same words all the way down here"))
@@ -645,13 +659,15 @@ class TextDedupSpec extends SparkSpec {
       (4L, "https://safe.org/x"),
       (5L, "https://a.b.spam.co:8080/x"),   // deep subdomain + port
       (6L, "www.ads.tracker.net/x"),        // scheme-less - still blocked
-      (7L, "spam.co"))                      // bare host, no path
+      (7L, "spam.co"),                      // bare host, no path
+      (8L, "https://u:p@tracker.net/x"),    // userinfo must not mask the host
+      (9L, "evil@spam.co/x"))               // scheme-less userinfo form
       .toDF("id", "url")
     val bl = Seq("tracker.net", "spam.co").toDF("domain")
     val got = UrlOps.blocklistFlags(rows, "id", col("url"), bl)
       .select("id", "blocked").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
-      5L -> true, 6L -> true, 7L -> true))
+      5L -> true, 6L -> true, 7L -> true, 8L -> true, 9L -> true))
   }
 
   test("Md5Long ≡ conv(substring(md5,1,8),16,10) on real text; SQL-registered") {
