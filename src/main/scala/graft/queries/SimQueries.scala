@@ -94,18 +94,46 @@ object SimQueries extends QueryGroup {
         FROM scored)
       SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  /** IVF coarse-quantizer ANN: KMeans cells + nProbe-cell search
-    * (approximate; rows-only — the KMeans fit is not SQL-expressible).
-    * Recall vs brute force is asserted in SimilaritySpec. */
+  /** IVF ANN through the PRODUCTION index API — buildIvfIndexLloyd →
+    * queryIvfIndex — with the deterministic Lloyd quantizer, so the whole
+    * path (seeded init, two round-6 Lloyd iterations, cell assignment,
+    * nProbe=3 probe ranking, in-cell exact cosine top-3) replays in the
+    * DuckDB oracle CTE for CTE. q117 oracles the same quantizer through
+    * the inline lloydIvfTopK composition at nProbe=2; this query gates the
+    * IvfIndex build/probe/score API itself. The RNG KMeans quantizer
+    * (buildIvfIndex) keeps its recall gate in SimilaritySpec — its fit is
+    * not SQL-expressible by construction. */
   val q65IvfTopk = QueryDef(
     "q65_ivf_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 3, nLists = 8, nProbe = 3)
+      val idx = Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      Similarity.queryIvfIndex(idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 3)
         .orderBy("qid", "rank")
     },
-    None)
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      ${argminCellSql("asg", "c2")},
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 3),
+      cand AS (SELECT pr.qid, a.vec_id AS cid, ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+        FROM pr JOIN asg a ON a.cell = pr.cell
+        JOIN ev e ON e.vec_id = a.vec_id
+        JOIN q ON q.vec_id = pr.qid
+        WHERE a.vec_id <> pr.qid),
+      r AS (SELECT qid, cid, sim, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS INT) AS rank FROM cand)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** Incremental semantic dedup: the daily-increment production mode —
     * batch vectors (vec_id ≥ 400) checked against the indexed corpus

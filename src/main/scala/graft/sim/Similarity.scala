@@ -234,6 +234,29 @@ object Similarity {
     IvfIndex(centroids, cells)
   }
 
+  /** Deterministic IVF index under the cross-engine float contract:
+    * [[lloydCentroids]] quantizer (seeded init, unrolled round-6 Lloyd
+    * steps, smaller-cell tie-breaks) + [[nearestCell]] assignment — the
+    * same [[IvfIndex]] shape [[buildIvfIndex]] produces, so save / load /
+    * [[queryIvfIndex]] are shared verbatim, but every build step is
+    * replayable in external SQL (q65's DuckDB oracle replays init, both
+    * Lloyd iterations, assignment, probing and scoring CTE for CTE).
+    * Use this when index contents must be auditable cross-engine; prefer
+    * the KMeans build when quantizer quality matters more than
+    * replayability.
+    */
+  def buildIvfIndexLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, iters: Int = 2): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = lloydCentroids(corpus, idCol, vecCol, nLists, iters)
+    val cells = corpus
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+      .withColumn("cn", norm(col("cv")))
+    IvfIndex(cents.toDF("cell", "centroid"), cells)
+  }
+
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
@@ -360,7 +383,12 @@ object Similarity {
   /** Probe + score against a built index: each query finds its `nProbe`
     * nearest centroids (broadcast nLists-row table, bounded top-k
     * aggregate), then scores ONLY vectors in probed cells — candidate
-    * volume ≈ nProbe/nLists of the corpus.
+    * volume ≈ nProbe/nLists of the corpus. Probe ranking carries the
+    * cross-engine contract — squared-L2 as three in-order dot products,
+    * rounded to 6, ties toward the smaller cell — so against a
+    * [[buildIvfIndexLloyd]] index the whole query is replayable in
+    * external SQL (q65's oracle); against a KMeans index the contract is
+    * merely a deterministic tie-break.
     */
   def queryIvfIndex(index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
@@ -369,11 +397,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val probeAgg = udaf(new TopKAgg(nProbe), Encoders.product[ScoredHit])
-    val dist2 = aggregate(
-      zip_with(col("qv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
     val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("negd", -dist2)
+      .withColumn("negd", -round(dist2(col("qv"), col("centroid")), 6))
       .groupBy("qid").agg(probeAgg(col("cell").cast("long"), col("negd")).as("hits"))
       .select(col("qid"), explode(col("hits.cid")).as("cell"))
       .select(col("qid"), col("cell").cast("int").as("cell"))

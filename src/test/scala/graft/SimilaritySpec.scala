@@ -120,6 +120,33 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.forall(_._2.forall(x => (math.round(x * 1e6) / 1e6) == x)))
   }
 
+  test("buildIvfIndexLloyd + queryIvfIndex: all-cell probe equals brute " +
+      "force; matches the inline lloydIvfTopK composition") {
+    val e = Tables.embeddings(spark, sf001)
+    val q = e.filter($"vec_id" < 10)
+    val idx = Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    // nProbe = nLists → every cell probed → must EQUAL exhaustive search
+    val all = Similarity.queryIvfIndex(idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 4)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    assert(all == exact, "all-cell probe via the index diverged from brute force")
+    // the index API and the inline composition are the same operator
+    val viaApi = Similarity.queryIvfIndex(idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    val inline = Similarity.lloydIvfTopK(q, e, "vec_id", "embedding",
+      k = 3, nLists = 4, iters = 2, nProbe = 2)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)]
+      .collect().toSet
+    assert(viaApi == inline, "index API diverged from lloydIvfTopK")
+  }
+
   test("incrementalSemDupStats: batch dups flagged against the corpus only, " +
       "per matching cell") {
     val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
