@@ -353,19 +353,46 @@ object DedupOps {
     * never a wrong row. With mostly-fresh batches (the common case) this
     * shrinks the shuffled batch side by ~(1 − dupRate − fpp).
     *
-    * The bloom probe is a lambda over the broadcast sketch (Spark exposes no
-    * native might_contain Column function); it gates only which rows shuffle
-    * — every kept row is still verified by the exact anti join, so the probe
-    * is never a correctness dependency.
+    * Build and probe are NATIVE Catalyst expressions (`BloomFilterAggregate`
+    * / `BloomFilterMightContain` — the same pair Spark's runtime bloom-join
+    * filter injects), reached through the bridge because neither is in the
+    * public FunctionRegistry. Keys enter the sketch as `xxhash64` longs (the
+    * LongUpdater path), so the probe is a whole-stage-codegen predicate over
+    * a literal binary — no Scala UDF, no per-row SerDe, no driver broadcast
+    * variable. The probe gates only which rows shuffle — every kept row is
+    * still verified by the exact anti join, so neither the sketch's `fpp`
+    * nor a 64-bit hash collision is ever a correctness dependency.
     */
+  /** Build the existing-side key sketch and return the native probe
+    * predicate constructor: one distributed `BloomFilterAggregate` pass over
+    * `keys`, then a `BloomFilterMightContain` over the resulting binary
+    * literal. A null sketch (empty existing side) yields a constant-false
+    * probe — nothing can be a duplicate. `private[graft]` so PlanSpec can
+    * assert the probe compiles to the codegen predicate, not a UDF.
+    */
+  private[graft] def bloomKeyProbe(keys: DataFrame,
+      expectedKeys: Long, fpp: Double): Column => Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // optimal sizing: numBits = -n·ln(fpp)/ln(2)² for the requested rate
+    val numBits = math.max(64L,
+      math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(keys.columns.map(col).head)),
+        Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
+    val bloomBin = keys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bloomBin == null) (_: Column) => lit(false)
+    else (c: Column) => ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBin), ColumnBridge.expression(xxhash64(c))))
+  }
+
   def incrementalExactDedupBloom(incoming: DataFrame, existing: DataFrame,
       idCol: String, keyExpr: Column,
       expectedKeys: Long = 10000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
     val exKeyed = existing.select(keyExpr.as("__key"))
-    val bloom = exKeyed.stat.bloomFilter("__key", expectedKeys, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val mightContain = bloomKeyProbe(exKeyed, expectedKeys, fpp)
     // probe once: both halves of the split read the cached keyed batch, not
     // the source twice (double source I/O + double probe otherwise)
     val inKeyed = incoming.withColumn("__key", keyExpr)
