@@ -54,6 +54,41 @@ class MlStreamingSpec extends SparkSpec {
       "train-split scaler coincides with full mean; refit check is vacuous")
   }
 
+  test("q64 leaderboard metrics are pinned on the sf0.01 fixture — a model " +
+      "regression fails here, not as rows-only") {
+    // the q64 driver query is rows-only by nature (no SQL oracle for model
+    // fitting), so THIS is its metric gate: the CV/test metrics of the exact
+    // q64 path are deterministic given Spark's seeded CV split over the
+    // fixed fixture (limit() reads files in a stable order) — pin them.
+    // Tolerance 1e-4 relative: JVM/BLAS noise is ulp-level, while any real
+    // regression (scaling bug, wrong grid, broken refit) moves RMSE by
+    // orders of magnitude more.
+    val df = Tables.lineitem(spark, sf01).limit(2000)
+      .select(col("l_quantity").as("x1"), col("l_discount").as("x2"),
+        col("l_tax").as("x3"), col("l_extendedprice").as("y"))
+    val feats = Models.selectFeaturesByCorrelation(df, "y", 0.01) match {
+      case Nil => Seq("x1", "x2", "x3")
+      case f => f
+    }
+    val (winner, all) = Models.selectBestModel(df, feats, "y",
+      numFolds = 2, nIter = 2, parallelism = 2,
+      zoo = Models.modelZoo("y").take(3))
+    assert(winner.name == "lasso", s"winner drifted: ${winner.name}")
+    val expected = Map( // measured round 4 (2026-08-13), local[4]
+      "linear_regression" -> (29879.361143288, 29825.113843002, -0.006158675),
+      "ridge" -> (29879.318625659, 29825.073326360, -0.006155941),
+      "lasso" -> (29878.171217992, 29824.421497579, -0.006111962))
+    all.foreach { r =>
+      val (cv, test, r2) = expected(r.name)
+      assert(math.abs(r.cvRmse - cv) / cv < 1e-4,
+        s"${r.name} cvRmse ${r.cvRmse} drifted from $cv")
+      assert(math.abs(r.testRmse - test) / test < 1e-4,
+        s"${r.name} testRmse ${r.testRmse} drifted from $test")
+      assert(math.abs(r.testR2 - r2) < 1e-4,
+        s"${r.name} testR2 ${r.testR2} drifted from $r2")
+    }
+  }
+
   test("M8: samplePredictions reports prediction vs actual with difference") {
     val df = linearData
     val m = Models.pipelineFor(Seq("x1", "x2", "x3"), "y",
