@@ -479,6 +479,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) > got(2L) && !got.contains(3L))
   }
 
+  test("connectedComponentsDistributed: pointer jumping on a multi-partition " +
+      "long-diameter graph matches the local union-find exactly") {
+    // chain 0-1-…-79 (diameter 79: pointer jumping must converge in O(log)
+    // rounds inside the default maxIter=30, where plain min-propagation
+    // would need 79), plus an island and isolated docs; edges spread over
+    // 8 partitions so the distributed path actually shuffles
+    val chain = (0L until 79L).map(i => (i, i + 1))
+    val island = Seq((200L, 201L), (201L, 202L))
+    val pairs = (chain ++ island).toDF("d1", "d2").repartition(8)
+    val docs = ((0L to 79L) ++ (200L to 202L) ++ Seq(500L)).toDF("doc")
+    // driverMaxPairs=0 forces the distributed pointer-jumping path
+    val dist = DedupOps.connectedComponents(pairs, docs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    val local = DedupOps.connectedComponents(pairs, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local, "distributed labels diverged from the local union-find")
+    assert((0L to 79L).forall(dist(_) == 0L), "chain must collapse to min id 0")
+    assert((200L to 202L).forall(dist(_) == 200L))
+    assert(dist(500L) == 500L, "isolated doc labels itself")
+  }
+
   test("rrfFuse: duplicated id within one list counts once, at its best rank") {
     import graft.text.Retrieval
     val a = Seq((1L, 1L), (1L, 3L), (2L, 2L)).toDF("doc_id", "rank") // dup id 1
