@@ -20,7 +20,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the tail of this process's output,
+    // and benign WARNs after the JSON line (bounded global windows, MLlib's
+    // regParam notice, executor shutdown chatter) could push the line out of
+    // the ~2000-char capture. Every such warning is known-benign here; real
+    // failures still surface via `errors` in the JSON.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warmup so the first timed query isn't charged for startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
