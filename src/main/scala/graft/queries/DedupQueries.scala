@@ -360,6 +360,43 @@ object DedupQueries extends QueryGroup {
         MIN(fp) AS min_fp, MAX(fp) AS max_fp
       FROM fps GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Cross-document shared SPANS from positioned winnowing fingerprints —
+    * fingerprint-granular exact-substring detection: aligned fp matches at
+    * constant position difference chain into runs (gaps-and-islands), each
+    * reported as a span with char-length estimate. The over-common-fp
+    * guard and the run threshold are both replayed by the oracle. */
+  val q126SharedSpans = QueryDef(
+    "q126_shared_spans",
+    (s, d) => DedupOps.sharedSpans(
+      Tables.documents(s, d).filter(col("doc_id") < 120), "doc_id", col("text"),
+      minRun = 6)
+      .orderBy("d1", "d2", "start1", "start2"),
+    Some("""WITH t AS (SELECT doc_id, text, len(text) - 7 AS ng FROM documents
+               WHERE doc_id < 120 AND len(text) >= 11),
+      g AS (SELECT doc_id, unnest(range(1, ng + 1)) AS pos, text, ng FROM t),
+      h AS (SELECT doc_id, pos, ng,
+              CAST(('0x' || substr(md5(substr(text, pos, 8)), 1, 8)) AS BIGINT) AS h
+            FROM g),
+      wmin AS (SELECT doc_id, pos, ng,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM h),
+      fps AS (SELECT doc_id AS doc, pos, fp FROM wmin WHERE pos <= ng - 3),
+      occ AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
+      rare AS (SELECT f.doc, f.pos, f.fp FROM fps f JOIN occ USING (fp)),
+      m AS (SELECT a.doc AS d1, b.doc AS d2, a.pos AS p1, a.pos - b.pos AS diff
+            FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc),
+      isl AS (SELECT d1, d2, diff, p1,
+              p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diff ORDER BY p1)
+                AS island FROM m),
+      runs AS (SELECT d1, d2, diff, island,
+              CAST(COUNT(*) AS BIGINT) AS len_grams, MIN(p1) AS start1
+            FROM isl GROUP BY d1, d2, diff, island)
+      SELECT d1, d2, CAST(start1 AS BIGINT) AS start1,
+        CAST(start1 - diff AS BIGINT) AS start2, len_grams,
+        len_grams + 10 AS approx_chars
+      FROM runs WHERE len_grams >= 6 ORDER BY d1, d2, start1, start2"""))
+
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
     * pairs: a near-dup pair whose members land in DIFFERENT splits means
@@ -403,5 +440,6 @@ object DedupQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
-    q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment)
+    q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
+    q126SharedSpans)
 }

@@ -395,6 +395,96 @@ object SimQueries extends QueryGroup {
         CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_l1
       FROM q ORDER BY vec_id"""))
 
+  /** Binary-quantized Hamming ANN: sign bits packed into 32-bit words
+    * (exact powers of two — no shift builtin needed cross-engine),
+    * candidates ranked by XOR-popcount, exact cosine computed only on the
+    * k-bounded winners (the binary-candidates → full-precision-rerank
+    * ladder). The oracle replays packing, Hamming ranking, tie-breaks and
+    * the rerank cosine bit-for-bit. */
+  val q124HammingTopk = QueryDef(
+    "q124_hamming_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hammingTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", dim = 64, k = 3)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      b AS (SELECT vec_id, v, list_transform(range(0, 2), w ->
+          CAST(list_sum(list_transform(range(0, 32), j ->
+            CASE WHEN v[w * 32 + j + 1] >= 0
+            THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT)) AS bits
+        FROM e),
+      q AS (SELECT * FROM b WHERE vec_id < 10),
+      scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          CAST(list_sum(list_transform(list_zip(q.bits, c.bits),
+            p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+        FROM b c, q WHERE q.vec_id <> c.vec_id),
+      r AS (SELECT qid, cid, hamming, CAST(ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY hamming, cid) AS INT) AS rank
+        FROM scored)
+      SELECT r.qid, r.rank, r.cid, CAST(r.hamming AS INT) AS hamming,
+        ROUND(${cosineSql("qe.v", "ce.v")}, 6) AS cosine
+      FROM r JOIN e qe ON qe.vec_id = r.qid JOIN e ce ON ce.vec_id = r.cid
+      WHERE r.rank <= 3 ORDER BY r.qid, r.rank"""))
+
+  /** Matryoshka truncation audit: 16-dim prefixes, L2-renormalized (unit
+    * vectors, so prefix cosine IS the plain dot), scored against the
+    * full-dim cosine on a deterministic pair sample (i vs i+100) — the
+    * go/no-go measurement before shipping truncated embeddings. Per-bucket
+    * drift stats under the decimal-sum average contract; prefix ENERGY
+    * (share of squared mass in the prefix) audits per-vector safety. */
+  val q125Matryoshka = QueryDef(
+    "q125_matryoshka",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val v = col("embedding").cast("array<double>")
+      val a = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), v.as("va"),
+          graft.sim.Quantization.truncateRenorm(v, 16).as("ta"))
+      val b = e.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .select((col("vec_id") - 100).as("id"), v.as("vb"),
+          graft.sim.Quantization.truncateRenorm(v, 16).as("tb"))
+      a.join(b, Seq("id"))
+        .select(col("id"),
+          round(Similarity.dot(col("ta"), col("tb")), 6).as("cos16"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos64"),
+          round(graft.sim.Quantization.prefixEnergy(col("va"), 16), 6).as("er"))
+        .groupBy(floor(col("id") / 20.0).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round((sum(abs(col("cos16") - col("cos64")).cast("decimal(38,12)"))
+            .cast("double") / count(lit(1))), 6).as("avg_drift"),
+          round(max(abs(col("cos16") - col("cos64"))), 6).as("max_drift"),
+          round((sum(col("er").cast("decimal(38,12)")).cast("double")
+            / count(lit(1))), 6).as("avg_energy16"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      t AS (SELECT vec_id, v, v[1:16] AS p,
+          sqrt(list_dot_product(v[1:16], v[1:16])) AS pn FROM e),
+      tr AS (SELECT vec_id, v,
+          list_transform(p, x -> CASE WHEN pn <> 0 THEN x / pn ELSE 0.0 END) AS tp,
+          list_dot_product(p, p) / list_dot_product(v, v) AS er FROM t),
+      a AS (SELECT vec_id AS id, v, tp, er FROM tr WHERE vec_id < 100),
+      b AS (SELECT vec_id - 100 AS id, v AS vb, tp AS tpb FROM tr
+        WHERE vec_id >= 100 AND vec_id < 200),
+      pr AS (SELECT a.id,
+          ROUND(list_dot_product(a.tp, b.tpb), 6) AS cos16,
+          ROUND(${cosineSql("a.v", "b.vb")}, 6) AS cos64,
+          ROUND(a.er, 6) AS er
+        FROM a JOIN b USING (id))
+      SELECT CAST(floor(id / 20.0) AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ROUND(CAST(SUM(CAST(abs(cos16 - cos64) AS DECIMAL(38,12))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_drift,
+        ROUND(MAX(abs(cos16 - cos64)), 6) AS max_drift,
+        ROUND(CAST(SUM(CAST(er AS DECIMAL(38,12))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_energy16
+      FROM pr GROUP BY 1 ORDER BY 1"""))
+
   /** ANN quality gate (sim.Similarity.recallAtK): per-query recall@3 of
     * the hyperplane-LSH search against the brute-force exact answer. Both
     * pipelines are deterministic and SQL-reproducible, so the RECALL
@@ -472,5 +562,6 @@ object SimQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
-    q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup)
+    q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
+    q124HammingTopk, q125Matryoshka)
 }

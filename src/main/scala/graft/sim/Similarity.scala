@@ -116,6 +116,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hamming-space ANN over binary (sign) quantized embeddings — the
+    * 32×-compressed candidate generator: both sides pack into
+    * ceil(dim/32) longs ([[Quantization.signBits]]), candidates rank by
+    * XOR-popcount [[Quantization.hammingDistance]] (ascending, ties toward
+    * the smaller cid) through the same broadcast-queries + map-side
+    * bounded-heap shape as [[bruteForceTopK]] — but each pair costs ~dim/32
+    * bit ops instead of dim multiplies, and at 100 TB the packed corpus is
+    * the only thing scanned. Full-precision vectors are fetched ONLY for
+    * the k-bounded result, carrying the exact rounded cosine for rerank —
+    * the binary-quantize → Hamming-candidates → exact-rerank ladder used by
+    * production vector stores. Output: (qid, rank, cid, hamming, cosine).
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, wordBits: Int = 32): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qbits", Quantization.signBits(col("qv"), dim, wordBits))
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cbits", Quantization.signBits(col("cv"), dim, wordBits))
+    val scored = c.select(col("cid"), col("cbits"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qbits"))))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim",
+        -Quantization.hammingDistance(col("qbits"), col("cbits")).cast("double"))
+    // (qid, rank, cid, sim=-hamming); TopKAgg's sim-DESC/cid-ASC ordering is
+    // exactly hamming-ASC/cid-ASC
+    val top = topKPerQuery(scored, k)
+    // k-bounded rerank: re-fetch full-precision vectors by id (the corpus
+    // side is an equi join against the broadcast |Q|·k result)
+    val withQ = top.join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+    c.select(col("cid"), col("cv")).join(broadcast(withQ), Seq("cid"))
+      .withColumn("qn", norm(col("qv"))).withColumn("cn", norm(col("cv")))
+      .select(col("qid"), col("rank"), col("cid"),
+        (-col("sim")).cast("int").as("hamming"),
+        safeSim(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+  }
+
   /** Hard-NEGATIVE mining for contrastive training: for each query, the k
     * most similar corpus vectors with a DIFFERENT label — near-misses are
     * the negatives that sharpen an embedding model. Same scale shape as

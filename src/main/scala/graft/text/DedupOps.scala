@@ -484,6 +484,17 @@ object DedupOps {
     * partitioned window + distinct: scales as a single shuffle per stage.
     */
   def winnow(df: DataFrame, idCol: String, textCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame =
+    winnowPositions(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+
+  /** POSITIONED winnowing fingerprints (id, pos, fp) — [[winnow]] without
+    * the final distinct: one fingerprint per window position, consecutive
+    * duplicates kept. The positional form is what span-level matching
+    * ([[sharedSpans]]) needs — a shared substring yields identical fp at
+    * every aligned window position, so runs are recoverable.
+    */
+  def winnowPositions(df: DataFrame, idCol: String, textCol: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nGrams = length(textCol) - (k - 1)
@@ -501,7 +512,52 @@ object DedupOps {
     exploded
       .withColumn("fp", min(col("h")).over(win))
       .filter(col("pos") <= col("ng") - (w - 1))
-      .select(col(idCol), col("fp")).distinct()
+      .select(col(idCol), col("pos"), col("fp"))
+  }
+
+  /** Shared text SPANS between documents, recovered from positioned
+    * winnowing fingerprints — the fingerprint-granular form of
+    * exact-substring dedup (the Lee et al. 2021 "Deduplicating Training
+    * Data" motivation: cross-document verbatim spans, not whole-document
+    * similarity). Two docs sharing a substring of ≥ w+k-1 chars carry the
+    * same window-min fingerprint at ALIGNED positions — the position
+    * DIFFERENCE is constant along the shared region — so fp matches at
+    * constant (d1, d2, diff) chain into consecutive runs, and a
+    * gaps-and-islands pass (island = p1 − row_number) turns each run into
+    * one span row: (d1, d2, start1, start2, len_grams, approx_chars),
+    * approx_chars = len_grams + w + k − 2.
+    *
+    * Scale shape: fingerprints with more than `maxOcc` total occurrences
+    * (boilerplate — headers, license blocks) are dropped by a LEFT SEMI
+    * probe of the map-side-combined occurrence counts BEFORE the pair
+    * join, bounding per-fp fan-out (the MOSS over-common-fingerprint
+    * move); the islands window partitions by (d1, d2, diff) — keyed, never
+    * global. Runs shorter than `minRun` windows are noise (a single
+    * colliding fingerprint) and dropped.
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: Column,
+      k: Int = 8, w: Int = 4, minRun: Int = 3, maxOcc: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowPositions(df, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), col("pos"), col("fp"))
+    val rareFps = fps.groupBy("fp").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") <= maxOcc).select("fp")
+    val rare = fps.join(rareFps, Seq("fp"), "left_semi")
+    val x = rare.select(col("doc").as("d1"), col("pos").as("p1"), col("fp"))
+    val y = rare.select(col("doc").as("d2"), col("pos").as("p2"), col("fp"))
+    val matches = x.join(y, Seq("fp")).filter(col("d1") < col("d2"))
+      .withColumn("diff", col("p1") - col("p2"))
+    val wrn = Window.partitionBy("d1", "d2", "diff").orderBy("p1")
+    matches
+      .withColumn("island", col("p1") - row_number().over(wrn))
+      .groupBy("d1", "d2", "diff", "island")
+      .agg(count(lit(1)).as("len_grams"), min("p1").as("start1"))
+      .filter(col("len_grams") >= minRun)
+      .select(col("d1"), col("d2"),
+        col("start1").cast("long").as("start1"),
+        (col("start1") - col("diff")).cast("long").as("start2"),
+        col("len_grams"),
+        (col("len_grams") + (w + k - 2)).as("approx_chars"))
   }
 
   /** SimHash (default 16 bits) over token multiset: bit b is set when the

@@ -39,13 +39,15 @@ class QueriesSpec extends SparkSpec {
     *  - q107: the 1-row corpus token total against the top-k vocab rows
     *  - q108: the bounded query set scored against a streaming corpus scan,
     *         as in q48
+    *  - q124: q48's broadcast-query shape over the packed sign-bit words
+    *         (the corpus scan carries 2 longs per vector, never shuffles)
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
     "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll",
     "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
     "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
-    "q114_source_terms", "q122_incremental_semdedup")
+    "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -147,6 +147,43 @@ class SimilaritySpec extends SparkSpec {
     assert(viaApi == inline, "index API diverged from lloydIvfTopK")
   }
 
+  test("hammingTopK: popcount ranking and k-bounded cosine rerank on " +
+      "handcrafted sign patterns") {
+    val rows = Seq(
+      (0L, Array.fill(64)(1.0f).toSeq),
+      (1L, Array.fill(64)(1.0f).toSeq),                          // 0 flips
+      (2L, (Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)).toSeq), // 32 flips
+      (3L, Array.fill(64)(-1.0f).toSeq))                         // 64 flips
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(rows.filter($"vec_id" === 0), rows,
+      "vec_id", "embedding", dim = 64, k = 3)
+      .orderBy("rank")
+      .select("rank", "cid", "hamming", "cosine")
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 0, 1.0), (2, 2L, 32, 0.0), (3, 3L, 64, -1.0)))
+  }
+
+  test("truncateRenorm: unit-norm prefix, zero-prefix safety, energy bounds") {
+    import graft.sim.Quantization
+    val rows = Seq(
+      (1L, (1 to 64).map(_.toFloat)),                       // generic vector
+      (2L, Seq.fill(16)(0.0f) ++ (1 to 48).map(_.toFloat)), // zero prefix
+      (3L, (1 to 16).map(_.toFloat) ++ Seq.fill(48)(0.0f))) // all mass in prefix
+      .toDF("vec_id", "embedding")
+    val v = col("embedding").cast("array<double>")
+    val got = rows.select(col("vec_id"),
+      Quantization.truncateRenorm(v, 16).as("t"),
+      Quantization.prefixEnergy(v, 16).as("er"))
+      .orderBy("vec_id")
+      .as[(Long, Seq[Double], Double)].collect()
+    assert(got(0)._2.length == 16)
+    assert(math.abs(got(0)._2.map(x => x * x).sum - 1.0) < 1e-12, "not unit norm")
+    assert(got(1)._2.forall(_ == 0.0), "zero prefix must renormalize to zeros")
+    assert(got(1)._3 == 0.0)
+    assert(got(2)._3 == 1.0, "all-prefix vector must have energy 1")
+    assert(got(0)._3 > 0.0 && got(0)._3 < 1.0)
+  }
+
   test("incrementalSemDupStats: batch dups flagged against the corpus only, " +
       "per matching cell") {
     val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))

@@ -500,6 +500,29 @@ class TextDedupSpec extends SparkSpec {
     assert(dist(500L) == 500L, "isolated doc labels itself")
   }
 
+  test("sharedSpans: a verbatim shared sentence surfaces as one aligned span; " +
+      "unrelated docs stay silent") {
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d1 = "zzz first preamble junk 111 " + shared + " tail one xyz"
+    val d2 = "different lead-in text 22222 here " + shared + " other tail"
+    val d3 = "completely unrelated content about spark shuffles and parquet files"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpans(docs, "doc_id", col("text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.nonEmpty, "shared sentence not detected")
+    assert(spans.forall(s => s._1 == 1L && s._2 == 2L), "span on unrelated pair")
+    val best = spans.maxBy(_._5)
+    val (o1, o2) = (d1.indexOf(shared) + 1L, d2.indexOf(shared) + 1L)
+    // fingerprint granularity: the recovered span must sit inside the true
+    // region (± window slack) and cover most of it
+    assert(math.abs(best._3 - o1) <= 11, s"start1 ${best._3} far from $o1")
+    assert(math.abs(best._4 - o2) <= 11, s"start2 ${best._4} far from $o2")
+    assert(best._6 >= shared.length - 11 && best._6 <= shared.length + 22,
+      s"approx_chars ${best._6} vs true ${shared.length}")
+    // both docs aligned at the same relative offset: one island only
+    assert(spans.count(s => s._5 == best._5) == 1)
+  }
+
   test("rrfFuse: duplicated id within one list counts once, at its best rank") {
     import graft.text.Retrieval
     val a = Seq((1L, 1L), (1L, 3L), (2L, 2L)).toDF("doc_id", "rank") // dup id 1
