@@ -374,12 +374,34 @@ object TextQueries extends QueryGroup {
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality
       FROM b GROUP BY source ORDER BY source"""))
 
+  /** One BPE learning round as three DuckDB CTEs: adjacent-pair counts
+    * weighted by word freq, the (n DESC, a, b) argmax, and the greedy
+    * left-to-right merge application — `list_reduce` over single-element
+    * lists replays EXACTLY the fold `Bpe.applyMerge`/learnMerges use, so
+    * the whole iterative learning loop unrolls into an exact oracle (the
+    * same move q117 makes for Lloyd iterations). */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS n FROM (
+          SELECT freq, syms[i] AS a, syms[i+1] AS b
+          FROM $prev, UNNEST(range(1, len(syms))) AS t(i)) GROUP BY a, b),
+      m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      w$r AS (SELECT w, freq,
+          list_reduce(list_transform(syms, s -> [s]),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+              THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+              ELSE list_append(acc, x[1]) END) AS syms
+        FROM $prev, m$r m)"""
+  }
+
   /** Learned BPE merge table (text.Bpe.learnMerges): one distributed pair
-    * aggregate per round over the collapsed (word, freq) table. Iterative
-    * argmax is not SQL-expressible → rows-only; the exact merge sequence is
-    * pinned by the hand-computed golden spec (TextDedupSpec). Deterministic
-    * under any partition layout: the per-round argmax total-orders on
-    * (freq desc, left, right). */
+    * aggregate per round over the collapsed (word, freq) table.
+    * Deterministic under any partition layout: the per-round argmax
+    * total-orders on (freq desc, left, right). FULLY ORACLED since round 4:
+    * the DuckDB oracle unrolls all 8 learning rounds CTE-for-CTE
+    * ([[bpeRoundSql]]) — pair counts, argmax, greedy merge application —
+    * so "iterative" no longer means "rows-only". The hand-computed golden
+    * merge sequence stays pinned in TextDedupSpec as a second witness. */
   val q95BpeMerges = QueryDef(
     "q95_bpe_merges",
     (s, d) => {
@@ -389,7 +411,46 @@ object TextQueries extends QueryGroup {
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "left", "right", "pair_freq")
     },
-    None)
+    Some("""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+          list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      """ + (1 to 8).map(bpeRoundSql).mkString(",\n      ") + "\n      " +
+      (1 to 8).map(r =>
+        s"""SELECT $r AS rank, a AS "left", b AS "right", n AS pair_freq FROM m$r""")
+        .mkString(" UNION ALL ") + " ORDER BY rank"))
+
+  /** BPE ENCODE over the corpus with the 8 learned merges — the other half
+    * of the tokenizer (q95 learns, this applies) through the UDF-free
+    * native Column chain. The oracle re-derives the merges with the same
+    * unrolled CTEs and then exploits a closure property instead of
+    * re-encoding: the final learning word table w8 IS word→symbols under
+    * the learned merges, so encoding = per-doc ordered join of words
+    * against w8. Output md5-compresses each doc's token sequence. */
+  val q127BpeEncode = QueryDef(
+    "q127_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.learnMerges(docs, col("text"), 8)
+      graft.text.Bpe.encode(docs.filter(col("doc_id") < 50), col("text"), merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(concat_ws("|", col("bpe_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+          list_append(list_transform(range(1, len(w)+1), i -> w[i:i]), '</w>') AS syms
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      """ + (1 to 8).map(bpeRoundSql).mkString(",\n      ") + """,
+      dw AS (SELECT doc_id, i, string_split(text, ' ')[i] AS w
+        FROM documents, UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+        WHERE doc_id < 50),
+      flat AS (SELECT d.doc_id, flatten(list(w8.syms ORDER BY d.i)) AS toks
+        FROM dw d JOIN w8 ON w8.w = d.w
+        WHERE len(d.w) > 0 GROUP BY d.doc_id)
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+        md5(array_to_string(toks, '|')) AS tokens_md5
+      FROM flat ORDER BY doc_id"""))
 
   /** INCREMENTAL report maintenance: the corpus splits into an existing
     * partition and a new batch; each side aggregates independently to
@@ -670,5 +731,5 @@ object TextQueries extends QueryGroup {
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
-    q123TextNormalize)
+    q123TextNormalize, q127BpeEncode)
 }

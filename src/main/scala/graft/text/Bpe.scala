@@ -24,6 +24,36 @@ object Bpe {
     * tokenizer distinguish word-final subwords). */
   val Eow = "</w>"
 
+  /** Greedy left-to-right application of ONE merge as a Column fold — the
+    * distributed twin of [[applyMerge]], shared by learnMerges' per-round
+    * projection and [[encodeColumn]]'s merge chain. Column DSL + lit(),
+    * NOT SQL-string splicing: symbols containing quotes/backslashes must
+    * never be parsed as SQL text. (Spark's And short-circuits, so
+    * element_at on the empty acc never runs.)
+    */
+  private[text] def applyMergeColumn(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** NATIVE bpe encode of a text column with a BOUNDED learned merge list:
+    * per word, the character+EOW symbols run through the merges in learned
+    * order as a chain of [[applyMergeColumn]] folds — expression depth =
+    * |merges|, all inside whole-stage codegen, no UDF, no broadcast
+    * variable. The bound exists because a 30k-merge production table would
+    * build a 30k-deep expression; [[encode]] dispatches to a mapPartitions
+    * path beyond the bound.
+    */
+  def encodeColumn(textCol: Column, merges: Seq[(String, String)]): Column = {
+    // null text → empty token list (matching the imperative path), not null
+    val words = filter(split(coalesce(textCol, lit("")), " "), w => length(w) > 0)
+    flatten(transform(words, w =>
+      merges.foldLeft(concat(split(w, ""), array(lit(Eow)))) {
+        case (syms, (a, b)) => applyMergeColumn(syms, a, b)
+      }))
+  }
+
   /** Split a word into initial symbols: characters plus the EOW marker. */
   private def initialSymbols(word: String): Seq[String] =
     word.map(_.toString) :+ Eow
@@ -78,15 +108,9 @@ object Bpe {
           val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((a, b, n))
           // apply the merge everywhere: greedy left-to-right fold per word;
-          // checkpoint keeps the plan flat across rounds (iterative-DF trap).
-          // Column DSL + lit(), NOT SQL-string splicing: symbols containing
-          // quotes/backslashes must never be parsed as SQL text. (Spark's
-          // And short-circuits, so element_at on the empty acc never runs.)
+          // checkpoint keeps the plan flat across rounds (iterative-DF trap)
           words = words.select(col("freq"),
-            aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x)))).as("syms"))
+            applyMergeColumn(col("syms"), a, b).as("syms"))
             .localCheckpoint(true)
           i += 1
       }
@@ -95,24 +119,43 @@ object Bpe {
   }
 
   /** Distributed encode: tokenize each document and segment every word with
-    * the learned merges. Unbounded ordered merge application is genuinely
-    * imperative (not expressible as a fixed-depth Column expression), so
-    * this sits on the documented second rung of the extension ladder: a JVM
-    * Scala UDF with the merge table broadcast once per executor — no
-    * per-row serialization of the merges, no Python round-trip.
+    * the learned merges. Bounded merge lists (the common analytic case)
+    * compile to the pure-Column [[encodeColumn]] chain — whole-stage
+    * codegen, no UDF. Production-size tables (30k+ merges) would build an
+    * unusably deep expression, so beyond `maxNativeMerges` the encode runs
+    * as per-partition imperative code with the merge table broadcast once
+    * per executor (`mapPartitions` — the documented rung for genuinely
+    * imperative work; no per-row SerDe of the table, no Scala UDF).
     * Output: (original columns..., bpe_tokens array, n_bpe_tokens).
+    * Both paths produce identical rows (spec-pinned).
     */
   def encode(df: DataFrame, textCol: Column,
-      merges: Seq[(String, String, Long)]): DataFrame = {
-    val spark = df.sparkSession
+      merges: Seq[(String, String, Long)], maxNativeMerges: Int = 64): DataFrame = {
     val mergeList = merges.map(m => (m._1, m._2))
-    val bc = spark.sparkContext.broadcast(mergeList)
-    val enc = udf { text: String =>
-      if (text == null) Seq.empty[String]
-      else text.split(" ").iterator.filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, bc.value)).toSeq
+    if (mergeList.size <= maxNativeMerges) {
+      df.withColumn("bpe_tokens", encodeColumn(textCol, mergeList))
+        .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+    } else {
+      import org.apache.spark.sql.{Encoders, Row => SqlRow}
+      import org.apache.spark.sql.types._
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(mergeList)
+      val withText = df.withColumn("__bpe_text", textCol)
+      val outSchema = StructType(
+        withText.schema.fields.dropRight(1) ++ Seq(
+          StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),
+          StructField("n_bpe_tokens", IntegerType, nullable = false)))
+      withText.mapPartitions { it =>
+        val ms = bc.value
+        it.map { r =>
+          val text = r.getString(r.length - 1)
+          val toks: Seq[String] =
+            if (text == null) Seq.empty
+            else text.split(" ").iterator.filter(_.nonEmpty)
+              .flatMap(w => encodeWord(w, ms)).toSeq
+          SqlRow.fromSeq(r.toSeq.dropRight(1) ++ Seq(toks, toks.size))
+        }
+      }(Encoders.row(outSchema))
     }
-    df.withColumn("bpe_tokens", enc(textCol))
-      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 }

@@ -385,6 +385,33 @@ class TextDedupSpec extends SparkSpec {
     assert(enc2.mkString == """p\q</w>p\q</w>p'r</w>""")
   }
 
+  test("Bpe.encode: native Column path ≡ imperative mapPartitions path " +
+      "(incl. null text) on real documents") {
+    import graft.text.Bpe
+    val docs = Tables.documents(spark, sf001).limit(50).select("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, col("text"), 5)
+    def run(maxNative: Int) =
+      Bpe.encode(docs, col("text"), merges, maxNativeMerges = maxNative)
+        .select("doc_id", "bpe_tokens", "n_bpe_tokens")
+        .as[(Long, Seq[String], Int)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val native = run(64)
+    val imperative = run(0) // force the mapPartitions branch
+    assert(native.nonEmpty && native == imperative,
+      "encode paths diverged on real text")
+    // null text → empty token list on BOTH paths
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (m <- Seq(64, 0)) {
+      val r = Bpe.encode(nulls, col("text"), merges, maxNativeMerges = m)
+        .select("bpe_tokens", "n_bpe_tokens").as[(Seq[String], Int)].head()
+      assert(r._1.isEmpty && r._2 == 0, s"null text mishandled at maxNative=$m")
+    }
+    // the native path is UDF-free
+    val plan = Bpe.encode(docs, col("text"), merges)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("ScalaUDF"), "native encode fell back to a UDF")
+  }
+
   test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
     import graft.text.HtmlText
     val html = """<HTML><head><TITLE> My &amp; Title </TITLE>
