@@ -147,6 +147,49 @@ object CurationQueries extends QueryGroup {
         CAST(SUM(len(string_split(clean, '<PHONE>')) - 1) AS BIGINT) AS n_phones
       FROM c"""))
 
+  /** Luhn-validated payment-card PII audit: deterministic synthetic card
+    * numbers injected per doc — even doc_ids get a Luhn-VALID number,
+    * odd ones an off-by-one INVALID twin — so the counts separate
+    * validation from mere pattern matching. The check-digit arithmetic
+    * (fold over reversed digits) replays exactly in the oracle. */
+  val q128CcLuhn = QueryDef(
+    "q128_cc_luhn",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val salted = docs.withColumn("dirty", concat(col("text"),
+        lit(" card "),
+        when(col("doc_id") % 2 === 0, lit("4111 1111 1111 1111"))
+          .otherwise(lit("4111-1111-1111-1112")),
+        lit(" end")))
+      salted.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("dirty"),
+            lit(Curation.CardRe), lit(0))).cast("bigint"))
+          .cast("bigint").as("n_candidates"),
+        sum(Curation.luhnValidCount(col("dirty")).cast("bigint"))
+          .cast("bigint").as("n_valid_cards"))
+    },
+    Some(s"""WITH dirty AS (SELECT doc_id,
+          text || ' card ' || CASE WHEN doc_id % 2 = 0
+            THEN '4111 1111 1111 1111' ELSE '4111-1111-1111-1112' END
+            || ' end' AS dirty
+        FROM documents WHERE doc_id < 200),
+      cand AS (SELECT doc_id,
+          regexp_extract_all(dirty, '${Curation.CardRe}') AS cs FROM dirty),
+      v AS (SELECT doc_id, len(cs) AS n_cand,
+          len(list_filter(list_transform(cs, c -> regexp_replace(c, '[^0-9]', '', 'g')),
+            d -> list_sum(list_transform(range(1, len(d) + 1), i ->
+              CASE WHEN i % 2 = 0 THEN
+                CASE WHEN CAST(reverse(d)[i:i] AS INT) * 2 > 9
+                  THEN CAST(reverse(d)[i:i] AS INT) * 2 - 9
+                  ELSE CAST(reverse(d)[i:i] AS INT) * 2 END
+              ELSE CAST(reverse(d)[i:i] AS INT) END)) % 10 = 0)) AS n_valid
+        FROM cand)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+        CAST(SUM(n_valid) AS BIGINT) AS n_valid_cards
+      FROM v"""))
+
   /** Sequence-packing plan (graft.text.Packing): documents concatenated per
     * source in doc_id order and cut into 4096-char context windows — per
     * stream: windows needed, payload, boundary straddlers. Running-sum
@@ -904,5 +947,5 @@ object CurationQueries extends QueryGroup {
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
-    q116MixTokens, q118QualityClassifier, q119TemperatureMix)
+    q116MixTokens, q118QualityClassifier, q119TemperatureMix, q128CcLuhn)
 }

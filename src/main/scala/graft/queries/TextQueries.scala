@@ -452,6 +452,50 @@ object TextQueries extends QueryGroup {
         md5(array_to_string(toks, '|')) AS tokens_md5
       FROM flat ORDER BY doc_id"""))
 
+  /** Alphabetical-scan argmax over per-script char counts as nested SQL
+    * CASE: the first name (names are alphabetically ordered) whose count
+    * is >= all others wins — identical to dominantScript's least-struct
+    * tie-break toward the smaller name. */
+  private def dominantSql(names: Seq[String]): String = {
+    val none = names.map(n => s"${n}_chars = 0").mkString(" AND ")
+    val cases = names.map { n =>
+      val ge = names.filter(_ != n)
+        .map(m => s"${n}_chars >= ${m}_chars").mkString(" AND ")
+      s"WHEN $ge THEN '$n'"
+    }.mkString(" ")
+    s"CASE WHEN $none THEN 'none' $cases END"
+  }
+
+  /** Writing-system detection: per-language corpus totals of characters in
+    * each script's codepoint ranges plus the dominant script — the
+    * zero-model router that splits a multilingual crawl into script
+    * streams. Ranges interpolate into the oracle as literal BMP intervals,
+    * so Java regex and RE2 run the IDENTICAL pattern (\p{Script} spellings
+    * differ between the engines and are deliberately avoided). */
+  val q129ScriptShares = QueryDef(
+    "q129_script_shares",
+    (s, d) => {
+      val counts = TextAnalysis.ScriptRanges.map { case (n, r) =>
+        sum(TextAnalysis.scriptCount(col("text"), r).cast("bigint"))
+          .cast("bigint").as(s"${n}_chars")
+      }
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), counts: _*)
+        .withColumn("dominant", TextAnalysis.dominantScript(
+          TextAnalysis.ScriptRanges.map { case (n, _) => n -> col(s"${n}_chars") }))
+        .orderBy("lang")
+    },
+    Some(s"""WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ${TextAnalysis.ScriptRanges.map { case (n, r) =>
+          s"CAST(SUM(len(regexp_replace(text, '[^$r]', '', 'g'))) AS BIGINT) AS ${n}_chars"
+        }.mkString(",\n        ")}
+      FROM documents GROUP BY lang)
+      SELECT lang, n_docs,
+        ${TextAnalysis.ScriptRanges.map { case (n, _) => s"${n}_chars" }.mkString(", ")},
+        ${dominantSql(TextAnalysis.ScriptRanges.map(_._1))} AS dominant
+      FROM g ORDER BY lang"""))
+
   /** INCREMENTAL report maintenance: the corpus splits into an existing
     * partition and a new batch; each side aggregates independently to
     * distributive partials (counts, token/char/quality sums) and the
@@ -731,5 +775,5 @@ object TextQueries extends QueryGroup {
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
-    q123TextNormalize, q127BpeEncode)
+    q123TextNormalize, q127BpeEncode, q129ScriptShares)
 }

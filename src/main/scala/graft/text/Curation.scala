@@ -52,6 +52,40 @@ object Curation {
       emailToken: String = "<EMAIL>", phoneToken: String = "<PHONE>"): Column =
     regexp_replace(regexp_replace(text, EmailRe, emailToken), PhoneRe, phoneToken)
 
+  /** Payment-card candidates: 13–19 digits with optional single space/dash
+    * separators. RE2-compatible; candidates are VALIDATED with [[luhnValid]]
+    * because a digits-only regex over web text is mostly false positives —
+    * the check digit is what makes a match reportable PII.
+    */
+  val CardRe = "(?:[0-9][ -]?){12,18}[0-9]"
+
+  /** Luhn check over a digits-only string, as pure array arithmetic: from
+    * the right, double every second digit (subtracting 9 past 9) and the
+    * total must divide by 10. The per-digit terms pair `reverse(d)`'s chars
+    * with their 1-based index through zip_with — inputs evaluated once, no
+    * captured-subexpression re-evaluation — and fold to a sum, so an
+    * external SQL engine replays the validation exactly.
+    */
+  def luhnValid(digits: Column): Column = {
+    val terms = zip_with(split(reverse(digits), ""),
+      sequence(lit(1), length(digits)), (ch, i) => {
+        val v = ch.cast("int")
+        when(i % 2 === 0, when(v * 2 > 9, v * 2 - 9).otherwise(v * 2))
+          .otherwise(v)
+      })
+    aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Number of Luhn-VALID card candidates in the text (for PII auditing —
+    * flag-and-review, where the regex alone would drown review queues in
+    * arbitrary digit runs).
+    */
+  def luhnValidCount(text: Column): Column =
+    size(filter(
+      transform(regexp_extract_all(text, lit(CardRe), lit(0)),
+        c => luhnValid(regexp_replace(c, "[^0-9]", ""))),
+      v => v))
+
   /** C4/Gopher-style composite quality rules, each as a boolean column:
     * enough words, sane mean word length, contains an English stopword,
     * not dominated by repetition. Returns the input plus one flag per rule

@@ -58,6 +58,39 @@ object TextAnalysis {
     trim(regexp_replace(ctrl, "\\s+", " "))
   }
 
+  /** Writing-system (script) detection for multilingual corpus routing —
+    * the coarse companion to [[langId]]: language-ID profiles only cover
+    * profiled languages, while script ranges split a crawl into
+    * Latin/CJK/Cyrillic/… streams with zero model state. Ranges are
+    * explicit BMP codepoint intervals (NOT `\p{Script}` classes, whose
+    * spelling differs between Java regex and RE2 — literal ranges mean the
+    * DuckDB oracle runs the identical pattern). Counting is
+    * `length(regexp_replace(text, "[^range]", ""))` — codegen, no explode.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "\u0600-\u06FF\u0750-\u077F",
+    "cjk" -> "\u3040-\u30FF\u3400-\u4DBF\u4E00-\u9FFF",
+    "cyrillic" -> "\u0400-\u04FF",
+    "greek" -> "\u0370-\u03FF",
+    "hangul" -> "\u1100-\u11FF\uAC00-\uD7AF",
+    "latin" -> "A-Za-z\u00C0-\u024F")
+
+  /** Count of characters inside one script's range expression. */
+  def scriptCount(text: Column, ranges: String): Column =
+    length(regexp_replace(text, s"[^$ranges]", ""))
+
+  /** Dominant script from per-script counts, ties toward the
+    * alphabetically smaller name (least over (-count, name) structs — the
+    * same argmin-as-struct-ordering move the quantizers use). Returns
+    * "none" when no script character occurs at all.
+    */
+  def dominantScript(counts: Seq[(String, Column)]): Column = {
+    val best = least(counts.map { case (name, c) =>
+      struct((-c).as("negn"), lit(name).as("name"))
+    }: _*)
+    when(-best.getField("negn") > 0, best.getField("name")).otherwise("none")
+  }
+
   /** Portable 32-bit-range hash of a string: first 8 hex chars of md5 as a
     * long. Chosen over Spark's murmur `hash()` because the DuckDB oracle can
     * compute the identical value (`CAST('0x'||substr(md5(x),1,8) AS BIGINT)`).

@@ -412,6 +412,55 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), "native encode fell back to a UDF")
   }
 
+  test("luhnValid: classic check-digit vectors; luhnValidCount ignores " +
+      "invalid candidates and separator styles") {
+    import graft.text.Curation
+    val cases = Seq(
+      ("4111111111111111", true),   // Visa test number
+      ("4111111111111112", false),  // off-by-one check digit
+      ("378282246310005", true),    // Amex test number
+      ("5500005555555559", true),
+      ("1234567890123456", false))
+    val got = cases.map(_._1).toDF("d")
+      .select(Curation.luhnValid(col("d"))).as[Boolean].collect().toSeq
+    assert(got == cases.map(_._2), s"luhn vectors diverged: $got")
+    val text = "pay 4111 1111 1111 1111 or 3782-8224-6310-005 " +
+      "but never 1234 5678 9012 3456 ok"
+    val n = Seq(text).toDF("t")
+      .select(Curation.luhnValidCount(col("t"))).as[Int].head()
+    assert(n == 2, s"expected 2 valid cards, got $n")
+  }
+
+  test("scriptCount/dominantScript: real multilingual strings route to " +
+      "their writing system; ties break alphabetically; digits are none") {
+    val rows = Seq(
+      (1L, "\u4F60\u597D\u4E16\u754C"),              // Chinese
+      (2L, "\u041F\u0440\u0438\u0432\u0435\u0442"),  // Russian
+      (3L, "\u03B3\u03B5\u03B9\u03AC \u03C3\u03BF\u03C5"), // Greek
+      (4L, "\uC548\uB155\uD558\uC138\uC694"),        // Korean (Hangul)
+      (5L, "\u0645\u0631\u062D\u0628\u0627"),        // Arabic
+      (6L, "abc \u4F60\u597D def"),                  // Latin-dominant mix
+      (7L, "123 456 !!!"),                           // no script at all
+      (8L, "a\u0410"))                               // 1 latin + 1 cyrillic tie
+      .toDF("id", "t")
+    val counts = TextAnalysis.ScriptRanges.map { case (n, r) =>
+      n -> TextAnalysis.scriptCount(col("t"), r)
+    }
+    val got = rows.select(col("id"),
+      TextAnalysis.dominantScript(counts).as("dom"),
+      counts.find(_._1 == "cjk").get._2.as("cjk"),
+      counts.find(_._1 == "latin").get._2.as("latin"))
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "cjk" && got(1L)._3 == 4)
+    assert(got(2L)._2 == "cyrillic")
+    assert(got(3L)._2 == "greek")
+    assert(got(4L)._2 == "hangul")
+    assert(got(5L)._2 == "arabic")
+    assert(got(6L)._2 == "latin" && got(6L)._3 == 2 && got(6L)._4 == 6)
+    assert(got(7L)._2 == "none")
+    assert(got(8L)._2 == "cyrillic", "tie must break to the smaller name")
+  }
+
   test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
     import graft.text.HtmlText
     val html = """<HTML><head><TITLE> My &amp; Title </TITLE>
