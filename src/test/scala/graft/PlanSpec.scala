@@ -161,6 +161,16 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("q126: span recovery plans keyed equi joins + a keyed islands " +
+      "window — no all-pairs, no global window") {
+    val p = planOf(graft.queries.DedupQueries.q126SharedSpans.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span matching degenerated to an all-pairs join")
+    assert(p.contains("Window"), "expected the gaps-and-islands window")
+    // the over-common-fp guard must reach the plan as a LEFT SEMI probe
+    assert(p.contains("LeftSemi"), "boilerplate-fp guard missing from the plan")
+  }
+
   test("q104: DSIR log-ratio table broadcasts — the corpus side never " +
       "shuffles for the scoring join") {
     // the ratio table is <= `buckets` rows; the scoring join over the

@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.functions._
+/** One-off scale measurement (dev main, not a test): 1M synthetic docs with
+  * planted dup structure, timing the dedup ladder end-to-end at local[32]. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = 1000000L
+    // ~25% exact dups (template collapse), long shared template spans
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        lit("document body starts here with shared template words"),
+        (col("id") % 750000).cast("string"),
+        lit("middle filler section common to the corpus for span tests"),
+        md5(concat(lit("u"), (col("id") % 750000).cast("string"))),
+        lit("closing boilerplate that every page carries along")).as("text"))
+      .localCheckpoint(true)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $label%s ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+    }
+    time("exact-dup-groups") {
+      graft.text.DedupOps.exactDupGroups(docs, "doc_id", md5(col("text"))).count()
+    }
+    time("bloom-incremental-dedup") {
+      graft.text.DedupOps.incrementalExactDedupBloom(
+        docs.filter(col("doc_id") >= 800000L), docs.filter(col("doc_id") < 800000L),
+        "doc_id", md5(col("text")), expectedKeys = 1000000L).count()
+    }
+    time("minhash-lsh-pairs") {
+      val sig = graft.text.DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      graft.text.DedupOps.lshCandidatePairs(sig, "doc_id", maxBucket = 20).count()
+    }
+    time("script+quality projection") {
+      docs.select(graft.text.TextAnalysis.scriptCount(col("text"),
+          graft.text.TextAnalysis.ScriptRanges.last._2).as("lat"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+        .agg(sum("lat"), avg("q")).count()
+    }
+    spark.stop()
+  }
+}
