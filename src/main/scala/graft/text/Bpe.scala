@@ -118,6 +118,26 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a learned merge table as a tiny ordered parquet artifact —
+    * learn once on the corpus, encode many batches/streams later without
+    * retraining (the tokenizer-release shape). Rank preserves application
+    * order across the round-trip.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String, Long)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+      .toDF("rank", "left", "right", "pair_freq")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String, Long)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("left", "right", "pair_freq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
   /** Distributed encode: tokenize each document and segment every word with
     * the learned merges. Bounded merge lists (the common analytic case)
     * compile to the pure-Column [[encodeColumn]] chain — whole-stage

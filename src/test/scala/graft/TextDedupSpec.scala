@@ -412,6 +412,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), "native encode fell back to a UDF")
   }
 
+  test("Bpe merges: save/load round-trip preserves order; encode with the " +
+      "loaded table equals encode with the learned one") {
+    import graft.text.Bpe
+    val docs = Tables.documents(spark, sf001).limit(40).select("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, col("text"), 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges").toString + "/m"
+    Bpe.saveMerges(spark, merges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == merges, "merge table mutated across the round-trip")
+    val a = Bpe.encode(docs, col("text"), merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encode(docs, col("text"), loaded)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
   test("luhnValid: classic check-digit vectors; luhnValidCount ignores " +
       "invalid candidates and separator styles") {
     import graft.text.Curation
