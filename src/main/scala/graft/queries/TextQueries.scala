@@ -448,18 +448,23 @@ object TextQueries extends QueryGroup {
       flat AS (SELECT d.doc_id, flatten(list(w8.syms ORDER BY d.i)) AS toks
         FROM dw d JOIN w8 ON w8.w = d.w
         WHERE len(d.w) > 0 GROUP BY d.doc_id)
-      SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
-        md5(array_to_string(toks, '|')) AS tokens_md5
-      FROM flat ORDER BY doc_id"""))
+      SELECT a.doc_id,
+        CAST(COALESCE(len(f.toks), 0) AS INT) AS n_bpe_tokens,
+        md5(COALESCE(array_to_string(f.toks, '|'), '')) AS tokens_md5
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
+      LEFT JOIN flat f USING (doc_id) ORDER BY a.doc_id"""))
 
   /** Alphabetical-scan argmax over per-script char counts as nested SQL
-    * CASE: the first name (names are alphabetically ordered) whose count
-    * is >= all others wins — identical to dominantScript's least-struct
-    * tie-break toward the smaller name. */
+    * CASE: the alphabetically first name whose count is >= all others
+    * wins — identical to dominantScript's least-struct tie-break toward
+    * the smaller NAME. Names are sorted HERE (not trusted from the input
+    * Seq) so a future out-of-alphabetical-order ScriptRanges entry cannot
+    * silently diverge the two tie-breaks. */
   private def dominantSql(names: Seq[String]): String = {
-    val none = names.map(n => s"${n}_chars = 0").mkString(" AND ")
-    val cases = names.map { n =>
-      val ge = names.filter(_ != n)
+    val ordered = names.sorted
+    val none = ordered.map(n => s"${n}_chars = 0").mkString(" AND ")
+    val cases = ordered.map { n =>
+      val ge = ordered.filter(_ != n)
         .map(m => s"${n}_chars >= ${m}_chars").mkString(" AND ")
       s"WHEN $ge THEN '$n'"
     }.mkString(" ")

@@ -160,7 +160,11 @@ object Bpe {
       import org.apache.spark.sql.types._
       val spark = df.sparkSession
       val bc = spark.sparkContext.broadcast(mergeList)
-      val withText = df.withColumn("__bpe_text", textCol)
+      // a UNIQUE scratch name: withColumn on an existing name replaces it
+      // IN PLACE, which would silently break the last-column indexing below
+      val textName = Iterator.from(0).map(i => s"__bpe_text_$i")
+        .find(n => !df.columns.contains(n)).get
+      val withText = df.withColumn(textName, textCol)
       val outSchema = StructType(
         withText.schema.fields.dropRight(1) ++ Seq(
           StructField("bpe_tokens", ArrayType(StringType, containsNull = false)),

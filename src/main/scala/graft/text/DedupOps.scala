@@ -382,7 +382,27 @@ object DedupOps {
       new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(keys.columns.map(col).head)),
         Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
-    val bloomBin = keys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate SILENTLY Math.min-caps its sizing at the runtime
+    // bloom-join conf maxima (default 4M items / 64M bits) — under the caps
+    // a 10M-key/1% request degrades to ~10% fpp and the prefilter quietly
+    // passes 10× more clean rows into the verify join. Raise the caps for
+    // the build so the requested sizing is honored, then restore.
+    val conf = keys.sparkSession.conf
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedKeys,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
+    val bloomBin =
+      try {
+        capKeys.foreach { case (k, v) =>
+          val cur = conf.getOption(k).map(_.toLong).getOrElse(0L)
+          if (cur < v) conf.set(k, v.toString)
+        }
+        keys.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     if (bloomBin == null) (_: Column) => lit(false)
     else (c: Column) => ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBin), ColumnBridge.expression(xxhash64(c))))

@@ -58,13 +58,16 @@ object UrlOps {
     * `https://x@blocked.com/p` must resolve to `blocked.com`, not
     * `x@blocked.com` (whose dot-suffixes never equal a blocklist entry);
     * this matches Spark's `parse_url(..., 'HOST')`, which also drops
-    * userinfo.
+    * userinfo. The strip is GREEDY through the LAST `@` — WHATWG URL
+    * parsing (what browsers and curl fetch) takes the host after the
+    * final `@`, so `https://u@x@tracker.net/p` must resolve to
+    * `tracker.net`, not `x@tracker.net`.
     */
   def urlHost(url: Column): Column =
     regexp_replace(
       regexp_replace(
         lower(regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)),
-        "^[^/?#@]*@", ""),
+        "^[^/?#]*@", ""),
       ":[0-9]+$", "")
 
   /** Every registrable suffix of a dotted host, most-specific first:

@@ -571,6 +571,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) > got(2L) && !got.contains(3L))
   }
 
+  test("bloomKeyProbe honors requested sizing past the runtime bloom-join " +
+      "conf caps (false-positive rate stays near fpp)") {
+    // shrink the caps to a degenerate sketch; the probe build must raise
+    // them for the requested 20k/1% sizing or fp-rate goes to ~100%
+    val conf = spark.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "64")
+      conf.set(keys(1), "512")
+      val existing = spark.range(20000).select(md5(col("id").cast("string")).as("__key"))
+      val probe = DedupOps.bloomKeyProbe(existing, 20000L, 0.01)
+      val fresh = spark.range(20000, 40000)
+        .select(md5(col("id").cast("string")).as("__key"))
+      val fpRate = fresh.filter(probe(col("__key"))).count().toDouble / 20000
+      assert(fpRate < 0.05, f"false-positive rate $fpRate%.3f — sizing was capped")
+      // and the caps are restored afterwards
+      assert(conf.get(keys(0)) == "64" && conf.get(keys(1)) == "512")
+      // hits still probe true
+      val hits = existing.filter(probe(col("__key"))).count()
+      assert(hits == 20000L, "a planted key failed the probe")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("connectedComponentsDistributed: pointer jumping on a multi-partition " +
       "long-diameter graph matches the local union-find exactly") {
     // chain 0-1-…-79 (diameter 79: pointer jumping must converge in O(log)
@@ -797,13 +825,15 @@ class TextDedupSpec extends SparkSpec {
       (6L, "www.ads.tracker.net/x"),        // scheme-less - still blocked
       (7L, "spam.co"),                      // bare host, no path
       (8L, "https://u:p@tracker.net/x"),    // userinfo must not mask the host
-      (9L, "evil@spam.co/x"))               // scheme-less userinfo form
+      (9L, "evil@spam.co/x"),               // scheme-less userinfo form
+      (10L, "https://u@x@tracker.net/p"))   // WHATWG: host after the LAST @
       .toDF("id", "url")
     val bl = Seq("tracker.net", "spam.co").toDF("domain")
     val got = UrlOps.blocklistFlags(rows, "id", col("url"), bl)
       .select("id", "blocked").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
-      5L -> true, 6L -> true, 7L -> true, 8L -> true, 9L -> true))
+      5L -> true, 6L -> true, 7L -> true, 8L -> true, 9L -> true,
+      10L -> true))
   }
 
   test("Md5Long ≡ conv(substring(md5,1,8),16,10) on real text; SQL-registered") {
