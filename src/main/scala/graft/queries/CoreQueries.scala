@@ -180,8 +180,72 @@ object CoreQueries extends QueryGroup {
       GROUP BY province ORDER BY province"""
     })
 
+  /** Deequ-style quality gate over lineitem: a 7-check suite (completeness,
+    * uniqueness, bounds, pattern, membership) evaluated in ONE aggregate
+    * pass — the pre-write audit a production pipeline gates on. The report
+    * is ordinary relational output, so the oracle recomputes every metric
+    * and pass flag. Includes intentional failures (l_orderkey is NOT
+    * unique in lineitem; tax max exceeds the tight bound) so `pass` is
+    * exercised in both polarities. */
+  val q130QualityGate = QueryDef(
+    "q130_quality_gate",
+    (s, d) => {
+      import graft.ops.Checks
+      Checks.run(Tables.lineitem(s, d), Seq(
+        Checks.isComplete("l_orderkey"),
+        Checks.isComplete("l_shipdate", atLeast = 0.999),
+        Checks.isUnique("l_orderkey"),
+        Checks.minAtLeast("l_quantity", 1.0),
+        Checks.maxAtMost("l_tax", 0.05),
+        Checks.matchesPattern("l_returnflag", "^[ANR]$", atLeast = 0.999),
+        Checks.isContainedIn("l_linestatus", Seq("F", "O"))))
+        .orderBy("check", "column")
+    },
+    Some("""WITH m AS (SELECT
+        ROUND(CAST(COUNT(l_orderkey) AS DOUBLE) / COUNT(*), 6) AS m0,
+        ROUND(CAST(COUNT(l_shipdate) AS DOUBLE) / COUNT(*), 6) AS m1,
+        ROUND(CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) / COUNT(l_orderkey), 6) AS m2,
+        ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) AS m3,
+        ROUND(CAST(MAX(l_tax) AS DOUBLE), 6) AS m4,
+        ROUND(CAST(SUM(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$')
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(l_returnflag), 6) AS m5,
+        ROUND(CAST(SUM(CASE WHEN l_linestatus IN ('F','O')
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(l_linestatus), 6) AS m6
+      FROM lineitem)
+      SELECT "check", "column", metric, threshold, pass FROM (
+        SELECT 'completeness' AS "check", 'l_orderkey' AS "column",
+          m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold, m0 >= 1.0 AS pass FROM m
+        UNION ALL SELECT 'completeness', 'l_shipdate', m1, CAST(0.999 AS DOUBLE), m1 >= 0.999 FROM m
+        UNION ALL SELECT 'uniqueness', 'l_orderkey', m2, CAST(1.0 AS DOUBLE), m2 >= 1.0 FROM m
+        UNION ALL SELECT 'min_at_least', 'l_quantity', m3, CAST(1.0 AS DOUBLE), m3 >= 1.0 FROM m
+        UNION ALL SELECT 'max_at_most', 'l_tax', m4, CAST(0.05 AS DOUBLE), m4 <= 0.05 FROM m
+        UNION ALL SELECT 'pattern_rate', 'l_returnflag', m5, CAST(0.999 AS DOUBLE), m5 >= 0.999 FROM m
+        UNION ALL SELECT 'membership_rate', 'l_linestatus', m6, CAST(1.0 AS DOUBLE), m6 >= 1.0 FROM m)
+      ORDER BY "check", "column""""))
+
+  /** Join-key skew diagnostic over lineitem's suppkey: per-key counts
+    * reduce to the scalar shape stats (max/p99/mean cardinality, skew
+    * factor, hottest key) that pick between plain shuffle, broadcast, AQE
+    * skew handling, or an explicit salt. One keyed aggregate + one scalar
+    * aggregate — no window, no sort. */
+  val q131SkewReport = QueryDef(
+    "q131_skew_report",
+    (s, d) => graft.ops.Checks.skewReport(Tables.lineitem(s, d), "l_suppkey"),
+    Some("""WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k,
+          CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        ROUND(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99_key_rows,
+        ROUND(AVG(CAST(n AS DOUBLE)), 6) AS mean_key_rows,
+        ROUND(CAST(MAX(n) AS DOUBLE)
+          / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS skew_factor,
+        (SELECT k FROM c ORDER BY n DESC, k DESC LIMIT 1) AS hottest_key
+      FROM c"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q01PricingSummary, q02NullFractions, q03ValueCountsPct, q04ModeQty,
     q05Quantiles, q06IqrOutliers, q07DistinctCounts, q08TargetEncoding,
-    q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges)
+    q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges,
+    q130QualityGate, q131SkewReport)
 }

@@ -113,4 +113,42 @@ class OpsSpec extends SparkSpec {
     // true ground distance ~41.5 km; Mercator at ~51°N inflates by ~1.59x
     assert(m > 60000 && m < 70000)
   }
+
+  test("Checks.run: one-pass suite reports metrics and pass flags incl. nulls") {
+    import graft.ops.Checks
+    val df = Seq(
+      (Some(1L), Some("a"), 10.0),
+      (Some(2L), None, 20.0),
+      (Some(2L), Some("b"), 30.0),
+      (None, Some("zz"), 40.0)).toDF("id", "cat", "v")
+    val got = Checks.run(df, Seq(
+      Checks.isComplete("id"),                       // 3/4 = 0.75 -> fail
+      Checks.isUnique("id"),                         // 2 distinct / 3 -> fail
+      Checks.minAtLeast("v", 5.0),                   // 10 >= 5 -> pass
+      Checks.maxAtMost("v", 35.0),                   // 40 > 35 -> fail
+      Checks.isContainedIn("cat", Seq("a", "b"))))   // 2/3 non-null -> fail
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getBoolean(4))).toMap
+    assert(got(("completeness", "id")) == (0.75, false))
+    assert(got(("uniqueness", "id"))._2 == false)
+    assert(got(("min_at_least", "v")) == (10.0, true))
+    assert(got(("max_at_most", "v")) == (40.0, false))
+    assert(math.abs(got(("membership_rate", "cat"))._1 - 0.666667) < 1e-6)
+    // the whole suite is ONE scan: a single leaf in the plan
+    val plan = Checks.run(df, Seq(Checks.isComplete("id"), Checks.isUnique("id")))
+      .queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, "check suite re-scanned the input")
+  }
+
+  test("Checks.skewReport: hot key surfaces with the right skew factor") {
+    import graft.ops.Checks
+    val df = (Seq.fill(90)("hot") ++ Seq("a", "b", "c", "d", "e",
+      "f", "g", "h", "i", "j")).toDF("k")
+    val r = Checks.skewReport(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 100L && r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("max_key_rows") == 90L)
+    assert(r.getAs[String]("hottest_key") == "hot")
+    // mean = 100/11; skew = 90/(100/11) = 9.9
+    assert(math.abs(r.getAs[Double]("skew_factor") - 9.9) < 1e-6)
+  }
 }
