@@ -49,6 +49,55 @@ class TargetEncoder(override val uid: String) extends Estimator[TargetEncoderMod
     schema.add(StructField($(outputCol), DoubleType, nullable = true))
 }
 
+/** Out-of-fold (leakage-free) target encoding: each row is encoded with the
+  * target mean of its category computed over the OTHER folds only, so a
+  * row's own target never leaks into its feature (the CV-safe variant of
+  * TargetEncoder, standard in gradient-boosting pipelines).
+  *
+  * enc(cat, fold) = (sum_all(cat) - sum_fold(cat, fold))
+  *               / (cnt_all(cat) - cnt_fold(cat, fold))
+  *
+  * Scale shape: ONE keyed aggregate to the (category, fold) grain — a
+  * #categories × #folds table — then the per-category totals come from a
+  * window over that tiny table, and the corpus gets the encoding back via
+  * a broadcast join. The corpus is scanned once and never shuffled.
+  * Decimal sums keep the means order-independent (cross-engine contract).
+  */
+object OofTargetEncoder {
+
+  /** Returns the (category, fold, enc) table. `fold` must be a
+    * deterministic integer column (e.g. pmod(hash, k) or a key modulus).
+    * A category seen only inside one fold gets a null enc for that fold
+    * (no other-fold evidence — the unseen-category semantics).
+    */
+  def fit(df: DataFrame, cat: String, target: String, fold: org.apache.spark.sql.Column): DataFrame = {
+    val byFold = df.filter(col(cat).isNotNull)
+      .groupBy(col(cat).as("category"), fold.as("fold"))
+      .agg(sum(col(target).cast("decimal(28,6)")).as("f_sum"),
+        count(col(target)).as("f_cnt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("category")
+    byFold
+      .withColumn("a_sum", sum(col("f_sum")).over(wAll))
+      .withColumn("a_cnt", sum(col("f_cnt")).over(wAll))
+      .select(col("category"), col("fold"),
+        when(col("a_cnt") > col("f_cnt"),
+          round((col("a_sum") - col("f_sum")).cast("double")
+            / (col("a_cnt") - col("f_cnt")), 6)).as("enc"))
+  }
+
+  /** Encode the corpus: broadcast-join the fitted (category, fold) table.
+    * The fitted side's join columns are renamed to scratch names so a
+    * corpus column named `category`/`fold` can't collide. */
+  def transform(df: DataFrame, fitted: DataFrame, cat: String,
+      fold: org.apache.spark.sql.Column, outputCol: String): DataFrame =
+    df.withColumn("__oof_fold", fold)
+      .join(broadcast(fitted.select(col("category").as("__oof_cat"),
+          col("fold").as("__oof_f"), col("enc").as(outputCol))),
+        col(cat) === col("__oof_cat") && col("__oof_fold") === col("__oof_f"),
+        "left")
+      .drop("__oof_cat", "__oof_f", "__oof_fold")
+}
+
 class TargetEncoderModel(
     override val uid: String,
     val encoding: Map[String, Double],

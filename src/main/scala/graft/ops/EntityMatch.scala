@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: fuzzy string matching via blocking + edit distance.
+  *
+  * The naive formulation is an all-pairs cross join with a levenshtein
+  * predicate — quadratic and un-runnable at scale. The standard fix (and
+  * the one implemented here) is *blocking*: derive a deterministic block
+  * key from each string such that any pair within the edit-distance budget
+  * shares a block, then equi-join on the block key and score only within
+  * blocks. Cost drops from |L|×|R| to Σ|block_L|×|block_R|.
+  *
+  * Scale shape: one shuffle on the block key; levenshtein stays in
+  * whole-stage codegen (native Spark expression). Block-size skew is the
+  * operator's failure mode — audit with Checks.skewReport on the block
+  * key and refine the blocking function (or salt + multi-pass) if a block
+  * grows unbounded. Recall depends on the blocking function covering the
+  * perturbation model; run multiple blocking passes and union for higher
+  * recall (standard multi-pass blocking), dedup on (left key, right key).
+  */
+object EntityMatch {
+
+  /** All pairs within `maxDist` edits whose block keys match.
+    * Output: leftKey, rightKey, dist — one row per candidate pair.
+    */
+  def blockedEditDistancePairs(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftText: String,
+      rightKey: String, rightText: String,
+      block: Column => Column, maxDist: Int): DataFrame = {
+    val l = left.select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
+      .withColumn("block", block(col("l_text")))
+    val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
+      .withColumn("block", block(col("r_text")))
+    l.join(r, "block")
+      .withColumn("dist", levenshtein(col("l_text"), col("r_text")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_key"), col("r_key"), col("dist"))
+  }
+
+  /** Best match per left entity: minimum (dist, rightKey) — the tie-break
+    * on rightKey makes the pick deterministic. One keyed aggregate over the
+    * candidate pairs (min(struct), no window — skew-safe on hot entities).
+    */
+  def bestMatch(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftText: String,
+      rightKey: String, rightText: String,
+      block: Column => Column, maxDist: Int): DataFrame =
+    blockedEditDistancePairs(left, right, leftKey, leftText, rightKey,
+        rightText, block, maxDist)
+      .groupBy("l_key")
+      .agg(min(struct(col("dist"), col("r_key"))).as("best"))
+      .select(col("l_key"), col("best.r_key").as("r_key"),
+        col("best.dist").as("dist"))
+}

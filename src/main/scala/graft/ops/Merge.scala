@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO emulation (upsert + delete in one pass) for plain-parquet
+  * targets — the operation the reference performs row-at-a-time with
+  * `INSERT OR IGNORE` / status `UPDATE` (scraper.py's link-store writes),
+  * expressed as ONE full-outer equi-join:
+  *
+  *   - matched & deleteWhen        -> row removed
+  *   - matched                     -> WHEN MATCHED THEN UPDATE SET *
+  *                                    (source values win; per-column
+  *                                    overrides via `updates`)
+  *   - source-only & insertWhen    -> WHEN NOT MATCHED THEN INSERT *
+  *   - target-only                 -> row carried through unchanged
+  *
+  * Scale shape: a single shuffle on the merge key (or none, when the
+  * target is bucketed on the key — io/Bucketing.scala). At 100 TB the
+  * rewrite is narrowed to touched partitions: join source against the
+  * partition-pruned slice of the target, rewrite only those partitions
+  * atomically (jobs.ScrapeJob.overwriteAtomic is the committer). AQE
+  * handles a skewed merge key; no driver-side state.
+  */
+object Merge {
+
+  private val TP = "__graft_t_present"
+  private val SP = "__graft_s_present"
+
+  /** Column refs for writing `updates` / `deleteWhen` / `insertWhen`
+    * predicates: `Merge.t("c")` is the target's value, `Merge.s("c")` the
+    * source's.
+    */
+  def t(c: String): Column = col(s"t.$c")
+  def s(c: String): Column = col(s"s.$c")
+
+  /** Merge `source` into `target` on equality of `keys`.
+    *
+    * `source` must carry every target column (UPDATE SET * / INSERT *
+    * semantics); `updates` overrides individual matched-row columns with
+    * an expression over `Merge.t`/`Merge.s` refs. Keys are compared with
+    * `===`, so a null-key source row never matches and falls to the INSERT
+    * branch — pre-filter null keys if that is not the intent.
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      updates: Map[String, Column] = Map.empty,
+      insertWhen: Column = lit(true),
+      deleteWhen: Column = lit(false)): DataFrame = {
+    val outCols = target.columns.toSeq
+    require(keys.nonEmpty && keys.forall(outCols.contains),
+      s"merge keys $keys must be target columns")
+    require(outCols.forall(source.columns.contains),
+      s"source must carry every target column; missing " +
+        outCols.filterNot(source.columns.contains).mkString(", "))
+
+    val tt = target.withColumn(TP, lit(true)).alias("t")
+    val ss = source.withColumn(SP, lit(true)).alias("s")
+    val cond = keys.map(k => t(k) === s(k)).reduce(_ && _)
+
+    val matched = col(TP).isNotNull && col(SP).isNotNull
+    val sourceOnly = col(TP).isNull
+
+    val merged = tt.join(ss, cond, "full_outer")
+      .filter(!(matched && coalesce(deleteWhen, lit(false))))
+      .filter(!(sourceOnly && !coalesce(insertWhen, lit(true))))
+    val projected = outCols.map { c =>
+      when(matched, updates.getOrElse(c, s(c)))
+        .when(sourceOnly, s(c))
+        .otherwise(t(c))
+        .as(c)
+    }
+    merged.select(projected: _*)
+  }
+}

@@ -243,9 +243,63 @@ object CoreQueries extends QueryGroup {
         (SELECT k FROM c ORDER BY n DESC, k DESC LIMIT 1) AS hottest_key
       FROM c"""))
 
+  /** Exact heavy hitters with bounded state (ops/HeavyHitters.scala): a
+    * mergeable Misra-Gries sketch (≤k counters per task, no key-space
+    * shuffle) yields a candidate superset; one exact pass over only the
+    * candidates keeps keys with count > n/k. The synthetic key funnels
+    * half of lineitem into 2 hot keys and scatters the rest across ~|orders|/2
+    * near-unique cold keys — the cardinality profile where groupBy-count
+    * stops scaling and a sketch is the right plan. Oracle = the plain
+    * GROUP BY/HAVING the two-pass result is provably equal to. */
+  val q133HeavyHitters = QueryDef(
+    "q133_heavy_hitters",
+    (s, d) => {
+      import graft.ops.HeavyHitters
+      val key = when(pmod(col("l_orderkey"), lit(4)) < 2,
+        concat(lit("hot"), pmod(col("l_orderkey"), lit(2))))
+        .otherwise(concat(lit("cold"), col("l_orderkey")))
+      HeavyHitters.heavyHitters(Tables.lineitem(s, d), key, k = 10)
+    },
+    Some("""WITH keyed AS (SELECT CASE WHEN l_orderkey % 4 < 2
+          THEN 'hot' || CAST(l_orderkey % 2 AS VARCHAR)
+          ELSE 'cold' || CAST(l_orderkey AS VARCHAR) END AS key
+        FROM lineitem),
+      tot AS (SELECT COUNT(*) AS n FROM keyed)
+      SELECT key, COUNT(*) AS cnt,
+        ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS share
+      FROM keyed GROUP BY key
+      HAVING COUNT(*) > (SELECT CAST(n AS DOUBLE) FROM tot) / 10.0
+      ORDER BY cnt DESC, key"""))
+
+  /** Out-of-fold target encoding (encode.OofTargetEncoder): the CV-safe
+    * variant of q08 — each (category, fold) cell is encoded from the OTHER
+    * folds' target sums, so no row's target leaks into its own feature.
+    * One keyed aggregate to the (category, fold) grain + a window over
+    * that tiny table; the corpus never shuffles. */
+  val q136OofEncoding = QueryDef(
+    "q136_oof_encoding",
+    (s, d) => {
+      import graft.encode.OofTargetEncoder
+      OofTargetEncoder.fit(Tables.customer(s, d),
+          "c_mktsegment", "c_acctbal", pmod(col("c_custkey"), lit(5)))
+        .orderBy("category", "fold")
+    },
+    Some("""WITH byfold AS (
+        SELECT c_mktsegment AS category, c_custkey % 5 AS fold,
+          SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS f_sum,
+          COUNT(c_acctbal) AS f_cnt
+        FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2)
+      SELECT category, fold,
+        CASE WHEN SUM(f_cnt) OVER w > f_cnt THEN
+          ROUND(CAST(SUM(f_sum) OVER w - f_sum AS DOUBLE)
+            / (SUM(f_cnt) OVER w - f_cnt), 6)
+        END AS enc
+      FROM byfold WINDOW w AS (PARTITION BY category)
+      ORDER BY category, fold"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q01PricingSummary, q02NullFractions, q03ValueCountsPct, q04ModeQty,
     q05Quantiles, q06IqrOutliers, q07DistinctCounts, q08TargetEncoding,
     q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges,
-    q130QualityGate, q131SkewReport)
+    q130QualityGate, q131SkewReport, q133HeavyHitters, q136OofEncoding)
 }

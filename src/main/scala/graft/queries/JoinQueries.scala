@@ -156,7 +156,85 @@ object JoinQueries extends QueryGroup {
         regexp_replace(lower(trim(n_name)), '\s+', ' ', 'g') = cache.norm_name
       ORDER BY n_nationkey"""))
 
+  /** MERGE INTO emulation (ops/Merge.scala): one full-outer equi join
+    * applies updates (matched, source wins), deletes (matched + predicate)
+    * and inserts (source-only) in a single shuffle. Source is derived
+    * deterministically from customer itself: custkey%3==0 rows are updates
+    * (+1000 acctbal; the %15==0 subset is tagged for delete), custkey%7==0
+    * rows re-keyed +1_000_000 are inserts. */
+  val q132MergeUpsert = QueryDef(
+    "q132_merge_upsert",
+    (s, d) => {
+      import graft.ops.Merge
+      val c = Tables.customer(s, d)
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 15 === 0, lit("__DELETE__"))
+            .otherwise(col("c_mktsegment")))
+      val inserts = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_acctbal", lit(0.0))
+        .withColumn("c_mktsegment", lit("NEW"))
+      Merge.merge(c, updates.unionByName(inserts), Seq("c_custkey"),
+          deleteWhen = Merge.s("c_mktsegment") === "__DELETE__")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+          CASE WHEN c_custkey % 15 = 0 THEN '__DELETE__' ELSE c_mktsegment END
+            AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 7 = 0)
+      SELECT
+        COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+      WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                 AND s.c_mktsegment = '__DELETE__')
+      ORDER BY c_custkey"""))
+
+  /** Entity resolution (ops/EntityMatch.scala): fuzzy-match a "dirty"
+    * customer list (even custkeys get their name's last char corrupted to
+    * '~') back to the clean list. Blocking on the 16-char prefix keeps
+    * blocks at ≤100 names at any SF (the 2 stripped digits bound the block)
+    * so the levenshtein scoring never goes quadratic in |customer|. The
+    * near-identical name space makes dist-1 ties inherent; bestMatch's
+    * (dist, r_key) ordering resolves them deterministically. */
+  val q134FuzzyMatch = QueryDef(
+    "q134_fuzzy_match",
+    (s, d) => {
+      import graft.ops.EntityMatch
+      val clean = Tables.customer(s, d)
+      val dirty = clean.select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0,
+          concat(substring(col("c_name"), 1, 17), lit("~")))
+          .otherwise(col("c_name")).as("dirty_name"))
+      EntityMatch.bestMatch(dirty, clean,
+          "c_custkey", "dirty_name", "c_custkey", "c_name",
+          t => substring(t, 1, 16), maxDist = 2)
+        .orderBy("l_key")
+    },
+    Some("""WITH dirty AS (
+        SELECT c_custkey AS l_key,
+          CASE WHEN c_custkey % 2 = 0 THEN substr(c_name, 1, 17) || '~'
+               ELSE c_name END AS l_text
+        FROM customer),
+      pairs AS (
+        SELECT l_key, c_custkey AS r_key, levenshtein(l_text, c_name) AS dist
+        FROM dirty JOIN customer ON substr(l_text, 1, 16) = substr(c_name, 1, 16)
+        WHERE levenshtein(l_text, c_name) <= 2)
+      SELECT l_key, r_key, dist FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY l_key ORDER BY dist, r_key) = 1
+      ORDER BY l_key"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q16Join3Revenue, q17AntiJoin, q18SemiJoin, q19GeoThetaJoin,
-    q20RemapFallback, q24SetOps, q25CacheLookup)
+    q20RemapFallback, q24SetOps, q25CacheLookup, q132MergeUpsert,
+    q134FuzzyMatch)
 }

@@ -101,6 +101,43 @@ object WindowExtraQueries extends QueryGroup {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  /** Type-2 SCD build (ops/Scd.scala): per-user event_type history becomes
+    * versioned validity intervals — consecutive duplicates collapse, each
+    * change opens a version with [valid_from, valid_to) and is_current on
+    * the open tail. One shuffle on user_id (both windows share the
+    * partitioning). Timestamps exported as epoch micros for the
+    * cross-engine compare; the %10 user slice bounds verify output. */
+  val q135Scd2 = QueryDef(
+    "q135_scd2",
+    (s, d) => {
+      import graft.ops.Scd
+      val ev = Tables.events(s, d).filter(col("user_id") % 10 === 0)
+      Scd.scd2(ev, Seq("user_id"), "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE user_id % 10 = 0),
+      ch AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER w AS prev,
+          row_number() OVER w AS rn
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      v AS (
+        SELECT user_id, event_type, ts, event_id FROM ch
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_type,
+        epoch_us(ts) AS valid_from,
+        epoch_us(lead(ts) OVER w) AS valid_to,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        (lead(ts) OVER w IS NULL) AS is_current
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
   override val defs: Seq[QueryDef] = Seq(q34WindowSuite, q53EmbeddingStats,
-    q35SaltedAgg, q69SaltedJoin)
+    q35SaltedAgg, q69SaltedJoin, q135Scd2)
 }

@@ -188,4 +188,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "1-row cutoffs must broadcast")
   }
 
+  test("q132: MERGE is ONE full-outer equi join — no cartesian, no window") {
+    val p = planOf(JoinQueries.q132MergeUpsert.fn(spark, sf001))
+    assert(p.contains("FullOuter"), "expected a full-outer merge join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "merge degenerated to a non-equi join")
+    assert(!p.contains("Window"), "merge must not need a window")
+  }
+
+  test("q134: fuzzy match joins on the block key, never all-pairs; best-pick " +
+      "is a keyed aggregate, not a window") {
+    val p = planOf(JoinQueries.q134FuzzyMatch.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocking failed: all-pairs join in the plan")
+    assert(p.contains("levenshtein"), "edit distance not in the plan")
+    assert(!p.contains("Window"), "best-match must be min(struct), not a window")
+  }
+
+  test("q135: both SCD2 windows share one user_id shuffle") {
+    val df = graft.queries.WindowExtraQueries.q135Scd2.fn(spark, sf001)
+    val p = planOf(df)
+    // two WindowExec nodes but only one exchange on user_id: the second
+    // window reuses the first's partitioning + ordering
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(
+      df.queryExecution.executedPlan.toString()).size
+    assert(exchanges == 1, s"expected 1 keyed exchange, saw $exchanges")
+    assert(p.contains("Window"), "expected window-based SCD build")
+  }
+
+  test("q133: heavy-hitter exact pass pushes the candidate In-filter to the scan") {
+    val df = CoreQueries.q133HeavyHitters.fn(spark, sf001)
+    val p = formatted(df)
+    // the second pass must read only l_orderkey and filter before the agg
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "candidate pass should read only the key column")
+  }
 }

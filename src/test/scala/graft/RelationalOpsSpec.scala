@@ -1,0 +1,170 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.encode.OofTargetEncoder
+import graft.ops.{EntityMatch, HeavyHitters, Merge, Scd}
+
+/** Unit coverage for the round-4 relational operators: MERGE emulation,
+  * Misra-Gries heavy hitters, blocked fuzzy matching, SCD2, out-of-fold
+  * target encoding. Each also has a DuckDB-oracled driver query
+  * (q132-q136); these specs pin the edge semantics the oracles can't.
+  */
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Merge ----
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "bal")
+
+  test("merge: update, insert, delete, carry-through in one pass") {
+    val source = Seq(
+      (2L, "b2", 99.0),          // matched -> update (source wins)
+      (3L, "DEL", 0.0),          // matched -> delete
+      (4L, "d", 40.0))           // source-only -> insert
+      .toDF("k", "name", "bal")
+    val out = Merge.merge(target, source, Seq("k"),
+        deleteWhen = Merge.s("name") === "DEL")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0)))
+  }
+
+  test("merge: per-column update override keeps target's other columns") {
+    val source = Seq((2L, "ignored", 5.0)).toDF("k", "name", "bal")
+    val out = Merge.merge(target, source, Seq("k"),
+        updates = Map("name" -> Merge.t("name"),
+          "bal" -> (Merge.t("bal") + Merge.s("bal"))))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 30.0)))
+  }
+
+  test("merge: insertWhen=false drops unmatched source rows") {
+    val source = Seq((9L, "x", 1.0)).toDF("k", "name", "bal")
+    val out = Merge.merge(target, source, Seq("k"), insertWhen = lit(false))
+    assert(out.count() == 3)
+  }
+
+  test("merge: source must carry every target column") {
+    val bad = Seq((1L, "x")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Merge.merge(target, bad, Seq("k"))
+    }
+  }
+
+  // ---- HeavyHitters ----
+
+  test("misra-gries candidates are a superset of true > n/k keys; two-pass result is exact") {
+    // 1000 rows: 'A' 400, 'B' 250 (> n/k = 200), 60 cold keys x ~6
+    val rows = Seq.fill(400)("A") ++ Seq.fill(250)("B") ++
+      (0 until 350).map(i => s"cold${i % 60}")
+    val df = rows.toDF("v").repartition(7) // force partial merges
+    val got = HeavyHitters.heavyHitters(df, col("v"), k = 5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 400L, 0.4), ("B", 250L, 0.25)))
+  }
+
+  test("heavy hitters: no key above threshold -> empty, schema stable") {
+    val df = (0 until 100).map(i => s"u$i").toDF("v")
+    val got = HeavyHitters.heavyHitters(df, col("v"), k = 10)
+    assert(got.columns.toSeq == Seq("key", "cnt", "share") && got.count() == 0)
+  }
+
+  test("misra-gries merge trims to at most k counters") {
+    val mg = new HeavyHitters.MisraGries(3)
+    val a = HeavyHitters.Summary(6, Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val b = HeavyHitters.Summary(6, Map("d" -> 3L, "e" -> 2L, "f" -> 1L))
+    val m = mg.merge(a, b)
+    assert(m.n == 12 && m.counters.size <= 3)
+    // pivot (4th largest = 2) subtracted: only counts > 2 survive, shrunk
+    assert(m.counters == Map("a" -> 1L, "d" -> 1L))
+  }
+
+  test("heavy hitters ignore null keys") {
+    val df = (Seq.fill(10)(Some("A")) ++ Seq.fill(5)(Option.empty[String])).toDF("v")
+    val got = HeavyHitters.heavyHitters(df, col("v"), k = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", 10L, 1.0))) // share over non-null n
+  }
+
+  // ---- EntityMatch ----
+
+  test("blocked match finds the perturbed twin; ties break on (dist, r_key)") {
+    val clean = Seq((1L, "widget-0001"), (2L, "widget-0002"), (3L, "gadget-0001"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "widget-000X"), (30L, "gadget-0001")).toDF("id", "name")
+    val got = EntityMatch.bestMatch(dirty, clean, "id", "name", "id", "name",
+        t => substring(t, 1, 8), maxDist = 2)
+      .orderBy("l_key").as[(Long, Long, Int)].collect().toSeq
+    // widget-000X is dist 1 from BOTH widget rows -> min r_key wins
+    assert(got == Seq((10L, 1L, 1), (30L, 3L, 0)))
+  }
+
+  test("blocking prevents cross-block comparisons (no cartesian)") {
+    val clean = Seq((1L, "aaaa1"), (2L, "bbbb1")).toDF("id", "name")
+    val dirty = Seq((10L, "aaaa2")).toDF("id", "name")
+    val pairs = EntityMatch.blockedEditDistancePairs(dirty, clean,
+      "id", "name", "id", "name", t => substring(t, 1, 4), maxDist = 3)
+    // bbbb1 is within dist 3?? no: dist(aaaa2, bbbb1) = 5 edits... but even
+    // a permissive budget never sees it: different block
+    assert(pairs.as[(Long, Long, Int)].collect().toSeq == Seq((10L, 1L, 1)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---- Scd ----
+
+  test("scd2 collapses consecutive duplicates and chains validity") {
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "new", ts(1), 101L), (1L, "new", ts(2), 102L),
+      (1L, "active", ts(3), 103L), (1L, "new", ts(4), 104L),
+      (2L, "active", ts(1), 201L))
+      .toDF("user_id", "status", "ts", "event_id")
+    val got = Scd.scd2(ev, Seq("user_id"), "status", "ts", "event_id")
+      .select($"user_id", $"status", $"valid_from", $"valid_to", $"version", $"is_current")
+      .orderBy("user_id", "version")
+      .as[(Long, String, Timestamp, Option[Timestamp], Int, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, "new", ts(1), Some(ts(3)), 1, false),
+      (1L, "active", ts(3), Some(ts(4)), 2, false),
+      (1L, "new", ts(4), None, 3, true),
+      (2L, "active", ts(1), None, 1, true)))
+  }
+
+  test("scd2: null attribute values version null-safely") {
+    val ts = (m: Int) => Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, Option.empty[String], ts(1), 1L), (1L, Option.empty[String], ts(2), 2L),
+      (1L, Some("x"), ts(3), 3L))
+      .toDF("user_id", "status", "ts", "event_id")
+    val got = Scd.scd2(ev, Seq("user_id"), "status", "ts", "event_id")
+    // two versions: the null run collapses to one, then 'x'
+    assert(got.count() == 2)
+    assert(got.orderBy("version").select("status").as[Option[String]]
+      .collect().toSeq == Seq(None, Some("x")))
+  }
+
+  // ---- OofTargetEncoder ----
+
+  test("oof encoding excludes the row's own fold; single-fold category -> null") {
+    val df = Seq(
+      ("a", 0, 10.0), ("a", 0, 20.0), ("a", 1, 40.0),
+      ("b", 0, 5.0)) // b exists only in fold 0
+      .toDF("cat", "fold", "y")
+    val fit = OofTargetEncoder.fit(df, "cat", "y", col("fold"))
+      .orderBy("category", "fold")
+      .as[(String, Int, Option[Double])].collect().toSeq
+    assert(fit == Seq(
+      ("a", 0, Some(40.0)),        // other-fold mean = 40/1
+      ("a", 1, Some(15.0)),        // (10+20)/2
+      ("b", 0, None)))             // no other-fold evidence
+    val encoded = OofTargetEncoder.transform(df, OofTargetEncoder.fit(
+        df, "cat", "y", col("fold")), "cat", col("fold"), "enc")
+    assert(encoded.filter($"cat" === "a" && $"fold" === 1)
+      .select("enc").as[Double].head() == 15.0)
+  }
+}
