@@ -15,7 +15,7 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
     TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
-    WindowExtraQueries, GroupingQueries, CurationQueries)
+    WindowExtraQueries, GroupingQueries, CurationQueries, AnalyticsQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

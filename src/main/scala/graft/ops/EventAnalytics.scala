@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: resample + forward-fill, funnel conversion,
+  * cohort retention. All three reduce to ONE shuffle on the entity key —
+  * the grids, windows and step aggregates run inside that partitioning.
+  */
+object EventAnalytics {
+
+  /** pandas `resample('<bucket>').max().ffill()` distributed: per key,
+    * bucket the timeline into `bucketSec` cells, aggregate each cell
+    * (max), materialize the dense cell grid between the key's first and
+    * last cell, and forward-fill empty cells from the last populated one.
+    *
+    * Buckets are epoch-second longs (cell start), not timestamps — exact
+    * integer math end-to-end. The grid explode is per key; a key spanning
+    * T seconds yields T/bucketSec rows, so pick the bucket to match the
+    * retention horizon (the usual resample contract). One shuffle: cell
+    * agg, grid, join-back and ffill window all partition by the key.
+    */
+  def resampleFfill(df: DataFrame, key: String, ts: String, value: String,
+      bucketSec: Long): DataFrame = {
+    val us = bucketSec * 1000000L
+    val cells = df
+      // integer DIV: double division drifts at epoch-µs magnitudes
+      .withColumn("bucket", expr(s"unix_micros($ts) DIV $us") * bucketSec)
+      .groupBy(col(key), col("bucket"))
+      .agg(max(col(value)).as("v"))
+    val grid = cells.groupBy(col(key))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col(key),
+        explode(sequence(col("mn"), col("mx"), lit(bucketSec))).as("bucket"))
+    val w = Window.partitionBy(key).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cells, Seq(key, "bucket"), "left")
+      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+  }
+
+  /** Ordered-step funnel: for each entity, step i counts only if it occurs
+    * strictly after step i-1 (min-qualifying-timestamp chaining). Returns
+    * one row per step with entities reaching it and conversion from the
+    * previous step.
+    *
+    * All step timestamps are window minimums over the SAME key partition —
+    * one shuffle however many steps; the final report aggregates the
+    * per-key step flags (map-side combined).
+    */
+  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key)
+    val stepTs = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(ts) > col(s"__t${i - 1}")
+      acc.withColumn(s"__t$i", min(when(cond, col(ts))).over(w))
+    }
+    val flags = steps.indices.map(i =>
+      max(col(s"__t$i").isNotNull.cast("int")).as(s"__r$i"))
+    val perKey = stepTs.groupBy(col(key)).agg(flags.head, flags.tail: _*)
+    val counts = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      steps.indices.map(i => sum(col(s"__r$i")).as(s"__n$i")): _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step"), lit(step).as("event_type"),
+        col(s"__n$i").as("n_entities"),
+        round(col(s"__n$i").cast("double") /
+          (if (i == 0) col("n_keys") else col(s"__n${i - 1}")), 6)
+          .as("conversion"))
+    }
+    counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Cohort retention: cohort = the entity's first-activity week, offset =
+    * activity week - cohort week; counts distinct entities per cell.
+    * Weeks are epoch-week longs (epoch seconds / 604800) — integer math,
+    * no calendar functions to disagree across engines.
+    */
+  def cohortRetention(df: DataFrame, key: String, ts: String): DataFrame = {
+    val week = expr(s"unix_micros($ts) DIV ${604800L * 1000000L}")
+    val w = Window.partitionBy(key)
+    df.withColumn("week", week)
+      .withColumn("cohort_week", min(col("week")).over(w))
+      // (key, week) dedup rides the cohort groupBy's distinct aggregate —
+      // no extra stage: countDistinct partially aggregates map-side
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct(col(key)).as("n_entities"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — the domain-authority signal a web-corpus
+  * curation pipeline mixes into quality scores (harmonic-centrality /
+  * PageRank weighting a la Common Crawl ranking releases).
+  *
+  * Pregel shape per iteration: contributions = ranks ⋈ out-degrees on the
+  * source key (one shuffle, co-partitioned with the edge list), then a
+  * keyed sum on the destination. Rank state lives in a DataFrame — nothing
+  * on the driver but N (node count, one count() barrier up front).
+  *
+  * Cross-engine determinism: per-edge contributions are rounded to 12
+  * decimals then summed as DECIMAL(28,12) (order-independent); each new
+  * rank is re-rounded to 12 decimals. Fixed iteration count — this is the
+  * bounded-step batch variant, not convergence-tested (the curation use
+  * case wants a stable signal, not a fixpoint certificate).
+  */
+object PageRank {
+
+  /** `edges`: (src: string, dst: string) directed edges, pre-deduplicated.
+    * Every node must have out-degree ≥ 1 (undirected graphs: emit both
+    * directions); dangling-mass redistribution is intentionally out of
+    * scope. Returns (node, rank) with rank rounded to 12 decimals.
+    */
+  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+    val n = nodes.count() // driver barrier: a scalar, like any agg gate
+    val teleport = (1.0 - damping) / n
+
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edges ⋈ deg is loop-invariant: compute once, reuse every iteration
+    val edgesDeg = edges.join(outDeg, "src").persist()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("rank") / col("deg"), 12).cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy("node")
+        .agg(sum(col("c")).cast("double").as("in_mass"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
+            12).as("rank"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{EventAnalytics, PageRank}
+
+/** Event-stream analytics (resample+ffill, funnel, cohorts) and graph
+  * centrality (PageRank) — the warehouse-side operators a training-data
+  * pipeline leans on for activity signals and domain-authority weighting.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  /** PageRank (ops/PageRank.scala) over the part↔supplier bipartite graph
+    * from lineitem (both directions emitted, so no dangling nodes), 3
+    * iterations, damping 0.85. Determinism: per-edge contributions round
+    * to 12 decimals and sum as DECIMAL — the oracle unrolls the same 3
+    * iterations in SQL and must match to the hash. */
+  val q137PageRank = QueryDef(
+    "q137_pagerank",
+    (s, d) => {
+      val e0 = Tables.lineitem(s, d).select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .orderBy(desc("rank"), col("node"))
+        .limit(20)
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      c1 AS (SELECT e.dst AS node,
+          CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node),
+      r1 AS (SELECT n.node, ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+          + 0.85 * COALESCE(CAST(s.m AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN
+          (SELECT node, SUM(c) AS m FROM c1 GROUP BY node) s ON n.node = s.node),
+      c2 AS (SELECT e.dst AS node,
+          CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.node),
+      r2 AS (SELECT n.node, ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+          + 0.85 * COALESCE(CAST(s.m AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN
+          (SELECT node, SUM(c) AS m FROM c2 GROUP BY node) s ON n.node = s.node),
+      c3 AS (SELECT e.dst AS node,
+          CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.node),
+      r3 AS (SELECT n.node, ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+          + 0.85 * COALESCE(CAST(s.m AS DOUBLE), 0.0), 12) AS rank
+        FROM nodes n LEFT JOIN
+          (SELECT node, SUM(c) AS m FROM c3 GROUP BY node) s ON n.node = s.node)
+      SELECT node, ROUND(rank, 8) AS rank FROM r3
+      ORDER BY rank DESC, node LIMIT 20"""))
+
+  /** pandas resample('1h').max().ffill() distributed (ops/EventAnalytics):
+    * hourly cells per user, dense grid between the user's first and last
+    * cell, empty cells forward-filled. Buckets are epoch-second longs —
+    * integer math end to end. The %20 user slice bounds verify output. */
+  val q138ResampleFfill = QueryDef(
+    "q138_resample_ffill",
+    (s, d) => EventAnalytics.resampleFfill(
+        Tables.events(s, d).filter(col("user_id") % 20 === 0),
+        "user_id", "ts", "value", bucketSec = 3600L)
+      .orderBy("user_id", "bucket"),
+    Some("""WITH f AS (SELECT user_id, ts, value FROM events WHERE user_id % 20 = 0),
+      cells AS (SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+          MAX(value) AS v
+        FROM f GROUP BY 1, 2),
+      grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket
+        FROM (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+              FROM cells GROUP BY 1))
+      SELECT grid.user_id, grid.bucket, cells.v,
+        last_value(cells.v IGNORE NULLS) OVER (
+          PARTITION BY grid.user_id ORDER BY grid.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM grid LEFT JOIN cells
+        ON grid.user_id = cells.user_id AND grid.bucket = cells.bucket
+      ORDER BY grid.user_id, grid.bucket"""))
+
+  /** Ordered-step funnel view→click→purchase: step i counts only strictly
+    * after step i-1 (min-qualifying-ts chaining); one report row per step
+    * with entity counts and step-over-step conversion. */
+  val q139Funnel = QueryDef(
+    "q139_funnel",
+    (s, d) => EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step"),
+    Some("""WITH t1 AS (SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY 1),
+      t2 AS (SELECT e.user_id,
+          MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1 THEN e.ts END) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY 1),
+      t3 AS (SELECT e.user_id,
+          MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t2 THEN e.ts END) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id GROUP BY 1),
+      c AS (SELECT COUNT(*) AS nk,
+          SUM(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+          SUM(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+          SUM(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3
+        FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+                JOIN t3 ON t1.user_id = t3.user_id)
+      SELECT * FROM (
+        SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_entities,
+          ROUND(CAST(n1 AS DOUBLE) / nk, 6) AS conversion FROM c
+        UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT),
+          ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+        UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+          ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM c)
+      ORDER BY step"""))
+
+  /** Cohort retention matrix: cohort = first-activity epoch-week, offset =
+    * activity week − cohort week, distinct entities per cell. */
+  val q140Cohorts = QueryDef(
+    "q140_cohorts",
+    (s, d) => EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
+      .orderBy("cohort_week", "offset_weeks"),
+    Some("""WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      c AS (SELECT user_id, week,
+          MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
+      SELECT cohort_week, week - cohort_week AS offset_weeks,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts)
+}

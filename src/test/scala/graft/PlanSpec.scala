@@ -216,6 +216,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "expected window-based SCD build")
   }
 
+  test("q137: pagerank iterations are keyed equi joins — no cartesian, no window") {
+    val p = planOf(graft.queries.AnalyticsQueries.q137PageRank.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), "rank propagation went all-pairs")
+    assert(!p.contains("Window"), "pagerank must not need a window")
+  }
+
+  test("q139: funnel steps share ONE user_id shuffle (chained same-partition windows)") {
+    val df = graft.queries.AnalyticsQueries.q139Funnel.fn(spark, sf001)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(
+      df.queryExecution.executedPlan.toString()).size
+    assert(exchanges == 1, s"expected 1 keyed exchange, saw $exchanges")
+  }
+
+  test("q138: resample grid + ffill stay partitioned by user — no global window") {
+    val p = planOf(graft.queries.AnalyticsQueries.q138ResampleFfill.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), "grid join went all-pairs")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "ffill window must partition by user_id")
+  }
+
   test("q133: heavy-hitter exact pass pushes the candidate In-filter to the scan") {
     val df = CoreQueries.q133HeavyHitters.fn(spark, sf001)
     val p = formatted(df)
