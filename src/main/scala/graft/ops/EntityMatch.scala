@@ -35,8 +35,12 @@ object EntityMatch {
     val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
       .withColumn("block", block(col("r_text")))
     l.join(r, "block")
-      .withColumn("dist", levenshtein(col("l_text"), col("r_text")))
-      .filter(col("dist") <= maxDist)
+      // cheap length guard first, then the THRESHOLD form of levenshtein —
+      // banded DP that abandons a pair the moment it exceeds maxDist
+      // (returns -1), instead of computing the full distance matrix
+      .filter(abs(length(col("l_text")) - length(col("r_text"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("l_text"), col("r_text"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l_key"), col("r_key"), col("dist"))
   }
 

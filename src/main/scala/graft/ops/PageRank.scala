@@ -24,12 +24,24 @@ object PageRank {
     * Every node must have out-degree ≥ 1 (undirected graphs: emit both
     * directions); dangling-mass redistribution is intentionally out of
     * scope. Returns (node, rank) with rank rounded to 12 decimals.
+    *
+    * `broadcastRanks` (default true) broadcasts the |V|-row rank table
+    * into the edge scan so each iteration's only shuffle is the dst-keyed
+    * contribution sum — right whenever the node set fits the broadcast
+    * budget (domain-authority graphs: ~1e6-1e7 nodes × ~30 B). For
+    * node sets at edge scale, pass false: the src join falls back to a
+    * shuffle equi-join on co-partitioned keys.
     */
-  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+  def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+      broadcastRanks: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
+    // persisted: the node set re-enters the plan every iteration (rank
+    // re-base + teleport join); without the cache each iteration re-scans
+    // and re-distincts the edge list
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
+      .persist()
     val n = nodes.count() // driver barrier: a scalar, like any agg gate
     val teleport = (1.0 - damping) / n
 
@@ -39,8 +51,9 @@ object PageRank {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
+      val rankSide = ranks.withColumnRenamed("node", "src")
       val contrib = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
         .select(col("dst").as("node"),
           round(col("rank") / col("deg"), 12).cast("decimal(28,12)").as("c"))
       val sums = contrib.groupBy("node")
@@ -50,6 +63,12 @@ object PageRank {
           round(lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
             12).as("rank"))
     }
-    ranks
+    // eager checkpoint: materializes the final ranks once, cuts the
+    // 3-iteration lineage (a caller's count+collect would replay it), and
+    // lets the loop-invariant caches release instead of leaking
+    val out = ranks.localCheckpoint()
+    nodes.unpersist(blocking = false)
+    edgesDeg.unpersist(blocking = false)
+    out
   }
 }
