@@ -29,12 +29,16 @@ object DenseId {
 
   def withDenseId(df: DataFrame, orderCols: Seq[String],
       out: String = "dense_id"): DataFrame = {
+    // eager checkpoint, not persist: the frame is traversed twice (counts,
+    // then the id projection) and the snapshot both guarantees the two
+    // passes see identical partition layouts and cuts the lineage instead
+    // of leaving a cache entry behind
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn(P, spark_partition_id())
       .withColumn(M, monotonically_increasing_id())
-      .persist()
+      .localCheckpoint()
 
     val counts = sorted.groupBy(col(P)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

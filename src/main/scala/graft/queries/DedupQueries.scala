@@ -86,9 +86,10 @@ object DedupQueries extends QueryGroup {
   /** Shared DuckDB CTE block rebuilding DedupOps' minhash → LSH-band
     * candidate pairs (shingles, 32-bit md5 hashes, per-seed signatures,
     * 2-row bands, distinct collision pairs) — ONE definition so the
-    * q46/q55/q120 oracles cannot drift apart. Yields CTEs `w, sh, h, sig,
-    * bands, pairs`; prepend WITH (or WITH RECURSIVE) and compose. */
-  private val MinhashPairCtes: String = {
+    * q46/q55/q120/q142 oracles cannot drift apart. Yields CTEs `w, sh, h,
+    * sig, bands, pairs`; prepend WITH (or WITH RECURSIVE) and compose.
+    * `where` optionally restricts the document universe. */
+  private def minhashPairCtes(where: String): String = {
     val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
     }.mkString(", ")
@@ -96,7 +97,7 @@ object DedupQueries extends QueryGroup {
       val v = s"CAST(sig_${2 * j} AS VARCHAR) || ',' || CAST(sig_${2 * j + 1} AS VARCHAR)"
       s"SELECT doc_id, $j AS band_id, $v AS band_val FROM sig"
     }.mkString(" UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents$where),
       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(words)), i -> array_to_string(words[i:i+1], ' ')))) AS s
              FROM w),
@@ -115,7 +116,7 @@ object DedupQueries extends QueryGroup {
       val sig = DedupOps.minhashSignatures(Tables.documents(s, d), "doc_id", col("text"), 2)
       DedupOps.lshCandidatePairs(sig, "doc_id", bandsOf = 2).orderBy("d1", "d2")
     },
-    Some(s"WITH $MinhashPairCtes SELECT d1, d2 FROM pairs ORDER BY d1, d2"))
+    Some(s"WITH ${minhashPairCtes("")} SELECT d1, d2 FROM pairs ORDER BY d1, d2"))
 
   /** 16-bit SimHash per document (token multiset, md5 bit votes). */
   val q47Simhash = QueryDef(
@@ -152,7 +153,7 @@ object DedupQueries extends QueryGroup {
         .filter(col("size") >= 2)
         .orderBy("cluster")
     },
-    Some(s"""WITH RECURSIVE $MinhashPairCtes,
+    Some(s"""WITH RECURSIVE ${minhashPairCtes("")},
       edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
       reach(a, b) AS (
         SELECT DISTINCT a, a FROM edges
@@ -421,7 +422,7 @@ object DedupQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_pairs"), min("d1").as("min_d1"))
         .orderBy("split1", "split2")
     },
-    Some(s"""WITH $MinhashPairCtes,
+    Some(s"""WITH ${minhashPairCtes("")},
       u AS (SELECT doc_id,
           (CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
             AS BIGINT) + 0.5) / 4294967296.0 AS u FROM documents),
@@ -437,9 +438,52 @@ object DedupQueries extends QueryGroup {
         CAST(MIN(d1) AS BIGINT) AS min_d1
       FROM lk GROUP BY split1, split2 ORDER BY split1, split2"""))
 
+  /** MinHash+LSH quality harness (the q98-for-dedup): banding decisions
+    * audited against EXACT 2-gram Jaccard ≥ 0.2 on a bounded document
+    * slice — n_true / n_candidates / n_hit plus recall and precision in
+    * one row. This is the gate that tells an operator whether its band
+    * geometry (3 bands × 2 rows) is tuned for the corpus: recall is the
+    * dedup guarantee, precision is the wasted-verification cost. */
+  val q142LshRecall = QueryDef(
+    "q142_lsh_recall",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val truth = DedupOps.ngramJaccardPairs(docs, "doc_id", col("text"), 2, 0.2)
+        .select("d1", "d2").withColumn("t", lit(1L))
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      val cand = DedupOps.lshCandidatePairs(sig, "doc_id", bandsOf = 2)
+        .select("d1", "d2").withColumn("c", lit(1L))
+      truth.join(cand, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(col("t")).as("n_true"),
+          sum(col("c")).as("n_candidates"),
+          sum(col("t") * col("c")).as("n_hit"))
+        .select(col("n_true"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_candidates"), 6)
+            .as("precision"))
+    },
+    Some(s"""WITH ${minhashPairCtes(" WHERE doc_id < 300")},
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+      truth AS (SELECT d1, d2 FROM inter
+                JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+                WHERE ROUND(CAST(i AS DOUBLE) / (x.n + y.n - i), 6) >= 0.2),
+      m AS (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                   (SELECT COUNT(*) FROM pairs) AS n_candidates,
+                   (SELECT COUNT(*) FROM truth t JOIN pairs p
+                      ON t.d1 = p.d1 AND t.d2 = p.d2) AS n_hit)
+      SELECT CAST(n_true AS BIGINT) AS n_true,
+        CAST(n_candidates AS BIGINT) AS n_candidates,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+        ROUND(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS precision FROM m"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
-    q126SharedSpans)
+    q126SharedSpans, q142LshRecall)
 }
