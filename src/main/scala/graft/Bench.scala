@@ -49,12 +49,14 @@ object Bench {
       if (!ok) errors += 1
       (name, fn, t, ok)
     }
-    // repeat-run spread on the heavy queries is JIT/GC noise, not plan
-    // changes (measured 85-130 s totals on identical code); re-time the
-    // >2 s tail once and keep the min so round-over-round comparisons see
-    // the plan, not the JVM's mood. Failed queries are never re-timed.
+    // repeat-run spread is JIT/GC noise, not plan changes (measured 85-130 s
+    // totals on identical code; round-4 showed 1.3-5x drift on UNCHANGED
+    // cheap queries too). Re-time EVERY successful query once and keep the
+    // min — the warm number is the plan's cost, the cold one is the JVM's
+    // mood. The second pass of the cheap majority costs seconds; the heavy
+    // tail was already being re-timed. Failed queries are never re-timed.
     val results = firstPass.map { case (name, fn, t1, ok) =>
-      name -> (if (ok && t1 > 2.0) {
+      name -> (if (ok) {
         // a failed retry must not replace a successful first-pass time
         val (t2, ok2) = time(fn)
         if (ok2) math.min(t1, t2) else t1

@@ -112,15 +112,56 @@ object ScrapeJob {
   /** Overwrite via temp-dir swap (parquet overwrite of a dir being read),
     * through the Hadoop FileSystem API so the swap works on HDFS/S3A too
     * (java.io.File rename silently no-ops on non-local storage).
+    *
+    * Crash-safe commit protocol — at no instant is the committed state
+    * unrecoverable (the old delete-then-rename left a window where a crash
+    * lost the target entirely, and a replayed batch would then silently
+    * rebuild the store from the batch alone):
+    *
+    *   1. write `dir__tmp` (complete iff its `_SUCCESS` marker exists);
+    *   2. rename `dir` -> `dir__old` (previous state set aside, not deleted);
+    *   3. rename `dir__tmp` -> `dir` (the commit point);
+    *   4. delete `dir__old`.
+    *
+    * [[recoverAtomic]] rolls any crash window forward/backward: a missing
+    * target with a _SUCCESS-complete tmp rolls FORWARD (the write finished,
+    * only the swap was interrupted); otherwise `dir__old` rolls BACK.
     */
   private[graft] def overwriteAtomic(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
     val fs = hadoopFs(spark, dir)
     val target = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // stale set-aside from a crash after step 3
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"rename $dir -> $old failed")
+    if (!fs.rename(tmp, target))
       throw new java.io.IOException(s"rename $tmp -> $dir failed")
+    fs.delete(old, true)
+  }
+
+  /** Recover `dir` after a crash mid-[[overwriteAtomic]]. Idempotent and a
+    * no-op when the target exists; call before READING a dir that an
+    * atomic-overwrite writer owns (UpsertSink does, each batch).
+    */
+  private[graft] def recoverAtomic(spark: SparkSession, dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(target)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    val tmpComplete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (tmpComplete) { // crash between steps 2 and 3: roll the commit forward
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"recovery rename $tmp -> $dir failed")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) { // crash mid-step-1 write after a prior set-aside
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(s"recovery rename $old -> $dir failed")
+      fs.delete(tmp, true)
+    }
+    // neither: the dir never existed — nothing to recover
   }
 }
 

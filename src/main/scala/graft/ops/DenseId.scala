@@ -29,19 +29,41 @@ object DenseId {
 
   def withDenseId(df: DataFrame, orderCols: Seq[String],
       out: String = "dense_id"): DataFrame = {
+    val spark = df.sparkSession
     // eager checkpoint, not persist: the frame is traversed twice (counts,
     // then the id projection) and the snapshot both guarantees the two
     // passes see identical partition layouts and cuts the lineage instead
-    // of leaving a cache entry behind
-    val sorted = df
+    // of leaving a cache entry behind. Reliable checkpoint when a
+    // checkpoint dir is configured (cluster: survives executor loss —
+    // localCheckpoint blocks are pinned to executors and die with them).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val snapshot = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn(P, spark_partition_id())
       .withColumn(M, monotonically_increasing_id())
-      .localCheckpoint()
+    val sorted =
+      if (reliable) snapshot.checkpoint(eager = true)
+      else snapshot.localCheckpoint(eager = true)
 
-    val counts = sorted.groupBy(col(P)).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // Per-partition counts AND the local-ordinal extrema in one aggregate.
+    // The extrema are a layout guard: local index = low 33 bits of
+    // monotonically_increasing_id relies on MonotonicallyIncreasingID's
+    // (partitionId << 33 | rowIndex) encoding — documented behavior since
+    // Spark 1.6 and pinned here for 4.x, but an internal re-layout in a
+    // future release must FAIL loudly, not silently corrupt every id. A
+    // partition of cnt rows must see local indices exactly [0, cnt-1].
+    val localIdx = col(M).bitwiseAND(lit((1L << 33) - 1))
+    val counts = sorted.groupBy(col(P))
+      .agg(count(lit(1)).as("cnt"), min(localIdx).as("lo"), max(localIdx).as("hi"))
+      .collect()
+      .map { r =>
+        val (pid, cnt, lo, hi) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        require(lo == 0L && hi == cnt - 1,
+          s"monotonically_increasing_id layout changed: partition $pid has " +
+            s"$cnt rows but local indices span [$lo, $hi] (expected [0, ${cnt - 1}])")
+        pid -> cnt
+      }.sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) =>
       (pid, acc + cnt)
     }.tail.zip(counts).map { case ((pid, end), (_, cnt)) => pid -> (end - cnt) }.toMap

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Exact floor-division of epoch-microseconds by a positive bucket width,
+    * built from column APIs (no SQL-string splicing — a column name needing
+    * backticks can't inject or break the expression). `pmod` makes the
+    * alignment floor-correct for negative (pre-1970) epochs where SQL `DIV`
+    * truncates toward zero; the aligned value is an exact multiple of `us`,
+    * and the division runs in DECIMAL so epoch-µs magnitudes never pass
+    * through a lossy double.
+    */
+  private def floorDivMicros(tsCol: Column, us: Long): Column = {
+    val m = unix_micros(tsCol)
+    ((m - pmod(m, lit(us))).cast("decimal(28,0)") / lit(us)).cast("long")
+  }
+
   /** pandas `resample('<bucket>').max().ffill()` distributed: per key,
     * bucket the timeline into `bucketSec` cells, aggregate each cell
     * (max), materialize the dense cell grid between the key's first and
@@ -18,19 +31,32 @@ object EventAnalytics {
     * Buckets are epoch-second longs (cell start), not timestamps — exact
     * integer math end-to-end. The grid explode is per key; a key spanning
     * T seconds yields T/bucketSec rows, so pick the bucket to match the
-    * retention horizon (the usual resample contract). One shuffle: cell
-    * agg, grid, join-back and ffill window all partition by the key.
+    * retention horizon (the usual resample contract). `maxCellsPerKey`
+    * bounds that grid: a single key whose span/bucket ratio exceeds it
+    * (e.g. a years-long span at a 1-second bucket ≈ 3×10⁷ rows) fails
+    * fast with a diagnosable error instead of silently exploding an
+    * executor. One shuffle: cell agg, grid, join-back and ffill window
+    * all partition by the key.
     */
   def resampleFfill(df: DataFrame, key: String, ts: String, value: String,
-      bucketSec: Long): DataFrame = {
-    val us = bucketSec * 1000000L
+      bucketSec: Long, maxCellsPerKey: Long = 10000000L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
     val cells = df
-      // integer DIV: double division drifts at epoch-µs magnitudes
-      .withColumn("bucket", expr(s"unix_micros($ts) DIV $us") * bucketSec)
+      .withColumn("bucket", floorDivMicros(col(ts), bucketSec * 1000000L) * bucketSec)
       .groupBy(col(key), col("bucket"))
       .agg(max(col(value)).as("v"))
+    val gridCells = (col("mx") - col("mn")) / bucketSec + 1
     val grid = cells.groupBy(col(key))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      // plan-embedded guard, no extra action: the offending key and its
+      // cell count surface in the error message
+      .withColumn("mn",
+        when(gridCells > maxCellsPerKey, raise_error(concat(
+          lit(s"resampleFfill: key "), col(key).cast("string"),
+          lit(" spans "), gridCells.cast("long").cast("string"),
+          lit(s" cells at bucketSec=$bucketSec, over maxCellsPerKey=$maxCellsPerKey; " +
+            "widen the bucket or raise the cap"))))
+          .otherwise(col("mn")))
       .select(col(key),
         explode(sequence(col("mn"), col("mx"), lit(bucketSec))).as("bucket"))
     val w = Window.partitionBy(key).orderBy("bucket")
@@ -79,7 +105,7 @@ object EventAnalytics {
     * no calendar functions to disagree across engines.
     */
   def cohortRetention(df: DataFrame, key: String, ts: String): DataFrame = {
-    val week = expr(s"unix_micros($ts) DIV ${604800L * 1000000L}")
+    val week = floorDivMicros(col(ts), 604800L * 1000000L)
     val w = Window.partitionBy(key)
     df.withColumn("week", week)
       .withColumn("cohort_week", min(col("week")).over(w))

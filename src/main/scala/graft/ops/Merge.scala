@@ -41,11 +41,23 @@ object Merge {
     * an expression over `Merge.t`/`Merge.s` refs. Keys are compared with
     * `===`, so a null-key source row never matches and falls to the INSERT
     * branch — pre-filter null keys if that is not the intent.
+    *
+    * CONTRACT: source keys must be UNIQUE. SQL MERGE raises on a target
+    * row matched by multiple source rows; this emulation would instead
+    * silently fan each matched target row out into one output row per
+    * duplicate (and duplicate the inserts). Callers that cannot guarantee
+    * uniqueness upstream (UpsertSink pre-collapses per key, so it can)
+    * should pass `requireUniqueSource = true`: a plan-embedded guard (one
+    * window count on the merge key, no extra driver action) that fails the
+    * job with the offending key instead of diverging. The guard lives in
+    * the output row projection, so it fires on any real materialization
+    * (write/collect); a bare `count()` prunes all columns and skips it.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       updates: Map[String, Column] = Map.empty,
       insertWhen: Column = lit(true),
-      deleteWhen: Column = lit(false)): DataFrame = {
+      deleteWhen: Column = lit(false),
+      requireUniqueSource: Boolean = false): DataFrame = {
     val outCols = target.columns.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
       s"merge keys $keys must be target columns")
@@ -53,8 +65,22 @@ object Merge {
       s"source must carry every target column; missing " +
         outCols.filterNot(source.columns.contains).mkString(", "))
 
+    // The guard lives INSIDE the SP marker column (which the matched /
+    // source-only predicates consume), so column pruning cannot optimize
+    // the raise_error away — a dropped side-channel column would be.
+    val spCol =
+      if (!requireUniqueSource) lit(true)
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+        when(count(lit(1)).over(w) > 1, raise_error(concat(
+          lit("merge: duplicate source rows for key ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+          lit(")"))).cast("boolean"))
+          .otherwise(lit(true))
+      }
+
     val tt = target.withColumn(TP, lit(true)).alias("t")
-    val ss = source.withColumn(SP, lit(true)).alias("s")
+    val ss = source.withColumn(SP, spCol).alias("s")
     val cond = keys.map(k => t(k) === s(k)).reduce(_ && _)
 
     val matched = col(TP).isNotNull && col(SP).isNotNull

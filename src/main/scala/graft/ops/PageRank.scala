@@ -32,9 +32,23 @@ object PageRank {
     * node sets at edge scale, pass false: the src join falls back to a
     * shuffle equi-join on co-partitioned keys.
     */
+  /** Checkpoint cadence: every `CheckpointEvery` iterations the rank frame
+    * is materialized and its lineage cut. Without this the plan nests one
+    * join+aggregate per iteration and analysis/codegen time grows
+    * superlinearly (the iterative-DataFrame trap); with it, plan depth is
+    * bounded by the cadence regardless of iteration count.
+    */
+  private[graft] val CheckpointEvery = 5
+
   def run(edges: DataFrame, iterations: Int, damping: Double = 0.85,
       broadcastRanks: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
+    // reliable checkpoint when the session has a checkpoint dir configured
+    // (HDFS/S3 — survives executor loss); localCheckpoint otherwise (local
+    // mode / tests — blocks die with their executors, which is fine there)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     // persisted: the node set re-enters the plan every iteration (rank
     // re-base + teleport join); without the cache each iteration re-scans
     // and re-distincts the edge list
@@ -50,7 +64,7 @@ object PageRank {
     val edgesDeg = edges.join(outDeg, "src").persist()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val rankSide = ranks.withColumnRenamed("node", "src")
       val contrib = edgesDeg
         .join(if (broadcastRanks) broadcast(rankSide) else rankSide, "src")
@@ -62,11 +76,12 @@ object PageRank {
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
             12).as("rank"))
+      if (i % CheckpointEvery == 0 && i < iterations) ranks = ckpt(ranks)
     }
     // eager checkpoint: materializes the final ranks once, cuts the
-    // 3-iteration lineage (a caller's count+collect would replay it), and
+    // residual lineage (a caller's count+collect would replay it), and
     // lets the loop-invariant caches release instead of leaking
-    val out = ranks.localCheckpoint()
+    val out = ckpt(ranks)
     nodes.unpersist(blocking = false)
     edgesDeg.unpersist(blocking = false)
     out

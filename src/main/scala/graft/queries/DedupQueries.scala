@@ -203,10 +203,17 @@ object DedupQueries extends QueryGroup {
       val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
       val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
       val kept = DedupOps.dedupByClusters(pairs, docs.select(col("doc_id").as("doc")))
-      val total = docs.count()
-      val nKept = kept.count()
-      import s.implicits._
-      Seq((total, nKept, total - nKept)).toDF("n_total", "n_kept", "n_removed")
+      // ONE plan, one job: left-join the corpus against the kept set and
+      // aggregate — the clustering subtree executes exactly once, vs the
+      // previous docs.count()/kept.count() pair that ran the minhash+LSH+CC
+      // pipeline twice as two separate driver actions.
+      docs.select(col("doc_id"))
+        .join(kept.select(col("doc").as("doc_id"), lit(1).as("__kept")),
+          Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(col("__kept")).as("n_kept"),
+          (count(lit(1)) - count(col("__kept"))).as("n_removed"))
     },
     Some {
       val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>

@@ -33,11 +33,24 @@ object UpsertSink {
   def applyBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
       keys: Seq[String], orderCol: String): Unit = {
     if (batch.isEmpty) return
+    // Tie-break on the NON-key columns: the keys are the window's partition
+    // columns, so ordering by them is a no-op — two rows with the same key
+    // and same orderCol would be picked nondeterministically across a
+    // replay, breaking idempotence. Ordering by every remaining column
+    // (name-sorted for stability) makes the pick a pure function of the
+    // batch's row SET, independent of arrival order.
+    val tieBreak = batch.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == orderCol)
+      .sorted.map(col(_).asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc +: keys.map(col(_).asc): _*)
+      .orderBy(col(orderCol).desc +: tieBreak: _*)
     val latest = batch.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1).drop("__graft_rn")
 
+    // roll forward/back any commit interrupted by a crash BEFORE reading:
+    // a missing target must never be mistaken for an empty store (that
+    // would silently rebuild from this batch alone)
+    ScrapeJob.recoverAtomic(spark, targetDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(targetDir), spark.sparkContext.hadoopConfiguration)
     val target =

@@ -48,6 +48,68 @@ class AnalyticsSpec extends SparkSpec {
       (base + 10800, Some(7.0), 7.0)))
   }
 
+  test("pagerank: 12 iterations — intra-loop checkpoint cadence keeps the plan bounded") {
+    // ring graph: uniform stationary distribution, so the 12-iteration
+    // result is exactly checkable; the run crosses the cadence (every 5)
+    // twice, exercising the mid-loop lineage cuts
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val ranks = PageRank.run(edges, iterations = 12).as[(String, Double)]
+      .collect().toMap
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    ranks.values.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    // with unbounded lineage 12 nested join+agg rounds push analysis time
+    // superlinear; the cadence keeps the whole run in interactive range
+    assert(elapsed < 60.0, f"12-iteration pagerank took $elapsed%.1f s")
+  }
+
+  test("pagerank + denseId engage the reliable checkpoint dir when one is configured") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      PageRank.run(edges, iterations = 6).count()
+      graft.ops.DenseId.withDenseId(Seq(3, 1, 2).toDF("k"), Seq("k")).count()
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0, "no reliable checkpoint files were written")
+    } finally {
+      // restore the shared session's localCheckpoint fallback for other
+      // suites (checkpointDir is private[spark]; reflection is test-only)
+      val f = sc.getClass.getDeclaredMethod("checkpointDir_$eq", classOf[Option[String]])
+      f.invoke(sc, None)
+    }
+  }
+
+  test("resample+ffill: pre-1970 timestamps bucket with floor semantics, not truncation") {
+    // -1800 s epoch: floor(-1800/3600) = -1 -> bucket -3600; truncation
+    // toward zero would misplace it in bucket 0
+    val ev = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("1969-12-31T23:30:00Z")), 5.0),
+      (1L, Timestamp.from(java.time.Instant.parse("1970-01-01T00:30:00Z")), 9.0))
+      .toDF("user_id", "ts", "value")
+    val got = EventAnalytics.resampleFfill(ev, "user_id", "ts", "value", 3600L)
+      .orderBy("bucket").select("bucket", "v_ffill")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((-3600L, 5.0), (0L, 9.0)))
+  }
+
+  test("resample+ffill: a key spanning more cells than maxCellsPerKey fails fast") {
+    val ev = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 1.0),
+      (1L, Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z")), 2.0))
+      .toDF("user_id", "ts", "value")
+    val e = intercept[Exception] {
+      EventAnalytics.resampleFfill(ev, "user_id", "ts", "value",
+        bucketSec = 1L, maxCellsPerKey = 1000L).count()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("resampleFfill")), messages.mkString(" | "))
+  }
+
   test("funnel: steps must occur strictly in order per entity") {
     val ev = Seq(
       // u1: full ordered funnel

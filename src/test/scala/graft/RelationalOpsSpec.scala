@@ -54,6 +54,25 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("merge: requireUniqueSource fails on duplicate source keys, passes on unique") {
+    // SQL MERGE raises on multi-match; without the guard this emulation
+    // would silently fan the matched target row out into two output rows
+    val dup = Seq((2L, "b2", 1.0), (2L, "b3", 2.0)).toDF("k", "name", "bal")
+    val e = intercept[Exception] {
+      // collect, not count: the guard lives in the row projection, so it
+      // fires on any real materialization (count() prunes all columns)
+      Merge.merge(target, dup, Seq("k"), requireUniqueSource = true).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("duplicate source rows")), messages.mkString(" | "))
+
+    val uniq = Seq((2L, "b2", 99.0)).toDF("k", "name", "bal")
+    val out = Merge.merge(target, uniq, Seq("k"), requireUniqueSource = true)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0)))
+  }
+
   // ---- HeavyHitters ----
 
   test("misra-gries candidates are a superset of true > n/k keys; two-pass result is exact") {

@@ -43,6 +43,72 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(target)))
   }
 
+  test("same key + same orderCol picks the same row regardless of arrival order") {
+    // two rows tie on (key, seq); the non-key tie-break must make the pick
+    // a pure function of the row SET — a replay that happens to deliver the
+    // batch in a different order must produce the identical store
+    val rows = Seq((1L, "zzz", 5L), (1L, "aaa", 5L))
+    val (t1, _) = freshDirs()
+    val (t2, _) = freshDirs()
+    UpsertSink.applyBatch(spark, rows.toDF("k", "v", "seq").repartition(2),
+      t1, Seq("k"), "seq")
+    UpsertSink.applyBatch(spark, rows.reverse.toDF("k", "v", "seq").repartition(2),
+      t2, Seq("k"), "seq")
+    val g1 = spark.read.parquet(t1).as[(Long, String, Long)].collect().toSeq
+    val g2 = spark.read.parquet(t2).as[(Long, String, Long)].collect().toSeq
+    assert(g1 == g2, s"arrival order changed the surviving row: $g1 vs $g2")
+    assert(g1 == Seq((1L, "aaa", 5L))) // name-sorted asc tie-break
+  }
+
+  test("crash between target set-aside and swap: next batch recovers, no keys lost") {
+    val (target, _) = freshDirs()
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 11L)).toDF("k", "v", "seq")
+    UpsertSink.applyBatch(spark, b1, target, Seq("k"), "seq")
+
+    // Simulate the overwriteAtomic crash window of the NEXT commit: the new
+    // state is fully written at target__tmp (with _SUCCESS) and the target
+    // has been renamed aside — the process died before the final swap.
+    val src = java.nio.file.Paths.get(target)
+    val tmp = java.nio.file.Paths.get(target + "__tmp")
+    copyDir(src, tmp)
+    java.nio.file.Files.move(src, java.nio.file.Paths.get(target + "__old"))
+
+    // Replay (at-least-once): recovery must roll the commit forward BEFORE
+    // reading — mistaking the missing target for an empty store would
+    // silently drop keys 1 and 2.
+    val b2 = Seq((3L, "c", 20L)).toDF("k", "v", "seq")
+    UpsertSink.applyBatch(spark, b2, target, Seq("k"), "seq")
+    val got = spark.read.parquet(target).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 11L), (3L, "c", 20L)))
+  }
+
+  test("crash mid-tmp-write after set-aside: recovery rolls back to the old state") {
+    val (target, _) = freshDirs()
+    val b1 = Seq((1L, "a", 10L)).toDF("k", "v", "seq")
+    UpsertSink.applyBatch(spark, b1, target, Seq("k"), "seq")
+
+    // tmp exists but is INCOMPLETE (no _SUCCESS) and the target is gone —
+    // only the set-aside copy holds the committed state
+    val src = java.nio.file.Paths.get(target)
+    val tmp = java.nio.file.Paths.get(target + "__tmp")
+    copyDir(src, tmp)
+    java.nio.file.Files.delete(tmp.resolve("_SUCCESS"))
+    java.nio.file.Files.move(src, java.nio.file.Paths.get(target + "__old"))
+
+    graft.jobs.ScrapeJob.recoverAtomic(spark, target)
+    val got = spark.read.parquet(target).as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L)))
+    assert(!java.nio.file.Files.exists(tmp), "incomplete tmp must be discarded")
+  }
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(src.relativize(p).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   test("attach drains a MemoryStream through the merge sink") {
     val (target, ckpt) = freshDirs()
     implicit val sql = spark.sqlContext
