@@ -97,4 +97,57 @@ object Merge {
     }
     merged.select(projected: _*)
   }
+
+  /** Partition-narrowed MERGE into a parquet target partitioned by
+    * `partCol` (written with `.partitionBy(partCol)`): the 100 TB shape the
+    * header describes. Only the partitions the SOURCE touches are read
+    * (partition pruning at file listing — the untouched N-k partitions are
+    * never scanned) and only those are rewritten (per-partition atomic dir
+    * swap — untouched partitions' files are never opened, moved, or
+    * re-written, so their modification identity is preserved).
+    *
+    * Contract: `partCol` must be STABLE under the merge key — a matched
+    * source row must carry the same `partCol` value as its target row
+    * (standard partitioned-MERGE caveat: a key that "moves" partitions
+    * would leave its old row in an untouched partition). The touched
+    * partition-value list is collected to the driver — bounded by the
+    * partition count, the same ≤#partitions barrier as any dynamic
+    * partition overwrite. Hive-style dir naming (`partCol=value`) is used
+    * verbatim; keep partition values path-safe.
+    */
+  def mergePartitioned(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, source: DataFrame, keys: Seq[String], partCol: String,
+      updates: Map[String, Column] = Map.empty,
+      insertWhen: Column = lit(true),
+      deleteWhen: Column = lit(false)): Unit = {
+    require(source.columns.contains(partCol), s"source must carry $partCol")
+    val touched = source.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+
+    val target = spark.read.parquet(targetDir)
+    val slice = target.filter(col(partCol).isin(touched: _*))
+    val merged = merge(slice, source, keys, updates, insertWhen, deleteWhen)
+
+    val tmp = targetDir + "__tmp"
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetDir), spark.sparkContext.hadoopConfiguration)
+    touched.foreach { v =>
+      val leaf = s"$partCol=$v"
+      val src = new org.apache.hadoop.fs.Path(tmp, leaf)
+      val dst = new org.apache.hadoop.fs.Path(targetDir, leaf)
+      val old = new org.apache.hadoop.fs.Path(targetDir, leaf + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        throw new java.io.IOException(s"rename $dst -> $old failed")
+      if (fs.exists(src)) { // absent = every row of this partition deleted
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 }

@@ -73,6 +73,55 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0)))
   }
 
+  test("mergePartitioned rewrites ONLY the partitions the source touches") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge").toString + "/store"
+    val tgt = (0L until 20L).map(k => (k, s"v$k", (k % 4).toInt)).toDF("k", "name", "p")
+    tgt.repartition(2).write.partitionBy("p").parquet(dir)
+
+    // byte-level identity snapshot of a partition dir: (relative path, size, mtime)
+    def snapshot(p: Int): Seq[(String, Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir, s"p=$p")
+      val it = java.nio.file.Files.walk(root).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.isRegularFile(f))
+          buf += ((root.relativize(f).toString, java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+      }
+      buf.toSeq.sorted
+    }
+    val before2 = snapshot(2)
+    val before3 = snapshot(3)
+
+    // source: update k=0 (partition 0), insert k=101 into partition 1 —
+    // partitions 2 and 3 are untouched and must not be rewritten
+    val src = Seq((0L, "UPDATED", 0), (101L, "new", 1)).toDF("k", "name", "p")
+    Merge.mergePartitioned(spark, dir, src, Seq("k"), "p")
+
+    assert(snapshot(2) == before2, "partition p=2 was rewritten")
+    assert(snapshot(3) == before3, "partition p=3 was rewritten")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 21)
+    assert(got.filter($"k" === 0L).select("name").as[String].head() == "UPDATED")
+    assert(got.filter($"k" === 101L).select("p").as[Int].head() == 1)
+    // untouched partitions' ROWS also intact
+    assert(got.filter($"p" === 2).count() == 5 && got.filter($"p" === 3).count() == 5)
+  }
+
+  test("mergePartitioned: deleteWhen can empty a partition; others untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/store"
+    (0L until 8L).map(k => (k, s"v$k", (k % 2).toInt)).toDF("k", "name", "p")
+      .write.partitionBy("p").parquet(dir)
+    // delete every row of partition 0 (keys 0,2,4,6 matched with DEL)
+    val src = Seq(0L, 2L, 4L, 6L).map(k => (k, "DEL", 0)).toDF("k", "name", "p")
+    Merge.mergePartitioned(spark, dir, src, Seq("k"), "p",
+      insertWhen = lit(false), deleteWhen = Merge.s("name") === "DEL")
+    val got = spark.read.parquet(dir)
+    assert(got.filter($"p" === 0).count() == 0)
+    assert(got.filter($"p" === 1).count() == 4)
+  }
+
   // ---- HeavyHitters ----
 
   test("misra-gries candidates are a superset of true > n/k keys; two-pass result is exact") {
