@@ -120,14 +120,9 @@ object Merge {
       updates: Map[String, Column] = Map.empty,
       insertWhen: Column = lit(true),
       deleteWhen: Column = lit(false)): Unit = {
-    require(source.columns.contains(partCol), s"source must carry $partCol")
-    val touched = source.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val (touched, merged) = mergePartitionedPlan(spark, targetDir, source,
+      keys, partCol, updates, insertWhen, deleteWhen)
     if (touched.isEmpty) return
-
-    val target = spark.read.parquet(targetDir)
-    val slice = target.filter(col(partCol).isin(touched: _*))
-    val merged = merge(slice, source, keys, updates, insertWhen, deleteWhen)
 
     val tmp = targetDir + "__tmp"
     merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
@@ -149,5 +144,28 @@ object Merge {
       fs.delete(old, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** The read+merge plan of [[mergePartitioned]] without the write, exposed
+    * so plan guards (PlanSpec) can assert the touched-partition `isin`
+    * filter actually reaches the target scan's PartitionFilters — the
+    * property that keeps the read O(touched), not O(target), at 100 TB.
+    */
+  private[graft] def mergePartitionedPlan(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, source: DataFrame, keys: Seq[String], partCol: String,
+      updates: Map[String, Column] = Map.empty,
+      insertWhen: Column = lit(true),
+      deleteWhen: Column = lit(false)): (Seq[Any], DataFrame) = {
+    require(source.columns.contains(partCol), s"source must carry $partCol")
+    // sorted: distinct() order is nondeterministic, and a stable touched
+    // list keeps the pruning predicate (and the rename loop's log order)
+    // identical across retries
+    val touched = source.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq.sortBy(_.toString)
+    if (touched.isEmpty) return (touched, source.limit(0))
+
+    val target = spark.read.parquet(targetDir)
+    val slice = target.filter(col(partCol).isin(touched: _*))
+    (touched, merge(slice, source, keys, updates, insertWhen, deleteWhen))
   }
 }

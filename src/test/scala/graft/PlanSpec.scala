@@ -243,4 +243,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
       "candidate pass should read only the key column")
   }
+
+  test("mergePartitioned: touched-partition filter prunes the target scan " +
+      "(PartitionFilters, not a post-scan Filter)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("pmerge_plan").toString + "/store"
+    (0L until 20L).map(k => (k, s"v$k", (k % 4).toInt)).toDF("k", "name", "p")
+      .write.partitionBy("p").parquet(dir)
+    // source touches partitions 0 and 1 of 4 — the target read must be
+    // O(touched): the isin must land in the scan's PartitionFilters so the
+    // other N-2 partitions are pruned at FILE LISTING, never opened
+    val src = Seq((0L, "x", 0), (101L, "y", 1)).toDF("k", "name", "p")
+    val (touched, merged) = graft.ops.Merge.mergePartitionedPlan(
+      spark, dir, src, Seq("k"), "p")
+    assert(touched == Seq(0, 1))
+    val p = formatted(merged)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(pf.contains("IN (0,1)"),
+      s"touched-partition isin not in PartitionFilters:\n$pf")
+    // and the executed scan must actually read only the touched files.
+    // AQE wraps the final plan in AdaptiveSparkPlanExec / QueryStageExec
+    // nodes whose inner plans are NOT children — descend explicitly.
+    merged.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val scanned = scans(merged.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("store")))
+      .map(_.metrics("numFiles").value)
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    def filesUnder(part: Int): Long = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, s"p=$part"))
+      try it.iterator().asScala.count(f =>
+        java.nio.file.Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+      finally it.close()
+    }
+    val touchedFiles = filesUnder(0) + filesUnder(1)
+    assert(scanned.nonEmpty && scanned.sum <= touchedFiles && scanned.sum < allFiles,
+      s"target scan read ${scanned.sum} files; touched partitions hold " +
+        s"$touchedFiles of $allFiles total")
+  }
 }

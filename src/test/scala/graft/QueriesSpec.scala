@@ -23,7 +23,8 @@ class QueriesSpec extends SparkSpec {
     *  - q24: single-row set-op counts combined into one summary row
     *  - q48: the bounded query set scored against a streaming corpus scan
     *         (the corpus itself never shuffles)
-    *  - q65: the nLists-row centroid table probed per query
+    *  - q65/q143: the nLists-row centroid table probed per query (q143 is
+    *         the saved-index load of the same probe)
     *  - q89: the 1-row corpus token total attached to every (doc, token)
     *         partial count (scalar broadcast, not a pair explosion)
     *  - q92: the k-row seed-centroid table probed per vector (quantizer
@@ -47,7 +48,8 @@ class QueriesSpec extends SparkSpec {
     "q89_unigram_nll", "q92_semdedup", "q98_ann_recall", "q103_bigram_nll",
     "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
     "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
-    "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk")
+    "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk",
+    "q143_ivf_probe_saved")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
