@@ -15,7 +15,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
     TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
-    WindowExtraQueries, GroupingQueries, CurationQueries, AnalyticsQueries)
+    WindowExtraQueries, GroupingQueries, CurationQueries, AnalyticsQueries,
+    MonitoringQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

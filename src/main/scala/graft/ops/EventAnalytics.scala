@@ -99,6 +99,53 @@ object EventAnalytics {
     counts.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Rolling event-time RANGE aggregation: for every event, the count and
+    * value-sum of the key's events in the trailing `windowSec` seconds
+    * (inclusive of the current instant) — "7-day rolling activity" per
+    * entity, the standard trailing-engagement feature.
+    *
+    * A RANGE frame over `unix_micros(ts)`, not a ROWS frame: simultaneous
+    * events (ts ties) are frame PEERS, so every engine computing the same
+    * frame sees the same row set regardless of tie order. One shuffle on
+    * the key; the sum runs in DECIMAL so the total is order-independent.
+    */
+  def rollingRange(df: DataFrame, key: String, ts: String, value: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(key).orderBy(unix_micros(col(ts)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        round(sum(col(value).cast("decimal(28,10)")).over(w).cast("double"), 6))
+  }
+
+  /** Last-touch attribution: each conversion (`convType` event) is credited
+    * to the entity's most recent STRICTLY PRECEDING non-conversion event
+    * type ("channel"); conversions with no prior touch credit `"(none)"`.
+    * Returns per-channel conversions and DECIMAL-summed converted value.
+    *
+    * The carry is `last(channel, ignoreNulls)` over rows up to BUT NOT
+    * including the current row, ordered by (ts, tieCol) — the tie column
+    * (a unique event id) makes "most recent" well-defined when timestamps
+    * collide, so replays and other engines attribute identically. One key
+    * shuffle; the per-channel rollup map-side combines.
+    */
+  def lastTouchAttribution(df: DataFrame, key: String, ts: String,
+      typeCol: String, valueCol: String, tieCol: String,
+      convType: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .withColumn("__touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("(none)")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol).cast("decimal(28,10)")).cast("double"), 6)
+          .as("attributed_value"))
+  }
+
   /** Cohort retention: cohort = the entity's first-activity week, offset =
     * activity week - cohort week; counts distinct entities per cell.
     * Weeks are epoch-week longs (epoch seconds / 604800) — integer math,

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Drift, EventAnalytics}
+import graft.text.Curation
+
+/** Round-5 monitoring operators: the checks a production training-data
+  * pipeline runs BETWEEN releases — distribution drift (PSI), trailing
+  * activity (rolling event-time windows), content novelty vs the previous
+  * corpus, and conversion attribution. All one-or-two keyed shuffles, no
+  * driver barriers; windows over data rows are keyed, windows over report
+  * rows are ≤#buckets.
+  */
+object MonitoringQueries extends QueryGroup {
+
+  /** Population Stability Index between two corpus snapshots (ops/Drift):
+    * per-bucket doc-length histograms + PSI contributions. Snapshots are
+    * the even/odd doc_id halves; buckets are 50-char-wide length bins
+    * capped at 10. Each snapshot collapses to its ≤12-row histogram before
+    * ANY ratio math — the global windows run over that report table. */
+  val q144PsiDrift = QueryDef(
+    "q144_psi_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.psiReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        least((col("n_chars") / 50).cast("bigint"), lit(10L)))
+    },
+    Some("""WITH t AS (SELECT LEAST(n_chars // 50, 10) AS bucket,
+          CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM documents),
+      h AS (SELECT bucket,
+          CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM t GROUP BY bucket),
+      p AS (SELECT bucket, n_a, n_b,
+          GREATEST(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), 1e-6) AS pa,
+          GREATEST(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), 1e-6) AS pb
+        FROM h)
+      SELECT bucket, n_a, n_b, ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term,
+        ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 6)) OVER (), 6) AS psi_total
+      FROM p ORDER BY bucket"""))
+
+  /** 7-day rolling activity per user (EventAnalytics.rollingRange): for
+    * every event, the count and DECIMAL-summed value of the user's events
+    * in the trailing week. RANGE frame over epoch-µs, so ts ties are frame
+    * peers — identical row sets cross-engine regardless of tie order. */
+  val q145RollingWindow = QueryDef(
+    "q145_rolling_window",
+    (s, d) => EventAnalytics.rollingRange(
+        Tables.events(s, d), "user_id", "ts", "value", windowSec = 7L * 86400L)
+      .select("event_id", "user_id", "n_window", "sum_window")
+      .orderBy("user_id", "event_id"),
+    Some("""SELECT event_id, user_id,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 6)
+          AS sum_window
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""))
+
+  /** n-gram novelty vs a reference corpus (Curation.noveltyScore): per odd
+    * doc, the fraction of its distinct word trigrams absent from the even
+    * half. Corpus-scale reference → shuffle-on-shingle LEFT join (contrast
+    * q85's broadcast probe against a small eval set). */
+  val q146Novelty = QueryDef(
+    "q146_novelty",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), n = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(words) - 1),
+          i -> array_to_string(words[i:i+2], ' ')))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= 3),
+      d AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+      r AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0)
+      SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        ROUND(CAST(SUM(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS novelty
+      FROM d LEFT JOIN r ON d.s = r.s
+      GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
+  /** Last-touch attribution (EventAnalytics.lastTouchAttribution): each
+    * purchase credits the user's most recent strictly-preceding
+    * non-purchase event type; (ts, event_id) ordering makes "most recent"
+    * deterministic under timestamp ties. */
+  val q147Attribution = QueryDef(
+    "q147_attribution",
+    (s, d) => EventAnalytics.lastTouchAttribution(
+        Tables.events(s, d), "user_id", "ts", "event_type", "value",
+        tieCol = "event_id", convType = "purchase")
+      .orderBy("channel"),
+    Some("""WITH t AS (SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+            IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events)
+      SELECT COALESCE(touch, '(none)') AS channel,
+        CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+          AS attributed_value
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution)
+}

@@ -175,6 +175,33 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** n-gram NOVELTY score: per document, the fraction of its distinct word
+    * n-grams that do NOT occur anywhere in a reference corpus — the
+    * "how much genuinely new text does this release add" counterpart to
+    * [[decontaminationFlags]] (which flags overlap with a small eval set).
+    *
+    * Shape difference is deliberate: the reference here is corpus-scale,
+    * so no broadcast — both sides explode to shingles and meet in a
+    * shuffle-on-shingle LEFT join (skew-tolerant: one hot shingle key is
+    * one join key, and the reference side is pre-distinct so a hot shingle
+    * carries ONE build row); the per-doc rollup map-side combines. Docs
+    * with fewer than n tokens have no shingles and drop out (no 0/0 row).
+    */
+  def noveltyScore(docs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: Column, n: Int): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(DedupOps.shingles(textCol, n)).as("__sh"))
+    val refSh = reference.select(explode(DedupOps.shingles(textCol, n)).as("__sh"))
+      .distinct().withColumn("__seen", lit(true))
+    docSh.join(refSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Gopher's character-level repetition metrics (Rae et al. 2021 §A1.1):
     * for word `n`-grams of each document, the fraction of characters
     * covered by occurrences of the MOST FREQUENT n-gram (top_frac) and by
