@@ -40,6 +40,11 @@ object ScrapeJob {
   def run(spark: SparkSession, linksDir: String, propertiesDir: String,
       indexXml: String, fetcher: Sitemap.Fetcher,
       now: java.sql.Timestamp): Unit = {
+    // A crash inside a previous run's overwriteAtomic swap window leaves the
+    // target missing with the data parked at __tmp/__old; without this
+    // roll-forward/back the fallback below would silently rebuild the links
+    // store from this run's snapshot alone.
+    recoverAtomic(spark, linksDir)
     val links0 =
       if (pathExists(spark, linksDir)) spark.read.parquet(linksDir)
       else LinkState.emptyLinks(spark)
@@ -101,6 +106,7 @@ object ScrapeJob {
   /** INSERT OR IGNORE ≡ dedup on key then union (SURVEY §2.1 S12). */
   private[graft] def appendDedup(spark: SparkSession, rows: DataFrame,
       dir: String, key: String): Unit = {
+    recoverAtomic(spark, dir) // crashed swap ⇒ restore before the exists check
     val merged =
       if (pathExists(spark, dir)) {
         val existing = spark.read.parquet(dir)

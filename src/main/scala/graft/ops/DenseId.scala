@@ -36,6 +36,10 @@ object DenseId {
     // of leaving a cache entry behind. Reliable checkpoint when a
     // checkpoint dir is configured (cluster: survives executor loss —
     // localCheckpoint blocks are pinned to executors and die with them).
+    // The single checkpoint here IS the returned frame, so it cannot be
+    // reclaimed in-function; enable
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true alongside
+    // setCheckpointDir so the dir is GC'd when the frame is dropped.
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val snapshot = df
       .repartitionByRange(orderCols.map(col): _*)

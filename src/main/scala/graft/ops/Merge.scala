@@ -129,21 +129,68 @@ object Merge {
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(targetDir), spark.sparkContext.hadoopConfiguration)
+    // Set-asides live in a SIBLING dir, never inside targetDir: a crash
+    // mid-swap must not leave a `leaf__old` dir where partition discovery
+    // would parse it as a bogus partition value (forcing partCol to string
+    // and excluding the data from the isin slice on the next run).
+    val aside = new org.apache.hadoop.fs.Path(setAsideDir(targetDir))
     touched.foreach { v =>
       val leaf = s"$partCol=$v"
       val src = new org.apache.hadoop.fs.Path(tmp, leaf)
       val dst = new org.apache.hadoop.fs.Path(targetDir, leaf)
-      val old = new org.apache.hadoop.fs.Path(targetDir, leaf + "__old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(dst) && !fs.rename(dst, old))
-        throw new java.io.IOException(s"rename $dst -> $old failed")
+      val old = new org.apache.hadoop.fs.Path(aside, leaf)
+      if (fs.exists(dst)) {
+        fs.mkdirs(aside)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(s"rename $dst -> $old failed")
+      }
       if (fs.exists(src)) { // absent = every row of this partition deleted
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"rename $src -> $dst failed")
       }
-      fs.delete(old, true)
     }
+    fs.delete(aside, true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private[graft] def setAsideDir(targetDir: String): String =
+    targetDir.stripSuffix("/") + "__setaside"
+
+  /** Recover a partitioned target after a crash mid-[[mergePartitioned]]
+    * swap loop. For every set-aside leaf: if the target leaf is missing the
+    * swap was interrupted — roll it BACK (restore the pre-merge partition;
+    * replaying the idempotent merge re-applies the change); if the target
+    * leaf exists the swap committed — drop the set-aside. Also heals any
+    * legacy in-target `leaf__old` dir from the pre-round-6 protocol.
+    * Idempotent; called by [[mergePartitionedPlan]] before every read.
+    */
+  private[graft] def recoverPartitioned(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetDir), spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(setAsideDir(targetDir))
+    if (fs.exists(aside)) {
+      fs.listStatus(aside).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(targetDir, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"recovery rename ${st.getPath} -> $dst failed")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(aside, true)
+    }
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    if (fs.exists(target)) {
+      fs.listStatus(target).filter(_.getPath.getName.endsWith("__old")).foreach { st =>
+        val leaf = st.getPath.getName.stripSuffix("__old")
+        val dst = new org.apache.hadoop.fs.Path(targetDir, leaf)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"recovery rename ${st.getPath} -> $dst failed")
+        } else fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** The read+merge plan of [[mergePartitioned]] without the write, exposed
@@ -164,6 +211,7 @@ object Merge {
       .collect().map(_.get(0)).toSeq.sortBy(_.toString)
     if (touched.isEmpty) return (touched, source.limit(0))
 
+    recoverPartitioned(spark, targetDir) // heal a crashed prior swap loop
     val target = spark.read.parquet(targetDir)
     val slice = target.filter(col(partCol).isin(touched: _*))
     (touched, merge(slice, source, keys, updates, insertWhen, deleteWhen))

@@ -38,10 +38,17 @@ object UpsertSink {
     // and same orderCol would be picked nondeterministically across a
     // replay, breaking idempotence. Ordering by every remaining column
     // (name-sorted for stability) makes the pick a pure function of the
-    // batch's row SET, independent of arrival order.
+    // batch's row SET, independent of arrival order. Non-orderable payload
+    // types (e.g. map) can't appear in a sort order — those order by a
+    // stable hash of their JSON form instead of failing analysis.
+    val fieldTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
     val tieBreak = batch.columns.toSeq
       .filterNot(c => keys.contains(c) || c == orderCol)
-      .sorted.map(col(_).asc_nulls_first)
+      .sorted.map { c =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(fieldTypes(c))) col(c).asc_nulls_first
+        else xxhash64(to_json(col(c))).asc
+      }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc +: tieBreak: _*)
     val latest = batch.withColumn("__graft_rn", row_number().over(w))

@@ -70,7 +70,16 @@ class AnalyticsSpec extends SparkSpec {
     sc.setCheckpointDir(dir)
     try {
       val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
-      PageRank.run(edges, iterations = 6).count()
+      // 12 iterations = intermediate checkpoints at i=5 and i=10 plus the
+      // final one; each materialized checkpoint deletes its predecessor, so
+      // exactly ONE rdd-* checkpoint dir may remain (the returned frame's)
+      PageRank.run(edges, iterations = 12).count()
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs == 1,
+        s"expected 1 surviving checkpoint dir (the result's), found $rddDirs")
       graft.ops.DenseId.withDenseId(Seq(3, 1, 2).toDF("k"), Seq("k")).count()
       val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()

@@ -122,6 +122,54 @@ class RelationalOpsSpec extends SparkSpec {
     assert(got.filter($"p" === 1).count() == 4)
   }
 
+  test("mergePartitioned: crash mid-swap (leaf set aside, not yet replaced) " +
+      "— replay recovers the partition, no data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge3").toString + "/store"
+    (0L until 8L).map(k => (k, s"v$k", (k % 2).toInt)).toDF("k", "name", "p")
+      .write.partitionBy("p").parquet(dir)
+
+    // Simulate the crash window: the swap loop renamed p=0 into the
+    // set-aside dir and died before renaming the merged tmp into place.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(Merge.setAsideDir(dir))
+    fs.mkdirs(aside)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "p=0"),
+      new org.apache.hadoop.fs.Path(aside, "p=0")))
+
+    // A replayed merge must first roll p=0 back (see all 4 of its rows in
+    // the slice), then apply the update — not merge against a vanished
+    // partition and lose keys 2/4/6.
+    val src = Seq((0L, "UPDATED", 0)).toDF("k", "name", "p")
+    Merge.mergePartitioned(spark, dir, src, Seq("k"), "p")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 8, "crash recovery lost rows")
+    assert(got.filter($"k" === 0L).select("name").as[String].head() == "UPDATED")
+    assert(got.filter($"p" === 0).count() == 4)
+    assert(!fs.exists(aside), "set-aside dir not cleaned up")
+  }
+
+  test("mergePartitioned: legacy in-target leaf__old from a crashed pre-v6 " +
+      "swap is healed before the read, not parsed as a partition value") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge4").toString + "/store"
+    (0L until 8L).map(k => (k, s"v$k", (k % 2).toInt)).toDF("k", "name", "p")
+      .write.partitionBy("p").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    // old protocol's crash artifact: leaf renamed to leaf__old in-place
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "p=1"),
+      new org.apache.hadoop.fs.Path(dir, "p=1__old")))
+
+    val src = Seq((1L, "UPDATED", 1)).toDF("k", "name", "p")
+    Merge.mergePartitioned(spark, dir, src, Seq("k"), "p")
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 8, "legacy recovery lost rows")
+    assert(got.schema("p").dataType == org.apache.spark.sql.types.IntegerType,
+      "partition column inferred as non-int: __old dir leaked into discovery")
+    assert(got.filter($"k" === 1L).select("name").as[String].head() == "UPDATED")
+    assert(got.filter($"p" === 1).count() == 4)
+  }
+
   // ---- HeavyHitters ----
 
   test("misra-gries candidates are a superset of true > n/k keys; two-pass result is exact") {

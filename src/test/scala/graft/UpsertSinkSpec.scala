@@ -60,6 +60,27 @@ class UpsertSinkSpec extends SparkSpec {
     assert(g1 == Seq((1L, "aaa", 5L))) // name-sorted asc tie-break
   }
 
+  test("map-typed payload column: tie-break hashes it instead of failing analysis") {
+    val (target, _) = freshDirs()
+    // map columns are not orderable — row_number over a sort order naming
+    // one fails analysis; the sink must order by a stable hash instead
+    val b = Seq((1L, Map("x" -> 1), 5L), (1L, Map("y" -> 2), 5L))
+      .toDF("k", "attrs", "seq")
+    UpsertSink.applyBatch(spark, b, target, Seq("k"), "seq")
+    val got = spark.read.parquet(target)
+      .as[(Long, Map[String, Int], Long)].collect().toSeq
+    assert(got.size == 1 && got.head._1 == 1L)
+
+    // determinism across arrival orders, same contract as orderable payloads
+    val (t2, _) = freshDirs()
+    UpsertSink.applyBatch(spark,
+      Seq((1L, Map("y" -> 2), 5L), (1L, Map("x" -> 1), 5L))
+        .toDF("k", "attrs", "seq"), t2, Seq("k"), "seq")
+    val got2 = spark.read.parquet(t2)
+      .as[(Long, Map[String, Int], Long)].collect().toSeq
+    assert(got == got2, s"arrival order changed the surviving row: $got vs $got2")
+  }
+
   test("crash between target set-aside and swap: next batch recovers, no keys lost") {
     val (target, _) = freshDirs()
     val b1 = Seq((1L, "a", 10L), (2L, "b", 11L)).toDF("k", "v", "seq")

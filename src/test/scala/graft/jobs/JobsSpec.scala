@@ -22,6 +22,29 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("appendDedup after a crashed swap window: store recovered, not " +
+      "silently rebuilt from the batch alone") {
+    val dir = java.nio.file.Files.createTempDirectory("props_crash").toString + "/t"
+    ScrapeJob.appendDedup(spark, Seq((1L, "x"), (2L, "y")).toDF("link_id", "v"),
+      dir, "link_id")
+    // simulate a crash between overwriteAtomic steps 2 and 3: target renamed
+    // aside, the next state complete at __tmp
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("link_id", "v")
+      .write.parquet(dir + "__tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // a replayed append must roll the commit forward FIRST — merging against
+    // the 3-row recovered store, not rebuilding from this 1-row batch
+    ScrapeJob.appendDedup(spark, Seq((4L, "w")).toDF("link_id", "v"),
+      dir, "link_id")
+    val got = spark.read.parquet(dir).orderBy("link_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")),
+      s"crashed swap lost rows: $got")
+  }
+
   test("overwriteAtomic swaps the directory without partial states") {
     val dir = java.nio.file.Files.createTempDirectory("ow").toString + "/t"
     ScrapeJob.overwriteAtomic(spark, Seq(1, 2, 3).toDF("v"), dir)
