@@ -49,4 +49,118 @@ object Drift {
         round(sum(round(term, 6)).over(w), 6))
       .orderBy(col("bucket"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between numeric samples `a`
+    * and `b`: KS = sup_x |F_a(x) − F_b(x)| over the empirical CDFs. The
+    * CDF-based complement to [[psiReport]] — no bucketing choice, sensitive
+    * to any distributional difference. Returns ONE row
+    * (n_a, n_b, ks_stat rounded to 6).
+    *
+    * Scale shape — the ECDF is computed DISTRIBUTED, never on one node:
+    * ties collapse first (groupBy value: per-value a/b counts, map-side
+    * combined), the value axis is range-partitioned, and the cumulative
+    * counts are per-partition prefix sums plus per-partition offsets. The
+    * only driver barrier is the ≤`partitions`-row offset table — the same
+    * two-pass prefix-sum shape as DenseId, NOT a single-partition global
+    * window (which would serialize the whole distinct-value set through
+    * one task at 100 TB).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = a.sparkSession
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
+    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy("v")
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    // eager snapshot: traversed twice (offset totals, then the scored
+    // pass), and the snapshot pins one partition layout for both — the
+    // DenseId checkpoint pattern (reliable when a dir is configured)
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nA = partTotals.map(_._2).sum
+    val nB = partTotals.map(_._3).sum
+    import spark.implicits._
+    if (nA == 0L || nB == 0L)
+      // KS is undefined against an empty sample — surface counts, null stat
+      return Seq((nA, nB)).toDF("n_a", "n_b")
+        .withColumn("ks_stat", lit(null).cast("double"))
+    // exclusive prefix offsets per partition id (≤`partitions` entries)
+    val offsets = partTotals.scanLeft((0, 0L, 0L)) {
+      case ((_, accA, accB), (pid, ta, tb)) => (pid, accA + ta, accB + tb)
+    }
+    val offDf = partTotals.map(_._1).zip(offsets.map(o => (o._2, o._3)))
+      .map { case (pid, (oa, ob)) => (pid, oa, ob) }
+      .toSeq.toDF("__pid", "offa", "offb")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap.join(broadcast(offDf), "__pid")
+      .withColumn("fa", (col("offa") + sum(col("ca")).over(w)).cast("double") / nA)
+      .withColumn("fb", (col("offb") + sum(col("cb")).over(w)).cast("double") / nB)
+      .agg(max(round(abs(col("fa") - col("fb")), 6)).as("ks_stat"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_stat"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between the unigram term
+    * distributions of each group (e.g. corpus source) — the symmetric,
+    * bounded [0, ln 2] corpus-similarity matrix a mixing pipeline reads to
+    * see which sources are textually interchangeable and which add
+    * diversity. JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2; terms
+    * absent from one side contribute only through the present side (the
+    * 0·ln0 limit is 0), so no epsilon flooring is needed.
+    *
+    * Cross-engine float contract: per-term contributions are rounded to 8
+    * decimals and DECIMAL-summed (order-independent), totals rounded to 6.
+    *
+    * Scale shape: one explode+groupBy collapses the corpus to (group, term)
+    * frequencies; group totals are a ≤#groups broadcast join; the pair
+    * expansion joins the probability table once per pair SIDE (keyed on the
+    * tiny pair list) and full-outer-joins on (pair, term) — work is
+    * O(vocab × pairs), never O(corpus × pairs).
+    */
+  def jsdPairs(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val tf = docs
+      .select(group.as("g"), explode(graft.text.TextAnalysis.tokens(text)).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("g", "t").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("g").agg(sum(col("c")).as("n"))
+    val p = tf.join(broadcast(tot), "g")
+      .select(col("g"), col("t"), (col("c").cast("double") / col("n")).as("p"))
+    // pair list built on the driver: ≤#groups rows collected (the same
+    // bounded barrier as any dynamic-partition list), avoiding a
+    // cross-join plan for what is a handful of group names
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gs = tot.select(col("g").cast("string")).as[String].collect().sorted
+    val pairs = (for {
+      i <- gs.indices; j <- (i + 1) until gs.length
+    } yield (gs(i), gs(j))).toDF("a", "b")
+    val left = broadcast(pairs).join(p.withColumnRenamed("g", "a"), "a")
+      .select(col("a"), col("b"), col("t"), col("p").as("pa"))
+    val right = broadcast(pairs).join(p.withColumnRenamed("g", "b"), "b")
+      .select(col("a"), col("b"), col("t"), col("p").as("pb"))
+    val full = left.join(right, Seq("a", "b", "t"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+    val m = (col("pa") + col("pb")) / 2
+    val term = round(
+      lit(0.5) * when(col("pa") > 0, col("pa") * log(col("pa") / m)).otherwise(0.0) +
+      lit(0.5) * when(col("pb") > 0, col("pb") * log(col("pb") / m)).otherwise(0.0), 8)
+    full.select(col("a"), col("b"), term.as("term"))
+      .groupBy("a", "b")
+      .agg(round(sum(col("term").cast("decimal(28,8)")).cast("double"), 6).as("jsd"))
+      .orderBy("a", "b")
+  }
 }

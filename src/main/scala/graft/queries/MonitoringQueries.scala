@@ -115,6 +115,62 @@ object MonitoringQueries extends QueryGroup {
       FROM t WHERE event_type = 'purchase'
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions (Drift.jsdPairs): the corpus-similarity matrix for mix
+    * planning — which sources add diversity vs duplicate each other.
+    * Per-term contributions rounded to 8 and DECIMAL-summed per pair. */
+  val q148JsdSources = QueryDef(
+    "q148_jsd_sources",
+    (s, d) => Drift.jsdPairs(Tables.documents(s, d), col("source"), col("text")),
+    Some("""WITH tk AS (SELECT source AS g, unnest(string_split(text, ' ')) AS t
+          FROM documents),
+      tf AS (SELECT g, t, COUNT(*) AS c FROM tk WHERE len(t) > 0 GROUP BY g, t),
+      tot AS (SELECT g, SUM(c) AS n FROM tf GROUP BY g),
+      p AS (SELECT tf.g, t, CAST(c AS DOUBLE) / n AS p FROM tf JOIN tot USING (g)),
+      pr AS (SELECT x.g AS a, y.g AS b FROM (SELECT DISTINCT g FROM p) x,
+        (SELECT DISTINCT g FROM p) y WHERE x.g < y.g),
+      l AS (SELECT a, b, t, p AS pa FROM pr JOIN p ON p.g = pr.a),
+      r AS (SELECT a, b, t, p AS pb FROM pr JOIN p ON p.g = pr.b),
+      f AS (SELECT COALESCE(l.a, r.a) AS a, COALESCE(l.b, r.b) AS b,
+          COALESCE(pa, 0.0) AS pa, COALESCE(pb, 0.0) AS pb
+        FROM l FULL JOIN r ON l.a = r.a AND l.b = r.b AND l.t = r.t),
+      c AS (SELECT a, b, ROUND(
+          0.5 * (CASE WHEN pa > 0 THEN pa * LN(pa / ((pa + pb) / 2)) ELSE 0.0 END)
+        + 0.5 * (CASE WHEN pb > 0 THEN pb * LN(pb / ((pa + pb) / 2)) ELSE 0.0 END),
+          8) AS term
+        FROM f)
+      SELECT a, b, ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS jsd
+      FROM c GROUP BY a, b ORDER BY a, b"""))
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic (Drift.ksStatistic) on
+    * event values, even vs odd event ids — the bucketing-free complement
+    * to q144's PSI. The Spark side computes the ECDF with range-partitioned
+    * prefix sums (no single-partition global window); the oracle replays
+    * the same CDF with a global window, which DuckDB can afford at oracle
+    * scale. */
+  val q149KsDrift = QueryDef(
+    "q149_ks_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      Drift.ksStatistic(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        col("value"))
+    },
+    Some("""WITH t AS (SELECT value AS v,
+          CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        FROM events WHERE value IS NOT NULL),
+      h AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+          CAST(SUM(1 - ia) AS BIGINT) AS cb FROM t GROUP BY v),
+      c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS fa_n,
+          SUM(cb) OVER (ORDER BY v) AS fb_n FROM h),
+      tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        MAX(ROUND(ABS(CAST(fa_n AS DOUBLE) / na - CAST(fb_n AS DOUBLE) / nb),
+          6)) AS ks_stat
+      FROM c, tot GROUP BY na, nb"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution)
+    q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
+    q148JsdSources, q149KsDrift)
 }

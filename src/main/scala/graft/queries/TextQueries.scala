@@ -775,10 +775,34 @@ object TextQueries extends QueryGroup {
       SELECT source, rank, term, tf, tfidf FROM r
       WHERE rank <= 3 ORDER BY source, rank"""))
 
+  /** Character-level Shannon entropy per doc (TextAnalysis.charEntropy):
+    * the gibberish/boilerplate quality signal as a PURE codegen column
+    * expression — sorted-distinct-char fold, no explode, no shuffle. The
+    * oracle replays the identical left fold with list_reduce over the
+    * list_sort'ed distinct chars. */
+  val q150CharEntropy = QueryDef(
+    "q150_char_entropy",
+    (s, d) => Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, '') AS chars
+        FROM documents WHERE doc_id < 300),
+      u AS (SELECT doc_id, chars, CAST(len(chars) AS DOUBLE) AS n,
+          list_sort(list_distinct(chars)) AS uq FROM t)
+      SELECT doc_id,
+        ROUND(CASE WHEN len(chars) > 0 AND chars[1] <> '' THEN list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(uq, ch ->
+              - (CAST(len(list_filter(chars, c -> c = ch)) AS DOUBLE) / n)
+                * LN(CAST(len(list_filter(chars, c -> c = ch)) AS DOUBLE) / n)
+                / LN(2.0))),
+          (acc, x) -> acc + x) ELSE 0.0 END, 6) AS entropy
+      FROM u ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
-    q123TextNormalize, q127BpeEncode, q129ScriptShares)
+    q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy)
 }

@@ -125,6 +125,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long")
 
+  /** Character-level Shannon entropy (bits/char) — the gibberish/boilerplate
+    * signal compression-ratio proxies approximate: low entropy flags
+    * repeated-character padding and template spam, high entropy flags
+    * base64/binary junk. A PURE column expression — per-row higher-order
+    * array functions, no explode, no shuffle, stays inside whole-stage
+    * codegen (O(distinct-chars × length) per row, distinct-chars ≤ charset).
+    *
+    * Cross-engine determinism: the fold visits distinct characters in
+    * SORTED order with a 0.0 init, so any engine replaying the same
+    * left-fold (DuckDB list_reduce over the list_sort'ed distinct chars)
+    * produces the bit-identical double; result rounded to 6. Empty text
+    * → 0.0 entropy.
+    */
+  def charEntropy(text: Column): Column = {
+    // split("", …) yields [""]: drop non-single-char artifacts
+    val chars = filter(split(text, ""), c => length(c) === 1)
+    val n = size(chars).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    val folded = aggregate(uniq, lit(0.0), (acc, ch) => {
+      val p = size(filter(chars, c => c === ch)).cast("double") / n
+      acc - p * log(p) / log(lit(2.0))
+    })
+    round(when(n > 0, folded).otherwise(0.0), 6)
+  }
+
   /** True Rabin-Karp rolling-hash fingerprint (codegen'd custom Expression;
     * see graft.functions.RollingHash).
     */

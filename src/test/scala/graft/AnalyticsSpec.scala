@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EventAnalytics, PageRank}
+import graft.ops.{Drift, EventAnalytics, PageRank}
 
 /** Unit semantics for the event-analytics + graph operators (q137-q140). */
 class AnalyticsSpec extends SparkSpec {
@@ -117,6 +117,56 @@ class AnalyticsSpec extends SparkSpec {
     val messages = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
     assert(messages.exists(_.contains("resampleFfill")), messages.mkString(" | "))
+  }
+
+  test("ksStatistic: identical samples -> 0; disjoint ranges -> 1; " +
+      "known half-shift -> hand-computed sup") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = Drift.ksStatistic(a, a, $"v")
+      .as[(Long, Long, Double)].head()
+    assert(same == ((4L, 4L, 0.0)))
+
+    val b = Seq(10.0, 11.0).toDF("v")
+    val disjoint = Drift.ksStatistic(a, b, $"v")
+      .as[(Long, Long, Double)].head()
+    assert(disjoint == ((4L, 2L, 1.0)))
+
+    // a={1,2,3,4}, b={3,4,5,6}: sup |Fa-Fb| at x=2 -> |0.5 - 0| = 0.5
+    val c = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val shift = Drift.ksStatistic(a, c, $"v")
+      .as[(Long, Long, Double)].head()
+    assert(shift == ((4L, 4L, 0.5)))
+  }
+
+  test("ksStatistic: empty side -> null stat; many partitions agree with " +
+      "the single-partition answer") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val empty = spark.emptyDataFrame.withColumn("v", lit(null).cast("double"))
+    val r = Drift.ksStatistic(a, empty.filter(lit(false)), $"v")
+      .select($"n_a", $"n_b", $"ks_stat".isNull).as[(Long, Long, Boolean)].head()
+    assert(r == ((2L, 0L, true)))
+
+    // prefix-sum correctness across many range partitions: 200 interleaved
+    // values, partitions=8 vs partitions=1 must agree exactly
+    val xs = (1 to 200).map(i => i.toDouble).toDF("v")
+    val ys = (1 to 200).map(i => i.toDouble + 0.5).toDF("v")
+    val p8 = Drift.ksStatistic(xs, ys, $"v", partitions = 8)
+      .as[(Long, Long, Double)].head()
+    val p1 = Drift.ksStatistic(xs, ys, $"v", partitions = 1)
+      .as[(Long, Long, Double)].head()
+    assert(p8 == p1, s"partitioned ECDF diverged: $p8 vs $p1")
+    assert(p8._3 == 0.005) // sup is 1/200 at each interleave point
+  }
+
+  test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists
+      ("s3", "x y z")                   // disjoint from both
+    ).toDF("source", "text")
+    val got = Drift.jsdPairs(docs, $"source", $"text")
+      .as[(String, String, Double)].collect().toSeq
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    assert(got == Seq(("s1", "s2", 0.0), ("s1", "s3", ln2), ("s2", "s3", ln2)))
   }
 
   test("funnel: steps must occur strictly in order per entity") {

@@ -58,6 +58,13 @@ class TextDedupSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("charEntropy: uniform k-char string -> log2 k; constant -> 0; empty -> 0") {
+    val docs = Seq("abcd", "aaaa", "", "aabb").toDF("text")
+    val got = docs.select(TextAnalysis.charEntropy($"text").as("e"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(2.0, 0.0, 0.0, 1.0), got.toString)
+  }
+
   test("qualityScore is in [0,1] and deterministic") {
     val docs = Tables.documents(spark, sf001)
     val stats = docs.select(TextAnalysis.qualityScore($"text").as("q"))
