@@ -941,11 +941,69 @@ object CurationQueries extends QueryGroup {
         ROUND(tempered_raw / natural_raw, 6) AS boost
       FROM t ORDER BY lang"""))
 
+  /** Weighted sampling without replacement (Curation.weightedSample, A-ES):
+    * top-20 docs by u^(1/n_chars) priority — longer docs proportionally
+    * likelier, yet the pick is a pure function of (seed, doc_id). The plan
+    * is TakeOrderedAndProject (per-partition heaps), never a global sort. */
+  val q151WeightedSample = QueryDef(
+    "q151_weighted_sample",
+    (s, d) => Curation.weightedSample(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      "doc_id", col("n_chars"), k = 20)
+      .select("doc_id", "source", "n_chars", "priority"),
+    Some("""WITH p AS (SELECT doc_id, source, n_chars,
+        LN((CAST(('0x' || substr(md5('42' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1.0) / 1152921504606846976.0)
+          / CAST(n_chars AS DOUBLE) AS pri
+      FROM documents)
+      SELECT doc_id, source, n_chars, ROUND(pri, 6) AS priority
+      FROM p ORDER BY pri DESC, doc_id LIMIT 20"""))
+
+  /** Exact-total stratified sample (Curation.stratifiedAllocation +
+    * stratifiedSample): largest-remainder integer allocation of a 50-doc
+    * budget across sources, then the md5-ranked per-stratum pick. Output
+    * is the allocation audit: Σ n_target = 50 exactly, n_kept == n_target
+    * for every stratum. */
+  val q152StratifiedSample = QueryDef(
+    "q152_stratified_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val alloc = Curation.stratifiedAllocation(docs, "source", 50)
+      val kept = Curation.stratifiedSample(docs, "source", "doc_id", 50)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      alloc.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_target"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+      t AS (SELECT SUM(n_docs) AS total FROM g),
+      a AS (SELECT source, n_docs, (n_docs * 50) // total AS base,
+          (n_docs * 50) % total AS rem FROM g, t),
+      s AS (SELECT SUM(base) AS sum_base FROM a),
+      r AS (SELECT source, n_docs, base, rem,
+          ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM a),
+      al AS (SELECT source, n_docs,
+          CAST(base + CASE WHEN rk <= 50 - sum_base THEN 1 ELSE 0 END AS BIGINT)
+            AS n_target FROM r, s),
+      ranked AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents),
+      kept AS (SELECT ranked.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM ranked JOIN al ON ranked.source = al.source
+        WHERE rn <= n_target GROUP BY ranked.source)
+      SELECT al.source, al.n_docs, al.n_target,
+        COALESCE(kept.n_kept, 0) AS n_kept
+      FROM al LEFT JOIN kept ON al.source = kept.source
+      ORDER BY al.source"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
     q96CorpusDiff, q97CurationE2e, q100ChunkSliding, q101ConversationQa,
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
-    q116MixTokens, q118QualityClassifier, q119TemperatureMix, q128CcLuhn)
+    q116MixTokens, q118QualityClassifier, q119TemperatureMix, q128CcLuhn,
+    q151WeightedSample, q152StratifiedSample)
 }

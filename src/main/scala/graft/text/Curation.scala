@@ -322,6 +322,78 @@ object Curation {
     df.withColumn("__rk", rk).filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** DETERMINISTIC weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each row gets priority u^(1/w) with u uniform from a
+    * 60-bit md5 slice of (seed ‖ id); the global top-k by priority is an
+    * exact weighted sample — a quality-weighted corpus subset that is a
+    * pure function of (seed, id, weight), replayable across engines and
+    * retries. Ranking uses the monotone log form ln(u)/w (no underflow for
+    * huge weights); the returned `priority` column is the log-priority
+    * rounded to 6.
+    *
+    * Scale shape: one scan, no shuffle but the top-k merge —
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    * driver merges k rows, never a global sort of the corpus). Weights
+    * must be > 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String = "42"): DataFrame = {
+    // 2^60 as an exact double literal — both engines convert the 60-bit
+    // int and divide by the same constant, so u is bit-identical
+    val u = (conv(substring(md5(concat_ws("|", lit(seed),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("double") + 1.0) /
+      lit(1.152921504606846976e18)
+    df.withColumn("priority", round(log(u) / weight.cast("double"), 6))
+      .withColumn("__pri", log(u) / weight.cast("double"))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Exact-total stratified allocation (largest-remainder / Hamilton
+    * method): split a budget of `k` rows across strata proportionally to
+    * their counts, in INTEGER-ONLY arithmetic — base = ⌊n·k/total⌋ per
+    * stratum, remaining seats to the largest remainders (ties toward the
+    * smaller stratum name). Σ n_target = k exactly (the Hamilton
+    * guarantee), which rate-based sampling (q80's mixRates) only hits in
+    * expectation; callers keep k ≤ total rows — beyond that a stratum's
+    * target can exceed its size and the pick saturates at the stratum.
+    * Returns (strat, n_docs, n_target). The counts table is ≤#strata rows,
+    * so its windows are report-sized, never data-sized.
+    */
+  def stratifiedAllocation(df: DataFrame, strat: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df.groupBy(strat).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__total", sum(col("n_docs")).over(all))
+      .withColumn("__base", expr(s"(n_docs * $k) div __total"))
+      .withColumn("__rem", expr(s"(n_docs * $k) % __total"))
+    counts
+      .withColumn("__seats", lit(k.toLong) - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strat))))
+      .withColumn("n_target",
+        (col("__base") + when(col("__rk") <= col("__seats"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col(strat), col("n_docs"), col("n_target"))
+  }
+
+  /** The stratified sample itself: [[stratifiedAllocation]] targets applied
+    * via the md5-ranked pick of [[deterministicSample]] — per-stratum rank
+    * joined (broadcast, ≤#strata rows) against the per-stratum target.
+    */
+  def stratifiedSample(df: DataFrame, strat: String, idCol: String, k: Int,
+      seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = stratifiedAllocation(df, strat, k).drop("n_docs")
+    val rk = row_number().over(Window.partitionBy(col(strat))
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol).cast("string"))), col(idCol)))
+    df.withColumn("__rk", rk)
+      .join(broadcast(alloc), Seq(strat))
+      .filter(col("__rk") <= col("n_target"))
+      .drop("__rk", "n_target")
+  }
+
   /** Token-WEIGHTED mix rates: like [[mixRates]] but the budget is counted
     * in a weight column (tokens) instead of documents — the form a training
     * mix is actually specified in ("15% of TOKENS from code"). rate_g =

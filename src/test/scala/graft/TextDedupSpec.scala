@@ -698,6 +698,46 @@ class TextDedupSpec extends SparkSpec {
     assert(sample(docs, "43") != a)              // different seed, different subset
   }
 
+  test("weightedSample: exact k, dominant weight wins, layout-invariant") {
+    import graft.text.Curation
+    // one row with overwhelming weight: its log-priority ln(u)/1e12 ≈ 0
+    // beats every tiny-weight row (ln(u)/0.001 is hugely negative)
+    val rows = (1L to 10L).map(i => (i, if (i == 7L) 1e12 else 0.001))
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", $"w", k = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got.size == 3 && got.head == 7L, got.toString)
+    val shuffled = Curation.weightedSample(df.repartition(7), "id", $"w", k = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(got == shuffled, "partition layout changed the weighted sample")
+  }
+
+  test("stratifiedAllocation: Hamilton hand case — targets sum to k, " +
+      "largest remainder wins, ties toward smaller name") {
+    import graft.text.Curation
+    // counts a=7, b=2, c=1, k=5: bases 3/1/0, rems 5/0/5 -> one seat,
+    // tie a-vs-c on rem 5 goes to 'a' -> targets 4/1/0
+    val df = (Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("s")
+    val got = Curation.stratifiedAllocation(df, "s", 5)
+      .orderBy("s").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 7L, 4L), ("b", 2L, 1L), ("c", 1L, 0L)), got.toString)
+    assert(got.map(_._3).sum == 5L)
+  }
+
+  test("stratifiedSample: kept counts equal the allocation targets") {
+    import graft.text.Curation
+    val docs = Tables.documents(spark, sf001).select("doc_id", "source")
+    val targets = Curation.stratifiedAllocation(docs, "source", 50)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    val kept = Curation.stratifiedSample(docs, "source", "doc_id", 50)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(targets.values.sum == 50L)
+    targets.foreach { case (s, t) =>
+      assert(kept.getOrElse(s, 0L) == t, s"stratum $s kept ${kept.get(s)} want $t")
+    }
+  }
+
   test("dsirLogWeights: target-like raw docs outweigh off-target docs") {
     import graft.text.Curation
     val target = Seq.tabulate(8)(i => (100L + i, "the cat sat on the mat"))
