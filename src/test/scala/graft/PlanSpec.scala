@@ -289,4 +289,26 @@ class PlanSpec extends SparkSpec {
       s"target scan read ${scanned.sum} files; touched partitions hold " +
         s"$touchedFiles of $allFiles total")
   }
+
+  test("q151: weighted sample is a TakeOrdered top-k, never a global sort") {
+    val p = planOf(graft.queries.CurationQueries.q151WeightedSample.fn(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample lost the top-k plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sample degraded to a global range sort")
+  }
+
+  test("q149: KS ECDF windows are partition-keyed — no data-sized " +
+      "single-partition window") {
+    // the single-partition global window (WindowExec with an empty
+    // partition spec over data rows) is exactly what ksStatistic's
+    // range-partitioned prefix sums exist to avoid
+    val df = graft.queries.MonitoringQueries.q149KsDrift.fn(spark, sf001)
+    val win = df.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!win.contains("windowspecdefinition(v#"),
+      s"KS window runs unpartitioned over values:\n$win")
+    assert(win.isEmpty || win.contains("__pid"),
+      s"KS window not keyed by partition id:\n$win")
+  }
 }
