@@ -42,6 +42,22 @@ object ScaleSmoke {
         graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
         .agg(sum("lat"), avg("q")).count()
     }
+    time("char-entropy projection") {
+      docs.select(graft.text.TextAnalysis.charEntropy(col("text")).as("e"))
+        .agg(avg("e")).count()
+    }
+    time("weighted-sample-top1k") {
+      graft.text.Curation.weightedSample(
+        docs.withColumn("w", length(col("text")).cast("double")),
+        "doc_id", col("w"), k = 1000).count()
+    }
+    time("ks-10M-values") {
+      val vals = spark.range(10000000L)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+      graft.ops.Drift.ksStatistic(
+        vals.filter(col("id") % 2 === 0), vals.filter(col("id") % 2 === 1),
+        col("v")).count()
+    }
     spark.stop()
   }
 }
