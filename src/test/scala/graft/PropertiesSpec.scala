@@ -237,6 +237,53 @@ class PropertiesSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("stratifiedAllocation: quota property — every target within 1 of its " +
+      "exact share, totals sum to k") {
+    import graft.text.Curation
+    val stratGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .suchThat(_.nonEmpty)
+    check("hamilton-quota", Prop.forAll(stratGen, Gen.choose(0, 12)) { (ss, k0) =>
+      val k = math.min(k0, ss.size) // contract: k <= total
+      val df = ss.toDF("s")
+      val alloc = Curation.stratifiedAllocation(df, "s", k)
+        .as[(String, Long, Long)].collect().toSeq
+      val total = ss.size.toLong
+      val quota = alloc.forall { case (_, n, t) =>
+        val exact = n.toDouble * k / total
+        t >= math.floor(exact) && t <= math.ceil(exact)
+      }
+      quota && alloc.map(_._3).sum == k.toLong && alloc.forall(_._3 >= 0)
+    }, n = 12)
+  }
+
+  test("ksStatistic: symmetric, bounded in [0,1], zero on identical samples") {
+    import graft.ops.Drift
+    val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)).map(_.map(_.toDouble))
+    check("ks-props", Prop.forAll(valsGen, valsGen) { (xs, ys) =>
+      val a = xs.toDF("v"); val b = ys.toDF("v")
+      val ab = Drift.ksStatistic(a, b, $"v", partitions = 4)
+        .as[(Long, Long, Double)].head()
+      val ba = Drift.ksStatistic(b, a, $"v", partitions = 4)
+        .as[(Long, Long, Double)].head()
+      val aa = Drift.ksStatistic(a, a, $"v", partitions = 4)
+        .as[(Long, Long, Double)].head()
+      ab._3 == ba._3 && ab._3 >= 0.0 && ab._3 <= 1.0 && aa._3 == 0.0
+    }, n = 8)
+  }
+
+  test("charEntropy: bounded by log2(distinct chars); permutation-invariant") {
+    import graft.text.TextAnalysis
+    val textGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'x')).map(_.mkString)
+    check("entropy-bounds", Prop.forAll(textGen) { t =>
+      val Seq(h, hShuf) = Seq(t, scala.util.Random.shuffle(t.toList).mkString)
+        .toDF("t").select(TextAnalysis.charEntropy(col("t")).as("e"))
+        .as[Double].collect().toSeq
+      val k = t.toSet.size
+      val bound = if (k <= 1) 0.0 else math.log(k) / math.log(2.0) + 1e-9
+      h >= 0.0 && h <= bound && h == hShuf // entropy ignores char order
+    }, n = 15)
+  }
+
   test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
     import graft.text.TextAnalysis
     // split(" ") semantics incl. empty tokens from doubled/leading spaces
