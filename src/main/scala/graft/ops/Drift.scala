@@ -50,6 +50,42 @@ object Drift {
       .orderBy(col("bucket"))
   }
 
+  /** Drift TIMELINE: per-window PSI of a bucketed feature against the
+    * all-period reference distribution, in ONE plan — the release-dashboard
+    * view ("which day drifted?") that looping [[psiReport]] per window
+    * would need W scans for. The window×bucket grid is DENSIFIED before
+    * scoring, so a bucket that disappears in some window contributes its
+    * full (eps − q)·ln(eps/q) term instead of silently dropping out.
+    *
+    * Scale shape: ONE pass over data rows (the (window, bucket) groupBy,
+    * map-side combined); the reference histogram, the window list, the
+    * dense grid, and every ratio/log term live on report-sized frames
+    * (≤ #windows × #buckets rows). The grid is a broadcast nested-loop of
+    * two tiny report tables — intended, like every ≤buckets-row broadcast
+    * in the suite.
+    */
+  def psiTimeline(df: DataFrame, window: Column, bucket: Column,
+      eps: Double = 1e-6): DataFrame = {
+    val h = df.select(window.as("w"), bucket.as("bucket"))
+      .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ref = h.groupBy("bucket").agg(sum(col("n")).as("n_ref"))
+      .withColumn("q",
+        greatest(col("n_ref").cast("double") / sum(col("n_ref")).over(all), lit(eps)))
+      .select("bucket", "q")
+    val dense = h.select("w").distinct().crossJoin(broadcast(ref))
+    val winTot = Window.partitionBy("w")
+    val joined = dense.join(h, Seq("w", "bucket"), "left")
+      .na.fill(Map("n" -> 0L))
+    val p = greatest(col("n").cast("double") / sum(col("n")).over(winTot), lit(eps))
+    joined
+      .withColumn("term", round((p - col("q")) * log(p / col("q")), 6))
+      .groupBy("w")
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6).as("psi"))
+      .orderBy("w")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between numeric samples `a`
     * and `b`: KS = sup_x |F_a(x) − F_b(x)| over the empirical CDFs. The
     * CDF-based complement to [[psiReport]] — no bucketing choice, sensitive

@@ -119,6 +119,43 @@ object EventAnalytics {
         round(sum(col(value).cast("decimal(28,10)")).over(w).cast("double"), 6))
   }
 
+  /** Rolling z-score anomaly detection: each event's value against the
+    * mean/std of the SAME entity's `lookback` strictly-preceding events
+    * ((ts, tieCol)-ordered, so timestamp ties replay identically). Returns
+    * only the anomalous rows — |v − mean| > sigma·std with ≥ `minPrior`
+    * prior points and positive variance — with the z-score rounded to 6.
+    *
+    * Cross-engine float contract: the trailing sums run over DECIMAL casts
+    * (order-independent), and mean/variance/z are derived from those exact
+    * sums with a mirrored operation order, so an external engine replaying
+    * the same frame produces bit-identical doubles. Variance uses the
+    * (Σx² − (Σx)²/n)/(n−1) form on the exact sums — not a streaming
+    * estimator — because the frame is at most `lookback` rows.
+    *
+    * One key shuffle (the window); the filter is a projection. At 100 TB
+    * this is the per-entity metric-anomaly sweep a monitoring pipeline
+    * runs per release.
+    */
+  def rollingAnomalies(df: DataFrame, key: String, ts: String,
+      valueCol: String, tieCol: String, lookback: Int = 10,
+      minPrior: Int = 5, sigma: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+      .rowsBetween(-lookback.toLong, -1L)
+    val v = col(valueCol).cast("double")
+    val n = count(v).over(w)
+    val s = sum(v.cast("decimal(28,8)")).over(w).cast("double")
+    val s2 = sum((v * v).cast("decimal(38,8)")).over(w).cast("double")
+    val mean = s / n
+    val variance = (s2 - s * s / n) / (n - 1)
+    df
+      .withColumn("__n", n).withColumn("__mean", mean)
+      .withColumn("__var", variance)
+      .filter(col("__n") >= minPrior && col("__var") > 0 &&
+        abs(v - col("__mean")) > sigma * sqrt(col("__var")))
+      .withColumn("z", round((v - col("__mean")) / sqrt(col("__var")), 6))
+      .drop("__n", "__mean", "__var")
+  }
+
   /** Last-touch attribution: each conversion (`convType` event) is credited
     * to the entity's most recent STRICTLY PRECEDING non-conversion event
     * type ("channel"); conversions with no prior touch credit `"(none)"`.

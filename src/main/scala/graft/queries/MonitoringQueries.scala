@@ -170,7 +170,62 @@ object MonitoringQueries extends QueryGroup {
           6)) AS ks_stat
       FROM c, tot GROUP BY na, nb"""))
 
+  /** Drift timeline (Drift.psiTimeline): per-DAY PSI of the event-value
+    * distribution vs the whole-period reference, one data pass, densified
+    * window×bucket grid. Day = epoch-seconds div 86400 (the q33/q140
+    * integer-time convention); buckets are 25-wide value bins capped at
+    * 10. */
+  val q153PsiTimeline = QueryDef(
+    "q153_psi_timeline",
+    (s, d) => Drift.psiTimeline(
+        Tables.events(s, d),
+        floor(col("ts").cast("long") / lit(86400)).cast("long"),
+        least(floor(col("value") / 25).cast("long"), lit(10L)))
+      .withColumnRenamed("w", "day"),
+    Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS w,
+          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events),
+      h AS (SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e
+        GROUP BY w, bucket),
+      r AS (SELECT bucket, SUM(n) AS n_ref FROM h GROUP BY bucket),
+      r2 AS (SELECT bucket, GREATEST(CAST(n_ref AS DOUBLE)
+          / (SELECT SUM(n_ref) FROM r), 1e-6) AS q FROM r),
+      dense AS (SELECT w, bucket, q FROM (SELECT DISTINCT w FROM h), r2),
+      j AS (SELECT dense.w, dense.bucket, dense.q, COALESCE(h.n, 0) AS n
+        FROM dense LEFT JOIN h ON dense.w = h.w AND dense.bucket = h.bucket),
+      p AS (SELECT w, n, GREATEST(CAST(n AS DOUBLE)
+          / SUM(n) OVER (PARTITION BY w), 1e-6) AS p, q FROM j),
+      t AS (SELECT w, n, ROUND((p - q) * LN(p / q), 6) AS term FROM p)
+      SELECT w AS day, CAST(SUM(n) AS BIGINT) AS n_events,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS psi
+      FROM t GROUP BY w ORDER BY day"""))
+
+  /** Rolling z-score anomalies (EventAnalytics.rollingAnomalies): events
+    * whose value sits > 3σ from the same user's trailing-10-event
+    * mean/std — the per-entity metric-anomaly sweep. Exact-decimal
+    * trailing sums; the oracle replays the identical frame and variance
+    * form. */
+  val q154RollingAnomaly = QueryDef(
+    "q154_rolling_anomaly",
+    (s, d) => EventAnalytics.rollingAnomalies(
+        Tables.events(s, d), "user_id", "ts", "value", tieCol = "event_id")
+      .select("event_id", "user_id", "value", "z")
+      .orderBy("user_id", "event_id"),
+    Some("""WITH t AS (SELECT event_id, user_id, value,
+          COUNT(value) OVER w AS n,
+          CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s,
+          CAST(SUM(CAST(value * value AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      v AS (SELECT event_id, user_id, value, n, s / n AS mean,
+          (s2 - s * s / n) / (n - 1) AS var FROM t)
+      SELECT event_id, user_id, value,
+        ROUND((value - mean) / sqrt(var), 6) AS z
+      FROM v
+      WHERE n >= 5 AND var > 0 AND ABS(value - mean) > 3 * sqrt(var)
+      ORDER BY user_id, event_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
-    q148JsdSources, q149KsDrift)
+    q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly)
 }
