@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
     TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
     WindowExtraQueries, GroupingQueries, CurationQueries, AnalyticsQueries,
-    MonitoringQueries)
+    MonitoringQueries, StatsQueries)
 
   private lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

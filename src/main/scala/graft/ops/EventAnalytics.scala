@@ -151,7 +151,7 @@ object EventAnalytics {
       .withColumn("__n", n).withColumn("__mean", mean)
       .withColumn("__var", variance)
       .filter(col("__n") >= minPrior && col("__var") > 0 &&
-        abs(v - col("__mean")) > sigma * sqrt(col("__var")))
+        abs(v - col("__mean")) > sqrt(col("__var")) * sigma)
       .withColumn("z", round((v - col("__mean")) / sqrt(col("__var")), 6))
       .drop("__n", "__mean", "__var")
   }
@@ -197,5 +197,54 @@ object EventAnalytics {
       // no extra stage: countDistinct partially aggregates map-side
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
       .agg(countDistinct(col(key)).as("n_entities"))
+  }
+
+  /** Exponentially-weighted moving average over each entity's last
+    * `lookback`+1 events ((ts, tieCol)-ordered): the bounded-memory
+    * smoother a metrics pipeline publishes per series. ewma_t =
+    * α·x_t + (1−α)·ewma_{t−1}, seeded with the oldest value in the frame.
+    *
+    * Implementation is a windowed `collect_list` (frame order = ascending
+    * (ts, tie), so oldest first) folded left with `aggregate` — NOT a
+    * running carry, which window aggregates can't express, and NOT
+    * pow(1−α, n)-weighted sums, which overflow/underflow for long series.
+    * The fold's double-op order is explicit, so an external engine
+    * replaying the same left fold (DuckDB list_reduce) is bit-identical.
+    * One key shuffle; the frame is ≤ lookback+1 values per row.
+    */
+  def ewma(df: DataFrame, key: String, ts: String, valueCol: String,
+      tieCol: String, alpha: Double = 0.3, lookback: Int = 9): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+      .rowsBetween(-lookback.toLong, 0L)
+    val vals = collect_list(col(valueCol).cast("double")).over(w)
+    val folded = aggregate(
+      slice(vals, 2, lookback), // tail: frame holds ≤ lookback+1 values
+      element_at(vals, 1),
+      (acc, x) => x * alpha + acc * (1.0 - alpha))
+    df.withColumn("ewma", round(folded, 6))
+  }
+
+  /** First-order Markov transition matrix of the entity event sequences:
+    * for every (prev_type, next_type) adjacent pair ((ts, tieCol)-ordered
+    * within entity), the count and the row-conditional probability
+    * P(next | prev), rounded 6. The lag runs inside the entity key
+    * shuffle; pair counting map-side combines; the conditional divides by
+    * a prev-keyed window over the ≤|types|² report table. The LLM-pipeline
+    * use: session-shape fingerprinting ("what follows what") for bot and
+    * template detection at corpus scale.
+    */
+  def markovTransitions(df: DataFrame, key: String, ts: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
+      .orderBy("prev_type", "next_type")
   }
 }

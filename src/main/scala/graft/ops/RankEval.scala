@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation: nDCG@k and MRR per query group — the offline
+  * eval loop for the retrieval operators (BM25 q86, cosine top-k q48, RRF
+  * q110). A retrieval change ships only if these metrics hold.
+  */
+object RankEval {
+
+  /** Per-group nDCG@k and MRR@k: rank items inside each `group` by
+    * `scoreCol` desc (tie-broken by `tieCol` asc, so ranking is total and
+    * engines agree), take the top k, and score against the `relCol` gain.
+    *
+    * DCG = Σ rel_i / log2(i+1) over the TOP-K BY SCORE; the ideal DCG
+    * re-ranks the same top-k set by relevance — both windows share ONE
+    * group-key shuffle (the second ordering is a re-sort within
+    * partitions, not a new exchange). Each term is cast DECIMAL(28,10)
+    * before summing (order-independent), mirrored by the oracle; output
+    * rounds to 6. MRR = 1/first-relevant-rank, 0 when the top-k has no
+    * relevant item. Groups emit one row each: (group, n_rel, ndcg, mrr).
+    */
+  def ndcgAtK(df: DataFrame, group: String, scoreCol: Column, relCol: Column,
+      tieCol: Column, k: Int = 10): DataFrame = {
+    val byScore = Window.partitionBy(group).orderBy(scoreCol.desc, tieCol.asc)
+    val rel = relCol.cast("double")
+    val ranked = df
+      .withColumn("__rank", row_number().over(byScore))
+      .filter(col("__rank") <= k)
+    val byRel = Window.partitionBy(group).orderBy(rel.desc, tieCol.asc)
+    // explicit ln ratio — log(base, x) helpers differ across engines
+    val ln2 = log(lit(2.0))
+    val gain = (rel / (log(col("__rank").cast("double") + 1.0) / ln2))
+      .cast("decimal(28,10)")
+    val idealGain =
+      (rel / (log(row_number().over(byRel).cast("double") + 1.0) / ln2))
+        .cast("decimal(28,10)")
+    ranked
+      .withColumn("__ideal", idealGain)
+      .groupBy(group)
+      .agg(
+        sum(when(rel > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(gain).cast("double").as("__dcg"),
+        sum(col("__ideal")).cast("double").as("__idcg"),
+        min(when(rel > 0, col("__rank"))).as("__first"))
+      .withColumn("ndcg",
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("mrr",
+        coalesce(round(lit(1.0) / col("__first").cast("double"), 6), lit(0.0)))
+      .select(col(group), col("n_rel"), col("ndcg"), col("mrr"))
+  }
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Compaction, EventAnalytics, RankEval, Stats}
+
+/** Round-7 inferential-statistics + planning operators: group-wise OLS,
+  * chi-squared independence, Welch's t, MAD robust outliers, Benford
+  * audit, EWMA smoothing, Markov transitions, compaction bin planning,
+  * and ranking eval (nDCG/MRR). Every query is exact-oracled: data-sized
+  * sums are DECIMAL on both engines, derived doubles replay the identical
+  * operation order, moments round to 6.
+  */
+object StatsQueries extends QueryGroup {
+
+  /** Per-returnflag OLS of extendedprice on quantity (Stats.regrByGroup):
+    * slope/intercept/r² from the five exact decimal sums, one map-side
+    * combined groupBy. */
+  val q155Regression = QueryDef(
+    "q155_regression",
+    (s, d) => Stats.regrByGroup(Tables.lineitem(s, d), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_returnflag"),
+    Some("""WITH a AS (SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+            AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+            AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
+            AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag),
+      b AS (SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+          CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+          CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+          CAST(n AS DOUBLE) * syy - sy * sy AS vary_n FROM a)
+      SELECT l_returnflag, n,
+        CASE WHEN varx_n > 0 THEN ROUND(cov_n / varx_n, 6) END AS slope,
+        CASE WHEN varx_n > 0
+          THEN ROUND((sy - (cov_n / varx_n) * sx) / CAST(n AS DOUBLE), 6)
+          END AS intercept,
+        CASE WHEN varx_n > 0 AND vary_n > 0
+          THEN ROUND(cov_n * cov_n / (varx_n * vary_n), 6) END AS r2
+      FROM b ORDER BY l_returnflag"""))
+
+  /** Chi-squared independence of order priority × order status
+    * (Stats.chiSquareIndependence): contingency in one data pass, expected
+    * counts from the densified marginal grid. */
+  val q156ChiSquare = QueryDef(
+    "q156_chi_square",
+    (s, d) => Stats.chiSquareIndependence(Tables.orders(s, d),
+      col("o_orderpriority"), col("o_orderstatus")),
+    Some("""WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+          CAST(COUNT(*) AS BIGINT) AS o FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o) AS na FROM obs GROUP BY a),
+      mb AS (SELECT b, SUM(o) AS nb FROM obs GROUP BY b),
+      dense AS (SELECT ma.a, mb.b, ma.na, mb.nb, COALESCE(obs.o, 0) AS o
+        FROM ma CROSS JOIN mb LEFT JOIN obs ON ma.a = obs.a AND mb.b = obs.b),
+      tot AS (SELECT SUM(o) AS n FROM dense),
+      oe AS (SELECT CAST(o AS DOUBLE) AS od,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        FROM dense, tot),
+      terms AS (SELECT ROUND((od - e) * (od - e) / e, 8) AS term FROM oe)
+      SELECT
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2,
+        CAST((SELECT (COUNT(*) - 1) FROM ma)
+          * (SELECT (COUNT(*) - 1) FROM mb) AS BIGINT) AS dof,
+        (SELECT CAST(n AS BIGINT) FROM tot) AS n
+      FROM terms"""))
+
+  /** Welch's t between high-discount and low-discount line items on
+    * quantity (Stats.welchTTest): one conditional-decimal-sum aggregation. */
+  val q157WelchT = QueryDef(
+    "q157_welch_t",
+    (s, d) => Stats.welchTTest(Tables.lineitem(s, d),
+      col("l_discount") >= 0.05, col("l_quantity")),
+    Some("""WITH a AS (SELECT
+          CAST(COUNT(CASE WHEN l_discount >= 0.05 THEN 1 END) AS BIGINT) AS n_a,
+          CAST(COUNT(CASE WHEN NOT (l_discount >= 0.05) THEN 1 END) AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN l_discount >= 0.05
+            THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS sa,
+          CAST(SUM(CASE WHEN NOT (l_discount >= 0.05)
+            THEN CAST(l_quantity AS DECIMAL(28,8)) END) AS DOUBLE) AS sb,
+          CAST(SUM(CASE WHEN l_discount >= 0.05
+            THEN CAST(l_quantity * l_quantity AS DECIMAL(38,8)) END)
+            AS DOUBLE) AS sa2,
+          CAST(SUM(CASE WHEN NOT (l_discount >= 0.05)
+            THEN CAST(l_quantity * l_quantity AS DECIMAL(38,8)) END)
+            AS DOUBLE) AS sb2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      b AS (SELECT n_a, n_b, sa, sb, sa2, sb2,
+          CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM a),
+      c AS (SELECT n_a, n_b, na, nb, sa / na AS mean_a, sb / nb AS mean_b,
+          (sa2 - sa * sa / na) / (na - 1) AS var_a,
+          (sb2 - sb * sb / nb) / (nb - 1) AS var_b FROM b),
+      e AS (SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+          var_a / na + var_b / nb AS se2,
+          var_a * var_a / (na * na * (na - 1))
+            + var_b * var_b / (nb * nb * (nb - 1)) AS dd,
+          na, nb FROM c)
+      SELECT n_a, n_b, ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+          THEN ROUND((mean_a - mean_b) / SQRT(se2), 6) END AS t_stat,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+          THEN ROUND(se2 * se2 / dd, 6) END AS dof
+      FROM e"""))
+
+  /** MAD robust outliers of event values within event type
+    * (Stats.madOutliers): rows > 3 MADs from their group median, exact
+    * interpolated medians on both engines. */
+  val q158MadOutliers = QueryDef(
+    "q158_mad_outliers",
+    (s, d) => Stats.madOutliers(Tables.events(s, d), "event_type",
+        col("value"), k = 3.0)
+      .select("event_id", "event_type", "value", "mad_score")
+      .orderBy("event_type", "event_id"),
+    Some("""WITH med AS (SELECT event_type,
+          quantile_cont(value, 0.5) AS m FROM events
+        GROUP BY event_type),
+      dev AS (SELECT e.*, med.m FROM events e JOIN med USING (event_type)),
+      mad AS (SELECT event_type,
+          quantile_cont(ABS(value - m), 0.5) AS mad FROM dev
+        GROUP BY event_type)
+      SELECT event_id, event_type, value,
+        ROUND(ABS(value - m) / mad, 6) AS mad_score
+      FROM dev JOIN mad USING (event_type)
+      WHERE mad > 0 AND ABS(value - m) > mad * 3
+      ORDER BY event_type, event_id"""))
+
+  /** Benford first-digit audit of order totals (Stats.benford): digit from
+    * the exact DECIMAL string rendering, expected shares log10(1+1/d),
+    * chi-squared deviation total. */
+  val q159Benford = QueryDef(
+    "q159_benford",
+    (s, d) => Stats.benford(Tables.orders(s, d), col("o_totalprice")),
+    Some("""WITH h AS (SELECT regexp_extract(
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0)
+            AS digit,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        GROUP BY 1 HAVING digit <> ''),
+      t AS (SELECT digit, n,
+          CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS p,
+          LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS q,
+          CAST(SUM(n) OVER () AS DOUBLE) AS ntot FROM h)
+      SELECT digit, n, ROUND(p, 6) AS p_obs, ROUND(q, 6) AS p_benford,
+        ROUND(CAST(SUM(CAST(ROUND((p - q) * (p - q) / q * ntot, 8)
+          AS DECIMAL(28,8))) OVER () AS DOUBLE), 6) AS chi2_total
+      FROM t ORDER BY digit"""))
+
+  /** Per-user EWMA of event values over the trailing 10 events
+    * (EventAnalytics.ewma): windowed list fold, α = 0.3 — the oracle
+    * replays the identical left fold via list_reduce. */
+  val q160Ewma = QueryDef(
+    "q160_ewma",
+    (s, d) => EventAnalytics.ewma(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "user_id", "ts", "value", tieCol = "event_id")
+      .select("event_id", "user_id", "ewma")
+      .orderBy("user_id", "event_id"),
+    Some("""WITH t AS (SELECT event_id, user_id,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_id, user_id,
+        ROUND(list_reduce(l, (acc, x) -> x * 0.3 + acc * 0.7), 6) AS ewma
+      FROM t ORDER BY user_id, event_id"""))
+
+  /** Markov transition matrix of event types
+    * (EventAnalytics.markovTransitions): adjacent-pair counts within each
+    * user's (ts, event_id)-ordered sequence, conditional P(next|prev). */
+  val q161Markov = QueryDef(
+    "q161_markov",
+    (s, d) => EventAnalytics.markovTransitions(Tables.events(s, d),
+      "user_id", "ts", "event_type", tieCol = "event_id"),
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_type
+        FROM events),
+      pairs AS (SELECT prev_type, event_type AS next_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+        ROUND(CAST(n AS DOUBLE)
+          / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+      FROM pairs ORDER BY prev_type, next_type"""))
+
+  /** Compaction bin planning over documents by source
+    * (Compaction.planBins + binManifest): next-fit running-sum packing of
+    * doc payloads into 100 KB bins, exact decimal prefix sums. */
+  val q162Compaction = QueryDef(
+    "q162_compaction",
+    (s, d) => Compaction.binManifest(
+      Compaction.planBins(Tables.documents(s, d), Seq("source"),
+        col("n_chars"), col("doc_id"), targetSize = 100000L),
+      Seq("source"), col("n_chars")),
+    Some("""WITH c AS (SELECT source, doc_id, n_chars,
+          COALESCE(SUM(CAST(n_chars AS DECIMAL(28,0))) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM documents),
+      b AS (SELECT source, CAST(FLOOR(before / 100000) AS BIGINT) AS bin,
+          n_chars FROM c)
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) AS total_size
+      FROM b GROUP BY source, bin ORDER BY source, bin"""))
+
+  /** Ranking eval (RankEval.ndcgAtK): per source, rank docs by length and
+    * score English docs as relevant — nDCG@10 + MRR@10 with decimal-term
+    * DCG sums. A stand-in qrels/run pair exercising the exact metric
+    * shape the retrieval queries (q48/q86/q110) are tuned against. */
+  val q163Ndcg = QueryDef(
+    "q163_ndcg",
+    (s, d) => RankEval.ndcgAtK(Tables.documents(s, d), "source",
+        scoreCol = col("n_chars"), relCol = when(col("lang") === "en", 1.0).otherwise(0.0),
+        tieCol = col("doc_id"), k = 10)
+      .orderBy("source"),
+    Some("""WITH ranked AS (SELECT source, doc_id,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS rel,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents),
+      topk AS (SELECT * FROM ranked WHERE rank <= 10),
+      scored AS (SELECT source, rel, rank,
+          CAST(rel / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0))
+            AS DECIMAL(28,10)) AS gain,
+          CAST(rel / (LN(CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY rel DESC, doc_id ASC) AS DOUBLE) + 1.0) / LN(2.0))
+            AS DECIMAL(28,10)) AS ideal
+        FROM topk),
+      agg AS (SELECT source,
+          CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+          CAST(SUM(gain) AS DOUBLE) AS dcg,
+          CAST(SUM(ideal) AS DOUBLE) AS idcg,
+          MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+        FROM scored GROUP BY source)
+      SELECT source, n_rel,
+        CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
+        COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
+      FROM agg ORDER BY source"""))
+
+  override val defs: Seq[QueryDef] = Seq(
+    q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
+    q160Ewma, q161Markov, q162Compaction, q163Ndcg)
+}

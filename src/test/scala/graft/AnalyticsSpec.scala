@@ -202,5 +202,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(offsets == Seq((0L, 1L), (2L, 1L), (0L, 1L), (1L, 1L)))
   }
 
+  test("psiTimeline: window matching the reference mix scores 0; a window " +
+      "missing a bucket gets the densified eps term") {
+    // overall ref: bucket 0 -> 4 rows, bucket 1 -> 2 rows (q = 2/3, 1/3)
+    // w=1 matches ref exactly (2:1); w=2 is all-bucket-0 (densified 1:eps)
+    val rows = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 0L), (2L, 0L), (2L, 1L)).toDF("w", "bucket")
+    val same = Drift.psiTimeline(rows, $"w", $"bucket")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(same == Seq((1L, 3L, 0.0), (2L, 3L, 0.0)))
+
+    val skewed = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 1L),
+      (2L, 0L), (2L, 0L)).toDF("w", "bucket")
+    val got = Drift.psiTimeline(skewed, $"w", $"bucket")
+      .as[(Long, Long, Double)].collect()
+      .map { case (w, _, psi) => (w, psi) }.toMap
+    // hand-computed with the op's own rounding: per-term round 6, sum, round 6
+    def term(p: Double, q: Double): Double = round((p - q) * math.log(p / q))
+    val q0 = 4.0 / 6; val q1 = 2.0 / 6; val eps = 1e-6
+    val w1 = round(term(0.5, q0) + term(0.5, q1))
+    val w2 = round(term(1.0, q0) + term(eps, q1))
+    assert(math.abs(got(1L) - w1) < 1e-9, s"w1: ${got(1L)} vs $w1")
+    assert(math.abs(got(2L) - w2) < 1e-9, s"w2: ${got(2L)} vs $w2")
+    assert(got(2L) > got(1L), "missing-bucket window must out-drift the near-ref one")
+  }
+
+  test("rollingAnomalies: spike vs trailing window flagged, stable value and " +
+      "short history not") {
+    val ev = (1 to 6).map(i =>
+        (100L + i, 1L, ts(i), if (i % 2 == 0) 12.0 else 10.0)) ++ Seq(
+      (107L, 1L, ts(7), 100.0),  // spike: prior mean 11, var 1.2 -> z ~ 81
+      (108L, 1L, ts(8), 11.0),   // inlier continuation
+      (201L, 2L, ts(1), 10.0), (202L, 2L, ts(2), 20.0),
+      (203L, 2L, ts(3), 999.0))  // only 2 prior events -> below minPrior
+    val df = ev.toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics.rollingAnomalies(df, "user_id", "ts", "value",
+        tieCol = "event_id")
+      .select("event_id", "z").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(107L))
+    // prior 6 values: s=66, s2=732, mean=11, var=(732-726)/5=1.2
+    val expected = round((100.0 - 11.0) / math.sqrt(1.2))
+    assert(got.head._2 == expected, s"z: ${got.head._2} vs $expected")
+  }
+
+  test("rollingAnomalies: window is keyed by entity, never a global sort") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong, ts(i % 59), i * 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val plan = EventAnalytics.rollingAnomalies(df, "user_id", "ts", "value",
+        tieCol = "event_id")
+      .queryExecution.executedPlan.toString()
+    val win = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
+  }
+
   private def round(x: Double): Double = math.round(x * 1e6) / 1e6
 }

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Compaction, EventAnalytics, RankEval, Stats}
+
+/** Unit semantics for the round-7 statistics/planning operators
+  * (q155-q163): hand-computed answers on tiny frames plus plan-shape
+  * guards where the scale contract is the point.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  // --- regrByGroup -----------------------------------------------------
+
+  test("regrByGroup: exact fit recovers slope/intercept with r2=1; " +
+      "zero-x-variance group yields nulls") {
+    val df = Seq(
+      ("a", 1.0, 5.0), ("a", 2.0, 7.0), ("a", 3.0, 9.0),   // y = 2x + 3
+      ("b", 4.0, 1.0), ("b", 4.0, 9.0))                     // no x variance
+      .toDF("g", "x", "y")
+    val got = Stats.regrByGroup(df, Seq("g"), $"x", $"y")
+      .orderBy("g")
+      .select($"g", $"n", $"slope", $"intercept", $"r2")
+      .collect()
+    assert(got(0).getLong(1) == 3L)
+    assert(got(0).getDouble(2) == 2.0 && got(0).getDouble(3) == 3.0 &&
+      got(0).getDouble(4) == 1.0)
+    assert(got(1).isNullAt(2) && got(1).isNullAt(3) && got(1).isNullAt(4))
+  }
+
+  test("regrByGroup: plans one map-side-combined aggregate, no window " +
+      "or join over data") {
+    val plan = Stats.regrByGroup(
+        spark.read.parquet(s"$sf001/lineitem.parquet"),
+        Seq("l_returnflag"), $"l_quantity", $"l_extendedprice")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_"), s"regression lost partial aggregation:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Join"),
+      s"regression plans a window/join over data:\n$plan")
+  }
+
+  // --- chiSquareIndependence -------------------------------------------
+
+  test("chiSquare: independent table -> 0; hand 2x2 with an absent cell " +
+      "densifies instead of dropping it") {
+    // perfectly independent: o = na*nb/n for every cell
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val r0 = Stats.chiSquareIndependence(ind, $"a", $"b")
+      .as[(Double, Long, Long)].head()
+    assert(r0 == ((0.0, 1L, 4L)))
+
+    // (y,v) never observed but both marginals exist: expected=1, term=1;
+    // chi2 = 4/2 + 4/... hand: cells o={xu:1,xv:1,yu:2}, n=4,
+    // na(x)=2,na(y)=2, nb(u)=3,nb(v)=1
+    // e(xu)=1.5 e(xv)=0.5 e(yu)=1.5 e(yv)=0.5
+    // chi2 = .25/1.5 + .25/.5 + .25/1.5 + .25/.5 = 1/3 + 1 = 4/3
+    val dep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "u"))
+      .toDF("a", "b")
+    val r1 = Stats.chiSquareIndependence(dep, $"a", $"b")
+      .as[(Double, Long, Long)].head()
+    assert(math.abs(r1._1 - 4.0 / 3) < 1e-5, s"chi2: ${r1._1}")
+    assert(r1._2 == 1L && r1._3 == 4L)
+  }
+
+  // --- welchTTest ------------------------------------------------------
+
+  test("welchTTest: hand-computed t/dof; degenerate single-row side " +
+      "yields null t") {
+    // a = {1,2,3} (mean 2, var 1), b = {5,7} (mean 6, var 2)
+    // se2 = 1/3 + 1 = 4/3; t = -4/sqrt(4/3)
+    // dof = (4/3)^2 / (1/(9*2) + 4/(4*1)) = (16/9)/(1/18+1) = 32/19
+    val df = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 5.0), (false, 7.0)).toDF("s", "v")
+    val got = Stats.welchTTest(df, $"s", $"v")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == 2.0 && got._4 == 6.0)
+    assert(got._5 == r6(-4.0 / math.sqrt(4.0 / 3)), s"t: ${got._5}")
+    assert(got._6 == r6(32.0 / 19.0), s"dof: ${got._6}")
+
+    val deg = Seq((true, 1.0), (false, 5.0), (false, 7.0)).toDF("s", "v")
+    val row = Stats.welchTTest(deg, $"s", $"v")
+      .select($"t_stat".isNull, $"dof".isNull).as[(Boolean, Boolean)].head()
+    assert(row == ((true, true)))
+  }
+
+  // --- madOutliers -----------------------------------------------------
+
+  test("madOutliers: flags only the >k*MAD rows; constant group (MAD=0) " +
+      "flags nothing") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 11.0), ("g1", 3L, 12.0),
+      ("g1", 4L, 13.0), ("g1", 5L, 100.0), // med 12, MAD 1, |100-12|=88 > 3
+      ("g2", 6L, 5.0), ("g2", 7L, 5.0), ("g2", 8L, 999.0)) // med 5, MAD 0
+      .toDF("g", "id", "v")
+    val got = Stats.madOutliers(df, "g", $"v", k = 3.0)
+      .select("id", "mad_score").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 88.0)))
+  }
+
+  // --- benford ---------------------------------------------------------
+
+  test("benford: first significant digit from decimal rendering " +
+      "(sub-1 values, power-of-ten boundaries); chi2 total replicated") {
+    val df = Seq(0.5, 1000.0, 999.99, 0.02, 123.45, -7.0, 0.0)
+      .toDF("v") // -7 and 0 excluded (positive-only audit)
+    val got = Stats.benford(df, $"v")
+      .select("digit", "n").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1", 2L), ("2", 1L), ("5", 1L), ("9", 1L)))
+    val chi2 = Stats.benford(df, $"v").select("chi2_total")
+      .as[Double].head()
+    assert(chi2 > 0)
+  }
+
+  // --- ewma ------------------------------------------------------------
+
+  test("ewma: left fold from the oldest frame value; window capped at " +
+      "lookback+1 events") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:${m}%02d:00")
+    val df = Seq((1L, 1L, ts(1), 10.0), (2L, 1L, ts(2), 20.0),
+      (3L, 1L, ts(3), 30.0)).toDF("event_id", "user_id", "ts", "value")
+    val got = EventAnalytics.ewma(df, "user_id", "ts", "value",
+        tieCol = "event_id", alpha = 0.3, lookback = 9)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 10.0)
+    assert(got(2L) == r6(20.0 * 0.3 + 10.0 * 0.7))
+    assert(got(3L) == r6(30.0 * 0.3 + (20.0 * 0.3 + 10.0 * 0.7) * 0.7))
+
+    // lookback=1: frame is (prev, current) only -> seed is the previous value
+    val short = EventAnalytics.ewma(df, "user_id", "ts", "value",
+        tieCol = "event_id", alpha = 0.3, lookback = 1)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    assert(short(3L) == r6(30.0 * 0.3 + 20.0 * 0.7))
+  }
+
+  // --- markovTransitions -----------------------------------------------
+
+  test("markov: adjacent pairs within entity, P(next|prev) sums to 1 " +
+      "per prev state") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:${m}%02d:00")
+    val df = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"), (3L, 1L, ts(3), "a"),
+      (4L, 2L, ts(1), "a"), (5L, 2L, ts(2), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.markovTransitions(df, "user_id", "ts",
+        "event_type", tieCol = "event_id")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  // --- compaction ------------------------------------------------------
+
+  test("planBins: next-fit running-sum packing; oversize item isolated; " +
+      "order preserved within partition") {
+    val df = Seq(
+      ("p", 1L, 60L), ("p", 2L, 60L), ("p", 3L, 300L), ("p", 4L, 10L),
+      ("q", 5L, 10L))
+      .toDF("part", "id", "sz")
+    val got = Compaction.planBins(df, Seq("part"), $"sz", $"id", 100L)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // running-before: 0, 60, 120, 420 -> bins 0, 0, 1, 4
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 4L, 5L -> 0L))
+
+    val man = Compaction.binManifest(
+        Compaction.planBins(df, Seq("part"), $"sz", $"id", 100L),
+        Seq("part"), $"sz")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(man == Seq(("p", 0L, 2L, 120L), ("p", 1L, 1L, 300L),
+      ("p", 4L, 1L, 10L), ("q", 0L, 1L, 10L)))
+  }
+
+  test("planBins: window is keyed by the partition columns — no global sort") {
+    val plan = Compaction.planBins(
+        spark.read.parquet(s"$sf001/documents.parquet"),
+        Seq("source"), $"n_chars", $"doc_id", 100000L)
+      .queryExecution.executedPlan.toString()
+    val win = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(win.contains("source"), s"compaction window lost its partition key:\n$win")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "compaction degraded to a global range sort")
+  }
+
+  // --- ndcgAtK ---------------------------------------------------------
+
+  test("ndcgAtK: perfect ranking -> 1; relevant item at rank 2 of 2 -> " +
+      "hand value; no relevant -> 0/0") {
+    val df = Seq(
+      // g1: scores rank rel-first -> perfect
+      ("g1", 1L, 9.0, 1.0), ("g1", 2L, 5.0, 0.0),
+      // g2: the only relevant item ranks second
+      ("g2", 3L, 9.0, 0.0), ("g2", 4L, 5.0, 1.0),
+      // g3: nothing relevant
+      ("g3", 5L, 9.0, 0.0))
+      .toDF("g", "id", "score", "rel")
+    val got = RankEval.ndcgAtK(df, "g", $"score", $"rel", $"id", k = 10)
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    val dcg2 = 1.0 / (math.log(3.0) / math.log(2.0)) // rel at rank 2
+    assert(got(0) == (("g1", 1L, 1.0, 1.0)))
+    assert(got(1)._3 == r6(dcg2 / 1.0) && got(1)._4 == 0.5)
+    assert(got(2) == (("g3", 0L, 0.0, 0.0)))
+  }
+
+  test("ndcgAtK: both rankings share one group-key exchange") {
+    val plan = RankEval.ndcgAtK(
+        spark.read.parquet(s"$sf001/documents.parquet"), "source",
+        $"n_chars", when($"lang" === "en", 1.0).otherwise(0.0), $"doc_id")
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"ndcg plans $exchanges hash exchanges:\n$plan")
+  }
+}
