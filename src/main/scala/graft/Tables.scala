@@ -15,17 +15,30 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark reads only as a
-    // nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true, set by our
-    // session builders). Normalize back to a microsecond TimestampType — the
-    // data is µs-grained, so the division is exact.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    normalizeTs(df)
+  }
+
+  /** Normalize the `ts` column to a session-zoned `TimestampType` regardless
+    * of how the parquet writer encoded it. The driver has shipped events both
+    * as TIMESTAMP(NANOS) (read as a nanos LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ in Spark 4). Event-time
+    * operators (`window()`, `withWatermark`, `unix_micros`) require the
+    * instant-bearing TimestampType, so both encodings funnel to it here. All
+    * session builders pin spark.sql.session.timeZone=UTC, making the
+    * NTZ→timestamp cast an exact instant (identical to DuckDB's `epoch()`).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integer DIV, not `/`: float division drifts ±1 µs at ns magnitudes
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

@@ -109,7 +109,12 @@ object Merge {
     * Contract: `partCol` must be STABLE under the merge key — a matched
     * source row must carry the same `partCol` value as its target row
     * (standard partitioned-MERGE caveat: a key that "moves" partitions
-    * would leave its old row in an untouched partition). The touched
+    * would leave its old row in an untouched partition). ENFORCED for any
+    * move between two touched partitions by a plan-embedded `raise_error`
+    * in the matched output projection (see [[mergePartitionedPlan]]); a
+    * move FROM an untouched partition is undetectable without an
+    * O(target) key scan — that narrower case stays a caller contract,
+    * exactly the trade every partition-pruned MERGE makes. The touched
     * partition-value list is collected to the driver — bounded by the
     * partition count, the same ≤#partitions barrier as any dynamic
     * partition overwrite. Hive-style dir naming (`partCol=value`) is used
@@ -214,6 +219,23 @@ object Merge {
     recoverPartitioned(spark, targetDir) // heal a crashed prior swap loop
     val target = spark.read.parquet(targetDir)
     val slice = target.filter(col(partCol).isin(touched: _*))
-    (touched, merge(slice, source, keys, updates, insertWhen, deleteWhen))
+    // Plan-embedded enforcement of the partCol-stability contract (same
+    // technique as the uniqueness guard in `merge`): the matched branch of
+    // the output projection raises when a matched key carries a different
+    // partition value on the two sides — a "moved" key would otherwise
+    // silently strand its old row in an untouched partition. Overriding the
+    // partCol entry of `updates` puts the check in a column the partitioned
+    // write always materializes, so pruning cannot drop it. Null-safe
+    // compare: a null partCol on one side is also a move.
+    val guardedUpdates = updates + (partCol -> {
+      val base = updates.getOrElse(partCol, s(partCol))
+      when(!(t(partCol) <=> s(partCol)), raise_error(concat(
+        lit(s"mergePartitioned: matched key moved partitions ($partCol="),
+        t(partCol).cast("string"), lit(" -> "), s(partCol).cast("string"),
+        lit(") for key ("),
+        concat_ws(",", keys.map(k => s(k).cast("string")): _*), lit(")"))))
+        .otherwise(base)
+    })
+    (touched, merge(slice, source, keys, guardedUpdates, insertWhen, deleteWhen))
   }
 }

@@ -52,4 +52,46 @@ object RankEval {
         coalesce(round(lit(1.0) / col("__first").cast("double"), 6), lit(0.0)))
       .select(col(group), col("n_rel"), col("ndcg"), col("mrr"))
   }
+
+  /** Textbook nDCG@k: like [[ndcgAtK]] but the ideal DCG ranks ALL of the
+    * group's items by relevance (capped at k) — the standard definition,
+    * where a retriever that fails to surface relevant items is penalized
+    * (ndcgAtK's local ideal only scores the ordering OF the retrieved set).
+    * `n_rel` counts every relevant item in the group, not just retrieved.
+    *
+    * Same scale shape: both row_number windows share ONE group-key shuffle
+    * (same partition key, different intra-partition sort); the aggregate
+    * runs over all group rows instead of the top-k slice, which is the
+    * price of the global ideal — there is no way to know the best possible
+    * DCG without seeing every relevant item.
+    */
+  def ndcgAtKGlobalIdeal(df: DataFrame, group: String, scoreCol: Column,
+      relCol: Column, tieCol: Column, k: Int = 10): DataFrame = {
+    val byScore = Window.partitionBy(group).orderBy(scoreCol.desc, tieCol.asc)
+    val byRel = Window.partitionBy(group).orderBy(relCol.cast("double").desc, tieCol.asc)
+    val rel = relCol.cast("double")
+    val ln2 = log(lit(2.0))
+    val ranked = df
+      .withColumn("__rank", row_number().over(byScore))
+      .withColumn("__irank", row_number().over(byRel))
+    val gain = when(col("__rank") <= k,
+        rel / (log(col("__rank").cast("double") + 1.0) / ln2))
+      .otherwise(lit(0.0)).cast("decimal(28,10)")
+    val idealGain = when(col("__irank") <= k,
+        rel / (log(col("__irank").cast("double") + 1.0) / ln2))
+      .otherwise(lit(0.0)).cast("decimal(28,10)")
+    ranked
+      .groupBy(group)
+      .agg(
+        sum(when(rel > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(gain).cast("double").as("__dcg"),
+        sum(idealGain).cast("double").as("__idcg"),
+        min(when(rel > 0 && col("__rank") <= k, col("__rank"))).as("__first"))
+      .withColumn("ndcg",
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("mrr",
+        coalesce(round(lit(1.0) / col("__first").cast("double"), 6), lit(0.0)))
+      .select(col(group), col("n_rel"), col("ndcg"), col("mrr"))
+  }
 }

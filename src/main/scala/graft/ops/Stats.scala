@@ -174,4 +174,100 @@ object Stats {
         round(sum(round(term, 8).cast("decimal(28,8)")).over(all).cast("double"), 6))
       .orderBy("digit")
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelers (the inter-annotator / labeler-vs-heuristic QA check on an
+    * annotation pipeline): one row (n, po, pe, kappa) where
+    * po = Σ_c p_cc (observed agreement) and pe = Σ_c pA(c)·pB(c) (chance).
+    *
+    * ONE map-side-combined groupBy over data rows (the contingency table);
+    * marginals, the diagonal, and all ratio math run on that report-sized
+    * frame. The agreement and marginal-product sums are exact integers
+    * (DECIMAL), so po/pe/kappa replay bit-identically from them. */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val obs = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ma = obs.groupBy("a").agg(sum(col("o")).as("na")).withColumnRenamed("a", "c")
+    val mb = obs.groupBy("b").agg(sum(col("o")).as("nb")).withColumnRenamed("b", "c")
+    val marg = ma.join(mb, Seq("c"), "full_outer")
+      .na.fill(Map("na" -> 0L, "nb" -> 0L))
+      .agg(
+        sum(col("na")).as("n"),
+        sum((col("na") * col("nb")).cast("decimal(38,0)")).as("pe_num"))
+    val agree = obs.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("n_agree"))
+    val joined = marg.crossJoin(broadcast(agree)) // 1 row × 1 row
+    val n = col("n").cast("double")
+    val po = col("n_agree").cast("double") / n
+    val pe = col("pe_num").cast("double") / (n * n)
+    joined
+      .withColumn("po", round(po, 6))
+      .withColumn("pe", round(pe, 6))
+      .withColumn("kappa", when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)))
+      .select(col("n"), col("po"), col("pe"), col("kappa"))
+  }
+
+  /** Gini coefficient of the group-size distribution — the concentration
+    * audit ("is the corpus 90% one domain?") run before fixing a source mix.
+    * One row (n_groups, total, gini) with the sorted-rank formula
+    * G = Σ_i (2i − n − 1)·x_i / (n·Σx), x ascending.
+    *
+    * The data pass is ONE keyed groupBy (sizes); the rank window runs over
+    * the ≤#groups report table (a global window over report rows, like
+    * every ≤buckets window in the suite — never over data). Integer-exact
+    * numerator via DECIMAL; ties rank deterministically by group key. */
+  def giniConcentration(df: DataFrame, group: Column): DataFrame = {
+    val sizes = df.select(group.cast("string").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("x"))
+    val byX = Window.orderBy(col("x").asc, col("g").asc)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sizes
+      .withColumn("i", row_number().over(byX))
+      .withColumn("n", count(lit(1)).over(all))
+      .agg(
+        max(col("n")).as("n_groups"),
+        sum(col("x")).as("total"),
+        sum(((lit(2) * col("i") - col("n") - 1) * col("x")).cast("decimal(38,0)"))
+          .as("num"))
+      .withColumn("gini",
+        when(col("total") > 0 && col("n_groups") > 0,
+          round(col("num").cast("double") /
+            (col("n_groups").cast("double") * col("total").cast("double")), 6)))
+      .select(col("n_groups").cast("bigint").as("n_groups"),
+        col("total").cast("bigint").as("total"), col("gini"))
+  }
+
+  /** Calibration curve for a [0,1) score against a boolean label — the
+    * reliability diagram behind "is the quality classifier's 0.9 really a
+    * 90% hit rate?". Buckets score into `nBuckets` equal bins; per bucket:
+    * count, mean score, observed positive rate, and the (replicated)
+    * overall Brier score. ONE map-side-combined groupBy over data rows;
+    * the Brier window runs over the ≤nBuckets report table. Scores and
+    * squared errors sum as DECIMAL (order-independent). */
+  def calibrationCurve(df: DataFrame, score: Column, label: Column,
+      nBuckets: Int = 10): DataFrame = {
+    val sc = score.cast("double")
+    val y = when(label, 1.0).otherwise(0.0)
+    val bucket = least(floor(sc * nBuckets).cast("bigint"), lit(nBuckets - 1L))
+    val hist = df.filter(score.isNotNull && label.isNotNull)
+      .select(bucket.as("bucket"), sc.cast("decimal(28,10)").as("s"),
+        y.cast("decimal(28,10)").as("y"),
+        ((sc - y) * (sc - y)).cast("decimal(38,10)").as("se"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"),
+        sum(col("y")).as("sy"), sum(col("se")).as("sse"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("mean_score",
+        round(col("ss").cast("double") / col("n").cast("double"), 6))
+      .withColumn("pos_rate",
+        round(col("sy").cast("double") / col("n").cast("double"), 6))
+      .withColumn("brier_total",
+        round(sum(col("sse")).over(all).cast("double") /
+          sum(col("n")).over(all).cast("double"), 6))
+      .select("bucket", "n", "mean_score", "pos_rate", "brier_total")
+      .orderBy("bucket")
+  }
 }

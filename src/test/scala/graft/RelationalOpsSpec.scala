@@ -149,6 +149,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!fs.exists(aside), "set-aside dir not cleaned up")
   }
 
+  test("mergePartitioned: a matched key that moves partitions fails loudly " +
+      "instead of stranding its old row") {
+    val dir = java.nio.file.Files.createTempDirectory("pmerge5").toString + "/store"
+    (0L until 8L).map(k => (k, s"v$k", (k % 2).toInt)).toDF("k", "name", "p")
+      .write.partitionBy("p").parquet(dir)
+    // k=2 lives in p=0 but the source claims p=1; another source row touches
+    // p=0 so BOTH partitions are in the slice and the match is visible.
+    // Without the guard the old p=0 row would silently survive alongside the
+    // new p=1 row. The plan-embedded raise_error must fire instead.
+    val src = Seq((0L, "ok", 0), (2L, "MOVED", 1), (1L, "ok", 1))
+      .toDF("k", "name", "p")
+    val ex = intercept[Exception] {
+      Merge.mergePartitioned(spark, dir, src, Seq("k"), "p")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("moved partitions")), s"got: ${msgs(ex)}")
+    // and the target is untouched (the write failed before any swap)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 8)
+    assert(got.filter($"k" === 2L).select("name").as[String].head() == "v2")
+  }
+
   test("mergePartitioned: legacy in-target leaf__old from a crashed pre-v6 " +
       "swap is healed before the read, not parsed as a partition value") {
     val dir = java.nio.file.Files.createTempDirectory("pmerge4").toString + "/store"
