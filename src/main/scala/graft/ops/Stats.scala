@@ -270,4 +270,69 @@ object Stats {
       .select("bucket", "n", "mean_score", "pos_rate", "brier_total")
       .orderBy("bucket")
   }
+
+  /** ROC AUC by the Mann–Whitney rank-sum identity — the threshold-free
+    * companion to [[calibrationCurve]]: AUC = P(score⁺ > score⁻) with ties
+    * counted half. One row (n_pos, n_neg, auc), exact under ties via
+    * average ranks: AUC = (2·Σ_pos avgRank − n⁺(n⁺+1)) / (2·n⁺·n⁻), with
+    * 2·avgRank kept INTEGER (2·minRank + ties − 1) so the rank sum is an
+    * exact DECIMAL and the single final division is the only float op.
+    *
+    * Scale shape — global score ranks WITHOUT a global sort: ties collapse
+    * map-side (groupBy score), the score axis is range-partitioned, ranks
+    * are per-partition prefix sums plus a ≤`partitions`-row offset table
+    * collected to the driver (the ksStatistic / DenseId two-pass shape).
+    * No single-partition window anywhere — the 100 TB posture. */
+  def aucRankSum(df: DataFrame, score: Column, label: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("v"),
+        when(label, 1L).otherwise(0L).as("__p"))
+      .groupBy("v")
+      .agg(sum(col("__p")).as("np"), sum(lit(1L) - col("__p")).as("nn"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    // eager snapshot: traversed twice (offset totals, scored pass) and the
+    // snapshot pins ONE partition layout for both
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("np") + col("nn")).as("t"),
+        sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nPos = partTotals.map(_._3).sum
+    val nNeg = partTotals.map(_._4).sum
+    import spark.implicits._
+    if (nPos == 0L || nNeg == 0L)
+      // AUC is undefined with a one-class sample — surface counts, null stat
+      return Seq((nPos, nNeg)).toDF("n_pos", "n_neg")
+        .withColumn("auc", lit(null).cast("double"))
+    val offsets = partTotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t, _, _)) => (pid, acc + t)
+    }
+    val offDf = partTotals.map(_._1).zip(offsets.map(_._2))
+      .map { case (pid, off) => (pid, off) }
+      .toSeq.toDF("__pid", "off")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = col("np") + col("nn")                    // tied-block size
+    // 2·Σ_pos avgRank, exactly: np·(2·before + m + 1) summed as DECIMAL
+    // (window materialized BEFORE the aggregate — Spark forbids nesting)
+    val s2 = snap.join(broadcast(offDf), "__pid")
+      .withColumn("__before", col("off") + sum(m).over(w) - m) // ranked below v
+      .agg(sum((col("np") * (lit(2) * col("__before") + m + 1))
+        .cast("decimal(38,0)")).as("s2"))
+    // subtract the two ~n² terms in DECIMAL (exact), THEN go to double: a
+    // double-space subtraction would catastrophically cancel at large n
+    val posTerm = new java.math.BigDecimal(nPos).multiply(
+      new java.math.BigDecimal(nPos + 1L))
+    s2.select(
+      lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
+      round((col("s2") - lit(posTerm).cast("decimal(38,0)")).cast("double") /
+        (2.0 * nPos.toDouble * nNeg.toDouble), 6).as("auc"))
+  }
 }

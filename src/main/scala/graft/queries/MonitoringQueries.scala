@@ -225,7 +225,40 @@ object MonitoringQueries extends QueryGroup {
       WHERE n >= 5 AND var > 0 AND ABS(value - mean) > 3 * sqrt(var)
       ORDER BY user_id, event_id"""))
 
+  /** Categorical PSI with a NULL bucket (Drift.psiReport): buckets are raw
+    * lang values with 'en' nulled out, so the null-bucket grouping path of
+    * psiReport is exercised end-to-end (nulls group as one real bucket;
+    * output renders them '(null)' so both engines order rows identically). */
+  val q165PsiCategorical = QueryDef(
+    "q165_psi_categorical",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.psiReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          when(col("lang") === "en", lit(null)).otherwise(col("lang")))
+        .withColumn("bucket", coalesce(col("bucket"), lit("(null)")))
+        .orderBy("bucket")
+    },
+    Some("""WITH t AS (SELECT NULLIF(lang, 'en') AS bucket,
+          CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM documents),
+      h AS (SELECT bucket,
+          CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM t GROUP BY bucket),
+      p AS (SELECT bucket, n_a, n_b,
+          GREATEST(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), 1e-6) AS pa,
+          GREATEST(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), 1e-6) AS pb
+        FROM h)
+      SELECT COALESCE(bucket, '(null)') AS bucket, n_a, n_b,
+        ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term,
+        ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 6)) OVER (), 6) AS psi_total
+      FROM p ORDER BY bucket"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
-    q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly)
+    q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
+    q165PsiCategorical)
 }

@@ -245,7 +245,146 @@ object StatsQueries extends QueryGroup {
         COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
       FROM agg ORDER BY source"""))
 
+  /** Textbook-ideal nDCG@10 (RankEval.ndcgAtKGlobalIdeal): same stand-in
+    * qrels/run pair as q163, but the ideal ranks ALL relevant docs in the
+    * group — a retriever that fails to surface relevant items is penalized,
+    * and n_rel counts every relevant doc. The q163/q164 pair documents the
+    * local-vs-global ideal choice as data. */
+  val q164NdcgGlobal = QueryDef(
+    "q164_ndcg_global",
+    (s, d) => RankEval.ndcgAtKGlobalIdeal(Tables.documents(s, d), "source",
+        scoreCol = col("n_chars"), relCol = when(col("lang") === "en", 1.0).otherwise(0.0),
+        tieCol = col("doc_id"), k = 10)
+      .orderBy("source"),
+    Some("""WITH ranked AS (SELECT source, doc_id,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS rel,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rank,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) DESC,
+              doc_id ASC) AS irank
+        FROM documents),
+      scored AS (SELECT source, rel, rank,
+          CAST(CASE WHEN rank <= 10
+            THEN rel / (LN(CAST(rank AS DOUBLE) + 1.0) / LN(2.0))
+            ELSE 0.0 END AS DECIMAL(28,10)) AS gain,
+          CAST(CASE WHEN irank <= 10
+            THEN rel / (LN(CAST(irank AS DOUBLE) + 1.0) / LN(2.0))
+            ELSE 0.0 END AS DECIMAL(28,10)) AS ideal
+        FROM ranked),
+      agg AS (SELECT source,
+          CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+          CAST(SUM(gain) AS DOUBLE) AS dcg,
+          CAST(SUM(ideal) AS DOUBLE) AS idcg,
+          MIN(CASE WHEN rel > 0 AND rank <= 10 THEN rank END) AS first_rel
+        FROM scored GROUP BY source)
+      SELECT source, n_rel,
+        CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
+        COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
+      FROM agg ORDER BY source"""))
+
+  /** Cohen's kappa (Stats.cohenKappa) between the corpus lang label and a
+    * deterministic noisy re-labeler (70% copies lang, 30% answers the
+    * source name) — the annotation-QA agreement check; the synthetic
+    * second rater keeps the oracle exact. */
+  val q166CohenKappa = QueryDef(
+    "q166_cohen_kappa",
+    (s, d) => Stats.cohenKappa(Tables.documents(s, d),
+      col("lang"),
+      when(col("doc_id") % 10 < 7, col("lang")).otherwise(col("source"))),
+    Some("""WITH t AS (SELECT lang AS a,
+          CASE WHEN doc_id % 10 < 7 THEN lang ELSE source END AS b
+        FROM documents WHERE lang IS NOT NULL),
+      obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY a, b),
+      ma AS (SELECT a AS c, SUM(o) AS na FROM obs GROUP BY a),
+      mb AS (SELECT b AS c, SUM(o) AS nb FROM obs GROUP BY b),
+      marg AS (SELECT CAST(SUM(COALESCE(na, 0)) AS BIGINT) AS n,
+          SUM(CAST(COALESCE(na, 0) * COALESCE(nb, 0) AS DECIMAL(38,0))) AS pe_num
+        FROM ma FULL JOIN mb USING (c)),
+      agree AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n_agree
+        FROM obs WHERE a = b)
+      SELECT n,
+        ROUND(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+        ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+        CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) < 1.0
+          THEN ROUND((CAST(n_agree AS DOUBLE) / n
+              - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+            / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+          END AS kappa
+      FROM marg, agree"""))
+
+  /** Gini concentration of events per user (Stats.giniConcentration) — the
+    * "is activity 90% one entity?" audit; one keyed groupBy over data, the
+    * rank window runs over the ≤#users report table. */
+  val q167GiniUsers = QueryDef(
+    "q167_gini_users",
+    (s, d) => Stats.giniConcentration(Tables.events(s, d), col("user_id")),
+    Some("""WITH sizes AS (SELECT CAST(user_id AS VARCHAR) AS g,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, g ASC) AS i,
+          COUNT(*) OVER () AS n FROM sizes)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_groups,
+        CAST(SUM(x) AS BIGINT) AS total,
+        ROUND(CAST(SUM(CAST((2 * i - n - 1) * x AS DECIMAL(38,0))) AS DOUBLE)
+          / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini
+      FROM r"""))
+
+  /** Calibration curve + Brier score (Stats.calibrationCurve) of an exact
+    * rational score ((n_chars % 1000)/1000 — float-exact on both engines)
+    * against the is-English label: per-decile mean score vs observed rate. */
+  val q168Calibration = QueryDef(
+    "q168_calibration",
+    (s, d) => Stats.calibrationCurve(Tables.documents(s, d),
+      (col("n_chars") % 1000).cast("double") / 1000.0,
+      col("lang") === "en"),
+    Some("""WITH t AS (SELECT
+          LEAST(CAST(FLOOR(((n_chars % 1000) / 1000.0) * 10) AS BIGINT), 9)
+            AS bucket,
+          CAST((n_chars % 1000) / 1000.0 AS DECIMAL(28,10)) AS s,
+          CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DECIMAL(28,10))
+            AS y,
+          CAST(((n_chars % 1000) / 1000.0
+              - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+            * ((n_chars % 1000) / 1000.0
+              - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+            AS DECIMAL(38,10)) AS se
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS ss,
+          SUM(y) AS sy, SUM(se) AS sse FROM t GROUP BY bucket)
+      SELECT bucket, n,
+        ROUND(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+        ROUND(CAST(sy AS DOUBLE) / n, 6) AS pos_rate,
+        ROUND(CAST(SUM(sse) OVER () AS DOUBLE)
+          / CAST(SUM(n) OVER () AS DOUBLE), 6) AS brier_total
+      FROM h ORDER BY bucket"""))
+
+  /** ROC AUC of event value as a purchase predictor (Stats.aucRankSum):
+    * Mann–Whitney rank-sum with average-rank tie handling, global ranks
+    * via range-partitioned prefix sums — never a global sort or a
+    * single-partition window. The oracle replays the identical integer
+    * 2·avgRank form (RANK() + tie count). */
+  val q169Auc = QueryDef(
+    "q169_auc",
+    (s, d) => Stats.aucRankSum(Tables.events(s, d),
+      col("value"), col("event_type") === "purchase"),
+    Some("""WITH t AS (SELECT value AS v,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      r AS (SELECT p, RANK() OVER (ORDER BY v) AS rk,
+          COUNT(*) OVER (PARTITION BY v) AS m FROM t),
+      s AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+          CAST(SUM(1 - p) AS BIGINT) AS n_neg,
+          SUM(CASE WHEN p = 1
+            THEN CAST(2 * rk + m - 1 AS DECIMAL(38,0)) END) AS s2
+        FROM r)
+      SELECT n_pos, n_neg,
+        ROUND(CAST(s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+            AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+      FROM s"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
-    q160Ewma, q161Markov, q162Compaction, q163Ndcg)
+    q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
+    q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc)
 }

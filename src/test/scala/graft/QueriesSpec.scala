@@ -46,6 +46,8 @@ class QueriesSpec extends SparkSpec {
     *         of two ≤#windows/#buckets-row report tables (Drift.psiTimeline)
     *  - q156: the marginal×marginal contingency densify grid — a cross of
     *         two ≤#categories-row tables (Stats.chiSquareIndependence)
+    *  - q166: the 1-row marginal-sum frame × 1-row diagonal-agreement frame
+    *         (Stats.cohenKappa — two scalar aggregates combined)
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
@@ -53,7 +55,8 @@ class QueriesSpec extends SparkSpec {
     "q104_dsir_weights", "q105_dsir_resample", "q106_ppl_buckets",
     "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
     "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk",
-    "q143_ivf_probe_saved", "q153_psi_timeline", "q156_chi_square")
+    "q143_ivf_probe_saved", "q153_psi_timeline", "q156_chi_square",
+    "q166_cohen_kappa")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -58,6 +58,18 @@ object ScaleSmoke {
         vals.filter(col("id") % 2 === 0), vals.filter(col("id") % 2 === 1),
         col("v")).count()
     }
+    time("auc-10M-rows") {
+      // heavy-tie regime (97 distinct scores over 10M rows) — exercises the
+      // tie-collapse + range-partitioned rank path, not a degenerate case
+      val vals = spark.range(10000000L)
+        .select((col("id") % 97).cast("double").as("s"), (col("id") % 5 === 0).as("y"))
+      graft.ops.Stats.aucRankSum(vals, col("s"), col("y")).count()
+    }
+    time("gini-10M-rows-100k-groups") {
+      graft.ops.Stats.giniConcentration(
+        spark.range(10000000L).select((col("id") % 100000).as("g")),
+        col("g")).count()
+    }
     spark.stop()
   }
 }

@@ -213,4 +213,141 @@ class StatsSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"ndcg plans $exchanges hash exchanges:\n$plan")
   }
+
+  test("ndcgAtKGlobalIdeal: penalizes unretrieved relevant items where the " +
+      "local ideal does not; equal when the top-k holds every relevant") {
+    // k=1: score ranks the irrelevant doc first, one relevant doc below.
+    // Local ideal only sees the retrieved {irrelevant} -> idcg=0 -> ndcg 0;
+    // global ideal knows a relevant doc existed -> idcg=1, dcg=0 -> ndcg 0.
+    // With BOTH relevant: local and global agree at 1.0.
+    val df = Seq(
+      ("g1", 1L, 9.0, 0.0), ("g1", 2L, 5.0, 1.0),
+      ("g2", 3L, 9.0, 1.0), ("g2", 4L, 5.0, 1.0))
+      .toDF("g", "id", "score", "rel")
+    val glob = RankEval.ndcgAtKGlobalIdeal(df, "g", $"score", $"rel", $"id", k = 1)
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    // g1: n_rel counts ALL relevant (1), ndcg 0 (missed it), mrr 0
+    assert(glob(0) == (("g1", 1L, 0.0, 0.0)))
+    // g2: retrieved top-1 is relevant; global ideal also 1 item -> ndcg 1
+    assert(glob(1) == (("g2", 2L, 1.0, 1.0)))
+    // and on a case where the retrieved set is complete, local == global
+    val both = Seq(("g", 1L, 9.0, 1.0), ("g", 2L, 5.0, 0.0)).toDF("g", "id", "score", "rel")
+    val l = RankEval.ndcgAtK(both, "g", $"score", $"rel", $"id", k = 10)
+      .select("ndcg").as[Double].head()
+    val g = RankEval.ndcgAtKGlobalIdeal(both, "g", $"score", $"rel", $"id", k = 10)
+      .select("ndcg").as[Double].head()
+    assert(l == g && l == 1.0)
+  }
+
+  // --- cohenKappa --------------------------------------------------------
+
+  test("cohenKappa: perfect agreement -> 1; hand-computed partial agreement") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = Stats.cohenKappa(perfect, $"a", $"b")
+      .as[(Long, Double, Double, Double)].head()
+    assert(p._1 == 3L && p._2 == 1.0 && p._4 == 1.0)
+    // hand 2x2: agree on 20 of 30; marginals A:{x:13,y:17}, B:{x:17,y:13}
+    // -> pe = (13*17 + 17*13)/900 = 442/900; kappa = (2/3 - pe)/(1 - pe)
+    //  = (79/450)/(229/450) = 79/229
+    val rows = Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")) ++
+      Seq.fill(7)(("y", "x")) ++ Seq.fill(3)(("x", "y"))
+    val k = Stats.cohenKappa(rows.toDF("a", "b"), $"a", $"b")
+      .as[(Long, Double, Double, Double)].head()
+    assert(k._1 == 30L && k._2 == r6(20.0 / 30) && k._3 == r6(442.0 / 900) &&
+      k._4 == r6(79.0 / 229))
+  }
+
+  test("cohenKappa: category present in only one rater still feeds the " +
+      "chance term through the full-outer marginal join") {
+    // b answers 'z' which a never uses: pe must use na(z)=0 (contribute 0),
+    // not drop the category
+    val df = Seq(("x", "x"), ("x", "z"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val k = Stats.cohenKappa(df, $"a", $"b")
+      .as[(Long, Double, Double, Double)].head()
+    // n=4, agree=3, po=.75; marginals a:{x:2,y:2}, b:{x:1,y:2,z:1}
+    // pe = (2*1 + 2*2 + 0*1)/16 = 6/16
+    assert(k._1 == 4L && k._2 == 0.75 && k._3 == 0.375 &&
+      k._4 == r6((0.75 - 0.375) / (1 - 0.375)))
+  }
+
+  // --- giniConcentration -------------------------------------------------
+
+  test("gini: uniform sizes -> 0; hand-computed concentrated case; " +
+      "textbook max approaches 1-1/n") {
+    val uniform = (1 to 12).map(i => (s"g${i % 4}", i)).toDF("g", "v")
+    val u = Stats.giniConcentration(uniform, $"g")
+      .as[(Long, Long, Double)].head()
+    assert(u == ((4L, 12L, 0.0)))
+    // sizes 1,1,1,7: G = Σ(2i-n-1)x_i/(n·Σx) with x asc
+    // = ((2-5)*1 + (4-5)*1 + (6-5)*1 + (8-5)*7)/(4*10) = 18/40 = 0.45
+    val skewed = (Seq.fill(7)("big") ++ Seq("a", "b", "c")).toDF("g")
+    val sk = Stats.giniConcentration(skewed, $"g")
+      .as[(Long, Long, Double)].head()
+    assert(sk == ((4L, 10L, 0.45)))
+  }
+
+  // --- calibrationCurve --------------------------------------------------
+
+  test("calibrationCurve: bucket means/rates and Brier replicate by hand; " +
+      "score 1.0 clamps into the top bucket") {
+    val df = Seq(
+      (0.05, true), (0.15, false), (0.15, true), (1.0, true))
+      .toDF("score", "label")
+    val got = Stats.calibrationCurve(df, $"score", $"label", nBuckets = 10)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val brier = r6((math.pow(0.05 - 1, 2) + math.pow(0.15, 2) +
+      math.pow(0.15 - 1, 2) + 0.0) / 4)
+    assert(got == Seq(
+      (0L, 1L, 0.05, 1.0, brier),
+      (1L, 2L, 0.15, 0.5, brier),
+      (9L, 1L, 1.0, 1.0, brier)))
+  }
+
+  // --- aucRankSum --------------------------------------------------------
+
+  test("aucRankSum: perfect separation -> 1; reversed -> 0; all-tied -> 0.5; " +
+      "hand-computed tie case; one-class -> null") {
+    def auc(rows: Seq[(Double, Boolean)], parts: Int = 4): (Long, Long, Option[Double]) = {
+      val r = Stats.aucRankSum(rows.toDF("s", "y"), $"s", $"y", partitions = parts)
+        .collect().head
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    assert(auc(Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true)))
+      == ((2L, 2L, Some(1.0))))
+    assert(auc(Seq((0.9, false), (0.8, false), (0.1, true), (0.2, true)))
+      == ((2L, 2L, Some(0.0))))
+    assert(auc(Seq((0.5, false), (0.5, true), (0.5, false), (0.5, true)))
+      == ((2L, 2L, Some(0.5))))
+    // hand case with a cross-class tie: scores (.1-), (.5-), (.5+), (.9+)
+    // pairs: (+.5,-.1)=1, (+.5,-.5)=.5, (+.9,-.1)=1, (+.9,-.5)=1 -> 3.5/4
+    assert(auc(Seq((0.1, false), (0.5, false), (0.5, true), (0.9, true)))
+      == ((2L, 2L, Some(0.875))))
+    assert(auc(Seq((0.1, true), (0.9, true))) == ((2L, 0L, None)))
+  }
+
+  test("aucRankSum: partition-count invariant (global ranks from offsets, " +
+      "not per-partition ranks)") {
+    val rows = (1 to 500).map(i =>
+      ((i * 2654435761L % 1000).toDouble, i % 3 == 0))
+    val r1 = Stats.aucRankSum(rows.toDF("s", "y"), $"s", $"y", partitions = 1)
+      .select("auc").as[Double].head()
+    val r8 = Stats.aucRankSum(rows.toDF("s", "y"), $"s", $"y", partitions = 8)
+      .select("auc").as[Double].head()
+    assert(r1 == r8, s"AUC depends on partitioning: $r1 vs $r8")
+  }
+
+  test("kappa/gini/calibration: one map-side-combined data pass, windows " +
+      "only over report-sized frames") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    for ((name, plan) <- Seq(
+        "kappa" -> Stats.cohenKappa(docs, $"lang", $"source")
+          .queryExecution.executedPlan.toString(),
+        "gini" -> Stats.giniConcentration(docs, $"source")
+          .queryExecution.executedPlan.toString(),
+        "calibration" -> Stats.calibrationCurve(docs,
+            ($"n_chars" % 1000).cast("double") / 1000.0, $"lang" === "en")
+          .queryExecution.executedPlan.toString())) {
+      assert(plan.contains("partial_"), s"$name lost partial aggregation:\n$plan")
+    }
+  }
 }
