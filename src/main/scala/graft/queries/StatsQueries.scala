@@ -383,8 +383,63 @@ object StatsQueries extends QueryGroup {
             AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
       FROM s"""))
 
+  /** Zipf slope per source: OLS of ln(freq) on ln(rank) over each source's
+    * top-200 terms — the power-law health check on a corpus (natural text
+    * slopes near −1; templated/boilerplate sources flatten or cliff). A
+    * composition query: term frequencies collapse in one explode+groupBy,
+    * ranks are a keyed window over the vocab-sized frequency table (never
+    * data rows), the fit is Stats.regrByGroup on 6-rounded logs (rounding
+    * BEFORE the decimal-exact sums keeps the double→decimal boundary
+    * cross-engine-safe for transcendental inputs). */
+  val q170ZipfSlope = QueryDef(
+    "q170_zipf_slope",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("t").asc)
+      val ranked = tf.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 200)
+      Stats.regrByGroup(
+          ranked.select(col("source"),
+            round(log(col("r").cast("double")), 6).as("ln_rank"),
+            round(log(col("c").cast("double")), 6).as("ln_freq")),
+          Seq("source"), col("ln_rank"), col("ln_freq"))
+        .orderBy("source")
+    },
+    Some("""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS t
+          FROM documents),
+      tf AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        WHERE len(t) > 0 GROUP BY source, t),
+      rk AS (SELECT source, c, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY c DESC, t ASC) AS r FROM tf),
+      xy AS (SELECT source, ROUND(LN(CAST(r AS DOUBLE)), 6) AS x,
+          ROUND(LN(CAST(c AS DOUBLE)), 6) AS y FROM rk WHERE r <= 200),
+      a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM xy GROUP BY source),
+      b AS (SELECT source, n, sx, sy, sxy, sxx, syy,
+          CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+          CAST(n AS DOUBLE) * sxx - sx * sx AS varx_n,
+          CAST(n AS DOUBLE) * syy - sy * sy AS vary_n FROM a)
+      SELECT source, n,
+        CASE WHEN varx_n > 0 THEN ROUND(cov_n / varx_n, 6) END AS slope,
+        CASE WHEN varx_n > 0
+          THEN ROUND((sy - (cov_n / varx_n) * sx) / CAST(n AS DOUBLE), 6)
+          END AS intercept,
+        CASE WHEN varx_n > 0 AND vary_n > 0
+          THEN ROUND(cov_n * cov_n / (varx_n * vary_n), 6) END AS r2
+      FROM b ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
-    q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc)
+    q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope)
 }
