@@ -86,6 +86,34 @@ object Drift {
       .orderBy("w")
   }
 
+  /** Per-window PSI of pre-aggregated bucket histograms against a FIXED
+    * reference distribution — the core [[psiTimeline]] scoring step exposed
+    * for callers that bring their own reference (a frozen training-corpus
+    * histogram, a streaming micro-batch pipeline): `hist` is (w, bucket, n)
+    * rows, `ref` is (bucket, q) with q a probability. The w×bucket grid is
+    * densified against `ref` so a bucket absent from a window contributes
+    * its full (eps − q)·ln(eps/q) term; buckets observed in a window but
+    * missing from `ref` score against eps (the one-sided-novelty floor).
+    * Returns (w, n_events, psi). All frames are report-sized — the caller
+    * owns the single data-rows pass that produced `hist`.
+    */
+  def psiAgainstReference(hist: DataFrame, ref: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    val dense = hist.select("w").distinct()
+      .crossJoin(broadcast(ref.select(col("bucket"), col("q"))))
+    val winTot = Window.partitionBy("w")
+    val joined = dense.join(hist, Seq("w", "bucket"), "full_outer")
+      .na.fill(Map("n" -> 0L)).na.fill(Map("q" -> eps))
+    val p = greatest(col("n").cast("double") / sum(col("n")).over(winTot), lit(eps))
+    val q = greatest(col("q"), lit(eps))
+    joined
+      .withColumn("term", round((p - q) * log(p / q), 6))
+      .groupBy("w")
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("term").cast("decimal(28,6)")).cast("double"), 6).as("psi"))
+      .orderBy("w")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between numeric samples `a`
     * and `b`: KS = sup_x |F_a(x) − F_b(x)| over the empirical CDFs. The
     * CDF-based complement to [[psiReport]] — no bucketing choice, sensitive

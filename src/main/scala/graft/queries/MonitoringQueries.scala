@@ -257,8 +257,51 @@ object MonitoringQueries extends QueryGroup {
         ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 6)) OVER (), 6) AS psi_total
       FROM p ORDER BY bucket"""))
 
+  /** PSI per day against a FROZEN reference distribution — day 0's value
+    * histogram (Drift.psiAgainstReference, the scoring core the streaming
+    * monitor DriftStreams.psiSink reuses per micro-batch). Contrast q153,
+    * whose reference is the all-period distribution: this is the
+    * "drift vs what the model was trained on" view, and day 0 scoring 0.0
+    * against itself is the built-in sanity row. */
+  val q172PsiVsReference = QueryDef(
+    "q172_psi_vs_reference",
+    (s, d) => {
+      val hist = Tables.events(s, d)
+        .select(
+          floor(col("ts").cast("long") / lit(86400)).cast("long").as("w"),
+          least(floor(col("value") / 25).cast("long"), lit(10L)).as("bucket"))
+        .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // read 3x: min-day, ref slice, scoring
+      val minW = hist.agg(min(col("w")).as("w0"))
+      val refCounts = hist.join(broadcast(minW), col("w") === col("w0"))
+        .select(col("bucket"), col("n").cast("double").as("nb"))
+      val refDist = refCounts
+        .crossJoin(broadcast(refCounts.agg(sum(col("nb")).as("tot"))))
+        .select(col("bucket"), (col("nb") / col("tot")).as("q"))
+      Drift.psiAgainstReference(hist, refDist)
+        .withColumnRenamed("w", "day")
+    },
+    Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS w,
+          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events),
+      h AS (SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e
+        GROUP BY w, bucket),
+      r AS (SELECT bucket, CAST(n AS DOUBLE) /
+          (SELECT SUM(n) FROM h WHERE w = (SELECT MIN(w) FROM h)) AS q
+        FROM h WHERE w = (SELECT MIN(w) FROM h)),
+      dense AS (SELECT w, bucket, q FROM (SELECT DISTINCT w FROM h), r),
+      j AS (SELECT COALESCE(dense.w, h.w) AS w,
+          COALESCE(h.n, 0) AS n, COALESCE(dense.q, 1e-6) AS q
+        FROM dense FULL JOIN h ON dense.w = h.w AND dense.bucket = h.bucket),
+      p AS (SELECT w, n,
+          GREATEST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY w), 1e-6) AS p,
+          GREATEST(q, 1e-6) AS q FROM j),
+      t AS (SELECT w, n, ROUND((p - q) * LN(p / q), 6) AS term FROM p)
+      SELECT w AS day, CAST(SUM(n) AS BIGINT) AS n_events,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS psi
+      FROM t GROUP BY w ORDER BY day"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
-    q165PsiCategorical)
+    q165PsiCategorical, q172PsiVsReference)
 }

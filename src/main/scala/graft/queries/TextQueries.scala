@@ -573,6 +573,30 @@ object TextQueries extends QueryGroup {
         CAST(SUM(n) AS BIGINT) AS n_bigrams
       FROM sc GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
 
+  /** Top-20 collocations by pointwise mutual information
+    * (TextAnalysis.pmiCollocations): PMI over the bigram event space with
+    * c12 >= 5, 6-rounded, word-tie-broken — the phrase-mining signal a
+    * tokenizer/vocab pipeline reads. One corpus explode; marginals derive
+    * from the vocab-sized bigram table; top-k is a TakeOrdered heap. */
+  val q171PmiCollocations = QueryDef(
+    "q171_pmi_collocations",
+    (s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d), col("text")),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      bi AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT unnest(list_transform(range(1, len(ws)),
+            i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+          FROM t WHERE len(ws) >= 2) q
+        GROUP BY p.w1, p.w2),
+      u1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+      u2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+      tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS total FROM bi)
+      SELECT w1, w2, c12,
+        ROUND(LN((CAST(c12 AS DOUBLE) * CAST(total AS DOUBLE))
+          / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+      FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2), tot
+      WHERE c12 >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   /** CCNet-style perplexity buckets: split the corpus into head / middle /
     * tail terciles of the unigram-LM NLL (CCNet §4.3 quality partitioning).
     * Cutoffs come from TWO exact percentiles collected once and broadcast
@@ -804,5 +828,6 @@ object TextQueries extends QueryGroup {
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
-    q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy)
+    q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
+    q171PmiCollocations)
 }

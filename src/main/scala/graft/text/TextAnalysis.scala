@@ -335,6 +335,42 @@ object TextAnalysis {
         sum(col("n")).as("n_bigrams"))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent word
+    * pairs: PMI = ln(c12·T / (c1·c2)) with marginals and T taken from the
+    * bigram event space (the bigramNll convention, so normalizations stay
+    * consistent). `minCount` floors c12 — PMI is noise-dominated on rare
+    * pairs. Output (w1, w2, c12, pmi) ordered by (pmi desc, w1, w2),
+    * limited to k — ties after 6-decimal rounding break on the words, so
+    * the cut is total and engines agree.
+    *
+    * Shape: ONE corpus explode+groupBy (map-side combined) collapses to the
+    * vocab-sized bigram table; marginals derive from that table (no second
+    * data pass); the top-k is a TakeOrdered heap, never a global sort.
+    */
+  def pmiCollocations(df: DataFrame, textCol: Column, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val toks = tokens(textCol)
+    val cnt = greatest(size(toks) - 1, lit(0))
+    val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(slice(toks, lit(1), cnt), slice(toks, lit(2), cnt),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val bi = df.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // read by both marginals + the total + scoring
+    val u1 = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    val u2 = bi.groupBy("w2").agg(sum("c12").as("c2"))
+    val total = bi.agg(sum("c12").as("total"))
+    val pmi = log((col("c12").cast("double") * col("total").cast("double")) /
+      (col("c1").cast("double") * col("c2").cast("double")))
+    bi.filter(col("c12") >= minCount)
+      .join(u1, Seq("w1")).join(u2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def unigramNll(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     // materialized once: tf, total, and the scoring join all read docTok —
     // uncached, the document explode+aggregate would replay per consumer

@@ -340,6 +340,85 @@ class MlStreamingSpec extends SparkSpec {
     val total = sessions.agg(sum("n_events")).head().getLong(0)
     assert(total == ev.count())
   }
+  test("streaming drift monitor: closed windows score PSI against the frozen " +
+      "reference and upsert by window key") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DriftStreams
+    val base = java.nio.file.Files.createTempDirectory("psidrift").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0${m / 60}:${m % 60}%02d:00")
+    val mem = MemoryStream[EventStreams.Event]
+    val hist = DriftStreams.windowedHistogram(
+      mem.toDF(), "ts", col("event_type"), "10 minutes", "10 minutes")
+    // frozen reference: training saw clicks and views in equal shares
+    val ref = Seq(("click", 0.5), ("view", 0.5)).toDF("bucket", "q")
+    val q = DriftStreams.psiSink(hist, ref, s"$base/out", s"$base/ckpt")
+    try {
+      // window [0,10): 2 click + 2 view (matches ref); window [10,20): all
+      // clicks (drifted)
+      mem.addData(
+        EventStreams.Event(1, t(1), 1, "click", 1.0),
+        EventStreams.Event(2, t(2), 1, "view", 1.0),
+        EventStreams.Event(3, t(3), 2, "click", 1.0),
+        EventStreams.Event(4, t(4), 2, "view", 1.0),
+        EventStreams.Event(5, t(11), 1, "click", 1.0),
+        EventStreams.Event(6, t(12), 2, "click", 1.0))
+      q.processAllAvailable()
+      // watermark pusher: closes both windows (its own window stays open)
+      mem.addData(EventStreams.Event(7, t(40), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out")
+        .select(col("w").cast("string"), col("n_events"), col("psi"))
+        .as[(String, Long, Double)].collect()
+        .map { case (w, n, p) => w -> ((n, p)) }.toMap
+      assert(got.contains("2024-01-01 00:00:00") && got.contains("2024-01-01 00:10:00"),
+        s"closed windows missing from sink: ${got.keySet}")
+      // in-distribution window: PSI exactly 0
+      assert(got("2024-01-01 00:00:00") == ((4L, 0.0)))
+      // drifted window (all clicks): the vanished 'view' bucket contributes
+      // its full (eps - q)ln(eps/q) term — PSI far above the 0.2 alert line
+      val (n2, psi2) = got("2024-01-01 00:10:00")
+      assert(n2 == 2L && psi2 > 1.0, s"drifted window psi=$psi2")
+    } finally q.stop()
+  }
+
+  test("streaming drift monitor: watermark replay of the same window " +
+      "converges (upsert by key, no duplicate rows)") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DriftStreams
+    val base = java.nio.file.Files.createTempDirectory("psidrift2").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ref = Seq(("click", 1.0)).toDF("bucket", "q")
+    def runOnce(events: Seq[EventStreams.Event]): Unit = {
+      val mem = MemoryStream[EventStreams.Event]
+      val hist = DriftStreams.windowedHistogram(
+        mem.toDF(), "ts", col("event_type"), "10 minutes", "10 minutes")
+      val q = DriftStreams.psiSink(hist, ref, s"$base/out", s"$base/ckpt")
+      try {
+        mem.addData(events: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // the checkpoint dir persists across the two runs, but the rebuilt
+    // MemoryStream replays from scratch — the same window is emitted twice;
+    // the sink must hold exactly one row per window
+    val evs = Seq(
+      EventStreams.Event(1, t(1), 1, "click", 1.0),
+      EventStreams.Event(2, t(25), 1, "click", 1.0))
+    runOnce(evs)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("psidrift2b").toString
+    val mem2 = MemoryStream[EventStreams.Event]
+    val hist2 = DriftStreams.windowedHistogram(
+      mem2.toDF(), "ts", col("event_type"), "10 minutes", "10 minutes")
+    val q2 = DriftStreams.psiSink(hist2, ref, s"$base/out", ckpt2)
+    try {
+      mem2.addData(evs: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() == got.select("w").distinct().count(),
+      "replayed window emitted duplicate sink rows")
+  }
+
   test("streaming near-dup: band matcher emits pairs as later dups arrive") {
     implicit val sql = spark.sqlContext
     import graft.streaming.DedupStreams

@@ -48,6 +48,10 @@ class QueriesSpec extends SparkSpec {
     *         two ≤#categories-row tables (Stats.chiSquareIndependence)
     *  - q166: the 1-row marginal-sum frame × 1-row diagonal-agreement frame
     *         (Stats.cohenKappa — two scalar aggregates combined)
+    *  - q171: the 1-row bigram-total frame against the vocab-sized PMI table
+    *         (TextAnalysis.pmiCollocations, the q89/q103 scalar-total shape)
+    *  - q172: the day-list × frozen-reference densify grid + the 1-row
+    *         min-day/total frames (Drift.psiAgainstReference, q153's shape)
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
@@ -56,7 +60,7 @@ class QueriesSpec extends SparkSpec {
     "q107_vocab_coverage", "q108_hard_negatives", "q110_rrf_fusion",
     "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk",
     "q143_ivf_probe_saved", "q153_psi_timeline", "q156_chi_square",
-    "q166_cohen_kappa")
+    "q166_cohen_kappa", "q171_pmi_collocations", "q172_psi_vs_reference")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
