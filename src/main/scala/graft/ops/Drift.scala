@@ -86,6 +86,48 @@ object Drift {
       .orderBy("w")
   }
 
+  /** PSI for MANY features in ONE pass per snapshot — the release-audit
+    * sweep ("which of the 40 features drifted?") that looping [[psiReport]]
+    * per feature would charge 2·F table scans for. Each row explodes to its
+    * (feature, bucket) pairs (bucket expressions cast to string so
+    * heterogeneous features stack), partial-aggregates map-side, and the
+    * q144 ratio math runs per feature over the ≤F·#buckets histogram.
+    * Output: (feature, bucket, n_a, n_b, p_a, p_b, psi_term, psi_total)
+    * with psi_total replicated per feature; nulls render '(null)' so both
+    * engines order identically.
+    *
+    * Scale shape: one scan per side with an F-way map-side expansion (rows
+    * multiply BEFORE the combine, bytes do not — each pair is two short
+    * strings), one shuffle of the combined histogram; every window is
+    * partitioned by feature. */
+  def psiMultiReport(a: DataFrame, b: DataFrame,
+      features: Seq[(String, Column)], eps: Double = 1e-6): DataFrame = {
+    require(features.nonEmpty, "psiMultiReport needs at least one feature")
+    def stacked(df: DataFrame, side: String): DataFrame =
+      df.select(explode(array(features.map { case (n, e) =>
+          struct(lit(n).as("feature"), e.cast("string").as("bucket"))
+        }: _*)).as("fb"))
+        .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+        .withColumn("__side", lit(side))
+    val hist = stacked(a, "a").unionByName(stacked(b, "b"))
+      .groupBy("feature", "bucket")
+      .agg(
+        sum(when(col("__side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy("feature")
+    val pa = greatest(col("n_a").cast("double") / sum(col("n_a")).over(w), lit(eps))
+    val pb = greatest(col("n_b").cast("double") / sum(col("n_b")).over(w), lit(eps))
+    val term = (pa - pb) * log(pa / pb)
+    hist
+      .withColumn("p_a", round(pa, 6))
+      .withColumn("p_b", round(pb, 6))
+      .withColumn("psi_term", round(term, 6))
+      .withColumn("psi_total",
+        round(sum(round(term, 6).cast("decimal(28,6)")).over(w).cast("double"), 6))
+      .withColumn("bucket", coalesce(col("bucket"), lit("(null)")))
+      .orderBy("feature", "bucket")
+  }
+
   /** Per-window PSI of pre-aggregated bucket histograms against a FIXED
     * reference distribution — the core [[psiTimeline]] scoring step exposed
     * for callers that bring their own reference (a frozen training-corpus

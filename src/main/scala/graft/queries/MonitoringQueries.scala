@@ -300,8 +300,47 @@ object MonitoringQueries extends QueryGroup {
         ROUND(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE), 6) AS psi
       FROM t GROUP BY w ORDER BY day"""))
 
+  /** Multi-feature PSI sweep (Drift.psiMultiReport): doc-length buckets AND
+    * language scored between the even/odd snapshot halves in ONE pass per
+    * side — the F-feature release audit that per-feature psiReport loops
+    * would charge 2·F scans for. */
+  val q173PsiMulti = QueryDef(
+    "q173_psi_multi",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.psiMultiReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        Seq(
+          "len" -> least((col("n_chars") / 50).cast("bigint"), lit(10L)),
+          "lang" -> col("lang")))
+    },
+    Some("""WITH t AS (SELECT f.feature AS feature, f.bucket AS bucket,
+          CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side
+        FROM (SELECT doc_id, unnest(ARRAY[
+            struct_pack(feature := 'len',
+              bucket := CAST(LEAST(n_chars // 50, 10) AS VARCHAR)),
+            struct_pack(feature := 'lang', bucket := lang)]) AS f
+          FROM documents) q),
+      h AS (SELECT feature, bucket,
+          CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM t GROUP BY feature, bucket),
+      p AS (SELECT feature, bucket, n_a, n_b,
+          GREATEST(CAST(n_a AS DOUBLE)
+            / SUM(n_a) OVER (PARTITION BY feature), 1e-6) AS pa,
+          GREATEST(CAST(n_b AS DOUBLE)
+            / SUM(n_b) OVER (PARTITION BY feature), 1e-6) AS pb
+        FROM h)
+      SELECT feature, COALESCE(bucket, '(null)') AS bucket, n_a, n_b,
+        ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        ROUND((pa - pb) * LN(pa / pb), 6) AS psi_term,
+        ROUND(CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 6) AS DECIMAL(28,6)))
+          OVER (PARTITION BY feature) AS DOUBLE), 6) AS psi_total
+      FROM p ORDER BY feature, bucket"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
-    q165PsiCategorical, q172PsiVsReference)
+    q165PsiCategorical, q172PsiVsReference, q173PsiMulti)
 }

@@ -287,6 +287,72 @@ class PropertiesSpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("aucRankSum: bounded in [0,1]; negating scores complements AUC exactly " +
+      "(average ranks make this exact even under ties)") {
+    import graft.ops.Stats
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(-5, 5), Gen.oneOf(true, false)))
+      .suchThat(rs => rs.exists(_._2) && rs.exists(!_._2))
+    check("auc-props", Prop.forAll(rowGen) { rs =>
+      val df = rs.map { case (s, y) => (s.toDouble, y) }.toDF("s", "y")
+      val a = Stats.aucRankSum(df, $"s", $"y", partitions = 4)
+        .select("auc").as[Double].head()
+      val neg = Stats.aucRankSum(df.withColumn("s", -$"s"), $"s", $"y",
+        partitions = 4).select("auc").as[Double].head()
+      a >= 0.0 && a <= 1.0 && math.abs((a + neg) - 1.0) <= 2e-6 // 2x round(6)
+    }, n = 6)
+  }
+
+  test("giniConcentration: bounded in [0, 1-1/n]; invariant under group renames") {
+    import graft.ops.Stats
+    val gen = Gen.listOfN(40, Gen.chooseNum(0, 9))
+    check("gini-props", Prop.forAll(gen) { ks =>
+      val df = ks.map(k => s"g$k").toDF("g")
+      val (n, _, g) = Stats.giniConcentration(df, $"g")
+        .as[(Long, Long, Double)].head()
+      val renamed = ks.map(k => s"zz${9 - k}").toDF("g") // bijective rename
+      val g2 = Stats.giniConcentration(renamed, $"g")
+        .as[(Long, Long, Double)].head()._3
+      g >= 0.0 && g <= 1.0 - 1.0 / n + 1e-9 && g == g2
+    }, n = 6)
+  }
+
+  test("cohenKappa: symmetric in the raters; kappa <= 1; self-agreement is 1 " +
+      "when 2+ categories") {
+    import graft.ops.Stats
+    val gen = Gen.listOfN(25, Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z")))
+    check("kappa-props", Prop.forAll(gen) { rs =>
+      val df = rs.toDF("a", "b")
+      def k(d: org.apache.spark.sql.DataFrame) =
+        Stats.cohenKappa(d, col("a"), col("b")).collect().head
+      val ab = k(df)
+      val ba = k(df.select($"b".as("a"), $"a".as("b")))
+      val swapOk = ab.isNullAt(3) == ba.isNullAt(3) &&
+        (ab.isNullAt(3) || ab.getDouble(3) == ba.getDouble(3))
+      val self = k(df.select($"a", $"a".as("b")))
+      val selfOk = if (rs.map(_._1).distinct.size >= 2)
+        !self.isNullAt(3) && self.getDouble(3) == 1.0
+      else self.isNullAt(3) // pe = 1: kappa undefined
+      val boundOk = ab.isNullAt(3) || ab.getDouble(3) <= 1.0 + 1e-9
+      swapOk && selfOk && boundOk
+    }, n = 6)
+  }
+
+  test("calibrationCurve: bucket counts sum to input size; rates within [0,1]; " +
+      "Brier within [0,1]") {
+    import graft.ops.Stats
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 999), Gen.oneOf(true, false)))
+    check("calibration-props", Prop.forAll(gen) { rs =>
+      val df = rs.map { case (s, y) => (s / 1000.0, y) }.toDF("s", "y")
+      val rows = Stats.calibrationCurve(df, $"s", $"y")
+        .as[(Long, Long, Double, Double, Double)].collect()
+      rows.map(_._2).sum == rs.size &&
+        rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0) &&
+        rows.forall(r => r._5 >= 0.0 && r._5 <= 1.0) &&
+        rows.map(_._5).distinct.length == 1 // brier_total replicated
+    }, n = 6)
+  }
+
   test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
     import graft.text.TextAnalysis
     // split(" ") semantics incl. empty tokens from doubled/leading spaces
