@@ -86,6 +86,54 @@ object Drift {
       .orderBy("w")
   }
 
+  /** Two-snapshot DATA-CONTRACT report: per column — row count, null rate,
+    * exact distinct count, and numeric mean (null for non-numeric) on both
+    * sides. The schema-level release diff a pipeline gates a corpus swap
+    * on: a column whose null rate doubled or whose cardinality collapsed
+    * is a broken upstream extractor, visible before any model metric moves.
+    *
+    * Scale shape: ONE pass per side — each row stacks to its (column,
+    * string-value, try-cast-double) triples map-side, the per-distinct-value
+    * combine happens before the only shuffle, and the per-column rollup +
+    * side pivot run over the ≤Σ|ndv_c| histogram. Means sum as DECIMAL from
+    * the per-value partials (exact); distincts are EXACT, not sketches —
+    * the histogram is the same size either way.
+    */
+  def contractReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "contractReport needs at least one column")
+    def stacked(df: DataFrame, side: String): DataFrame =
+      df.select(explode(array(cols.map { c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("vs"),
+            expr(s"try_cast(`$c` as double)").as("vd"))
+        }: _*)).as("t"))
+        .select(lit(side).as("side"), col("t.c").as("c"),
+          col("t.vs").as("vs"), col("t.vd").as("vd"))
+    val perValue = stacked(a, "a").unionByName(stacked(b, "b"))
+      .groupBy("side", "c", "vs")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd").cast("decimal(28,8)")).as("sd"),
+        count(col("vd")).as("cd"))
+    val perCol = perValue.groupBy("side", "c")
+      .agg(
+        sum(col("n")).as("rows"),
+        sum(when(col("vs").isNull, col("n")).otherwise(0L)).as("nulls"),
+        count(when(col("vs").isNotNull, 1)).as("ndv"),
+        sum(col("sd")).as("sd"), sum(col("cd")).as("cd"))
+    def sideAgg(s: String, c: Column): Column = max(when(col("side") === s, c))
+    perCol.groupBy("c")
+      .agg(
+        sideAgg("a", col("rows")).as("rows_a"),
+        sideAgg("b", col("rows")).as("rows_b"),
+        round(sideAgg("a", col("nulls").cast("double") / col("rows")), 6).as("null_rate_a"),
+        round(sideAgg("b", col("nulls").cast("double") / col("rows")), 6).as("null_rate_b"),
+        sideAgg("a", col("ndv")).as("ndv_a"),
+        sideAgg("b", col("ndv")).as("ndv_b"),
+        round(sideAgg("a", col("sd").cast("double") / col("cd")), 6).as("mean_a"),
+        round(sideAgg("b", col("sd").cast("double") / col("cd")), 6).as("mean_b"))
+      .withColumnRenamed("c", "column")
+      .orderBy("column")
+  }
+
   /** PSI for MANY features in ONE pass per snapshot — the release-audit
     * sweep ("which of the 40 features drifted?") that looping [[psiReport]]
     * per feature would charge 2·F table scans for. Each row explodes to its

@@ -271,6 +271,50 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** Mutual information between two categorical columns, with marginal
+    * entropies and the sqrt-normalized NMI — the feature-audit companion to
+    * [[chiSquareIndependence]] ("how MUCH does knowing a tell you about
+    * b?", in nats, where chi2 only says "are they dependent?").
+    * One row (n, mi, h_a, h_b, nmi); nmi is null when either entropy is 0
+    * (a constant column carries no information to normalize by).
+    *
+    * ONE map-side-combined groupBy over data (the contingency table);
+    * marginals derive from it, the MI sum joins the ≤|A|·|B| cell table to
+    * its two marginals (report-sized keyed joins), and every per-cell term
+    * is rounded to 8 and DECIMAL-summed (the chi2 float contract). Only
+    * observed cells contribute — the 0·ln0 limit is 0, no epsilon. */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val obs = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ma = obs.groupBy("a").agg(sum(col("o")).as("na"))
+    val mb = obs.groupBy("b").agg(sum(col("o")).as("nb"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def entropy(m: DataFrame, cnt: String): DataFrame = {
+      val n = sum(col(cnt)).over(all).cast("double")
+      val p = col(cnt).cast("double") / n
+      m.withColumn("__t", round(-p * log(p), 8).cast("decimal(28,8)"))
+        .agg(round(sum(col("__t")).cast("double"), 6).as("h"),
+          sum(col(cnt)).as("n"))
+    }
+    val miDf = {
+      val joined = obs.join(ma, Seq("a")).join(mb, Seq("b"))
+      val n = sum(col("o")).over(all).cast("double")
+      val term = (col("o").cast("double") / n) *
+        log((col("o").cast("double") * n) /
+          (col("na").cast("double") * col("nb").cast("double")))
+      joined.withColumn("__t", round(term, 8).cast("decimal(28,8)"))
+        .agg(round(sum(col("__t")).cast("double"), 6).as("mi"))
+    }
+    val ha = entropy(ma, "na").select(col("h").as("h_a"), col("n").as("n"))
+    val hb = entropy(mb, "nb").select(col("h").as("h_b"))
+    ha.crossJoin(broadcast(hb)).crossJoin(broadcast(miDf)) // 1-row frames
+      .withColumn("nmi",
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)))
+      .select("n", "mi", "h_a", "h_b", "nmi")
+  }
+
   /** ROC AUC by the Mann–Whitney rank-sum identity — the threshold-free
     * companion to [[calibrationCurve]]: AUC = P(score⁺ > score⁻) with ties
     * counted half. One row (n_pos, n_neg, auc), exact under ties via

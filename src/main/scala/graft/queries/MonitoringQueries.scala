@@ -339,8 +339,57 @@ object MonitoringQueries extends QueryGroup {
           OVER (PARTITION BY feature) AS DOUBLE), 6) AS psi_total
       FROM p ORDER BY feature, bucket"""))
 
+  /** Data-contract report between the even/odd snapshot halves
+    * (Drift.contractReport): per column — rows, null rate, EXACT distinct
+    * count, numeric mean, both sides, from ONE stacked pass per side. The
+    * schema-level gate a corpus swap runs before any distribution math. */
+  val q175Contract = QueryDef(
+    "q175_contract_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Drift.contractReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        Seq("doc_id", "lang", "n_chars", "source"))
+    },
+    Some("""WITH st AS (SELECT side, t.c AS c, t.vs AS vs, t.vd AS vd FROM (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+            unnest(ARRAY[
+              struct_pack(c := 'doc_id', vs := CAST(doc_id AS VARCHAR),
+                vd := TRY_CAST(doc_id AS DOUBLE)),
+              struct_pack(c := 'lang', vs := lang,
+                vd := TRY_CAST(lang AS DOUBLE)),
+              struct_pack(c := 'n_chars', vs := CAST(n_chars AS VARCHAR),
+                vd := TRY_CAST(n_chars AS DOUBLE)),
+              struct_pack(c := 'source', vs := source,
+                vd := TRY_CAST(source AS DOUBLE))]) AS t
+          FROM documents) q),
+      pv AS (SELECT side, c, vs, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(vd AS DECIMAL(28,8))) AS sd,
+          CAST(COUNT(vd) AS BIGINT) AS cd
+        FROM st GROUP BY side, c, vs),
+      pc AS (SELECT side, c, SUM(n) AS nrows,
+          SUM(CASE WHEN vs IS NULL THEN n ELSE 0 END) AS nulls,
+          COUNT(CASE WHEN vs IS NOT NULL THEN 1 END) AS ndv,
+          SUM(sd) AS sd, SUM(cd) AS cd
+        FROM pv GROUP BY side, c)
+      SELECT c AS "column",
+        CAST(MAX(CASE WHEN side = 'a' THEN nrows END) AS BIGINT) AS rows_a,
+        CAST(MAX(CASE WHEN side = 'b' THEN nrows END) AS BIGINT) AS rows_b,
+        ROUND(MAX(CASE WHEN side = 'a'
+          THEN CAST(nulls AS DOUBLE) / nrows END), 6) AS null_rate_a,
+        ROUND(MAX(CASE WHEN side = 'b'
+          THEN CAST(nulls AS DOUBLE) / nrows END), 6) AS null_rate_b,
+        CAST(MAX(CASE WHEN side = 'a' THEN ndv END) AS BIGINT) AS ndv_a,
+        CAST(MAX(CASE WHEN side = 'b' THEN ndv END) AS BIGINT) AS ndv_b,
+        ROUND(MAX(CASE WHEN side = 'a'
+          THEN CAST(sd AS DOUBLE) / cd END), 6) AS mean_a,
+        ROUND(MAX(CASE WHEN side = 'b'
+          THEN CAST(sd AS DOUBLE) / cd END), 6) AS mean_b
+      FROM pc GROUP BY c ORDER BY c"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
-    q165PsiCategorical, q172PsiVsReference, q173PsiMulti)
+    q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract)
 }

@@ -438,8 +438,40 @@ object StatsQueries extends QueryGroup {
           THEN ROUND(cov_n * cov_n / (varx_n * vary_n), 6) END AS r2
       FROM b ORDER BY source"""))
 
+  /** Mutual information + entropies + NMI between order priority and status
+    * (Stats.mutualInformation): the "how much information" companion to
+    * q156's chi-squared on the same pair — one contingency pass, per-cell
+    * terms rounded to 8 and DECIMAL-summed. */
+  val q174MutualInfo = QueryDef(
+    "q174_mutual_info",
+    (s, d) => Stats.mutualInformation(Tables.orders(s, d),
+      col("o_orderpriority"), col("o_orderstatus")),
+    Some("""WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+          CAST(COUNT(*) AS BIGINT) AS o FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o) AS na FROM obs GROUP BY a),
+      mb AS (SELECT b, SUM(o) AS nb FROM obs GROUP BY b),
+      tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+      mi AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+            (CAST(o AS DOUBLE) / n) * LN((CAST(o AS DOUBLE) * n)
+              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 8)
+            AS DECIMAL(28,8))) AS DOUBLE), 6) AS mi
+        FROM obs JOIN ma USING (a) JOIN mb USING (b), tot),
+      ha AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+            -(CAST(na AS DOUBLE) / n) * LN(CAST(na AS DOUBLE) / n), 8)
+            AS DECIMAL(28,8))) AS DOUBLE), 6) AS h_a FROM ma, tot),
+      hb AS (SELECT ROUND(CAST(SUM(CAST(ROUND(
+            -(CAST(nb AS DOUBLE) / n) * LN(CAST(nb AS DOUBLE) / n), 8)
+            AS DECIMAL(28,8))) AS DOUBLE), 6) AS h_b FROM mb, tot)
+      SELECT n, mi, h_a, h_b,
+        CASE WHEN h_a > 0 AND h_b > 0
+          THEN ROUND(mi / SQRT(h_a * h_b), 6) END AS nmi
+      FROM tot, mi, ha, hb"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
-    q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope)
+    q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
+    q174MutualInfo)
 }

@@ -303,6 +303,51 @@ class StatsSpec extends SparkSpec {
       (9L, 1L, 1.0, 1.0, brier)))
   }
 
+  // --- mutualInformation -------------------------------------------------
+
+  test("mutualInformation: independent -> 0; identical columns -> mi = h, " +
+      "nmi = 1; constant column -> null nmi") {
+    import graft.ops.Stats
+    // perfectly independent 2x2
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val ri = Stats.mutualInformation(ind, $"a", $"b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(ri._1 == 4L && ri._2 == 0.0 && ri._5.contains(0.0))
+    // identical columns: mi = h_a = h_b (= ln 2 for a fair coin), nmi = 1
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")).toDF("a", "b")
+    val rs = Stats.mutualInformation(same, $"a", $"b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(rs._2 == rs._3 && rs._3 == rs._4 && rs._5.contains(1.0))
+    assert(math.abs(rs._2 - math.log(2.0)) < 1e-5)
+    // constant b: h_b = 0 -> nmi undefined
+    val const = Seq(("x", "k"), ("y", "k")).toDF("a", "b")
+    val rc = Stats.mutualInformation(const, $"a", $"b")
+      .as[(Long, Double, Double, Double, Option[Double])].head()
+    assert(rc._2 == 0.0 && rc._4 == 0.0 && rc._5.isEmpty)
+  }
+
+  // --- contractReport ----------------------------------------------------
+
+  test("contractReport: null rates, exact distincts, and numeric means per " +
+      "column per side; non-numeric mean is null") {
+    import graft.ops.Drift
+    val a = Seq((1L, Some("en"), Some(10L)), (2L, None, Some(20L)),
+      (3L, Some("fr"), Some(30L))).toDF("id", "lang", "n")
+    val b = Seq((4L, Some("en"), None), (5L, Some("en"), Some(40L)))
+      .toDF("id", "lang", "n")
+    val got = Drift.contractReport(a, b, Seq("lang", "n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lang = got("lang")
+    assert(lang.getLong(1) == 3L && lang.getLong(2) == 2L)       // rows
+    assert(lang.getDouble(3) == r6(1.0 / 3) && lang.getDouble(4) == 0.0) // null rates
+    assert(lang.getLong(5) == 2L && lang.getLong(6) == 1L)       // ndv en/fr vs en
+    assert(lang.isNullAt(7) && lang.isNullAt(8))                 // no numeric mean
+    val n = got("n")
+    assert(n.getDouble(3) == 0.0 && n.getDouble(4) == 0.5)
+    assert(n.getLong(5) == 3L && n.getLong(6) == 1L)
+    assert(n.getDouble(7) == 20.0 && n.getDouble(8) == 40.0)
+  }
+
   // --- aucRankSum --------------------------------------------------------
 
   test("aucRankSum: perfect separation -> 1; reversed -> 0; all-tied -> 0.5; " +
