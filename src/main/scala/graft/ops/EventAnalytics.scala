@@ -233,6 +233,32 @@ object EventAnalytics {
     * use: session-shape fingerprinting ("what follows what") for bot and
     * template detection at corpus scale.
     */
+  /** Entity growth curve: per day — distinct active entities (DAU), NEW
+    * entities (first ever seen that day), and the cumulative entity count.
+    * The user-growth dashboard in one plan. `day` is epoch-seconds div
+    * 86400 (the q33/q140 integer-time convention).
+    *
+    * Scale shape: two keyed aggregations over data (per-day distinct via
+    * (day, key) collapse; first-seen via a key groupBy) joined on day; the
+    * cumulative prefix sum is a global ordered window over the ≤#days
+    * report table — never over data rows.
+    */
+  def growthCurve(df: DataFrame, key: String, ts: String): DataFrame = {
+    val day = floor(col(ts).cast("long") / lit(86400)).cast("long")
+    val dau = df.select(day.as("day"), col(key).as("k"))
+      .groupBy("day", "k").agg(count(lit(1)).as("__n"))
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+    val newPerDay = df.select(day.as("day"), col(key).as("k"))
+      .groupBy("k").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val all = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newPerDay, Seq("day"), "left")
+      .na.fill(Map("new_users" -> 0L))
+      .withColumn("cum_users", sum(col("new_users")).over(all))
+      .orderBy("day")
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

@@ -271,6 +271,26 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** Per-group TRIMMED mean: the mean of `value` within the group's own
+    * [lo, hi] exact percentile bounds (inclusive) — the robust location
+    * estimate reports quote when winsorizing would bias and the plain mean
+    * is outlier-hostage. Returns (group, n_kept, trimmed_mean), mean from
+    * DECIMAL-exact sums. Two keyed aggregations + one join back, all
+    * shuffle-aligned on `group` (the madOutliers shape). */
+  def trimmedMean(df: DataFrame, group: String, value: Column,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val v = value.cast("double")
+    val bounds = df.groupBy(group)
+      .agg(percentile(v, lit(lo)).as("__lo"), percentile(v, lit(hi)).as("__hi"))
+    df.join(bounds, Seq(group))
+      .filter(v >= col("__lo") && v <= col("__hi"))
+      .groupBy(group)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(sum(v.cast("decimal(28,8)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+  }
+
   /** Mutual information between two categorical columns, with marginal
     * entropies and the sqrt-normalized NMI — the feature-audit companion to
     * [[chiSquareIndependence]] ("how MUCH does knowing a tell you about

@@ -131,6 +131,25 @@ object AnalyticsQueries extends QueryGroup {
         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Entity growth curve (EventAnalytics.growthCurve): per day — DAU, new
+    * users (first-seen that day), cumulative users. Two keyed aggregations
+    * over data; the prefix sum is a window over the ≤#days report table. */
+  val q176GrowthCurve = QueryDef(
+    "q176_growth_curve",
+    (s, d) => EventAnalytics.growthCurve(Tables.events(s, d), "user_id", "ts"),
+    Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+          user_id AS k FROM events),
+      dau AS (SELECT day, CAST(COUNT(DISTINCT k) AS BIGINT) AS dau FROM e
+        GROUP BY day),
+      fs AS (SELECT k, MIN(day) AS day FROM e GROUP BY k),
+      nw AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs
+        GROUP BY day)
+      SELECT dau.day AS day, dau, COALESCE(new_users, 0) AS new_users,
+        CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY dau.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_users
+      FROM dau LEFT JOIN nw ON dau.day = nw.day ORDER BY day"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts)
+    q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve)
 }

@@ -469,9 +469,30 @@ object StatsQueries extends QueryGroup {
           THEN ROUND(mi / SQRT(h_a * h_b), 6) END AS nmi
       FROM tot, mi, ha, hb"""))
 
+  /** Per-returnflag 5-95 trimmed mean of extended price (Stats.trimmedMean):
+    * robust location from the group's own exact percentile bounds, mean
+    * from DECIMAL sums; the two group aggregations and the join back all
+    * align on the same shuffle key. */
+  val q177TrimmedMean = QueryDef(
+    "q177_trimmed_mean",
+    (s, d) => Stats.trimmedMean(Tables.lineitem(s, d), "l_returnflag",
+        col("l_extendedprice"))
+      .orderBy("l_returnflag"),
+    Some("""WITH b AS (SELECT l_returnflag,
+          quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+          quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+          / COUNT(*), 6) AS trimmed_mean
+      FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+      WHERE CAST(l_extendedprice AS DOUBLE) >= lo
+        AND CAST(l_extendedprice AS DOUBLE) <= hi
+      GROUP BY 1 ORDER BY 1"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
-    q174MutualInfo)
+    q174MutualInfo, q177TrimmedMean)
 }

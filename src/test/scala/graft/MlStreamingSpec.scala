@@ -419,6 +419,40 @@ class MlStreamingSpec extends SparkSpec {
       "replayed window emitted duplicate sink rows")
   }
 
+  test("streaming heavy hitters: sketch state accumulates across batches, " +
+      "stays bounded, and the merged candidates cover the true heavy keys") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.HeavyHitterStreams
+    val k = 4
+    val mem = MemoryStream[String]
+    val summaries = HeavyHitterStreams.shardSummaries(
+      mem.toDF().toDF("key"), col("key"), k = k, shards = 4)
+    val q = summaries.toDF().select(col("_1").as("shard"), col("_2").as("s"))
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: A-heavy plus cold noise; batch 2: B surges past A
+      mem.addData(Seq.fill(30)("A") ++ (0 until 20).map(i => s"cold$i"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(50)("B") ++ Seq.fill(10)("A"): _*)
+      q.processAllAvailable()
+      // latest summary per shard = the one with the largest n
+      val latest = spark.table("hh_test")
+        .select(col("shard"), col("s.n").as("n"), col("s.counters").as("c"))
+        .as[(Int, Long, Map[String, Long])].collect()
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSeq
+      latest.foreach { case (shard, _, counters) =>
+        assert(counters.size <= k, s"shard $shard state grew past k: $counters")
+      }
+      val merged = graft.streaming.HeavyHitterStreams.mergeShards(
+        latest.map { case (_, n, c) => graft.ops.HeavyHitters.Summary(n, c) })
+      assert(merged.n == 110L, s"rows processed ${merged.n}")
+      val cands = graft.streaming.HeavyHitterStreams.candidates(merged, k)
+      // A (40/110) and B (50/110) are both > n/k = 27.5 — must be candidates
+      assert(cands.contains("A") && cands.contains("B"), s"candidates: $cands")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: band matcher emits pairs as later dups arrive") {
     implicit val sql = spark.sqlContext
     import graft.streaming.DedupStreams
