@@ -625,9 +625,60 @@ object SimQueries extends QueryGroup {
         FROM scored)
       SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** The unrolled MMR selection steps (the q95 unrolled-rounds technique):
+    * step i picks the argmax of 0.7·rel − (1−0.7)·maxSim-to-selected over
+    * the not-yet-selected pool, with the identical 6-rounding and id
+    * tie-break the Scala loop applies. */
+  private def mmrStepsSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT vec_id, v, rel, ROUND(0.7 * rel, 6) AS score
+             FROM c ORDER BY score DESC, vec_id LIMIT 1),
+           sel1 AS (SELECT vec_id, v FROM s1)"""
+      else
+        s"""s$i AS (SELECT vec_id, v, rel,
+             ROUND(0.7 * rel - (1 - 0.7) * (SELECT MAX(ROUND(${cosineSql("c.v", "s.v")}, 6))
+               FROM sel${i - 1} s), 6) AS score
+             FROM c WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             ORDER BY score DESC, vec_id LIMIT 1),
+           sel$i AS (SELECT vec_id, v FROM sel${i - 1}
+             UNION ALL SELECT vec_id, v FROM s$i)"""
+    }
+    steps.mkString(",\n")
+  }
+
+  /** Maximal Marginal Relevance re-rank (Similarity.mmrSelect): diverse
+    * top-5 from the 30-candidate pool against query vector 0 — the RAG
+    * rerank stage, exact-oracled by 5 unrolled argmax CTEs. */
+  val q178MmrRerank = QueryDef(
+    "q178_mmr_rerank",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrSelect(
+        e.filter(col("vec_id") >= 1 && col("vec_id") <= 30),
+        "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), k = 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+      q AS (SELECT v FROM e WHERE vec_id = 0),
+      c AS (SELECT c.vec_id AS vec_id, c.v AS v,
+          ROUND(${cosineSql("c.v", "q.v")}, 6) AS rel
+        FROM e c, q WHERE c.vec_id >= 1 AND c.vec_id <= 30
+          AND ${cosineSql("c.v", "q.v")} IS NOT NULL),
+      ${mmrStepsSql(5)}
+      SELECT * FROM (
+        SELECT 1 AS rank, vec_id, rel, score FROM s1
+        UNION ALL SELECT 2, vec_id, rel, score FROM s2
+        UNION ALL SELECT 3, vec_id, rel, score FROM s3
+        UNION ALL SELECT 4, vec_id, rel, score FROM s4
+        UNION ALL SELECT 5, vec_id, rel, score FROM s5)
+      ORDER BY rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
-    q124HammingTopk, q125Matryoshka, q143IvfProbeSaved)
+    q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank)
 }

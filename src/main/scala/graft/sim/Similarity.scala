@@ -81,6 +81,59 @@ object Similarity {
   private def safeSim(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb =!= 0.0, round(dot(a, b) / (na * nb), 6))
 
+  /** Maximal Marginal Relevance selection: from a BOUNDED candidate pool,
+    * pick k items one at a time by
+    * score = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the diverse
+    * re-rank a RAG pipeline runs after retrieval so the k results aren't k
+    * near-copies of the best hit. rel and all pairwise sims are 6-rounded
+    * cosines (the q48 contract); ties break on id, so selection is total.
+    * Returns (rank, vec_id, rel, score) in selection order.
+    *
+    * Scale shape: the candidate POOL is the output of a distributed top-k
+    * (q48/q65) and is small by construction — MMR is a rerank stage. Each
+    * of the k rounds is one broadcast join of the ≤k selected vectors
+    * against the pool + a TakeOrdered argmax; the only driver barrier is
+    * ONE row per round. The penalty weight is computed as (1 − λ) in
+    * DOUBLE on both engines (not a second literal) so the scores replay
+    * bit-identically.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rel = candidates
+      .crossJoin(broadcast(query.select(asDouble(col(vecCol)).as("__qv"))))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"),
+        round(cosine(asDouble(col(vecCol)), col("__qv")), 6).as("rel"))
+      .filter(col("rel").isNotNull) // zero-norm candidates have no cosine
+      .localCheckpoint(true)        // re-read by every argmax round
+    val penW = 1.0 - lambda         // IEEE double, mirrored by (1 - λ) in SQL
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    for (_ <- 1 to k) {
+      val selIds = selected.map(_._1)
+      val pool = if (selIds.isEmpty) rel else rel.filter(!col("id").isin(selIds: _*))
+      val scored =
+        if (selected.isEmpty) pool.withColumn("__score", round(lit(lambda) * col("rel"), 6))
+        else {
+          val selDf = selected.map(s => (s._1, s._2)).toDF("__sid", "__sv")
+          val pen = pool.crossJoin(broadcast(selDf))
+            .select(col("id"), round(cosine(col("v"), col("__sv")), 6).as("__sim"))
+            .groupBy("id").agg(max(col("__sim")).as("__pen"))
+          pool.join(pen, "id")
+            .withColumn("__score",
+              round(lit(lambda) * col("rel") - lit(penW) * col("__pen"), 6))
+        }
+      scored.orderBy(col("__score").desc, col("id").asc).limit(1)
+        .select(col("id"), col("v"), col("rel"), col("__score"))
+        .collect().headOption.foreach { r =>
+          selected :+= ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getDouble(3)))
+        }
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, r, s), i) => (i + 1, id, r, s) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** Two-phase per-query top-k over a scored relation (qid, cid, sim):
     * map-side bounded heaps (TopKAgg partial) → one balanced shuffle of
     * |partitions|·|Q|·k partial states → per-qid merge → posexplode into

@@ -16,6 +16,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("mmrSelect: diversifies — skips the near-copy of the first pick that " +
+      "plain top-k would take, and rank 1 is the max-relevance item") {
+    // query along e1; candidates: 1 ≈ e1 (top rel), 2 = near-copy of 1
+    // (sim-to-1 ≈ 1), 3 = still relevant (rel 0.8) but diverse
+    // (sim-to-1 ≈ 0.83). Plain top-2 by rel = {1, 2}; at λ = 0.4 the
+    // diversity penalty flips the second pick to 3:
+    //   score(2) = .4·.9982 − .6·.9999 ≈ −0.201
+    //   score(3) = .4·.8    − .6·.829  ≈ −0.177  > score(2)
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.05f)),
+      (2L, Seq(1.0f, 0.06f)),
+      (3L, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(cands, "vec_id", "embedding", q,
+        k = 2, lambda = 0.4)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L), s"got ${got.map(_._2)}")
+    assert(got.head._1 == 1 && got.head._3 > got(1)._3) // rank-1 has top rel
+    // and with λ = 1 (no diversity pressure) it degenerates to top-k by rel
+    val pure = Similarity.mmrSelect(cands, "vec_id", "embedding", q,
+      k = 2, lambda = 1.0)
+    assert(pure.as[(Int, Long, Double, Double)].collect().map(_._2).toSeq
+      == Seq(1L, 2L))
+  }
+
   test("bruteForceTopK returns k ranked neighbors per query") {
     val e = Tables.embeddings(spark, sf001)
     val topk = Similarity.bruteForceTopK(
