@@ -291,6 +291,40 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("trimmed_mean"))
   }
 
+  /** Quantile-normalize `value` against a REFERENCE distribution: each row
+    * maps to the reference quantile midpoint of its bucket — the feature
+    * alignment that makes a drifted feature comparable to what the model
+    * trained on ("this month's doc length, expressed in last month's
+    * distribution"). Buckets are the reference's exact `buckets`-quantile
+    * cutoffs (left-closed on interior cuts: bucket = #cuts ≤ v, so values
+    * outside the reference range clamp to the edge buckets); the mapped
+    * value is the reference percentile at the bucket midpoint, rounded 6.
+    *
+    * Scale shape: ONE aggregate over the reference collects 2·buckets
+    * doubles to the driver (the winsorize-style bounded barrier); the
+    * mapping is a pure literal-comparison projection on the data side —
+    * codegen'd, no join, no shuffle.
+    */
+  def quantileNormalize(df: DataFrame, value: Column, reference: DataFrame,
+      refValue: Column, buckets: Int = 10,
+      out: String = "normalized"): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val rv = refValue.cast("double")
+    val cutPs = (1 until buckets).map(_.toDouble / buckets)
+    val midPs = (0 until buckets).map(i => (i + 0.5) / buckets)
+    val row = reference.filter(rv.isNotNull)
+      .agg(percentile(rv, typedLit(cutPs)).as("cuts"),
+        percentile(rv, typedLit(midPs)).as("mids")).head()
+    val cuts = row.getSeq[Double](0)
+    val mids = row.getSeq[Double](1)
+    val x = value.cast("double")
+    val bucket = cuts.map(c => when(x >= lit(c), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn(out,
+      when(x.isNotNull,
+        round(element_at(typedLit(mids), bucket + 1), 6)))
+  }
+
   /** Mutual information between two categorical columns, with marginal
     * entropies and the sqrt-normalized NMI — the feature-audit companion to
     * [[chiSquareIndependence]] ("how MUCH does knowing a tell you about

@@ -490,9 +490,36 @@ object StatsQueries extends QueryGroup {
         AND CAST(l_extendedprice AS DOUBLE) <= hi
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Quantile-normalize the odd-half doc lengths against the even-half
+    * reference distribution (Stats.quantileNormalize): deciles learned
+    * from the reference in one bounded collect, mapping is a pure literal
+    * projection — no join, no shuffle on the data side. */
+  val q179QuantileNorm = QueryDef(
+    "q179_quantile_normalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Stats.quantileNormalize(
+          docs.filter(col("doc_id") % 2 === 1).select("doc_id", "n_chars"),
+          col("n_chars"),
+          docs.filter(col("doc_id") % 2 === 0), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+          WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      cs AS (SELECT quantile_cont(v,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM ref),
+      ms AS (SELECT quantile_cont(v,
+          [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95]) AS mids
+        FROM ref)
+      SELECT doc_id, n_chars,
+        CASE WHEN n_chars IS NOT NULL THEN ROUND(mids[
+          len(list_filter(cuts, c -> CAST(n_chars AS DOUBLE) >= c)) + 1], 6)
+          END AS normalized
+      FROM documents, cs, ms WHERE doc_id % 2 = 1 ORDER BY doc_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
-    q174MutualInfo, q177TrimmedMean)
+    q174MutualInfo, q177TrimmedMean, q179QuantileNorm)
 }

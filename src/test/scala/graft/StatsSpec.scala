@@ -303,6 +303,31 @@ class StatsSpec extends SparkSpec {
       (9L, 1L, 1.0, 1.0, brier)))
   }
 
+  // --- quantileNormalize -------------------------------------------------
+
+  test("quantileNormalize: maps into reference midpoints, monotone in the " +
+      "input, clamps outside the reference range, null passes through") {
+    import graft.ops.Stats
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val data = Seq(Some(-50.0), Some(5.0), Some(55.0), Some(99.0),
+      Some(500.0), None).toDF("x")
+    val got = Stats.quantileNormalize(data, $"x", ref, $"v", buckets = 4)
+      .select("x", "normalized").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // 4-quantile midpoints of 1..100: p12.5=13.375, p37.5=38.125,
+    // p62.5=62.875, p87.5=87.625
+    assert(got(Some(-50.0)) == Some(13.375))   // clamps to first bucket
+    assert(got(Some(5.0)) == Some(13.375))
+    assert(got(Some(55.0)) == Some(62.875))    // 55 >= p25, p50; < p75
+    assert(got(Some(99.0)) == Some(87.625))
+    assert(got(Some(500.0)) == Some(87.625))   // clamps to last bucket
+    assert(got(None).isEmpty)                  // null in, null out
+    // monotone: sorted inputs produce non-decreasing outputs
+    val outs = Seq(-50.0, 5.0, 55.0, 99.0, 500.0).map(v => got(Some(v)).get)
+    assert(outs == outs.sorted)
+  }
+
   // --- mutualInformation -------------------------------------------------
 
   test("mutualInformation: independent -> 0; identical columns -> mi = h, " +
