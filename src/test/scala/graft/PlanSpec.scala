@@ -311,4 +311,46 @@ class PlanSpec extends SparkSpec {
     assert(win.isEmpty || win.contains("__pid"),
       s"KS window not keyed by partition id:\n$win")
   }
+
+  test("q169: AUC rank windows are partition-keyed and the plan never " +
+      "globally sorts the score axis into one task") {
+    // the same prefix-sum contract as q149: ranks come from per-partition
+    // windows + a bounded offset table, not a global ordered window
+    val df = graft.queries.StatsQueries.q169Auc.fn(spark, sf001)
+    val win = df.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!win.contains("windowspecdefinition(v#"),
+      s"AUC window runs unpartitioned over scores:\n$win")
+    assert(win.isEmpty || win.contains("__pid"),
+      s"AUC window not keyed by partition id:\n$win")
+  }
+
+  test("q171: PMI top-k is a TakeOrdered heap, never a global sort; the " +
+      "corpus explode partial-aggregates before its shuffle") {
+    val p = planOf(graft.queries.TextQueries.q171PmiCollocations.fn(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"PMI lost the top-k plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"PMI bigram count lost map-side combine:\n$p")
+  }
+
+  test("q173: multi-feature PSI windows are keyed by feature — never a " +
+      "single-partition window over the stacked rows") {
+    val df = graft.queries.MonitoringQueries.q173PsiMulti.fn(spark, sf001)
+    val win = df.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(win.nonEmpty && win.contains("feature#"),
+      s"psiMulti window not keyed by feature:\n$win")
+  }
+
+  test("q179: quantile-normalize mapping is a pure projection — no join, " +
+      "no shuffle, no window on the data side") {
+    val docs = Tables.documents(spark, sf001)
+    val mapped = graft.ops.Stats.quantileNormalize(
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "n_chars"),
+      col("n_chars"),
+      docs.filter(col("doc_id") % 2 === 0), col("n_chars"))
+    val p = mapped.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"quantile-normalize mapping is not a pure projection:\n$p")
+  }
 }
