@@ -291,6 +291,63 @@ object Stats {
           count(lit(1)).cast("double"), 6).as("trimmed_mean"))
   }
 
+  /** Bootstrap confidence interval of the mean by DETERMINISTIC Poisson
+    * resampling: row i's multiplicity in resample b is a Poisson(1) variate
+    * read off a 60-bit md5(seed|b|id) uniform through the inverse CDF
+    * (capped at 4; P(X≥5) ≈ 0.37% folds into the cap) — a pure function of
+    * (seed, b, id), so every engine and every partitioning replays the
+    * same B resamples (the q151 md5-uniform idiom). Poisson bootstrap IS
+    * the distributed bootstrap: true multinomial resampling needs global
+    * coordination, per-row independent weights need none.
+    *
+    * Output: one row (n, mean, se, ci_lo, ci_hi) — full-sample mean,
+    * standard error = stddev of the B resample means, CI = exact
+    * percentiles of those means.
+    *
+    * Scale shape: ONE pass over data with a B-way map-side explode (CPU
+    * only — the shuffle carries B partial rows per partition), then all
+    * statistics run on the B-row means table. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, value: Column,
+      b: Int = 40, seed: String = "42",
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val x = value.cast("double")
+    val stacked = df.filter(value.isNotNull)
+      .select(col(idCol).cast("string").as("__id"), x.as("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+    val u = (conv(substring(md5(concat_ws("|", lit(seed),
+      col("__b").cast("string"), col("__id"))), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit(1.152921504606846976e18)
+    // Poisson(1) inverse CDF at the exact cumulative doubles
+    val w = when(u < 0.36787944117144233, 0)
+      .when(u < 0.7357588823428847, 1)
+      .when(u < 0.9196986029286058, 2)
+      .when(u < 0.9810118431238462, 3)
+      .otherwise(4)
+    val means = stacked
+      .select(col("__b"), w.as("__w"), col("__x"))
+      .groupBy("__b")
+      .agg(sum((col("__w") * col("__x")).cast("decimal(38,8)")).as("s"),
+        sum(col("__w")).as("wn"))
+      .filter(col("wn") > 0) // an empty resample has no mean
+      .select((col("s").cast("double") / col("wn").cast("double")).as("m"))
+    val stats = means.agg(
+      count(lit(1)).as("__bn"),
+      sum(col("m").cast("decimal(28,10)")).as("__sm"),
+      sum((col("m") * col("m")).cast("decimal(38,10)")).as("__sm2"),
+      round(percentile(col("m"), lit(lo)), 6).as("ci_lo"),
+      round(percentile(col("m"), lit(hi)), 6).as("ci_hi"))
+    val full = df.filter(value.isNotNull).agg(
+      count(lit(1)).as("n"),
+      round(sum(x.cast("decimal(28,8)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean"))
+    val bn = col("__bn").cast("double")
+    val varM = (col("__sm2").cast("double") -
+      col("__sm").cast("double") * col("__sm").cast("double") / bn) / (bn - 1)
+    full.crossJoin(broadcast(stats)) // 1 row × 1 row
+      .withColumn("se", when(col("__bn") >= 2, round(sqrt(varM), 6)))
+      .select("n", "mean", "se", "ci_lo", "ci_hi")
+  }
+
   /** Quantile-normalize `value` against a REFERENCE distribution: each row
     * maps to the reference quantile midpoint of its bucket — the feature
     * alignment that makes a drifted feature comparable to what the model

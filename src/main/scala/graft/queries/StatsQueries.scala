@@ -517,9 +517,48 @@ object StatsQueries extends QueryGroup {
           END AS normalized
       FROM documents, cs, ms WHERE doc_id % 2 = 1 ORDER BY doc_id"""))
 
+  /** Bootstrap CI of the mean doc length (Stats.bootstrapMeanCI):
+    * 40 deterministic Poisson resamples from md5(seed|b|doc_id), SE and
+    * exact-percentile CI from the resample means — the distributed
+    * bootstrap, replayed identically by the oracle. */
+  val q180BootstrapCI = QueryDef(
+    "q180_bootstrap_ci",
+    (s, d) => Stats.bootstrapMeanCI(Tables.documents(s, d), "doc_id",
+      col("n_chars")),
+    Some("""WITH st AS (SELECT t.b AS b, CAST(n_chars AS DOUBLE) AS x,
+          (CAST(('0x' || substr(md5('42' || '|' || CAST(t.b AS VARCHAR)
+              || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+            / 1152921504606846976.0 AS u
+        FROM documents, range(40) t(b) WHERE n_chars IS NOT NULL),
+      ww AS (SELECT b, x, CASE
+          WHEN u < 0.36787944117144233 THEN 0
+          WHEN u < 0.7357588823428847 THEN 1
+          WHEN u < 0.9196986029286058 THEN 2
+          WHEN u < 0.9810118431238462 THEN 3
+          ELSE 4 END AS w FROM st),
+      means AS (SELECT b,
+          CAST(SUM(CAST(w * x AS DECIMAL(38,8))) AS DOUBLE) / SUM(w) AS m
+        FROM ww GROUP BY b HAVING SUM(w) > 0),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+          CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) AS sm,
+          CAST(SUM(CAST(m * m AS DECIMAL(38,10))) AS DOUBLE) AS sm2,
+          ROUND(quantile_cont(m, 0.05), 6) AS ci_lo,
+          ROUND(quantile_cont(m, 0.95), 6) AS ci_hi
+        FROM means),
+      fl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,8))) AS DOUBLE)
+            / COUNT(*), 6) AS mean
+        FROM documents WHERE n_chars IS NOT NULL)
+      SELECT n, mean,
+        CASE WHEN bn >= 2 THEN ROUND(SQRT(
+          (sm2 - sm * sm / CAST(bn AS DOUBLE)) / (CAST(bn AS DOUBLE) - 1)), 6)
+          END AS se,
+        ci_lo, ci_hi
+      FROM fl, stats"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
-    q174MutualInfo, q177TrimmedMean, q179QuantileNorm)
+    q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI)
 }

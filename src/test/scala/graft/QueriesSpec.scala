@@ -61,7 +61,8 @@ class QueriesSpec extends SparkSpec {
     "q114_source_terms", "q122_incremental_semdedup", "q124_hamming_topk",
     "q143_ivf_probe_saved", "q153_psi_timeline", "q156_chi_square",
     "q166_cohen_kappa", "q171_pmi_collocations", "q172_psi_vs_reference",
-    "q174_mutual_info") // three 1-row frames (entropies + MI) combined
+    "q174_mutual_info", // three 1-row frames (entropies + MI) combined
+    "q180_bootstrap_ci") // 1-row full-sample frame × 1-row resample stats
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

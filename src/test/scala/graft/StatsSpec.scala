@@ -303,6 +303,26 @@ class StatsSpec extends SparkSpec {
       (9L, 1L, 1.0, 1.0, brier)))
   }
 
+  // --- bootstrapMeanCI ---------------------------------------------------
+
+  test("bootstrapMeanCI: CI brackets the sample mean, se positive, and the " +
+      "result is a pure function of (seed, ids) — partitioning-invariant") {
+    import graft.ops.Stats
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toDouble)).toDF("id", "x")
+    val r = Stats.bootstrapMeanCI(df, "id", $"x")
+      .as[(Long, Double, Double, Double, Double)].head()
+    val (n, mean, se, lo, hi) = r
+    assert(n == 500L && se > 0.0)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses mean $mean")
+    assert(hi - lo < 20.0, s"CI implausibly wide: [$lo, $hi]")
+    val r2 = Stats.bootstrapMeanCI(df.repartition(13), "id", $"x")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r == r2, "bootstrap depends on partitioning")
+    val rSeed = Stats.bootstrapMeanCI(df, "id", $"x", seed = "7")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(rSeed._4 != lo || rSeed._5 != hi, "seed has no effect")
+  }
+
   // --- quantileNormalize -------------------------------------------------
 
   test("quantileNormalize: maps into reference midpoints, monotone in the " +
