@@ -426,6 +426,58 @@ object Stats {
       .select("n", "mi", "h_a", "h_b", "nmi")
   }
 
+  /** Information-gain sweep: mutual information of MANY bucketed features
+    * against one label in ONE data pass — the feature-selection audit
+    * ("which of the 40 features predicts the label at all?") that looping
+    * [[mutualInformation]] would charge F scans for. Each row stacks to its
+    * (feature, bucket, label) triples map-side (the psiMultiReport shape);
+    * marginals and the MI sum run per feature over the bounded cell table.
+    * Output: (feature, n, mi, h_label, ig_ratio) ordered by feature, where
+    * ig_ratio = mi / H(label) ∈ [0,1] (null for a constant label).
+    */
+  def infoGainSweep(df: DataFrame, label: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "infoGainSweep needs at least one feature")
+    val stacked = df.filter(label.isNotNull)
+      .select(explode(array(features.map { case (n, e) =>
+          struct(lit(n).as("feature"), e.cast("string").as("bucket"))
+        }: _*)).as("fb"), label.cast("string").as("label"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"),
+        col("label"))
+      .filter(col("bucket").isNotNull)
+    val cells = stacked.groupBy("feature", "bucket", "label")
+      .agg(count(lit(1)).as("o"))
+    val mb = cells.groupBy("feature", "bucket").agg(sum(col("o")).as("nb"))
+    val ml = cells.groupBy("feature", "label").agg(sum(col("o")).as("nl"))
+    val wf = Window.partitionBy("feature")
+    // label entropy PER FEATURE (bucket-null rows differ per feature, so
+    // the label marginal is feature-relative)
+    val hl = {
+      val n = sum(col("nl")).over(wf).cast("double")
+      val p = col("nl").cast("double") / n
+      ml.withColumn("__t", round(-p * log(p), 8).cast("decimal(28,8)"))
+        .groupBy("feature")
+        .agg(round(sum(col("__t")).cast("double"), 6).as("h_label"),
+          sum(col("nl")).as("n"))
+    }
+    val mi = {
+      val joined = cells.join(mb, Seq("feature", "bucket"))
+        .join(ml, Seq("feature", "label"))
+      val n = sum(col("o")).over(wf).cast("double")
+      val term = (col("o").cast("double") / n) *
+        log((col("o").cast("double") * n) /
+          (col("nb").cast("double") * col("nl").cast("double")))
+      joined.withColumn("__t", round(term, 8).cast("decimal(28,8)"))
+        .groupBy("feature")
+        .agg(round(sum(col("__t")).cast("double"), 6).as("mi"))
+    }
+    hl.join(mi, Seq("feature"))
+      .withColumn("ig_ratio",
+        when(col("h_label") > 0, round(col("mi") / col("h_label"), 6)))
+      .select("feature", "n", "mi", "h_label", "ig_ratio")
+      .orderBy("feature")
+  }
+
   /** ROC AUC by the Mann–Whitney rank-sum identity — the threshold-free
     * companion to [[calibrationCurve]]: AUC = P(score⁺ > score⁻) with ties
     * counted half. One row (n_pos, n_neg, auc), exact under ties via

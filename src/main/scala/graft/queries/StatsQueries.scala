@@ -556,9 +556,51 @@ object StatsQueries extends QueryGroup {
         ci_lo, ci_hi
       FROM fl, stats"""))
 
+  /** Information-gain sweep (Stats.infoGainSweep): MI of doc-length buckets
+    * AND source against the language label in ONE stacked pass — the
+    * feature-selection audit, per-feature windows over bounded cell
+    * tables. */
+  val q181InfoGainSweep = QueryDef(
+    "q181_info_gain_sweep",
+    (s, d) => Stats.infoGainSweep(Tables.documents(s, d), col("lang"),
+      Seq(
+        "len" -> least((col("n_chars") / 100).cast("bigint"), lit(5L)),
+        "source" -> col("source"))),
+    Some("""WITH st AS (SELECT f.feature AS feature, f.bucket AS bucket,
+          lang AS label
+        FROM (SELECT lang, unnest(ARRAY[
+            struct_pack(feature := 'len',
+              bucket := CAST(LEAST(n_chars // 100, 5) AS VARCHAR)),
+            struct_pack(feature := 'source', bucket := source)]) AS f
+          FROM documents WHERE lang IS NOT NULL) q
+        WHERE f.bucket IS NOT NULL),
+      cells AS (SELECT feature, bucket, label, CAST(COUNT(*) AS BIGINT) AS o
+        FROM st GROUP BY 1, 2, 3),
+      mb AS (SELECT feature, bucket, SUM(o) AS nb FROM cells GROUP BY 1, 2),
+      ml AS (SELECT feature, label, SUM(o) AS nl FROM cells GROUP BY 1, 2),
+      nf AS (SELECT feature, SUM(o) AS n FROM cells GROUP BY 1),
+      hl AS (SELECT ml.feature AS feature,
+          ROUND(CAST(SUM(CAST(ROUND(
+            -(CAST(nl AS DOUBLE) / n) * LN(CAST(nl AS DOUBLE) / n), 8)
+            AS DECIMAL(28,8))) AS DOUBLE), 6) AS h_label,
+          CAST(MAX(n) AS BIGINT) AS n
+        FROM ml JOIN nf ON ml.feature = nf.feature GROUP BY ml.feature),
+      mi AS (SELECT c.feature AS feature,
+          ROUND(CAST(SUM(CAST(ROUND(
+            (CAST(o AS DOUBLE) / n) * LN((CAST(o AS DOUBLE) * n)
+              / (CAST(nb AS DOUBLE) * CAST(nl AS DOUBLE))), 8)
+            AS DECIMAL(28,8))) AS DOUBLE), 6) AS mi
+        FROM cells c JOIN mb USING (feature, bucket)
+          JOIN ml USING (feature, label) JOIN nf USING (feature)
+        GROUP BY c.feature)
+      SELECT feature, n, mi, h_label,
+        CASE WHEN h_label > 0 THEN ROUND(mi / h_label, 6) END AS ig_ratio
+      FROM hl JOIN mi USING (feature) ORDER BY feature"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
-    q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI)
+    q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
+    q181InfoGainSweep)
 }

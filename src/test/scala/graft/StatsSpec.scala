@@ -371,6 +371,24 @@ class StatsSpec extends SparkSpec {
     assert(rc._2 == 0.0 && rc._4 == 0.0 && rc._5.isEmpty)
   }
 
+  test("infoGainSweep: label-copy feature has ig_ratio 1, independent " +
+      "feature 0; agrees with single-pair mutualInformation") {
+    import graft.ops.Stats
+    val df = Seq(
+      ("x", "x", "u"), ("x", "x", "v"), ("y", "y", "u"), ("y", "y", "v"))
+      .toDF("label", "copy", "indep")
+    val got = Stats.infoGainSweep(df, $"label",
+        Seq("copy" -> $"copy", "indep" -> $"indep"))
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("copy")._5.contains(1.0) && got("copy")._3 == got("copy")._4)
+    assert(got("indep")._3 == 0.0 && got("indep")._5.contains(0.0))
+    // sweep MI for a feature == the dedicated pair operator's MI
+    val single = Stats.mutualInformation(df, $"copy", $"label")
+      .select("mi").as[Double].head()
+    assert(got("copy")._3 == single)
+  }
+
   // --- contractReport ----------------------------------------------------
 
   test("contractReport: null rates, exact distincts, and numeric means per " +
