@@ -488,9 +488,48 @@ object DedupQueries extends QueryGroup {
         ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
         ROUND(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS precision FROM m"""))
 
+  /** Canonical-copy selection on the q55 cluster graph: per near-dup
+    * cluster keep the LONGEST copy (tie: smallest doc_id) — the
+    * keep-best-quality dedup policy, vs q71's keep-min-id. The argmax is
+    * one struct-max aggregate per cluster (no per-cluster window over
+    * data); output (cluster, size, kept_doc, kept_len) for clusters ≥ 2. */
+  val q182DedupKeepBest = QueryDef(
+    "q182_dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      val comps = DedupOps.connectedComponents(
+        pairs, docs.select(col("doc_id").as("doc")))
+      comps.join(docs, comps("doc") === docs("doc_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("size"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"))
+        .filter(col("size") >= 2)
+        .select(col("cluster"), col("size"),
+          (-col("best.negid")).cast("long").as("kept_doc"),
+          col("best.n_chars").as("kept_len"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ${minhashPairCtes("")},
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a),
+      r AS (SELECT l.cluster, d.doc_id, d.n_chars,
+          ROW_NUMBER() OVER (PARTITION BY l.cluster
+            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY l.cluster) AS size
+        FROM labels l JOIN documents d ON l.doc = d.doc_id)
+      SELECT cluster, CAST(size AS BIGINT) AS size, doc_id AS kept_doc,
+        n_chars AS kept_len
+      FROM r WHERE rn = 1 AND size >= 2 ORDER BY cluster"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
-    q126SharedSpans, q142LshRecall)
+    q126SharedSpans, q142LshRecall, q182DedupKeepBest)
 }
