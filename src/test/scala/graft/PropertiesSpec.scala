@@ -353,6 +353,46 @@ class PropertiesSpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("growthCurve: new-user total equals distinct entities, cumulative is " +
+      "monotone and ends at the distinct count, dau bounded by cum") {
+    import graft.ops.EventAnalytics
+    val gen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 5)))
+    check("growth-props", Prop.forAll(gen) { rows =>
+      val df = rows.map { case (u, day) =>
+        (u.toLong, new java.sql.Timestamp(day * 86400L * 1000L))
+      }.toDF("user_id", "ts")
+      val curve = EventAnalytics.growthCurve(df, "user_id", "ts")
+        .as[(Long, Long, Long, Long)].collect().toSeq // day, dau, new, cum
+      val distinctUsers = rows.map(_._1).distinct.size.toLong
+      val cums = curve.map(_._4)
+      curve.map(_._3).sum == distinctUsers &&
+        cums == cums.sorted && cums.lastOption.contains(distinctUsers) &&
+        curve.forall(r => r._2 <= r._4) // day's actives ⊆ users seen so far
+    }, n = 8)
+  }
+
+  test("trimmedMean: within [group min, group max] and between the 5th and " +
+      "95th percentile bounds; full-width trim equals the plain mean") {
+    import graft.ops.Stats
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-1000, 1000)))
+    check("trimmed-mean-props", Prop.forAll(gen) { rows =>
+      val df = rows.map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+      val tm = Stats.trimmedMean(df, "g", $"v")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      val ok = tm.forall { case (g, m) =>
+        val vs = rows.filter(_._1 == g).map(_._2.toDouble)
+        m >= vs.min - 1e-9 && m <= vs.max + 1e-9
+      }
+      // lo=0, hi=1 keeps everything: trimmed mean == plain mean (round 6)
+      val wide = Stats.trimmedMean(df, "g", $"v", lo = 0.0, hi = 1.0)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      val plain = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> math.round(rs.map(_._2.toDouble).sum / rs.size * 1e6) / 1e6
+      }
+      ok && wide == plain
+    }, n = 6)
+  }
+
   test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
     import graft.text.TextAnalysis
     // split(" ") semantics incl. empty tokens from doubled/leading spaces
