@@ -266,6 +266,77 @@ object Drift {
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_stat"))
   }
 
+  /** Exact 1-D Wasserstein (earth-mover) distance between numeric samples
+    * `a` and `b`: W₁ = ∫ |F_a(x) − F_b(x)| dx over the empirical CDFs —
+    * the magnitude-aware complement to [[ksStatistic]] (KS says the CDFs
+    * differ; W₁ says by how much value-mass must move). Returns ONE row
+    * (n_a, n_b, w1 rounded 6).
+    *
+    * Scale shape — same distributed-ECDF scaffold as [[ksStatistic]]: ties
+    * collapse map-side, the value axis is range-partitioned, cumulative
+    * counts are per-partition prefix sums + a ≤`partitions`-row offset
+    * table. The ∫dx needs each value's SUCCESSOR, which `lead` can't see
+    * across a partition edge — the per-partition min-value table (collected
+    * with the same bounded barrier) supplies each partition's boundary
+    * successor, so no single-partition window is ever planned.
+    *
+    * Cross-engine float contract: per-gap terms |ΔF|·Δx round to 8 and
+    * DECIMAL-sum (order-independent), the total rounds to 6.
+    */
+  def wasserstein1d(a: DataFrame, b: DataFrame, value: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = a.sparkSession
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
+    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy("v")
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), min(col("v")).as("mn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val nA = partTotals.map(_._2).sum
+    val nB = partTotals.map(_._3).sum
+    import spark.implicits._
+    if (nA == 0L || nB == 0L)
+      // W1 is undefined against an empty sample — surface counts, null stat
+      return Seq((nA, nB)).toDF("n_a", "n_b")
+        .withColumn("w1", lit(null).cast("double"))
+    val offsets = partTotals.scanLeft((0, 0L, 0L)) {
+      case ((_, accA, accB), (pid, ta, tb, _)) => (pid, accA + ta, accB + tb)
+    }
+    // each partition's boundary successor = the NEXT partition's min value
+    // (partitions are value-ranged, so pid order is value order); the last
+    // partition has none — its final row's gap term is 0 anyway (F_a=F_b=1)
+    val nextMins = partTotals.indices.map { i =>
+      if (i + 1 < partTotals.length) Some(partTotals(i + 1)._4) else None
+    }
+    val offDf = partTotals.indices.map { i =>
+      (partTotals(i)._1, offsets(i)._2, offsets(i)._3, nextMins(i))
+    }.toDF("__pid", "offa", "offb", "nextv")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy("__pid").orderBy("v")
+    snap.join(broadcast(offDf), "__pid")
+      .withColumn("fa", (col("offa") + sum(col("ca")).over(w)).cast("double") / nA)
+      .withColumn("fb", (col("offb") + sum(col("cb")).over(w)).cast("double") / nB)
+      .withColumn("nv", coalesce(lead(col("v"), 1).over(wl), col("nextv")))
+      .filter(col("nv").isNotNull)
+      .withColumn("__t",
+        round(abs(col("fa") - col("fb")) * (col("nv") - col("v")), 8)
+          .cast("decimal(28,8)"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("w1"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("w1"))
+  }
+
   /** Pairwise Jensen-Shannon divergence between the unigram term
     * distributions of each group (e.g. corpus source) — the symmetric,
     * bounded [0, ln 2] corpus-similarity matrix a mixing pipeline reads to

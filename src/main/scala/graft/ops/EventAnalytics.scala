@@ -259,6 +259,32 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Per-subject lifetime table for survival analysis: one row per `key`
+    * with (key, duration_days, observed) where duration_days is the whole
+    * days between the subject's first and last event (exact µs integer
+    * division) and observed=true marks a CHURN — the last event falls more
+    * than `horizonDays` before the stream's global maximum timestamp, so
+    * the lifetime truly ended; later lifetimes are right-censored (still
+    * active at the observation edge).
+    *
+    * Scale shape: one map-side-combined groupBy over events; the global
+    * max is a 1-row broadcast joined back — no second data pass, no
+    * windows over data rows. Feeds [[Stats.kaplanMeier]].
+    */
+  def userLifetimes(df: DataFrame, key: String, ts: String,
+      horizonDays: Int = 7): DataFrame = {
+    val us = unix_micros(col(ts))
+    val per = df.filter(col(ts).isNotNull)
+      .groupBy(key)
+      .agg(min(us).as("__first_us"), max(us).as("__last_us"))
+    val gmax = per.agg(max(col("__last_us")).as("__gmax_us"))
+    per.crossJoin(broadcast(gmax))
+      .select(col(key),
+        expr("(__last_us - __first_us) DIV 86400000000").as("duration_days"),
+        (col("__last_us") <
+          col("__gmax_us") - lit(horizonDays * 86400000000L)).as("observed"))
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

@@ -542,4 +542,217 @@ object Stats {
       round((col("s2") - lit(posTerm).cast("decimal(38,0)")).cast("double") /
         (2.0 * nPos.toDouble * nNeg.toDouble), 6).as("auc"))
   }
+
+  /** One-way ANOVA F-test of `value` across the levels of `group`: one row
+    * (k, n, ss_between, ss_within, f_stat, eta2). The multi-group
+    * generalization of [[welchTTest]] — "do ANY of the k group means
+    * differ?" — plus eta² (SSB/SST), the effect-size share of variance the
+    * grouping explains.
+    *
+    * Exactness: per-group n/Σv/Σv² are DECIMAL sums (order-independent);
+    * the k-row rollup re-sums those doubles through DECIMAL casts and the
+    * per-group s²/n terms round to 8 before their decimal total, so SSB =
+    * Σ s_g²/n_g − S²/N and SSW = S2 − Σ s_g²/n_g replay bit-identically.
+    * Degenerate inputs (k < 2, or zero within variance) → null f_stat.
+    *
+    * Scale shape: ONE map-side-combined groupBy over data rows; everything
+    * after runs on the ≤k-row frame (one more tiny aggregation, no windows
+    * over data, no driver barrier).
+    */
+  def anovaOneWay(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val per = df.filter(group.isNotNull && value.isNotNull)
+      .groupBy(group.as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(value.cast("decimal(28,8)")).cast("double").as("s"),
+        sum((v * v).cast("decimal(38,8)")).cast("double").as("s2"))
+    val roll = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n"),
+      sum(col("s").cast("decimal(38,8)")).cast("double").as("ts"),
+      sum(col("s2").cast("decimal(38,8)")).cast("double").as("ts2"),
+      // Σ_g s_g²/n_g — the between-groups raw moment, rounded 8 per term
+      sum(round(col("s") * col("s") / col("n").cast("double"), 8)
+        .cast("decimal(38,8)")).cast("double").as("a"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("a") - col("ts") * col("ts") / nD
+    val ssw = col("ts2") - col("a")
+    val sst = col("ts2") - col("ts") * col("ts") / nD
+    val ok = col("k") >= 2 && col("n") > col("k") && ssw > 0
+    roll
+      .withColumn("ss_between", round(ssb, 6))
+      .withColumn("ss_within", round(ssw, 6))
+      .withColumn("f_stat",
+        when(ok, round((ssb / (kD - 1)) / (ssw / (nD - kD)), 6)))
+      .withColumn("eta2", when(sst > 0, round(ssb / sst, 6)))
+      .select("k", "n", "ss_between", "ss_within", "f_stat", "eta2")
+  }
+
+  /** Cramér's V association matrix over MANY categorical columns in ONE
+    * data pass — the release-audit companion to [[infoGainSweep]]: which
+    * feature pairs are redundant (V → 1) and which are independent (V → 0)?
+    * For each unordered pair of `features`, the chi-squared statistic on the
+    * densified contingency grid (the [[chiSquareIndependence]] math) and
+    * V = sqrt(χ² / (n · min(k_a, k_b) − n)). Output per pair:
+    * (col_a, col_b, n, chi2, dof, cramers_v), ordered by (col_a, col_b).
+    *
+    * Scale shape: each data row explodes to its P = F·(F−1)/2 pair cells
+    * map-side (two short strings each — rows multiply before the combine,
+    * bytes do not), ONE shuffle of the combined (pair, a, b) histogram;
+    * marginals, the dense a×b grid (a broadcast of the per-pair b-marginal),
+    * and all ratio math run on the bounded cell table, windowed per pair.
+    */
+  def cramersVSweep(df: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.size >= 2, "cramersVSweep needs at least two features")
+    val pairs = for {
+      i <- features.indices; j <- (i + 1) until features.size
+    } yield (features(i), features(j))
+    val cells = df.select(explode(array(pairs.map { case ((na, ea), (nb, eb)) =>
+        struct(lit(na).as("ca"), lit(nb).as("cb"),
+          ea.cast("string").as("a"), eb.cast("string").as("b"))
+      }: _*)).as("p"))
+      .select(col("p.ca").as("ca"), col("p.cb").as("cb"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("ca", "cb", "a", "b").agg(count(lit(1)).as("o"))
+    // eager snapshot of the bounded cell table: it feeds the a-marginal,
+    // the b-marginal AND the dense-grid join — without it each consumer
+    // re-derives the aggregate from its own table scan (3 data passes)
+    val spark = df.sparkSession
+    val obs =
+      if (spark.sparkContext.getCheckpointDir.isDefined) cells.checkpoint(eager = true)
+      else cells.localCheckpoint(eager = true)
+    val ma = obs.groupBy("ca", "cb", "a").agg(sum(col("o")).as("na"))
+    val mb = obs.groupBy("ca", "cb", "b").agg(sum(col("o")).as("nb"))
+    val grid = ma.join(broadcast(mb), Seq("ca", "cb")) // per-pair report grid
+    val dense = grid.join(obs, Seq("ca", "cb", "a", "b"), "left")
+      .na.fill(Map("o" -> 0L))
+    val wp = Window.partitionBy("ca", "cb")
+    val nTot = sum(col("o")).over(wp).cast("double")
+    val e = col("na").cast("double") * col("nb").cast("double") / nTot
+    val od = col("o").cast("double")
+    val ka = size(collect_set(col("a")).over(wp))
+    val kb = size(collect_set(col("b")).over(wp))
+    dense
+      .withColumn("__t", round((od - e) * (od - e) / e, 8).cast("decimal(28,8)"))
+      .withColumn("__ka", ka).withColumn("__kb", kb)
+      .withColumn("__n", sum(col("o")).over(wp))
+      .groupBy("ca", "cb")
+      .agg(
+        max(col("__n")).as("n"),
+        round(sum(col("__t")).cast("double"), 6).as("chi2"),
+        ((max(col("__ka")) - 1) * (max(col("__kb")) - 1)).cast("bigint").as("dof"),
+        max(least(col("__ka"), col("__kb")) - 1).as("__m"))
+      .withColumn("cramers_v",
+        when(col("__m") >= 1 && col("n") > 0,
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") * col("__m").cast("double"))), 6)))
+      .drop("__m")
+      .withColumnRenamed("ca", "col_a").withColumnRenamed("cb", "col_b")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Kaplan–Meier survival curve over a lifetime table (one row per
+    * subject: integer `duration`, boolean `observed` — true = the terminal
+    * event really happened, false = right-censored): for each duration t
+    * with at least one observed event, (t, n_risk, n_events, n_censored,
+    * survival) where n_risk counts subjects still alive entering t and
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) — the churn-curve estimator that uses
+    * censored subjects' partial information instead of dropping them.
+    *
+    * Exactness: the product is exp of the cumulative DECIMAL sum of
+    * ln-terms rounded to 8 (the PSI/JSD log contract); a risk set that
+    * dies out entirely (d = n) floors 1−d/n at 1e-12, driving S to 0 on
+    * both engines. Censor-only rows don't change S and are filtered from
+    * the output (they still deplete n_risk — the point of the estimator).
+    *
+    * Scale shape: the caller's lifetime table is subject-sized; this
+    * collapses it to the ≤#distinct-durations frame in one
+    * map-side-combined groupBy, and every window is over that bounded
+    * report (durations are whole days of a finite horizon). */
+  def kaplanMeier(lifetimes: DataFrame, duration: Column,
+      observed: Column): DataFrame = {
+    val base = lifetimes
+      .filter(duration.isNotNull && observed.isNotNull)
+      .select(duration.cast("bigint").as("t"),
+        when(observed, 1L).otherwise(0L).as("__d"))
+      .groupBy("t")
+      .agg(sum(col("__d")).as("n_events"),
+        sum(lit(1L) - col("__d")).as("n_censored"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val excl = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incl = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leaving = col("n_events") + col("n_censored")
+    val nRisk = sum(leaving).over(all) -
+      coalesce(sum(leaving).over(excl), lit(0L))
+    val withRisk = base.withColumn("n_risk", nRisk)
+    val term = round(log(greatest(
+      lit(1.0) - col("n_events").cast("double") / col("n_risk").cast("double"),
+      lit(1e-12))), 8)
+    withRisk
+      .withColumn("survival",
+        round(exp(sum(term.cast("decimal(28,8)")).over(incl).cast("double")), 6))
+      .filter(col("n_events") > 0)
+      .select("t", "n_risk", "n_events", "n_censored", "survival")
+      .orderBy("t")
+  }
+
+  /** Autocorrelation function of an already-aggregated series: for each lag
+    * 1..maxLag, r_k = Σ_{t}(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² over the series
+    * ordered by `t` — the seasonality probe a monitoring pipeline runs on
+    * its daily volume curve (lag-7 spike = weekly cycle). Output:
+    * (lag, n_pairs, acf rounded 6), ordered by lag.
+    *
+    * The input `series` must already be collapsed to one row per period
+    * (the CALLER owns the one data-rows pass); every frame here — the
+    * global mean, the lag self-join, the per-lag sums — is report-sized
+    * (≤#periods rows), so the global window is bounded, the same posture
+    * as the Benford digit table. Exactness: ȳ from decimal sums; products
+    * round to 8 before their per-lag decimal totals.
+    */
+  def acfByLag(series: DataFrame, t: Column, y: Column,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "acfByLag needs maxLag >= 1")
+    val base = series.select(t.as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mean = sum(col("y").cast("decimal(28,8)")).over(all).cast("double") /
+      count(lit(1)).over(all).cast("double")
+    val wt = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMean = base
+      .withColumn("__mean", mean)
+      .withColumn("__dev", col("y") - col("__mean"))
+      .withColumn("__denom",
+        sum(round(col("__dev") * col("__dev"), 8).cast("decimal(28,8)"))
+          .over(all).cast("double"))
+    // leads materialize as plain columns FIRST (window expressions are not
+    // legal inside a generator), then one explode fans each row to its lags
+    val wLead = Window.orderBy("t")
+    val withLeads = (1 to maxLag).foldLeft(withMean) { (acc, k) =>
+      acc.withColumn(s"__lead_$k", lead(col("__dev"), k).over(wLead))
+    }
+    val lagged = withLeads.select(
+      col("__dev"), col("__denom"),
+      explode(array((1 to maxLag).map { k =>
+        struct(lit(k).as("lag"), col(s"__lead_$k").as("next_dev"))
+      }: _*)).as("l"))
+      .select(col("l.lag").as("lag"), col("__dev"), col("__denom"),
+        col("l.next_dev").as("next_dev"))
+      .filter(col("next_dev").isNotNull)
+    lagged
+      .withColumn("__num",
+        round(col("__dev") * col("next_dev"), 8).cast("decimal(28,8)"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        when(max(col("__denom")) > 0,
+          round(sum(col("__num")).cast("double") / max(col("__denom")), 6))
+          .as("acf"))
+      .orderBy("lag")
+  }
 }

@@ -388,8 +388,44 @@ object MonitoringQueries extends QueryGroup {
           THEN CAST(sd AS DOUBLE) / cd END), 6) AS mean_b
       FROM pc GROUP BY c ORDER BY c"""))
 
+  /** Exact 1-D Wasserstein distance between returned and non-returned
+    * line items' price distributions (Drift.wasserstein1d): the
+    * magnitude-aware drift number beside q149's KS — same distributed-ECDF
+    * scaffold, with each partition's boundary successor supplied from the
+    * ≤#partitions min-value table so the ∫dx gap never needs a
+    * single-partition window. */
+  val q186Wasserstein = QueryDef(
+    "q186_wasserstein",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      Drift.wasserstein1d(
+        li.filter(col("l_returnflag") === "R"),
+        li.filter(col("l_returnflag") =!= "R"),
+        col("l_extendedprice"))
+    },
+    Some("""WITH s AS (SELECT l_extendedprice AS v,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia,
+          CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END AS ib
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      h AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+          CAST(SUM(ib) AS BIGINT) AS cb FROM s GROUP BY v),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb FROM h),
+      c AS (SELECT v,
+          CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) AS cca,
+          CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) AS ccb,
+          LEAD(v) OVER (ORDER BY v) AS nv FROM h),
+      t AS (SELECT ROUND(ABS(cca / CAST(na AS DOUBLE)
+            - ccb / CAST(nb AS DOUBLE)) * (nv - v), 8) AS term
+        FROM c, tot WHERE nv IS NOT NULL)
+      SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS w1
+      FROM t"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
-    q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract)
+    q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
+    q186Wasserstein)
 }

@@ -597,10 +597,165 @@ object StatsQueries extends QueryGroup {
         CASE WHEN h_label > 0 THEN ROUND(mi / h_label, 6) END AS ig_ratio
       FROM hl JOIN mi USING (feature) ORDER BY feature"""))
 
+  /** One-way ANOVA of line-item quantity across return flags
+    * (Stats.anovaOneWay): F statistic + eta² from the per-group exact
+    * decimal sums — the k-group generalization of q157's Welch t. */
+  val q183Anova = QueryDef(
+    "q183_anova",
+    (s, d) => Stats.anovaOneWay(Tables.lineitem(s, d),
+      col("l_returnflag"), col("l_quantity")),
+    Some("""WITH per AS (SELECT l_returnflag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+            AS DOUBLE) AS s2
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1),
+      roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(n) AS BIGINT) AS n,
+          CAST(SUM(CAST(s AS DECIMAL(38,8))) AS DOUBLE) AS ts,
+          CAST(SUM(CAST(s2 AS DECIMAL(38,8))) AS DOUBLE) AS ts2,
+          CAST(SUM(CAST(ROUND(s * s / CAST(n AS DOUBLE), 8)
+            AS DECIMAL(38,8))) AS DOUBLE) AS a
+        FROM per),
+      d AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+          a - ts * ts / CAST(n AS DOUBLE) AS ssb,
+          ts2 - a AS ssw,
+          ts2 - ts * ts / CAST(n AS DOUBLE) AS sst FROM roll)
+      SELECT k, n, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+        CASE WHEN k >= 2 AND n > k AND ssw > 0
+          THEN ROUND((ssb / (kd - 1)) / (ssw / (nd - kd)), 6) END AS f_stat,
+        CASE WHEN sst > 0 THEN ROUND(ssb / sst, 6) END AS eta2
+      FROM d"""))
+
+  /** Cramér's V association matrix over order priority × status × a
+    * 50k price band (Stats.cramersVSweep): all three pairs in one data
+    * pass — the categorical-redundancy audit companion to q181. */
+  val q184CramersV = QueryDef(
+    "q184_cramers_v",
+    (s, d) => Stats.cramersVSweep(Tables.orders(s, d), Seq(
+      ("band", floor(col("o_totalprice") / 50000).cast("string")),
+      ("priority", col("o_orderpriority")),
+      ("status", col("o_orderstatus")))),
+    Some("""WITH raw AS (SELECT o_orderpriority AS prio, o_orderstatus AS st,
+          CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS VARCHAR) AS band
+        FROM orders),
+      stacked AS (
+        SELECT 'band' AS ca, 'priority' AS cb, band AS a, prio AS b FROM raw
+        UNION ALL SELECT 'band', 'status', band, st FROM raw
+        UNION ALL SELECT 'priority', 'status', prio, st FROM raw),
+      obs AS (SELECT ca, cb, a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM stacked WHERE a IS NOT NULL AND b IS NOT NULL
+        GROUP BY 1, 2, 3, 4),
+      ma AS (SELECT ca, cb, a, SUM(o) AS na FROM obs GROUP BY 1, 2, 3),
+      mb AS (SELECT ca, cb, b, SUM(o) AS nb FROM obs GROUP BY 1, 2, 3),
+      dense AS (SELECT ma.ca, ma.cb, ma.a, mb.b, ma.na, mb.nb,
+          COALESCE(obs.o, 0) AS o
+        FROM ma JOIN mb ON ma.ca = mb.ca AND ma.cb = mb.cb
+        LEFT JOIN obs ON obs.ca = ma.ca AND obs.cb = ma.cb
+          AND obs.a = ma.a AND obs.b = mb.b),
+      wt AS (SELECT ca, cb, o,
+          CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+            / CAST(SUM(o) OVER (PARTITION BY ca, cb) AS DOUBLE) AS e
+        FROM dense),
+      terms AS (SELECT ca, cb, o,
+          ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 8)
+            AS term FROM wt),
+      agg AS (SELECT ca, cb, CAST(SUM(o) AS BIGINT) AS n,
+          ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2
+        FROM terms GROUP BY 1, 2),
+      ka AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS ka
+        FROM ma GROUP BY 1, 2),
+      kb AS (SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS kb
+        FROM mb GROUP BY 1, 2)
+      SELECT agg.ca AS col_a, agg.cb AS col_b, n, chi2,
+        CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+        CASE WHEN LEAST(ka, kb) - 1 >= 1 AND n > 0
+          THEN ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+            * CAST(LEAST(ka, kb) - 1 AS DOUBLE))), 6) END AS cramers_v
+      FROM agg JOIN ka USING (ca, cb) JOIN kb USING (ca, cb)
+      ORDER BY col_a, col_b"""))
+
+  /** Lag-1..7 autocorrelation of the daily event-volume curve
+    * (Stats.acfByLag): the weekly-seasonality probe — one data pass
+    * collapses events to ≤#days rows, all window math report-sized. */
+  val q185Acf = QueryDef(
+    "q185_acf",
+    (s, d) => Stats.acfByLag(
+      Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt")),
+      col("day"), col("cnt"), maxLag = 7),
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1),
+      m AS (SELECT day, cnt,
+          CAST(SUM(CAST(cnt AS DECIMAL(28,8))) OVER () AS DOUBLE)
+            / CAST(COUNT(*) OVER () AS DOUBLE) AS mean FROM daily),
+      dev AS (SELECT day, cnt - mean AS dev FROM m),
+      den AS (SELECT day, dev,
+          CAST(SUM(CAST(ROUND(dev * dev, 8) AS DECIMAL(28,8))) OVER ()
+            AS DOUBLE) AS denom FROM dev),
+      leads AS (SELECT dev, denom,
+          LEAD(dev, 1) OVER (ORDER BY day) AS l1,
+          LEAD(dev, 2) OVER (ORDER BY day) AS l2,
+          LEAD(dev, 3) OVER (ORDER BY day) AS l3,
+          LEAD(dev, 4) OVER (ORDER BY day) AS l4,
+          LEAD(dev, 5) OVER (ORDER BY day) AS l5,
+          LEAD(dev, 6) OVER (ORDER BY day) AS l6,
+          LEAD(dev, 7) OVER (ORDER BY day) AS l7 FROM den),
+      lagged AS (
+        SELECT 1 AS lag, dev, denom, l1 AS next_dev FROM leads
+        UNION ALL SELECT 2, dev, denom, l2 FROM leads
+        UNION ALL SELECT 3, dev, denom, l3 FROM leads
+        UNION ALL SELECT 4, dev, denom, l4 FROM leads
+        UNION ALL SELECT 5, dev, denom, l5 FROM leads
+        UNION ALL SELECT 6, dev, denom, l6 FROM leads
+        UNION ALL SELECT 7, dev, denom, l7 FROM leads)
+      SELECT CAST(lag AS INTEGER) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CASE WHEN MAX(denom) > 0 THEN
+          ROUND(CAST(SUM(CAST(ROUND(dev * next_dev, 8) AS DECIMAL(28,8)))
+            AS DOUBLE) / MAX(denom), 6) END AS acf
+      FROM lagged WHERE next_dev IS NOT NULL GROUP BY lag ORDER BY lag"""))
+
+  /** Kaplan–Meier churn curve over user lifetimes
+    * (EventAnalytics.userLifetimes → Stats.kaplanMeier): users whose last
+    * event predates the stream edge by >1 day are observed churns, the
+    * rest right-censored; survival is the exp-of-decimal-ln-sum product. */
+  val q187KaplanMeier = QueryDef(
+    "q187_kaplan_meier",
+    (s, d) => Stats.kaplanMeier(
+      EventAnalytics.userLifetimes(Tables.events(s, d), "user_id", "ts",
+        horizonDays = 1),
+      col("duration_days"), col("observed")),
+    Some("""WITH lt AS (SELECT user_id,
+          (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS t,
+          CASE WHEN epoch_us(MAX(ts)) <
+            (SELECT epoch_us(MAX(ts)) FROM events) - 1 * 86400000000
+            THEN 1 ELSE 0 END AS d
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      g AS (SELECT t, CAST(SUM(d) AS BIGINT) AS n_events,
+          CAST(SUM(1 - d) AS BIGINT) AS n_censored FROM lt GROUP BY t),
+      r AS (SELECT t, n_events, n_censored,
+          (SELECT SUM(n_events + n_censored) FROM g)
+            - COALESCE(SUM(n_events + n_censored) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS n_risk
+        FROM g),
+      sv AS (SELECT t, n_events, n_censored, n_risk,
+          ROUND(LN(GREATEST(1.0 - CAST(n_events AS DOUBLE)
+            / CAST(n_risk AS DOUBLE), 1e-12)), 8) AS term
+        FROM r),
+      cum AS (SELECT t, n_events, n_censored, n_risk,
+          CAST(SUM(CAST(term AS DECIMAL(28,8))) OVER (ORDER BY t)
+            AS DOUBLE) AS lnsum FROM sv)
+      SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        n_events, n_censored, ROUND(EXP(lnsum), 6) AS survival
+      FROM cum WHERE n_events > 0 ORDER BY t"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
-    q181InfoGainSweep)
+    q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Drift, EventAnalytics, PageRank}
+import graft.ops.{Drift, EventAnalytics, PageRank, Stats}
 
 /** Unit semantics for the event-analytics + graph operators (q137-q140). */
 class AnalyticsSpec extends SparkSpec {
@@ -156,6 +156,72 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(p8 == p1, s"partitioned ECDF diverged: $p8 vs $p1")
     assert(p8._3 == 0.005) // sup is 1/200 at each interleave point
+  }
+
+  test("wasserstein1d: identical -> 0; constant shift -> the shift; " +
+      "hand-computed mixed case; empty side -> null") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(Drift.wasserstein1d(a, a, $"v")
+      .as[(Long, Long, Double)].head() == ((4L, 4L, 0.0)))
+
+    // b = a + 10: W1 of a pure translation is exactly the shift
+    val b = Seq(11.0, 12.0, 13.0, 14.0).toDF("v")
+    assert(Drift.wasserstein1d(a, b, $"v")
+      .as[(Long, Long, Double)].head() == ((4L, 4L, 10.0)))
+
+    // a={0,1}, b={0,3}: |Fa-Fb| = 0 on [0,1), 0.5 on [1,3) -> W1 = 1.0
+    val c = Seq(0.0, 1.0).toDF("v")
+    val e = Seq(0.0, 3.0).toDF("v")
+    assert(Drift.wasserstein1d(c, e, $"v")
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 1.0)))
+
+    val empty = spark.emptyDataFrame.withColumn("v", lit(null).cast("double"))
+    val r = Drift.wasserstein1d(a, empty.filter(lit(false)), $"v")
+      .select($"n_a", $"n_b", $"w1".isNull).as[(Long, Long, Boolean)].head()
+    assert(r == ((4L, 0L, true)))
+  }
+
+  test("wasserstein1d: partition-count invariant (boundary successors " +
+      "supplied across range-partition edges)") {
+    val xs = (1 to 200).map(i => i.toDouble).toDF("v")
+    val ys = (1 to 200).map(i => i.toDouble + 0.5).toDF("v")
+    val p8 = Drift.wasserstein1d(xs, ys, $"v", partitions = 8)
+      .as[(Long, Long, Double)].head()
+    val p1 = Drift.wasserstein1d(xs, ys, $"v", partitions = 1)
+      .as[(Long, Long, Double)].head()
+    assert(p8 == p1, s"partitioned W1 diverged: $p8 vs $p1")
+    assert(p8._3 == 0.5) // a translation by 0.5
+  }
+
+  test("userLifetimes + kaplanMeier: hand-computed curve with censoring") {
+    import java.sql.Timestamp
+    // day-granular events over a 30-day horizon: gmax = day 30
+    def t(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val events = Seq(
+      (1L, t(1)), (1L, t(3)),    // dur 2, last day 3 < 23 -> churned
+      (2L, t(1)), (2L, t(3)),    // dur 2, churned -> d(2)=2
+      (3L, t(1)), (3L, t(6)),    // dur 5, churned
+      (4L, t(1)), (4L, t(28)),   // dur 27, last day 28 > 23 -> censored
+      (5L, t(30))                // dur 0, defines gmax, censored
+    ).toDF("user_id", "ts")
+    val curve = Stats.kaplanMeier(
+        EventAnalytics.userLifetimes(events, "user_id", "ts", horizonDays = 7),
+        $"duration_days", $"observed")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // risk sets: t=0 {all 5, censored 1}, t=2 {4 at risk, 2 die},
+    // t=5 {2 at risk, 1 dies}, t=27 censored only (not emitted)
+    // S(2) = 1 - 2/4 = 0.5; S(5) = 0.5 * (1 - 1/2) = 0.25
+    assert(curve == Seq((2L, 4L, 2L, 0L, 0.5), (5L, 2L, 1L, 0L, 0.25)))
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survival " +
+      "function; total-death risk set drives S to 0") {
+    val lt = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("dur", "obs")
+    val got = Stats.kaplanMeier(lt, $"dur", $"obs")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._5) == Seq(0.75, 0.5, 0.25, 0.0))
+    assert(got.map(_._2) == Seq(4L, 3L, 2L, 1L)) // n_risk depletes one by one
   }
 
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {

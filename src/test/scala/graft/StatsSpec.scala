@@ -444,6 +444,91 @@ class StatsSpec extends SparkSpec {
     assert(r1 == r8, s"AUC depends on partitioning: $r1 vs $r8")
   }
 
+  // --- anovaOneWay -----------------------------------------------------
+
+  test("anovaOneWay: identical group means -> F ~ 0; hand-computed " +
+      "two-group case; single group -> null F") {
+    // groups with equal means and equal spread: SSB = 0 -> F = 0, eta2 = 0
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r0 = Stats.anovaOneWay(same, $"g", $"v")
+      .select("k", "n", "f_stat", "eta2")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r0 == ((2L, 4L, 0.0, 0.0)))
+
+    // hand case: a={1,2,3} mean 2, b={5,6,7} mean 6; grand mean 4
+    // SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24; SSW = 2 + 2 = 4
+    // F = (24/1)/(4/4) = 24; eta2 = 24/28
+    val two = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val r1 = Stats.anovaOneWay(two, $"g", $"v")
+      .select("ss_between", "ss_within", "f_stat", "eta2")
+      .as[(Double, Double, Double, Double)].head()
+    assert(r1 == ((24.0, 4.0, 24.0, r6(24.0 / 28.0))))
+
+    // one group: k < 2 -> null F, eta2 still defined (0 here)
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val row = Stats.anovaOneWay(one, $"g", $"v").collect()(0)
+    assert(row.isNullAt(row.fieldIndex("f_stat")))
+  }
+
+  // --- cramersVSweep ---------------------------------------------------
+
+  test("cramersVSweep: identical columns -> V = 1, independent -> V = 0, " +
+      "pair coverage is all-unordered-pairs") {
+    val df = (0 until 40).map { i =>
+      val x = if (i % 2 == 0) "u" else "w"
+      (x, x, if (i % 4 < 2) "p" else "q") // c copies nothing of a: i%4 pattern
+    }.toDF("a", "b", "c")
+    val got = Stats.cramersVSweep(df, Seq(
+        ("a", $"a"), ("b", $"b"), ("c", $"c")))
+      .select("col_a", "col_b", "cramers_v")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("a", "b")) == 1.0, "identical columns must give V = 1")
+    // a vs c: each a-level splits c evenly (i%2 vs i%4<2) -> independent
+    assert(m(("a", "c")) == 0.0, "independent columns must give V = 0")
+  }
+
+  test("cramersVSweep: one data pass (single explode scan), grid join is " +
+      "broadcast") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val plan = Stats.cramersVSweep(orders, Seq(
+        ("p", $"o_orderpriority"), ("s", $"o_orderstatus"),
+        ("b", floor($"o_totalprice" / 50000).cast("string"))))
+      .queryExecution.executedPlan.toString()
+    // the one data pass runs at snapshot time; the returned plan must do
+    // all marginal/grid math over the materialized cell table, never
+    // re-deriving it from the source (which would re-scan per consumer)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"sweep re-scans the source table $scans times:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"marginal grid join should broadcast:\n$plan")
+  }
+
+  // --- acfByLag --------------------------------------------------------
+
+  test("acfByLag: constant series -> null (zero variance); alternating " +
+      "series -> lag-1 ~ -1, lag-2 ~ +1; pair counts shrink with lag") {
+    val alt = (1 to 20).map(i => (i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "y")
+    val got = Stats.acfByLag(alt, $"t", $"y", maxLag = 2)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2))
+    assert(got(0)._2 == 19L && got(1)._2 == 18L)
+    // ACF of a pure alternation: r1 = -19/20, r2 = +18/20 (denominator
+    // spans all n terms, numerator only the overlapping pairs)
+    assert(got(0)._3 == r6(-19.0 / 20.0))
+    assert(got(1)._3 == r6(18.0 / 20.0))
+
+    val const = (1 to 10).map(i => (i, 5.0)).toDF("t", "y")
+    val c = Stats.acfByLag(const, $"t", $"y", maxLag = 1).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("acf")),
+      "zero-variance series must yield null acf")
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
