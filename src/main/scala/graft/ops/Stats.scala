@@ -655,6 +655,77 @@ object Stats {
       .orderBy("col_a", "col_b")
   }
 
+  /** Spearman rank correlation between two numeric columns, exact under
+    * ties (Pearson on average ranks): one row (n, rho rounded 6) — the
+    * monotone-association companion to the Pearson matrix (A13): outlier-
+    * robust, captures any monotone relation, agrees with Pearson only when
+    * the relation is linear in rank space.
+    *
+    * Exactness: average ranks are kept as the INTEGER 2·rank = 2·(#values
+    * below) + tiecount + 1 (the aucRankSum identity), so all five Pearson
+    * sums are exact DECIMAL(38,0) integer sums; rho replays the identical
+    * double formula from them on any engine. Pearson-on-ranks is invariant
+    * to the common ×2 scaling.
+    *
+    * Scale shape — global ranks WITHOUT a global sort, per axis: ties
+    * collapse map-side (groupBy value), the value axis range-partitions,
+    * ranks are per-partition prefix sums + a ≤`partitions`-row offset
+    * table (the ksStatistic/aucRankSum two-pass shape). The rank tables
+    * (≤#distinct values) join back to rows by value — two keyed shuffles
+    * of data, no single-partition window anywhere. */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val dataRaw = df.select(x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    // snapshot: feeds both rank builds and the final scoring join
+    val data =
+      if (spark.sparkContext.getCheckpointDir.isDefined) dataRaw.checkpoint(eager = true)
+      else dataRaw.localCheckpoint(eager = true)
+
+    def rankTable(c: String, out: String): DataFrame = {
+      val hist = data.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .repartitionByRange(partitions, col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("__pid", spark_partition_id())
+      val snap =
+        if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+        else hist.localCheckpoint(eager = true)
+      val partTotals = snap.groupBy("__pid").agg(sum(col("cnt")).as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = partTotals.scanLeft((0, 0L)) {
+        case ((_, acc), (pid, t)) => (pid, acc + t)
+      }
+      import spark.implicits._
+      val offDf = partTotals.map(_._1).zip(offsets.map(_._2))
+        .toSeq.toDF("__pid", "off")
+      val w = Window.partitionBy("__pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      snap.join(broadcast(offDf), "__pid")
+        .withColumn("__before", col("off") + sum(col("cnt")).over(w) - col("cnt"))
+        .select(col("v").as(c),
+          (lit(2L) * col("__before") + col("cnt") + 1L).as(out))
+    }
+    val rx = rankTable("x", "__rx")
+    val ry = rankTable("y", "__ry")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val agg = data.join(rx, "x").join(ry, "y")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("__rx"))).cast("double").as("sx"),
+        sum(dec(col("__ry"))).cast("double").as("sy"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).cast("double").as("sxy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).cast("double").as("sxx"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varX = nD * col("sxx") - col("sx") * col("sx")
+    val varY = nD * col("syy") - col("sy") * col("sy")
+    agg.select(col("n"),
+      when(varX > 0 && varY > 0,
+        round(covN / sqrt(varX * varY), 6)).as("rho"))
+  }
+
   /** Kaplan–Meier survival curve over a lifetime table (one row per
     * subject: integer `duration`, boolean `observed` — true = the terminal
     * event really happened, false = right-censored): for each duration t

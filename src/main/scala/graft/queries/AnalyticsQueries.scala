@@ -150,6 +150,37 @@ object AnalyticsQueries extends QueryGroup {
           AS cum_users
       FROM dau LEFT JOIN nw ON dau.day = nw.day ORDER BY day"""))
 
+  /** Market-basket lift over orders (Baskets.pairLift): top-20 part pairs
+    * co-ordered more than independence predicts — support/confidence/lift
+    * with the quadratic pair step keyed per order and capped by basket
+    * size. Total-ordered after rounding so the cutoff is engine-stable. */
+  val q189BasketLift = QueryDef(
+    "q189_basket_lift",
+    (s, d) => graft.ops.Baskets.pairLift(Tables.lineitem(s, d),
+      col("l_orderkey"), col("l_partkey"), minCount = 2L, k = 20),
+    Some("""WITH pres AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      bs AS (SELECT b FROM (SELECT b, COUNT(*) AS c FROM pres GROUP BY b) t
+        WHERE c <= 1000),
+      sized AS (SELECT pres.b, pres.i FROM pres JOIN bs USING (b)),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM bs),
+      sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM sized GROUP BY i),
+      pairs AS (SELECT a.i AS item_a, b2.i AS item_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM sized a JOIN sized b2 USING (b) WHERE a.i < b2.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      j AS (SELECT item_a, item_b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b, nd
+        FROM pairs JOIN sup sa ON sa.i = pairs.item_a
+          JOIN sup sb ON sb.i = pairs.item_b, n)
+      SELECT item_a, item_b, n_ab, n_a, n_b,
+        ROUND(CAST(n_ab AS DOUBLE) / nd, 6) AS support,
+        ROUND(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS confidence,
+        ROUND(nd * CAST(n_ab AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS lift
+      FROM j ORDER BY lift DESC, item_a, item_b LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
-    q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve)
+    q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
+    q189BasketLift)
 }

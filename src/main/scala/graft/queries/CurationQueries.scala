@@ -998,6 +998,38 @@ object CurationQueries extends QueryGroup {
       FROM al LEFT JOIN kept ON al.source = kept.source
       ORDER BY al.source"""))
 
+  /** Token-budget waterfilling across sources (Curation.budgetWaterfill):
+    * 140k chars allocated by doc-count weight, capped at each source's
+    * available mass with redistribution — the closed-form prefix-sum
+    * water level, all math over the ≤#sources report frame. Prefix sums
+    * run over integer-valued doubles, so any summation order is exact. */
+  val q188BudgetWaterfill = QueryDef(
+    "q188_budget_waterfill",
+    (s, d) => Curation.budgetWaterfill(
+      Tables.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).as("avail"), count(lit(1)).as("wt")),
+      "source", col("avail"), col("wt"), budget = 140000L),
+    Some("""WITH per AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS a,
+          CAST(COUNT(*) AS DOUBLE) AS w FROM documents GROUP BY source),
+      r AS (SELECT source, a, w, a / w AS r FROM per
+        WHERE a IS NOT NULL AND w IS NOT NULL AND w > 0),
+      p AS (SELECT source, a, w, r,
+          SUM(a) OVER (ORDER BY r, source) AS ca,
+          SUM(w) OVER (ORDER BY r, source) AS cw,
+          SUM(a) OVER () AS ta, SUM(w) OVER () AS tw FROM r),
+      s AS (SELECT source, a, w, r, ca, cw, ta, tw,
+          CASE WHEN tw > cw THEN (140000.0 - ca) / (tw - cw) >= r
+            ELSE 140000.0 >= ca END AS saturated FROM p),
+      lv AS (SELECT source, a, w, saturated,
+          (140000.0 - COALESCE(
+            MAX(CASE WHEN saturated THEN ca END) OVER (), 0.0))
+          / (tw - COALESCE(
+            MAX(CASE WHEN saturated THEN cw END) OVER (), 0.0)) AS level
+        FROM s)
+      SELECT source, a AS available, w AS weight, saturated,
+        ROUND(CASE WHEN saturated THEN a ELSE level * w END, 6) AS allocation
+      FROM lv ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
@@ -1005,5 +1037,5 @@ object CurationQueries extends QueryGroup {
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
     q116MixTokens, q118QualityClassifier, q119TemperatureMix, q128CcLuhn,
-    q151WeightedSample, q152StratifiedSample)
+    q151WeightedSample, q152StratifiedSample, q188BudgetWaterfill)
 }

@@ -752,10 +752,47 @@ object StatsQueries extends QueryGroup {
         n_events, n_censored, ROUND(EXP(lnsum), 6) AS survival
       FROM cum WHERE n_events > 0 ORDER BY t"""))
 
+  /** Spearman rank correlation of quantity vs extended price
+    * (Stats.spearman): Pearson on integer 2·average-ranks built with the
+    * range-partitioned prefix-sum rank tables — exact under ties, no
+    * global sort. The monotone companion to q09's Pearson matrix. */
+  val q190Spearman = QueryDef(
+    "q190_spearman",
+    (s, d) => Stats.spearman(Tables.lineitem(s, d),
+      col("l_quantity"), col("l_extendedprice")),
+    Some("""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      hx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      cx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+          AS r2 FROM hx),
+      hy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      cy AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+          AS r2 FROM hy),
+      j AS (SELECT cx.r2 AS rx, cy.r2 AS ry FROM d
+        JOIN cx ON d.x = cx.v JOIN cy ON d.y = cy.v),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(rx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+            AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0)))
+            AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0)))
+            AS DOUBLE) AS syy
+        FROM j)
+      SELECT n, CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+          AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+          / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+               * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS rho
+      FROM s"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
-    q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier)
+    q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
+    q190Spearman)
 }

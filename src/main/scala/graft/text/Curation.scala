@@ -613,6 +613,58 @@ object Curation {
     * One projection + a distributed top-k (TakeOrdered) — no shuffle of
     * the weight table.
     */
+  /** Token-budget WATERFILLING across sources: allocate a global budget B
+    * proportionally to per-source weights, capped at each source's
+    * available mass, with capped sources' unused share redistributed to
+    * the rest — alloc_s = min(a_s, λ·w_s) with the water level λ chosen so
+    * Σ alloc = min(B, Σa). The mixing planner's step between "target
+    * shares" ([[temperatureMixShares]]) and "sample it" ([[rebalance]]):
+    * shares say what you want, waterfilling says what you can actually
+    * take when some sources are too small.
+    *
+    * Exact, closed-form, no iteration: sorted ascending by the saturation
+    * ratio r_s = a_s/w_s, a PREFIX saturates (small sources cap out first).
+    * Source i saturates iff the level-if-1..i-saturate
+    * t_i = (B − Σaᵢ)/(W − Σwᵢ) still sits at-or-above its own ratio; λ is
+    * then the level over the unsaturated remainder. All window math runs
+    * over the ≤#sources report frame (prefix sums ordered by (r, source)
+    * — deterministic under ties). Output: (source, available, weight,
+    * saturated, allocation rounded 6), ordered by source; Σ allocation =
+    * min(B, Σa) exactly up to rounding (property-tested).
+    */
+  def budgetWaterfill(perSource: DataFrame, sourceCol: String,
+      available: Column, weight: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = perSource.select(col(sourceCol).as("source"),
+        available.cast("double").as("a"), weight.cast("double").as("w"))
+      .filter(col("a").isNotNull && col("w").isNotNull && col("w") > 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byR = Window.orderBy(col("r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget.toDouble)
+    val scored = base
+      .withColumn("r", col("a") / col("w"))
+      .withColumn("__ca", sum(col("a")).over(byR))   // inclusive prefix Σa
+      .withColumn("__cw", sum(col("w")).over(byR))
+      .withColumn("__ta", sum(col("a")).over(all))   // totals
+      .withColumn("__tw", sum(col("w")).over(all))
+      .withColumn("saturated",
+        // last row guards the 0/0 level with the direct budget test
+        when(col("__tw") > col("__cw"),
+          (b - col("__ca")) / (col("__tw") - col("__cw")) >= col("r"))
+          .otherwise(b >= col("__ca")))
+    val satA = max(when(col("saturated"), col("__ca"))).over(all)
+    val satW = max(when(col("saturated"), col("__cw"))).over(all)
+    val level = (b - coalesce(satA, lit(0.0))) /
+      (col("__tw") - coalesce(satW, lit(0.0)))
+    scored
+      .withColumn("allocation",
+        round(when(col("saturated"), col("a")).otherwise(level * col("w")), 6))
+      .select(col("source"), col("a").as("available"), col("w").as("weight"),
+        col("saturated"), col("allocation"))
+      .orderBy("source")
+  }
+
   def gumbelTopK(weights: DataFrame, idCol: String, logwCol: String,
       k: Int, seed: String = "42"): DataFrame = {
     // u in (0,1): (h + 0.5) / 2^32 can reach neither 0 nor 1, so the double

@@ -110,4 +110,5 @@ object Retrieval {
       .filter(col("bucket").isin(wanted.toSeq: _*))
       .filter(col("term").isin(terms: _*))
   }
+
 }

@@ -224,6 +224,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(4L, 3L, 2L, 1L)) // n_risk depletes one by one
   }
 
+  test("basket pairLift: hand-computed support/confidence/lift, presence " +
+      "dedup, lift ordering, and the basket-size cap") {
+    import graft.ops.Baskets
+    // b1{A,A,B} (duplicate A must dedup), b2{A,B}, b3{A,C}, b4{B}
+    val rows = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"))
+      .toDF("b", "i")
+    val got = Baskets.pairLift(rows, $"b", $"i", minCount = 1L, k = 10)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // N=4, n_A=3, n_B=3, n_C=1; (A,B):2, (A,C):1
+    // lift(A,B) = 4*2/9 = 0.888889; lift(A,C) = 4*1/3 = 1.333333
+    assert(got == Seq(
+      ("A", "C", 1L, 3L, 1L, 0.25, 0.333333, 1.333333),
+      ("A", "B", 2L, 3L, 3L, 0.5, 0.666667, 0.888889)))
+
+    // minCount=2 drops the singleton pair
+    val filtered = Baskets.pairLift(rows, $"b", $"i", minCount = 2L, k = 10)
+      .select("item_a", "item_b").as[(String, String)].collect().toSeq
+    assert(filtered == Seq(("A", "B")))
+
+    // a basket over the size cap vanishes from N, supports and pairs
+    val withBig = rows.unionByName(
+      Seq((9L, "A"), (9L, "B"), (9L, "C"), (9L, "D")).toDF("b", "i"))
+    val capped = Baskets.pairLift(withBig, $"b", $"i", minCount = 1L,
+        k = 10, maxBasketSize = 3)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(capped == got, "oversized basket must not perturb the stats")
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists

@@ -256,6 +256,29 @@ class PropertiesSpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("budgetWaterfill: allocations respect caps, exhaust min(B, total), " +
+      "and unsaturated sources share one water level") {
+    import graft.text.Curation
+    val srcGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0, 500); w <- Gen.choose(1, 9)
+    } yield (a.toDouble, w.toDouble)))
+    check("waterfill", Prop.forAll(srcGen, Gen.choose(0L, 2500L)) { (ss, b) =>
+      val df = ss.zipWithIndex.map { case ((a, w), i) => (s"s$i", a, w) }
+        .toDF("source", "a", "w")
+      val got = Curation.budgetWaterfill(df, "source", $"a", $"w", b)
+        .as[(String, Double, Double, Boolean, Double)].collect().toSeq
+      val capped = got.forall { case (_, a, _, _, alloc) => alloc <= a + 1e-6 }
+      val nonneg = got.forall(_._5 >= -1e-6)
+      val target = math.min(b.toDouble, ss.map(_._1).sum)
+      // each of <=8 allocations rounds to 6 decimals -> tolerance ~4e-6
+      val exhaust = math.abs(got.map(_._5).sum - target) < 1e-4
+      val levels = got.collect { case (_, _, w, false, alloc) => alloc / w }
+      val oneLevel = levels.isEmpty ||
+        (levels.max - levels.min) < 1e-5 * math.max(1.0, levels.max.abs)
+      capped && nonneg && exhaust && oneLevel
+    }, n = 30)
+  }
+
   test("ksStatistic: symmetric, bounded in [0,1], zero on identical samples") {
     import graft.ops.Drift
     val valsGen = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)).map(_.map(_.toDouble))

@@ -529,6 +529,40 @@ class StatsSpec extends SparkSpec {
       "zero-variance series must yield null acf")
   }
 
+  // --- spearman --------------------------------------------------------
+
+  test("spearman: monotone nonlinear -> 1, reversed -> -1, hand-computed " +
+      "tied case, partition-count invariant") {
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+      .toDF("x", "y")
+    assert(Stats.spearman(mono, $"x", $"y")
+      .as[(Long, Double)].head() == ((50L, 1.0)))
+
+    val rev = (1 to 50).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Stats.spearman(rev, $"x", $"y")
+      .as[(Long, Double)].head() == ((50L, -1.0)))
+
+    // x=[1,1,2], y=[5,7,7]: avg ranks rx=[1.5,1.5,3], ry=[1,2.5,2.5]
+    // Pearson on ranks = 0.75 / 1.5 = 0.5
+    val tied = Seq((1.0, 5.0), (1.0, 7.0), (2.0, 7.0)).toDF("x", "y")
+    assert(Stats.spearman(tied, $"x", $"y")
+      .as[(Long, Double)].head() == ((3L, 0.5)))
+
+    // constant column -> zero rank variance -> null
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    val c = Stats.spearman(const, $"x", $"y").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("rho")))
+
+    val rows = (1 to 300).map(i =>
+      ((i * 2654435761L % 97).toDouble, (i * 40503L % 89).toDouble))
+      .toDF("x", "y")
+    val p1 = Stats.spearman(rows, $"x", $"y", partitions = 1)
+      .as[(Long, Double)].head()
+    val p8 = Stats.spearman(rows, $"x", $"y", partitions = 8)
+      .as[(Long, Double)].head()
+    assert(p1 == p8, s"spearman depends on partitioning: $p1 vs $p8")
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
