@@ -823,11 +823,31 @@ object TextQueries extends QueryGroup {
           (acc, x) -> acc + x) ELSE 0.0 END, 6) AS entropy
       FROM u ORDER BY doc_id"""))
 
+  /** Jaro–Winkler fuzzy probe over part names (TextAnalysis.jaroWinkler —
+    * the codegen'd JaroWinkler expression): candidates above 0.75
+    * similarity to a probe string, a pure projection+filter that stays
+    * inside whole-stage codegen. The oracle replays DuckDB's NATIVE
+    * jaro_winkler_similarity — the expression's byte-level window/
+    * transposition/prefix-boost semantics must match it exactly. */
+  val q191JaroWinkler = QueryDef(
+    "q191_jaro_winkler",
+    (s, d) => Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        round(TextAnalysis.jaroWinkler(col("p_name"), lit("small widget")), 6)
+          .as("jw"))
+      .filter(col("jw") > 0.75)
+      .orderBy(col("jw").desc, col("p_partkey")),
+    Some("""SELECT p_partkey, p_name,
+        ROUND(jaro_winkler_similarity(p_name, 'small widget'), 6) AS jw
+      FROM part
+      WHERE ROUND(jaro_winkler_similarity(p_name, 'small widget'), 6) > 0.75
+      ORDER BY jw DESC, p_partkey"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
-    q171PmiCollocations)
+    q171PmiCollocations, q191JaroWinkler)
 }

@@ -102,6 +102,17 @@ object TextAnalysis {
     ColumnBridge.column(graft.functions.Md5Long(ColumnBridge.expression(c)))
   }
 
+  /** Jaro–Winkler similarity in [0,1] — the fuzzy-name complement to
+    * `levenshtein` in entity matching (prefix-boosted, transposition-
+    * tolerant). Backed by the codegen'd JaroWinkler expression; semantics
+    * pinned to DuckDB's `jaro_winkler_similarity` (byte-level, 0.7 boost
+    * threshold) so the oracle replays it natively. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** ALL word n-grams (non-distinct, space-joined), empty array when the
     * text has fewer than n tokens.
     *

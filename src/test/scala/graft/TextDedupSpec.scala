@@ -50,6 +50,37 @@ class TextDedupSpec extends SparkSpec {
     assert(edge.forall { case (a, b) => a == b })
   }
 
+  test("jaroWinkler: textbook values, byte-level unicode, boost threshold, " +
+      "null/empty handling; SQL registration agrees") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextAnalysis.jaroWinkler($"a", $"b").as("s"))
+        .as[Double].head()
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    // textbook pairs (values = DuckDB jaro_winkler_similarity)
+    assert(r6(jw("martha", "marhta")) == 0.961111)
+    assert(r6(jw("dixon", "dicksonx")) == 0.813333)
+    assert(r6(jw("dwayne", "duane")) == 0.84)
+    assert(jw("abc", "abc") == 1.0)
+    // below the 0.7 boost threshold the prefix must NOT be rewarded
+    assert(r6(jw("abcdef", "abzzzz")) == r6(5.0 / 9)) // jaro, unboosted
+    assert(r6(jw("prefixmatch", "prefixxxxxx")) == 0.69697)
+    // byte-level semantics: 'ú' vs 'u' is a 2-byte-vs-1-byte comparison
+    assert(r6(jw("ñandú", "ñandu")) == 0.909524)
+    // empties score 0 (DuckDB convention), not 1
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    // window 0: adjacent transposition with length-2 strings finds nothing
+    assert(jw("ab", "ba") == 0.0)
+    // null propagates
+    val n = Seq(("x", null: String)).toDF("a", "b")
+      .select(TextAnalysis.jaroWinkler($"a", $"b").as("s")).collect()(0)
+    assert(n.isNullAt(0))
+    // SQL registration path computes the identical value
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s")
+      .as[Double].map(r6 _).head() == 0.961111)
+  }
+
   test("graft_substr_score callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
