@@ -342,6 +342,49 @@ class PlanSpec extends SparkSpec {
       s"psiMulti window not keyed by feature:\n$win")
   }
 
+  test("q186: Wasserstein ECDF windows are partition-keyed — the ∫dx gap " +
+      "never plans a single-partition window") {
+    val df = graft.queries.MonitoringQueries.q186Wasserstein.fn(spark, sf001)
+    val win = df.queryExecution.executedPlan.toString()
+      .linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!win.contains("windowspecdefinition(v#"),
+      s"W1 window runs unpartitioned over values:\n$win")
+    assert(win.isEmpty || win.contains("__pid"),
+      s"W1 window not keyed by partition id:\n$win")
+  }
+
+  test("q189: basket-lift supports join by broadcast; the pair self-join " +
+      "is keyed on the basket, never cartesian") {
+    val p = planOf(graft.queries.AnalyticsQueries.q189BasketLift.fn(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"item supports degraded to a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"basket pair step planned a cartesian product:\n$p")
+  }
+
+  test("q190: Spearman rank windows are partition-keyed; the scored pass " +
+      "is one aggregate, no global sort of data") {
+    val df = graft.queries.StatsQueries.q190Spearman.fn(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString()
+    val win = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!win.contains("windowspecdefinition(v#"),
+      s"rank window runs unpartitioned over values:\n$win")
+    assert(win.isEmpty || win.contains("__pid"),
+      s"rank window not keyed by partition id:\n$win")
+  }
+
+  test("q183/q184: ANOVA and the Cramér's-V sweep keep map-side partial " +
+      "aggregation on their one data pass") {
+    val a = planOf(graft.queries.StatsQueries.q183Anova.fn(spark, sf001))
+    assert(a.contains("partial_"), s"ANOVA lost partial aggregation:\n$a")
+    assert(!a.contains("WindowExec"), s"ANOVA plans a window over data:\n$a")
+    // the sweep's data pass runs at snapshot time (see StatsSpec scan
+    // guard); here: the returned plan must not re-scan any parquet source
+    val c = planOf(graft.queries.StatsQueries.q184CramersV.fn(spark, sf001))
+    assert(!c.contains("Scan parquet"),
+      s"Cramér's-V sweep re-scans the source after its snapshot:\n$c")
+  }
+
   test("q179: quantile-normalize mapping is a pure projection — no join, " +
       "no shuffle, no window on the data side") {
     val docs = Tables.documents(spark, sf001)

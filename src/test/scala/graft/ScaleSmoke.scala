@@ -70,6 +70,31 @@ object ScaleSmoke {
         spark.range(10000000L).select((col("id") % 100000).as("g")),
         col("g")).count()
     }
+    time("wasserstein-10M-values") {
+      // continuous-ish axis (1M distinct values) — exercises the gap terms
+      // across every range-partition boundary
+      val vals = spark.range(10000000L)
+        .select(col("id"), ((col("id") * 2654435761L) % 1000000).cast("double").as("v"))
+      graft.ops.Drift.wasserstein1d(
+        vals.filter(col("id") % 2 === 0), vals.filter(col("id") % 2 === 1),
+        col("v")).count()
+    }
+    time("spearman-10M-rows") {
+      val vals = spark.range(10000000L)
+        .select((col("id") % 9973).cast("double").as("x"),
+          ((col("id") * 7919L) % 9973).cast("double").as("y"))
+      graft.ops.Stats.spearman(vals, col("x"), col("y")).count()
+    }
+    time("basket-lift-1M-baskets") {
+      // 1M baskets x 5 items over a ~10k catalog -> ~10 pairs per basket
+      // (prime modulus: a 10k modulus makes 1M*48271 = 0 mod catalog and
+      // collapses every basket to one item)
+      val items = spark.range(5000000L)
+        .select((col("id") % 1000000).as("b"),
+          ((col("id") * 48271L) % 9973).as("i"))
+      graft.ops.Baskets.pairLift(items, col("b"), col("i"),
+        minCount = 2L, k = 50).count()
+    }
     spark.stop()
   }
 }
