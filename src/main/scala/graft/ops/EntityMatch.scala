@@ -44,6 +44,49 @@ object EntityMatch {
       .select(col("l_key"), col("r_key"), col("dist"))
   }
 
+  /** All pairs at-or-above `minSim` Jaro–Winkler similarity whose block
+    * keys match — the similarity-scored sibling of
+    * [[blockedEditDistancePairs]] for name-like keys, where a shared
+    * prefix should count FOR a match and a transposition should not kill
+    * it (Levenshtein treats both as plain edits). Same blocking contract:
+    * recall depends on the block function covering the perturbation model.
+    * Output: (l_key, r_key, sim rounded 6), one row per candidate pair.
+    *
+    * Scale shape: one equi-join shuffle on the block key; the scorer is
+    * the codegen'd [[graft.functions.JaroWinkler]] expression evaluated
+    * only within blocks — never an all-pairs cross join.
+    */
+  def blockedJaroWinklerPairs(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftText: String,
+      rightKey: String, rightText: String,
+      block: Column => Column, minSim: Double): DataFrame = {
+    val l = left.select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
+      .withColumn("block", block(col("l_text")))
+    val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
+      .withColumn("block", block(col("r_text")))
+    l.join(r, "block")
+      .withColumn("sim", round(
+        graft.text.TextAnalysis.jaroWinkler(col("l_text"), col("r_text")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("l_key"), col("r_key"), col("sim"))
+  }
+
+  /** Best Jaro–Winkler match per left entity: maximum similarity, ties
+    * broken by the smallest rightKey (min over (−sim, r_key) structs — one
+    * keyed aggregate, no window, skew-safe on hot entities). */
+  def bestMatchJaroWinkler(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftText: String,
+      rightKey: String, rightText: String,
+      block: Column => Column, minSim: Double): DataFrame =
+    blockedJaroWinklerPairs(left, right, leftKey, leftText, rightKey,
+        rightText, block, minSim)
+      .groupBy("l_key")
+      .agg(min(struct((col("sim") * -1).as("negsim"), col("r_key"))).as("best"))
+      .select(col("l_key"), col("best.r_key").as("r_key"),
+        (col("best.negsim") * -1).as("sim"))
+
   /** Best match per left entity: minimum (dist, rightKey) — the tie-break
     * on rightKey makes the pick deterministic. One keyed aggregate over the
     * candidate pairs (min(struct), no window — skew-safe on hot entities).

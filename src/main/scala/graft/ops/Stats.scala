@@ -726,6 +726,41 @@ object Stats {
         round(covN / sqrt(varX * varY), 6)).as("rho"))
   }
 
+  /** Weighted median per group: the smallest value whose cumulative weight
+    * reaches half the group total (the lower weighted median — exact, not
+    * interpolated). The size-aware center a mixing pipeline reads when
+    * rows carry a mass (tokens, bytes, sampling weight) and the unweighted
+    * median would let a million tiny rows outvote the heavy ones.
+    *
+    * Exactness: weights are DECIMAL throughout, the qualifying test
+    * 2·cum ≥ total is an exact decimal comparison — no float boundary.
+    * Scale shape: ties collapse map-side (groupBy (group, value)), the
+    * cumulative window partitions BY GROUP over each group's distinct
+    * values — distributed across groups, never a single-partition window.
+    * Output: (group, n_values, total_weight, weighted_median). */
+  def weightedMedian(df: DataFrame, group: String, value: Column,
+      weight: Column): DataFrame = {
+    val base = df
+      .select(col(group), value.cast("double").as("v"),
+        weight.cast("decimal(28,6)").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+      .groupBy(col(group), col("v")).agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(group).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(group)
+    base
+      .withColumn("__cum", sum(col("w")).over(wc))
+      .withColumn("__tot", sum(col("w")).over(wa))
+      .withColumn("__nv", count(lit(1)).over(wa))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(group)
+      .agg(
+        max(col("__nv")).as("n_values"),
+        max(col("__tot")).cast("double").as("total_weight"),
+        min(col("v")).as("weighted_median"))
+      .orderBy(group)
+  }
+
   /** Kaplan–Meier survival curve over a lifetime table (one row per
     * subject: integer `duration`, boolean `observed` — true = the terminal
     * event really happened, false = right-censored): for each duration t

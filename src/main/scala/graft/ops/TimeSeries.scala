@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic time-series structure over an already-aggregated series
+  * (one row per period — the CALLER owns the single data-rows pass, as in
+  * [[Stats.acfByLag]]): classical seasonal decomposition and CUSUM
+  * changepoint location. Every frame here is report-sized (≤#periods), so
+  * the global ordered windows are bounded — the same posture as the
+  * Benford digit table, documented rather than range-partitioned.
+  */
+object TimeSeries {
+
+  /** Classical additive decomposition y = trend + seasonal + residual:
+    * trend is the centered `period`-point moving average (null at the
+    * edges where the window is short), the seasonal term is the per-phase
+    * mean of the detrended series re-centered to sum to zero across
+    * phases, and the residual is what's left. The monitoring view that
+    * separates "weekly rhythm" from "actual drift" before alerting on a
+    * volume change.
+    *
+    * `phase` must be a deterministic 0..period-1 bucketing of `t` (e.g.
+    * epoch-days mod 7). Output: (t, y, trend, seasonal, residual) rounded
+    * to 6, ordered by t. Phase means are broadcast back — two tiny
+    * aggregates, no second pass over the series.
+    */
+  def seasonalDecompose(series: DataFrame, t: Column, y: Column,
+      phase: Column, period: Int = 7): DataFrame = {
+    require(period >= 2, "seasonalDecompose needs period >= 2")
+    val half = period / 2
+    val base = series
+      .select(t.as("t"), y.cast("double").as("y"), phase.cast("bigint").as("phase"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val wT = Window.orderBy("t").rowsBetween(-half, half)
+    val withTrend = base
+      .withColumn("__cnt", count(lit(1)).over(wT))
+      .withColumn("__trend", when(col("__cnt") === period, avg(col("y")).over(wT)))
+      .withColumn("__det", col("y") - col("__trend"))
+    val pm = withTrend.groupBy("phase").agg(avg(col("__det")).as("__pm"))
+    val center = pm.agg(avg(col("__pm")).as("__c"))
+    withTrend
+      .join(broadcast(pm), Seq("phase"), "left")
+      .crossJoin(broadcast(center))
+      .withColumn("trend", round(col("__trend"), 6))
+      .withColumn("seasonal", round(col("__pm") - col("__c"), 6))
+      .withColumn("residual",
+        round(col("y") - col("__trend") - (col("__pm") - col("__c")), 6))
+      .select("t", "y", "trend", "seasonal", "residual")
+      .orderBy("t")
+  }
+
+  /** CUSUM changepoint locator: the period where the cumulative sum of
+    * deviations from the series mean peaks in magnitude — the classic
+    * "when did the level shift?" statistic (a flat series wanders near 0;
+    * a mean shift at t* makes |CUSUM| peak exactly there). Returns ONE row
+    * (n, mean, t_at_max, max_cusum, direction) with direction +1/-1 for
+    * an upward/downward level shift after t*.
+    *
+    * Exactness: y is scaled to micro-units (·10⁶, exact for ≤6-decimal
+    * values) and held as SCALE-0 decimals, so with S = Σy6 and P_i the
+    * prefix sum, the numerator n·P_i − i·S of CUSUM_i·n is pure integer
+    * arithmetic — the argmax comparison and its earliest-t tie-break are
+    * exact on both engines (no float argmax ties, no decimal-rescale
+    * divergence); the /n/10⁶ division happens once on the winning row. */
+  def cusumChangepoint(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series
+      .select(t.as("t"), (y.cast("double") * 1e6).cast("decimal(38,0)").as("y6"))
+      .filter(col("t").isNotNull && col("y6").isNotNull)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = base
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__s", sum(col("y6")).over(all))
+      .withColumn("__p", sum(col("y6")).over(wCum))
+      .withColumn("__i", row_number().over(Window.orderBy("t")))
+      .withColumn("__numer",
+        col("__n").cast("decimal(38,0)") * col("__p") -
+          col("__i").cast("decimal(38,0)") * col("__s"))
+    scored
+      .orderBy(abs(col("__numer")).desc, col("t"))
+      .limit(1)
+      .select(
+        col("__n").as("n"),
+        round(col("__s").cast("double") /
+          col("__n").cast("double") / 1e6, 6).as("mean"),
+        col("t").as("t_at_max"),
+        round(abs(col("__numer")).cast("double") /
+          col("__n").cast("double") / 1e6, 6).as("max_cusum"),
+        (signum(col("__numer").cast("double")) * -1.0).cast("int").as("direction"))
+  }
+}

@@ -233,8 +233,43 @@ object JoinQueries extends QueryGroup {
       QUALIFY row_number() OVER (PARTITION BY l_key ORDER BY dist, r_key) = 1
       ORDER BY l_key"""))
 
+  /** Entity resolution with the Jaro–Winkler scorer
+    * (EntityMatch.bestMatchJaroWinkler + the codegen JaroWinkler
+    * expression): same dirty-name setup as q134, but similarity-scored —
+    * the prefix boost keeps a last-char corruption at ≥0.95 while
+    * Levenshtein treats it like any other edit. Blocking identical to
+    * q134 (16-char prefix); the oracle replays DuckDB's NATIVE
+    * jaro_winkler_similarity inside the same blocked join. */
+  val q192JwMatch = QueryDef(
+    "q192_jw_match",
+    (s, d) => {
+      import graft.ops.EntityMatch
+      val clean = Tables.customer(s, d)
+      val dirty = clean.select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0,
+          concat(substring(col("c_name"), 1, 17), lit("~")))
+          .otherwise(col("c_name")).as("dirty_name"))
+      EntityMatch.bestMatchJaroWinkler(dirty, clean,
+          "c_custkey", "dirty_name", "c_custkey", "c_name",
+          t => substring(t, 1, 16), minSim = 0.9)
+        .orderBy("l_key")
+    },
+    Some("""WITH dirty AS (
+        SELECT c_custkey AS l_key,
+          CASE WHEN c_custkey % 2 = 0 THEN substr(c_name, 1, 17) || '~'
+               ELSE c_name END AS l_text
+        FROM customer),
+      pairs AS (
+        SELECT l_key, c_custkey AS r_key,
+          ROUND(jaro_winkler_similarity(l_text, c_name), 6) AS sim
+        FROM dirty JOIN customer ON substr(l_text, 1, 16) = substr(c_name, 1, 16)
+        WHERE ROUND(jaro_winkler_similarity(l_text, c_name), 6) >= 0.9)
+      SELECT l_key, r_key, sim FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY l_key ORDER BY sim DESC, r_key) = 1
+      ORDER BY l_key"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q16Join3Revenue, q17AntiJoin, q18SemiJoin, q19GeoThetaJoin,
     q20RemapFallback, q24SetOps, q25CacheLookup, q132MergeUpsert,
-    q134FuzzyMatch)
+    q134FuzzyMatch, q192JwMatch)
 }

@@ -423,9 +423,65 @@ object MonitoringQueries extends QueryGroup {
         ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6) AS w1
       FROM t"""))
 
+  /** Classical seasonal decomposition of the daily event-volume curve
+    * (TimeSeries.seasonalDecompose): centered 7-day trend, zero-sum
+    * weekday seasonal, residual — the monitoring view separating weekly
+    * rhythm from real drift. One data pass collapses events to ≤#days. */
+  val q193Seasonal = QueryDef(
+    "q193_seasonal",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      graft.ops.TimeSeries.seasonalDecompose(daily, col("day"), col("y"),
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)),
+        period = 7)
+    },
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      tr AS (SELECT t, y,
+          (t - DATE '1970-01-01') % 7 AS phase,
+          CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT t, y, phase, trend, y - trend AS d FROM tr),
+      pm AS (SELECT phase, AVG(d) AS pm FROM det GROUP BY phase),
+      c AS (SELECT AVG(pm) AS c FROM pm)
+      SELECT t, y, ROUND(trend, 6) AS trend,
+        ROUND(pm - c, 6) AS seasonal,
+        ROUND(y - trend - (pm - c), 6) AS residual
+      FROM det LEFT JOIN pm USING (phase), c ORDER BY t"""))
+
+  /** CUSUM changepoint locator on the daily event-volume curve
+    * (TimeSeries.cusumChangepoint): the day where cumulative deviation
+    * from the mean peaks — integer-exact argmax in micro-units, so the
+    * winning day and its tie-break never depend on float summation. */
+  val q194Cusum = QueryDef(
+    "q194_cusum",
+    (s, d) => graft.ops.TimeSeries.cusumChangepoint(
+      Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      b AS (SELECT t, CAST(y * 1000000 AS HUGEINT) AS y6 FROM daily),
+      s AS (SELECT t, y6,
+          COUNT(*) OVER () AS n, SUM(y6) OVER () AS sa,
+          SUM(y6) OVER (ORDER BY t) AS p,
+          ROW_NUMBER() OVER (ORDER BY t) AS i FROM b),
+      sc AS (SELECT t, n, sa, n * p - i * sa AS numer FROM s)
+      SELECT CAST(n AS BIGINT) AS n,
+        ROUND(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        t AS t_at_max,
+        ROUND(ABS(CAST(numer AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0, 6)
+          AS max_cusum,
+        CAST(CASE WHEN numer > 0 THEN -1 WHEN numer < 0 THEN 1 ELSE 0 END
+          AS INTEGER) AS direction
+      FROM sc ORDER BY ABS(numer) DESC, t LIMIT 1"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
-    q186Wasserstein)
+    q186Wasserstein, q193Seasonal, q194Cusum)
 }

@@ -788,11 +788,36 @@ object StatsQueries extends QueryGroup {
                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS rho
       FROM s"""))
 
+  /** Quantity-weighted median price per return flag
+    * (Stats.weightedMedian): the smallest price whose cumulative quantity
+    * reaches half the flag's total — exact decimal threshold test, ties
+    * collapsed map-side, windows keyed by group. */
+  val q195WeightedMedian = QueryDef(
+    "q195_weighted_median",
+    (s, d) => Stats.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+      col("l_extendedprice"), col("l_quantity")),
+    Some("""WITH b AS (SELECT l_returnflag,
+          CAST(l_extendedprice AS DOUBLE) AS v,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+        GROUP BY 1, 2),
+      c AS (SELECT l_returnflag, v, w,
+          SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+          SUM(w) OVER (PARTITION BY l_returnflag) AS tot,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS nv FROM b)
+      SELECT l_returnflag, CAST(MAX(nv) AS BIGINT) AS n_values,
+        CAST(MAX(tot) AS DOUBLE) AS total_weight,
+        MIN(v) AS weighted_median
+      FROM c WHERE cum * 2 >= tot
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
-    q190Spearman)
+    q190Spearman, q195WeightedMedian)
 }

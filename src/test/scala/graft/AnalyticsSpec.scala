@@ -256,6 +256,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped == got, "oversized basket must not perturb the stats")
   }
 
+  test("seasonalDecompose: pure trend -> zero seasonal/residual; planted " +
+      "period-3 pattern recovered exactly; edges have null trend") {
+    import graft.ops.TimeSeries
+    // pure linear trend: centered MA reproduces it, nothing else remains
+    val lin = (1 to 9).map(i => (i, i.toDouble)).toDF("t", "y")
+    val l = TimeSeries.seasonalDecompose(lin, $"t", $"y",
+        pmod($"t" - 1, lit(3)), period = 3)
+      .as[(Int, Double, Option[Double], Double, Option[Double])]
+      .collect().toSeq
+    assert(l.head._3.isEmpty && l.last._3.isEmpty, "edge trend must be null")
+    l.filter(_._3.isDefined).foreach { case (t, _, tr, s, r) =>
+      assert(tr.get == t.toDouble && s == 0.0 && r.get == 0.0,
+        s"pure trend decomposed wrong at t=$t: ($tr, $s, $r)")
+    }
+
+    // planted [5,8,5] cycle: trend 6 everywhere, seasonal (-1, 2, -1)
+    val cyc = (1 to 9).map(i =>
+      (i, Seq(5.0, 8.0, 5.0)((i - 1) % 3))).toDF("t", "y")
+    val c = TimeSeries.seasonalDecompose(cyc, $"t", $"y",
+        pmod($"t" - 1, lit(3)), period = 3)
+      .as[(Int, Double, Option[Double], Double, Option[Double])]
+      .collect().toSeq
+    c.filter(_._3.isDefined).foreach { case (t, _, tr, s, r) =>
+      val wantS = Seq(-1.0, 2.0, -1.0)((t - 1) % 3)
+      assert(tr.get == 6.0 && s == wantS && r.get == 0.0,
+        s"cycle decomposed wrong at t=$t: ($tr, $s, $r)")
+    }
+  }
+
+  test("cusumChangepoint: level shift located exactly, direction signed, " +
+      "argmax tie breaks to the earliest period") {
+    import graft.ops.TimeSeries
+    // flat 0s then flat 10s: |CUSUM| peaks at the last pre-shift period
+    val up = Seq((1, 0.0), (2, 0.0), (3, 0.0), (4, 10.0), (5, 10.0), (6, 10.0))
+      .toDF("t", "y")
+    val u = TimeSeries.cusumChangepoint(up, $"t", $"y")
+      .as[(Long, Double, Int, Double, Int)].head()
+    assert(u == ((6L, 5.0, 3, 15.0, 1)), s"upward shift mislocated: $u")
+
+    // downward shift flips the sign
+    val down = Seq((1, 10.0), (2, 10.0), (3, 0.0), (4, 0.0)).toDF("t", "y")
+    val dn = TimeSeries.cusumChangepoint(down, $"t", $"y")
+      .as[(Long, Double, Int, Double, Int)].head()
+    assert(dn._3 == 2 && dn._5 == -1, s"downward shift mislocated: $dn")
+
+    // symmetric two-point series: equal |CUSUM| -> earliest t wins
+    val tie = Seq((1, 1.0), (2, 2.0)).toDF("t", "y")
+    val tt = TimeSeries.cusumChangepoint(tie, $"t", $"y")
+      .as[(Long, Double, Int, Double, Int)].head()
+    assert(tt._3 == 1, s"tie must break to the earliest period: $tt")
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists

@@ -52,6 +52,12 @@ class QueriesSpec extends SparkSpec {
     *         (TextAnalysis.pmiCollocations, the q89/q103 scalar-total shape)
     *  - q172: the day-list × frozen-reference densify grid + the 1-row
     *         min-day/total frames (Drift.psiAgainstReference, q153's shape)
+    *  - q187: the 1-row global-max-timestamp frame attached per subject
+    *         (EventAnalytics.userLifetimes, the q89 scalar-total shape)
+    *  - q189: the 1-row basket-count frame attached to the pair table
+    *         (Baskets.pairLift lift denominator)
+    *  - q193: the 1-row seasonal-center frame attached to the ≤#days
+    *         series (TimeSeries.seasonalDecompose re-centering)
     */
   private val bnljIntended = Set(
     "q19_geo_theta_join", "q24_set_ops", "q48_cosine_topk", "q65_ivf_topk",
@@ -62,7 +68,8 @@ class QueriesSpec extends SparkSpec {
     "q143_ivf_probe_saved", "q153_psi_timeline", "q156_chi_square",
     "q166_cohen_kappa", "q171_pmi_collocations", "q172_psi_vs_reference",
     "q174_mutual_info", // three 1-row frames (entropies + MI) combined
-    "q180_bootstrap_ci") // 1-row full-sample frame × 1-row resample stats
+    "q180_bootstrap_ci", // 1-row full-sample frame × 1-row resample stats
+    "q187_kaplan_meier", "q189_basket_lift", "q193_seasonal")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

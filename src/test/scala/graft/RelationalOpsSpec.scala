@@ -253,6 +253,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("JW best match: exact copy beats near-copy, prefix boost keeps a " +
+      "last-char corruption high, ties break on min r_key") {
+    val clean = Seq((1L, "martha"), (2L, "marhta"), (3L, "marlin"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "marhta")).toDF("id", "name")
+    val got = EntityMatch.bestMatchJaroWinkler(dirty, clean,
+        "id", "name", "id", "name", t => substring(t, 1, 3), minSim = 0.7)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 2L, 1.0)), s"exact copy must win: $got")
+
+    // identical right texts -> identical sims -> min r_key
+    val twins = Seq((5L, "martha"), (4L, "martha")).toDF("id", "name")
+    val tie = EntityMatch.bestMatchJaroWinkler(dirty, twins,
+        "id", "name", "id", "name", t => substring(t, 1, 3), minSim = 0.7)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(tie == Seq((10L, 4L, 0.961111)))
+
+    // corruption of the LAST char of a 18-char name stays above 0.95
+    // (prefix boost), while blocking still bounds the candidate set
+    val longClean = Seq((7L, "Customer#000000042")).toDF("id", "name")
+    val longDirty = Seq((70L, "Customer#00000004~")).toDF("id", "name")
+    val sim = EntityMatch.bestMatchJaroWinkler(longDirty, longClean,
+        "id", "name", "id", "name", t => substring(t, 1, 16), minSim = 0.9)
+      .as[(Long, Long, Double)].head()._3
+    assert(sim > 0.95, s"prefix boost lost: $sim")
+  }
+
   // ---- Scd ----
 
   test("scd2 collapses consecutive duplicates and chains validity") {

@@ -563,6 +563,35 @@ class StatsSpec extends SparkSpec {
     assert(p1 == p8, s"spearman depends on partitioning: $p1 vs $p8")
   }
 
+  // --- weightedMedian --------------------------------------------------
+
+  test("weightedMedian: lower-median contract on hand cases, heavy row " +
+      "outvotes many light rows, per-group independence") {
+    // {1:w1, 2:w1, 3:w2}: tot=4, first value with 2*cum >= tot is 2
+    val a = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
+      .toDF("g", "v", "w")
+    assert(Stats.weightedMedian(a, "g", $"v", $"w")
+      .as[(String, Long, Double, Double)].head() == (("g", 3L, 4.0, 2.0)))
+
+    // even split: the LOWER median by contract
+    val b = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0)).toDF("g", "v", "w")
+    assert(Stats.weightedMedian(b, "g", $"v", $"w")
+      .as[(String, Long, Double, Double)].head()._4 == 1.0)
+
+    // one heavy row at 100 against ten light rows at 1..10
+    val c = ((1 to 10).map(i => ("h", i.toDouble, 1.0)) :+ (("h", 100.0, 50.0)))
+      .toDF("g", "v", "w")
+    assert(Stats.weightedMedian(c, "g", $"v", $"w")
+      .as[(String, Long, Double, Double)].head()._4 == 100.0)
+
+    // groups are independent; zero/negative weights are dropped
+    val d = Seq(("x", 1.0, 2.0), ("x", 9.0, 1.0), ("y", 5.0, 1.0),
+      ("y", 7.0, 0.0)).toDF("g", "v", "w")
+    val got = Stats.weightedMedian(d, "g", $"v", $"w")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("x", 2L, 3.0, 1.0), ("y", 1L, 1.0, 5.0)))
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
