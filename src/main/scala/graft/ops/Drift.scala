@@ -266,6 +266,45 @@ object Drift {
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_stat"))
   }
 
+  /** Pairwise VOCABULARY Jaccard between groups: |V_a ∩ V_b| / |V_a ∪ V_b|
+    * over each group's distinct term set — the set-overlap complement to
+    * [[jsdPairs]] (JSD weighs by frequency; vocab Jaccard asks only "do
+    * these sources even use the same words?", the cheap first-pass
+    * interchangeability screen). Output: (a, b, n_a, n_b, n_common,
+    * jaccard rounded 6), ordered by (a, b).
+    *
+    * Scale shape: one explode+distinct collapses the corpus to (group,
+    * term); vocab sizes are a ≤#groups broadcast; the intersection join is
+    * TERM-keyed (per-term fan-out ≤ #groups², never corpus-sized), and the
+    * union term needs no second pass — |∪| = |V_a| + |V_b| − |∩|.
+    */
+  def vocabJaccardPairs(docs: DataFrame, group: Column,
+      text: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val vocabRaw = docs
+      .select(group.cast("string").as("g"),
+        explode(graft.text.TextAnalysis.tokens(text)).as("t"))
+      .filter(length(col("t")) > 0)
+      .distinct()
+    // snapshot: feeds the size table and BOTH sides of the term join
+    val vocab =
+      if (spark.sparkContext.getCheckpointDir.isDefined) vocabRaw.checkpoint(eager = true)
+      else vocabRaw.localCheckpoint(eager = true)
+    val sizes = vocab.groupBy("g").agg(count(lit(1)).as("nv"))
+    val inter = vocab.select(col("g").as("a"), col("t"))
+      .join(vocab.select(col("g").as("b"), col("t")), Seq("t"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("a"), col("nv").as("n_a"))), "a")
+      .join(broadcast(sizes.select(col("g").as("b"), col("nv").as("n_b"))), "b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6))
+      .select("a", "b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy("a", "b")
+  }
+
   /** Exact 1-D Wasserstein (earth-mover) distance between numeric samples
     * `a` and `b`: W₁ = ∫ |F_a(x) − F_b(x)| dx over the empirical CDFs —
     * the magnitude-aware complement to [[ksStatistic]] (KS says the CDFs

@@ -51,6 +51,45 @@ object TimeSeries {
       .orderBy("t")
   }
 
+  /** Holt linear (double-exponential) smoothing: per period the smoothed
+    * level and trend after observing it — the forecasting state a capacity
+    * planner reads off the volume curve (next-h forecast = level + h·trend).
+    * l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}), b_t = β(l_t − l_{t−1}) +
+    * (1−β)b_{t−1}, initialized l_1 = y_1, b_1 = 0 (prefix-computable — no
+    * lookahead). Output: (t, y, level, trend) rounded 6, ordered by t.
+    *
+    * Determinism: each row folds its PREFIX of the series through the
+    * identical left-to-right recursion on both engines (the q160 EWMA
+    * list-fold contract, with a (level, trend) struct as state) — same
+    * op order, bit-identical doubles, round 6. The O(n²) prefix refolds
+    * are over the ≤#periods report series, like every frame here.
+    */
+  def holtSmooth(series: DataFrame, t: Column, y: Column,
+      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+    val base = series.select(t.as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vals = collect_list(col("y")).over(w)
+    // the window list materializes FIRST (__vals); the fold references only
+    // that column — a window expression inside aggregate() is not analyzable
+    val folded = aggregate(
+      expr("slice(__vals, 2, greatest(size(__vals) - 1, 0))"),
+      struct(element_at(col("__vals"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val lNew = x * alpha + (acc.getField("l") + acc.getField("b")) * (1 - alpha)
+        struct(lNew.as("l"),
+          ((lNew - acc.getField("l")) * beta + acc.getField("b") * (1 - beta))
+            .as("b"))
+      })
+    base.withColumn("__vals", vals)
+      .withColumn("__st", folded)
+      .select(col("t"), col("y"),
+        round(col("__st.l"), 6).as("level"),
+        round(col("__st.b"), 6).as("trend"))
+      .orderBy("t")
+  }
+
   /** CUSUM changepoint locator: the period where the cumulative sum of
     * deviations from the series mean peaks in magnitude — the classic
     * "when did the level shift?" statistic (a flat series wanders near 0;

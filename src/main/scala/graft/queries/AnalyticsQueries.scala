@@ -180,7 +180,40 @@ object AnalyticsQueries extends QueryGroup {
           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS lift
       FROM j ORDER BY lift DESC, item_a, item_b LIMIT 20"""))
 
+  /** Triangle count of the co-order part graph (Graphs.triangleCount):
+    * edges = part pairs co-ordered ≥2 times, counted once per triangle at
+    * its lowest-(degree, id) corner — the arboricity-bounded wedge join,
+    * never the node-ordered hub square. */
+  val q198Triangles = QueryDef(
+    "q198_triangles",
+    (s, d) => {
+      val pres = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = pres.as("x").join(pres.as("y"), Seq("b"))
+        .filter(col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("u"), col("y.i").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      graft.ops.Graphs.triangleCount(edges, col("u"), col("v"))
+    },
+    Some("""WITH pres AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      e AS (SELECT x.i AS u, y.i AS v FROM pres x JOIN pres y USING (b)
+        WHERE x.i < y.i GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      nodes AS (SELECT COUNT(*) AS n_nodes FROM
+        (SELECT u AS n FROM e UNION SELECT v FROM e) t),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+      SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        n_triangles
+      FROM nodes, tri"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
-    q189BasketLift)
+    q189BasketLift, q198Triangles)
 }

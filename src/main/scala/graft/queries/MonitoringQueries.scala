@@ -479,9 +479,52 @@ object MonitoringQueries extends QueryGroup {
           AS INTEGER) AS direction
       FROM sc ORDER BY ABS(numer) DESC, t LIMIT 1"""))
 
+  /** Holt linear smoothing of the daily event volume
+    * (TimeSeries.holtSmooth): per-day level + trend state via the q160
+    * list-fold contract with a (level, trend) struct — the capacity
+    * planner's forecasting state, exact on both engines. */
+  val q196Holt = QueryDef(
+    "q196_holt",
+    (s, d) => graft.ops.TimeSeries.holtSmooth(
+      Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y"), alpha = 0.5, beta = 0.3),
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      l AS (SELECT t, y, list(y) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs FROM daily),
+      f AS (SELECT t, y, list_reduce(
+          list_prepend([vs[1], 0.0], list_transform(vs[2:], v -> [v, 0.0])),
+          (acc, x) -> [x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+            ((x[1] * 0.5 + (acc[1] + acc[2]) * 0.5) - acc[1]) * 0.3
+              + acc[2] * 0.7]) AS st
+        FROM l)
+      SELECT t, y, ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend
+      FROM f ORDER BY t"""))
+
+  /** Pairwise vocabulary Jaccard between sources
+    * (Drift.vocabJaccardPairs): the set-overlap complement to q148's JSD —
+    * term-keyed intersection join, |∪| from the size identity. */
+  val q197VocabJaccard = QueryDef(
+    "q197_vocab_jaccard",
+    (s, d) => Drift.vocabJaccardPairs(Tables.documents(s, d),
+      col("source"), col("text")),
+    Some("""WITH v AS (SELECT DISTINCT g, t FROM (
+          SELECT source AS g, unnest(string_split(text, ' ')) AS t
+          FROM documents) raw WHERE len(t) > 0),
+      sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nv FROM v GROUP BY g),
+      inter AS (SELECT x.g AS a, y.g AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM v x JOIN v y ON x.t = y.t AND x.g < y.g GROUP BY 1, 2)
+      SELECT a, b, sa.nv AS n_a, sb.nv AS n_b, n_common,
+        ROUND(CAST(n_common AS DOUBLE)
+          / CAST(sa.nv + sb.nv - n_common AS DOUBLE), 6) AS jaccard
+      FROM inter JOIN sizes sa ON sa.g = inter.a
+        JOIN sizes sb ON sb.g = inter.b
+      ORDER BY a, b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
-    q186Wasserstein, q193Seasonal, q194Cusum)
+    q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard)
 }

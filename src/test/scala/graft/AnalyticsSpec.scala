@@ -308,6 +308,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(tt._3 == 1, s"tie must break to the earliest period: $tt")
   }
 
+  test("holtSmooth: constant series -> level = const, trend -> 0; hand " +
+      "two-step recursion; linear ramp tracked") {
+    import graft.ops.TimeSeries
+    val const = (1 to 10).map(i => (i, 5.0)).toDF("t", "y")
+    val c = TimeSeries.holtSmooth(const, $"t", $"y")
+      .as[(Int, Double, Double, Double)].collect().toSeq
+    assert(c.forall(r => r._3 == 5.0 && r._4 == 0.0), s"constant series: $c")
+
+    // hand: y=[10, 20], alpha=.5, beta=.3: l1=10 b1=0;
+    // l2 = .5*20 + .5*10 = 15; b2 = .3*(15-10) + .7*0 = 1.5
+    val two = Seq((1, 10.0), (2, 20.0)).toDF("t", "y")
+    val h = TimeSeries.holtSmooth(two, $"t", $"y")
+      .as[(Int, Double, Double, Double)].collect().toSeq
+    assert(h == Seq((1, 10.0, 10.0, 0.0), (2, 20.0, 15.0, 1.5)))
+
+    // long linear ramp: trend estimate converges near the true slope
+    val ramp = (1 to 60).map(i => (i, 3.0 * i)).toDF("t", "y")
+    val last = TimeSeries.holtSmooth(ramp, $"t", $"y")
+      .as[(Int, Double, Double, Double)].collect().last
+    assert(math.abs(last._4 - 3.0) < 0.2, s"ramp trend off: ${last._4}")
+  }
+
+  test("triangleCount: hand graphs — triangle, star, K4; direction/dup/" +
+      "self-loop cleaning") {
+    import graft.ops.Graphs
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      Graphs.triangleCount(edges.toDF("s", "d"), $"s", $"d")
+        .as[(Long, Long, Long)].head()
+
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == ((3L, 3L, 1L)))
+    // star: no triangles
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((4L, 3L, 0L)))
+    // K4: 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    // reversed duplicates, repeats and self-loops collapse away
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L),
+      (2L, 2L))) == ((3L, 3L, 1L)))
+  }
+
+  test("vocabJaccardPairs: identical vocab -> 1, disjoint -> 0, hand " +
+      "half-overlap") {
+    val docs = Seq(
+      ("s1", "a b c d"), ("s2", "a b c d"),  // identical
+      ("s3", "c d e f"),                     // half-overlap with s1
+      ("s4", "x y z w")                      // disjoint from s1
+    ).toDF("source", "text")
+    val got = Drift.vocabJaccardPairs(docs, $"source", $"text")
+      .select("a", "b", "jaccard").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    assert(got(("s1", "s3")) == r6d(2.0 / 6.0))
+    assert(!got.contains(("s1", "s4")), "disjoint pair must not emit a row")
+  }
+
+  private def r6d(x: Double): Double = math.round(x * 1e6) / 1e6
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists
