@@ -726,6 +726,101 @@ object Stats {
         round(covN / sqrt(varX * varY), 6)).as("rho"))
   }
 
+  /** Two-regressor OLS y = b0 + b1·x1 + b2·x2 by the closed-form normal
+    * equations (Cramér on the centered 2×2 system) — the first step past
+    * [[regrByGroup]]'s simple regression when one confounder must be held
+    * fixed. One row (n, b0, b1, b2, r2), null coefficients when the
+    * centered design matrix is singular (collinear or constant regressors).
+    *
+    * Exactness: all nine raw sums are DECIMAL (order-independent); the
+    * centered moments, determinant and coefficients replay the identical
+    * double formula from them on any engine; round 6. One map-side-
+    * combined aggregation over data rows, all algebra on the 1-row frame.
+    */
+  def ols2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val ok = y.isNotNull && x1.isNotNull && x2.isNotNull
+    val (yd, x1d, x2d) = (y.cast("double"), x1.cast("double"), x2.cast("double"))
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = df.filter(ok).agg(
+      count(lit(1)).as("n"),
+      s(x1d).as("s1"), s(x2d).as("s2"), s(yd).as("sy"),
+      s(x1d * x1d).as("s11"), s(x2d * x2d).as("s22"), s(x1d * x2d).as("s12"),
+      s(x1d * yd).as("s1y"), s(x2d * yd).as("s2y"),
+      s(yd * yd).as("syy"))
+    val n = col("n").cast("double")
+    val c11 = col("s11") - col("s1") * col("s1") / n
+    val c22 = col("s22") - col("s2") * col("s2") / n
+    val c12 = col("s12") - col("s1") * col("s2") / n
+    val c1y = col("s1y") - col("s1") * col("sy") / n
+    val c2y = col("s2y") - col("s2") * col("sy") / n
+    val cyy = col("syy") - col("sy") * col("sy") / n
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = (col("sy") - b1 * col("s1") - b2 * col("s2")) / n
+    val okFit = col("n") >= 3 && det > 0
+    agg.select(
+      col("n"),
+      when(okFit, round(b0, 6)).as("b0"),
+      when(okFit, round(b1, 6)).as("b1"),
+      when(okFit, round(b2, 6)).as("b2"),
+      when(okFit && cyy > 0,
+        round((b1 * c1y + b2 * c2y) / cyy, 6)).as("r2"))
+  }
+
+  /** Lorenz curve of group-size concentration at deciles — the visual
+    * companion to [[giniConcentration]]: after the smallest d/10 of groups
+    * (by size, id tie-break), what share of total mass do they hold? A
+    * 45° line is perfect equality; the farther below, the more the corpus
+    * concentrates in a few heavy groups. Output per decile 1..10:
+    * (decile, n_groups, pop_share, mass_share) rounded 6.
+    *
+    * One data pass collapses rows to group sizes; the rank/cumsum windows
+    * run over the ≤#groups report table (the gini contract). */
+  def lorenzDeciles(df: DataFrame, group: Column): DataFrame = {
+    val sizes = df.filter(group.isNotNull)
+      .groupBy(group.as("g")).agg(count(lit(1)).as("sz"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bySize = Window.orderBy(col("sz"), col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sizes
+      .withColumn("__r", row_number().over(Window.orderBy(col("sz"), col("g"))))
+      .withColumn("__gtot", count(lit(1)).over(all))
+      .withColumn("__mtot", sum(col("sz")).over(all))
+      .withColumn("__cum", sum(col("sz")).over(bySize))
+      .withColumn("decile", ceil(col("__r") * 10 / col("__gtot")).cast("int"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        round(max(col("__r")).cast("double") /
+          max(col("__gtot")).cast("double"), 6).as("pop_share"),
+        round(max(col("__cum")).cast("double") /
+          max(col("__mtot")).cast("double"), 6).as("mass_share"))
+      .orderBy("decile")
+  }
+
+  /** Effective sample size under weighting, per group: ESS = (Σw)²/Σw²
+    * (Kish) and the design effect n/ESS — the sampling-suite health check
+    * that says how much signal a weighted corpus REALLY carries (heavy
+    * weight skew → ESS ≪ n → the mixture behaves like far fewer docs).
+    * One map-side-combined pass, decimal sums, round 6. */
+  def effectiveSampleSize(df: DataFrame, group: Column,
+      weight: Column): DataFrame = {
+    val w = weight.cast("double")
+    val agg = df.filter(group.isNotNull && weight.isNotNull && weight > 0)
+      .groupBy(group.as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(w.cast("decimal(38,8)")).cast("double").as("sw"),
+        sum((w * w).cast("decimal(38,8)")).cast("double").as("sw2"))
+    agg.select(
+      col("g"), col("n"),
+      round(col("sw") * col("sw") / col("sw2"), 6).as("ess"),
+      round(col("n").cast("double") * col("sw2") /
+        (col("sw") * col("sw")), 6).as("deff"))
+      .orderBy("g")
+  }
+
   /** Weighted median per group: the smallest value whose cumulative weight
     * reaches half the group total (the lower weighted median — exact, not
     * interpolated). The size-aware center a mixing pipeline reads when

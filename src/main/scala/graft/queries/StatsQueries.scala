@@ -813,11 +813,100 @@ object StatsQueries extends QueryGroup {
       FROM c WHERE cum * 2 >= tot
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Two-regressor OLS of extended price on quantity + discount
+    * (Stats.ols2): Cramér on the centered normal equations from nine
+    * exact decimal sums — q155's simple regression with a held-fixed
+    * confounder. */
+  val q199Ols2 = QueryDef(
+    "q199_ols2",
+    (s, d) => Stats.ols2(Tables.lineitem(s, d),
+      col("l_extendedprice"), col("l_quantity"), col("l_discount")),
+    Some("""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+            AS DOUBLE) AS s11,
+          CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8)))
+            AS DOUBLE) AS s22,
+          CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+            AS DOUBLE) AS s12,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+            AS DOUBLE) AS s1y,
+          CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,8)))
+            AS DOUBLE) AS s2y,
+          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
+            AS DOUBLE) AS syy
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+          AND l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      c AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, sy,
+          s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+          s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+          s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+          s1y - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+          s2y - s2 * sy / CAST(n AS DOUBLE) AS c2y,
+          syy - sy * sy / CAST(n AS DOUBLE) AS cyy FROM a),
+      e AS (SELECT n, nd, s1, s2, sy, c11, c22, c12, c1y, c2y, cyy,
+          c11 * c22 - c12 * c12 AS det FROM c),
+      f AS (SELECT n, nd, s1, s2, sy, c1y, c2y, cyy, det,
+          (c22 * c1y - c12 * c2y) / det AS b1,
+          (c11 * c2y - c12 * c1y) / det AS b2 FROM e)
+      SELECT n,
+        CASE WHEN n >= 3 AND det > 0
+          THEN ROUND((sy - b1 * s1 - b2 * s2) / nd, 6) END AS b0,
+        CASE WHEN n >= 3 AND det > 0 THEN ROUND(b1, 6) END AS b1,
+        CASE WHEN n >= 3 AND det > 0 THEN ROUND(b2, 6) END AS b2,
+        CASE WHEN n >= 3 AND det > 0 AND cyy > 0
+          THEN ROUND((b1 * c1y + b2 * c2y) / cyy, 6) END AS r2
+      FROM f"""))
+
+  /** Lorenz concentration deciles of per-user event mass
+    * (Stats.lorenzDeciles): the curve behind q167's Gini — cumulative
+    * mass share after the smallest d/10 of users. */
+  val q200Lorenz = QueryDef(
+    "q200_lorenz",
+    (s, d) => Stats.lorenzDeciles(Tables.events(s, d), col("user_id")),
+    Some("""WITH sizes AS (SELECT user_id AS g, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      r AS (SELECT g, sz,
+          ROW_NUMBER() OVER (ORDER BY sz, g) AS rn,
+          COUNT(*) OVER () AS gtot,
+          SUM(sz) OVER () AS mtot,
+          SUM(sz) OVER (ORDER BY sz, g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sizes)
+      SELECT CAST(CEIL(rn * 10 / CAST(gtot AS DOUBLE)) AS INTEGER) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        ROUND(CAST(MAX(rn) AS DOUBLE) / CAST(MAX(gtot) AS DOUBLE), 6)
+          AS pop_share,
+        ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(mtot) AS DOUBLE), 6)
+          AS mass_share
+      FROM r GROUP BY 1 ORDER BY decile"""))
+
+  /** Effective sample size of char-weighted docs per source
+    * (Stats.effectiveSampleSize): Kish ESS + design effect — how much
+    * signal the weighted mixture REALLY carries per slice. */
+  val q201Ess = QueryDef(
+    "q201_ess",
+    (s, d) => Stats.effectiveSampleSize(Tables.documents(s, d),
+        col("source"), col("n_chars"))
+      .withColumnRenamed("g", "source"),
+    Some("""WITH a AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(n_chars AS DECIMAL(38,8))) AS DOUBLE) AS sw,
+          CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+            AS DECIMAL(38,8))) AS DOUBLE) AS sw2
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        GROUP BY 1)
+      SELECT g AS source, n, ROUND(sw * sw / sw2, 6) AS ess,
+        ROUND(CAST(n AS DOUBLE) * sw2 / (sw * sw), 6) AS deff
+      FROM a ORDER BY g"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
-    q190Spearman, q195WeightedMedian)
+    q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess)
 }

@@ -592,6 +592,57 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq(("x", 2L, 3.0, 1.0), ("y", 1L, 1.0, 5.0)))
   }
 
+  // --- ols2 ------------------------------------------------------------
+
+  test("ols2: exact planted plane recovered with r2 = 1; collinear " +
+      "regressors -> null coefficients") {
+    // y = 2 + 3*x1 - 4*x2 exactly, on a non-degenerate design
+    val rows = for (i <- 1 to 20; j <- 1 to 3)
+      yield (i.toDouble, (j * 7 % 5).toDouble + i % 3,
+        2.0 + 3.0 * i - 4.0 * ((j * 7 % 5).toDouble + i % 3))
+    val df = rows.map { case (x1, x2, y) => (y, x1, x2) }.toDF("y", "x1", "x2")
+    val got = Stats.ols2(df, $"y", $"x1", $"x2")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got == ((60L, 2.0, 3.0, -4.0, 1.0)), s"plane not recovered: $got")
+
+    // x2 = 2*x1: singular centered system
+    val coll = (1 to 10).map(i => (i.toDouble, i.toDouble, 2.0 * i))
+      .toDF("y", "x1", "x2")
+    val c = Stats.ols2(coll, $"y", $"x1", $"x2").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("b1")) && c.isNullAt(c.fieldIndex("r2")))
+  }
+
+  // --- lorenzDeciles / effectiveSampleSize -----------------------------
+
+  test("lorenzDeciles: uniform sizes give the 45-degree line; one heavy " +
+      "group bends the curve; shares end at 1") {
+    val uni = (1 to 100).flatMap(g => Seq.fill(5)(g)).toDF("g")
+    val u = Stats.lorenzDeciles(uni, $"g")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(u.size == 10 && u.forall { case (d, n, p, m) =>
+      n == 10L && p == d / 10.0 && m == d / 10.0 })
+
+    // 9 groups of 1 + 1 group of 91: the last decile holds 91% of mass
+    val skew = ((1 to 9).map(g => (g, 1)) ++ Seq((10, 91)))
+      .flatMap { case (g, k) => Seq.fill(k)(g) }.toDF("g")
+    val sk = Stats.lorenzDeciles(skew, $"g")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(sk.last == ((10, 1L, 1.0, 1.0)))
+    assert(sk(8)._4 == 0.09, s"first 9 deciles must hold 9%: ${sk(8)}")
+  }
+
+  test("effectiveSampleSize: equal weights -> ess = n, deff = 1; one " +
+      "dominant weight -> ess near 1") {
+    val eq = (1 to 50).map(i => ("g", 10.0)).toDF("g", "w")
+    assert(Stats.effectiveSampleSize(eq, $"g", $"w")
+      .as[(String, Long, Double, Double)].head() == (("g", 50L, 50.0, 1.0)))
+
+    val dom = ((1 to 9).map(_ => ("h", 1.0)) :+ (("h", 1000.0))).toDF("g", "w")
+    val e = Stats.effectiveSampleSize(dom, $"g", $"w")
+      .as[(String, Long, Double, Double)].head()
+    assert(e._3 < 1.2 && e._4 > 8.0, s"dominated sample not flagged: $e")
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
