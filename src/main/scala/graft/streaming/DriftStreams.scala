@@ -35,6 +35,51 @@ object DriftStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("w"), col("bucket"), col("n"))
 
+  /** Running state of one CUSUM monitor key: observations seen and the
+    * cumulative deviation from the frozen reference mean. */
+  case class CusumState(n: Long, cusum: Double)
+
+  /** Streaming CUSUM level-shift monitor: per key (a metric name, an
+    * event type), the running cumulative deviation Σ(x − μ₀) against a
+    * FROZEN per-key reference mean — the online twin of the batch
+    * [[graft.ops.TimeSeries.cusumChangepoint]] (which uses the full-series
+    * mean retrospectively; online you monitor against what the reference
+    * corpus established). Emits one row per key per micro-batch:
+    * (key, n_seen, cusum, alarm) with alarm = |cusum| > threshold.
+    *
+    * State is ONE (count, double) pair per key — O(#keys) total, no
+    * per-event retention; keys absent from `refMeans` are dropped (no
+    * reference, no monitor). Deterministic given the batch boundaries:
+    * each micro-batch folds its rows in (no float-order guarantee across
+    * partitions — the batch SUM is what accumulates, matching how the
+    * batch CUSUM decimal-sums its prefix).
+    */
+  def cusumMonitor(events: DataFrame, keyCol: String, valueCol: String,
+      refMeans: Map[String, Double], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keys = refMeans.keySet
+    val typed = events
+      .select(col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("k").isin(keys.toSeq: _*))
+      .as[(String, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[CusumState, (String, Long, Double, Boolean)](
+        GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[CusumState]) =>
+          val mu0 = refMeans(k)
+          val prev = state.getOption.getOrElse(CusumState(0L, 0.0))
+          var n = prev.n
+          var c = prev.cusum
+          rows.foreach { case (_, v) => n += 1; c += v - mu0 }
+          state.update(CusumState(n, c))
+          (k, n, math.round(c * 1e6) / 1e6.toDouble, math.abs(c) > threshold)
+      }
+      .toDF("key", "n_seen", "cusum", "alarm")
+  }
+
   /** Attach the PSI scorer + upsert sink to a [[windowedHistogram]] stream:
     * every micro-batch of closed windows is scored against `ref`
     * ((bucket, q) probabilities, broadcast) and upserted into `targetDir`

@@ -500,4 +500,32 @@ class MlStreamingSpec extends SparkSpec {
     assert(streamed == batchPairs, s"stream ${streamed.size} vs batch ${batchPairs.size}")
   }
 
+  test("streaming CUSUM monitor: state accumulates across micro-batches, " +
+      "alarm crosses the threshold and recovers; unknown keys dropped") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.DriftStreams
+    val mem = MemoryStream[(String, Double)]
+    val out = DriftStreams.cusumMonitor(
+      mem.toDF().toDF("k", "v"), "k", "v",
+      refMeans = Map("lat" -> 10.0), threshold = 4.0)
+    val q = out.writeStream.format("memory").queryName("cusum_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: deviations +2 +3 -> cusum 5 -> alarm
+      mem.addData(("lat", 12.0), ("lat", 13.0), ("unknown", 99.0))
+      q.processAllAvailable()
+      val b1 = spark.table("cusum_test")
+        .as[(String, Long, Double, Boolean)].collect().toSet
+      assert(b1 == Set(("lat", 2L, 5.0, true)), s"batch 1: $b1")
+
+      // batch 2: deviation -2 -> cusum 3 -> recovered
+      mem.addData(("lat", 8.0))
+      q.processAllAvailable()
+      val b2 = spark.table("cusum_test")
+        .as[(String, Long, Double, Boolean)].collect()
+        .filter(_._2 == 3L).toSet
+      assert(b2 == Set(("lat", 3L, 3.0, false)), s"batch 2: $b2")
+    } finally q.stop()
+  }
+
 }
