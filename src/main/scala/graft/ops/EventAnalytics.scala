@@ -285,6 +285,75 @@ object EventAnalytics {
           col("__gmax_us") - lit(horizonDays * 86400000000L)).as("observed"))
   }
 
+  /** RFM segmentation: per subject the classic recency / frequency /
+    * monetary triple plus 1–5 quintile scores (5 = best: most recent,
+    * most frequent, highest spend) and the concatenated segment label.
+    * `monetaryWhen` picks which rows carry spend (e.g. purchase events).
+    *
+    * Determinism: quintiles are NTILE(5) over a TOTAL order (metric +
+    * subject id tie-break) — both engines implement the same standard
+    * equal-height ntile, so scores replicate exactly. Scale shape: one
+    * map-side-combined groupBy collapses events to the per-subject report
+    * table; the ntile windows run over that table (the gini/lorenz
+    * report-frame acceptance), and the stream-edge max is a 1-row
+    * broadcast.
+    */
+  def rfm(df: DataFrame, key: String, ts: String, value: Column,
+      monetaryWhen: Column): DataFrame = {
+    val us = unix_micros(col(ts))
+    val per = df.filter(col(ts).isNotNull)
+      .groupBy(key)
+      .agg(
+        max(us).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(monetaryWhen, value.cast("decimal(28,6)"))),
+          lit(0).cast("decimal(28,6)")).cast("double").as("monetary"))
+    val gmax = per.agg(max(col("__last_us")).as("__gmax_us"))
+    val base = per.crossJoin(broadcast(gmax))
+      .withColumn("recency_days",
+        expr("(__gmax_us - __last_us) DIV 86400000000"))
+    val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col(key)))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col(key)))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col(key)))
+    base
+      .withColumn("r", r).withColumn("f", f).withColumn("m", m)
+      .withColumn("rfm", concat(col("r"), col("f"), col("m")))
+      .select(col(key), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"), col("rfm"))
+      .orderBy(key)
+  }
+
+  /** Funnel conversion latency: subjects whose first `fromStep` is later
+    * followed by a `toStep`, with exact interpolated p50/p90 of the
+    * conversion delay in seconds — the "how long from view to purchase"
+    * number beside q139's conversion COUNTS. One row
+    * (n_converted, p50_s, p90_s).
+    *
+    * Two subject-keyed aggregations (first-from, then first-to-after,
+    * shuffle-aligned so AQE chains them) + a percentile over the
+    * converted-subject report frame. */
+  def funnelLatency(df: DataFrame, key: String, ts: String,
+      typeCol: String, fromStep: String, toStep: String): DataFrame = {
+    val us = unix_micros(col(ts))
+    val firstFrom = df.filter(col(typeCol) === fromStep && col(ts).isNotNull)
+      .groupBy(key).agg(min(us).as("__from_us"))
+    val firstToAfter = df.filter(col(typeCol) === toStep && col(ts).isNotNull)
+      .select(col(key), us.as("__to_us"))
+      .join(firstFrom, Seq(key))
+      .filter(col("__to_us") > col("__from_us"))
+      .groupBy(key).agg(min(col("__to_us")).as("__to_us"),
+        min(col("__from_us")).as("__from_us"))
+    firstToAfter
+      .select(((col("__to_us") - col("__from_us")).cast("double") / 1e6)
+        .as("__delta_s"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(element_at(percentile(col("__delta_s"),
+          array(lit(0.5), lit(0.9))), 1), 6).as("p50_s"),
+        round(element_at(percentile(col("__delta_s"),
+          array(lit(0.5), lit(0.9))), 2), 6).as("p90_s"))
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

@@ -213,7 +213,56 @@ object AnalyticsQueries extends QueryGroup {
         n_triangles
       FROM nodes, tri"""))
 
+  /** RFM segmentation of users (EventAnalytics.rfm): recency/frequency/
+    * monetary with deterministic NTILE(5) quintile scores (total order
+    * with id tie-break) and the concatenated segment label. */
+  val q202Rfm = QueryDef(
+    "q202_rfm",
+    (s, d) => EventAnalytics.rfm(Tables.events(s, d), "user_id", "ts",
+      col("value"), col("event_type") === "purchase"),
+    Some("""WITH per AS (SELECT user_id,
+          MAX(epoch_us(ts)) AS last_us,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS monetary
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      g AS (SELECT MAX(last_us) AS gmax FROM per),
+      b AS (SELECT user_id,
+          (gmax - last_us) // 86400000000 AS recency_days,
+          frequency, monetary FROM per, g),
+      sc AS (SELECT user_id, recency_days, frequency, monetary,
+          CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+            AS INTEGER) AS r,
+          CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f,
+          CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INTEGER) AS m
+        FROM b)
+      SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm
+      FROM sc ORDER BY user_id"""))
+
+  /** View→purchase conversion latency (EventAnalytics.funnelLatency):
+    * exact interpolated p50/p90 seconds from each user's first view to
+    * their first subsequent purchase — the latency beside q139's counts. */
+  val q203FunnelLatency = QueryDef(
+    "q203_funnel_latency",
+    (s, d) => EventAnalytics.funnelLatency(Tables.events(s, d), "user_id",
+      "ts", "event_type", fromStep = "view", toStep = "purchase"),
+    Some("""WITH ff AS (SELECT user_id, MIN(epoch_us(ts)) AS from_us
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1),
+      ta AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS to_us,
+          MIN(ff.from_us) AS from_us
+        FROM events e JOIN ff USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+          AND epoch_us(e.ts) > ff.from_us
+        GROUP BY 1),
+      d AS (SELECT CAST(to_us - from_us AS DOUBLE) / 1000000.0 AS delta_s
+        FROM ta)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        ROUND(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+        ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s
+      FROM d"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
-    q189BasketLift, q198Triangles)
+    q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency)
 }

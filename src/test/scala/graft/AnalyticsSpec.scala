@@ -365,6 +365,47 @@ class AnalyticsSpec extends SparkSpec {
 
   private def r6d(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("rfm: quintile scores follow the planted metric order; label " +
+      "concatenates; non-purchase users get monetary 0") {
+    import java.sql.Timestamp
+    def t(day: Int, k: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d 00:0$k%d:00")
+    // user i: i events, last on day i, one purchase worth 10*i (user 1
+    // never purchases)
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { k =>
+        val et = if (k == 1 && u > 1) "purchase" else "view"
+        (u.toLong, t(u, k), et, 10.0 * u)
+      }
+    }.toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rfm(rows, "user_id", "ts", col("value"),
+        col("event_type") === "purchase")
+      .as[(Long, Long, Long, Double, Int, Int, Int, String)].collect().toSeq
+    // 5 users, 5 quintiles: user 5 is best on all axes
+    assert(got.map(r => (r._1, r._5, r._6, r._7, r._8)) == Seq(
+      (1L, 1, 1, 1, "111"), (2L, 2, 2, 2, "222"), (3L, 3, 3, 3, "333"),
+      (4L, 4, 4, 4, "444"), (5L, 5, 5, 5, "555")))
+    assert(got.head._4 == 0.0, "non-purchaser must have monetary 0")
+    assert(got.map(_._2) == Seq(4L, 3L, 2L, 1L, 0L)) // recency vs day-5 edge
+  }
+
+  test("funnelLatency: first-view to first-later-purchase deltas, exact " +
+      "interpolated percentiles, pre-view purchases don't convert") {
+    import java.sql.Timestamp
+    def s(sec: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val rows = Seq(
+      (1L, s(0), "view"), (1L, s(100), "purchase"), (1L, s(500), "purchase"),
+      (2L, s(10), "view"), (2L, s(310), "purchase"),
+      (3L, s(50), "purchase"), (3L, s(60), "view") // purchase precedes view
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLatency(rows, "user_id", "ts",
+        "event_type", "view", "purchase")
+      .as[(Long, Double, Double)].head()
+    // deltas {100, 300}: p50 = 200, p90 = 280 (linear interpolation)
+    assert(got == ((2L, 200.0, 280.0)), s"latency stats: $got")
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists

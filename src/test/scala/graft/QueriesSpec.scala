@@ -69,7 +69,8 @@ class QueriesSpec extends SparkSpec {
     "q166_cohen_kappa", "q171_pmi_collocations", "q172_psi_vs_reference",
     "q174_mutual_info", // three 1-row frames (entropies + MI) combined
     "q180_bootstrap_ci", // 1-row full-sample frame × 1-row resample stats
-    "q187_kaplan_meier", "q189_basket_lift", "q193_seasonal")
+    "q187_kaplan_meier", "q189_basket_lift", "q193_seasonal",
+    "q202_rfm") // 1-row stream-edge max frame, as in q187
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
