@@ -416,6 +416,85 @@ class PropertiesSpec extends SparkSpec {
     }, n = 6)
   }
 
+  test("wasserstein1d: symmetric, zero on identical samples, exact on " +
+      "pure translations") {
+    import graft.ops.Drift
+    val xsGen = Gen.choose(2, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50, 50).map(_.toDouble / 2)))
+    check("w1", Prop.forAll(xsGen, Gen.choose(-10, 10)) { (xs, shift) =>
+      val a = xs.toDF("v")
+      val b = xs.map(_ + shift.toDouble).toDF("v")
+      val ab = Drift.wasserstein1d(a, b, $"v").as[(Long, Long, Double)].head()._3
+      val ba = Drift.wasserstein1d(b, a, $"v").as[(Long, Long, Double)].head()._3
+      val self = Drift.wasserstein1d(a, a, $"v").as[(Long, Long, Double)].head()._3
+      ab == ba && self == 0.0 && math.abs(ab - math.abs(shift)) < 1e-5
+    }, n = 8)
+  }
+
+  test("kaplanMeier: survival is within [0,1] and non-increasing in t") {
+    import graft.ops.Stats
+    val ltGen = Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, for {
+      d <- Gen.choose(0, 10); obs <- Gen.oneOf(true, false)
+    } yield (d.toLong, obs)))
+    check("km-monotone", Prop.forAll(ltGen) { lt =>
+      val curve = Stats.kaplanMeier(lt.toDF("dur", "obs"), $"dur", $"obs")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val s = curve.map(_._5)
+      s.forall(v => v >= 0.0 && v <= 1.0) &&
+        // round-6 on each point can locally invert by up to 1e-6
+        s.zip(s.drop(1)).forall { case (x, y) => y <= x + 1e-6 }
+    }, n = 12)
+  }
+
+  test("spearman: bounded in [-1,1], symmetric, invariant under a strictly " +
+      "monotone transform of one axis") {
+    import graft.ops.Stats
+    val rowsGen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, for {
+      x <- Gen.choose(-20, 20); y <- Gen.choose(-20, 20)
+    } yield (x.toDouble, y.toDouble)))
+    check("spearman-props", Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "y")
+      def rho(d: org.apache.spark.sql.DataFrame,
+          a: String, b: String): Option[Double] = {
+        val r = Stats.spearman(d, col(a), col(b)).collect()(0)
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      }
+      val xy = rho(df, "x", "y")
+      val yx = rho(df, "y", "x")
+      val mono = rho(df.withColumn("x", exp($"x" / 10)), "x", "y")
+      val bounded = xy.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+      bounded && xy == yx && xy == mono
+    }, n = 10)
+  }
+
+  test("lorenzDeciles: curve below the diagonal, non-decreasing, ends at 1") {
+    import graft.ops.Stats
+    val gGen = Gen.choose(3, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 12)))
+    check("lorenz", Prop.forAll(gGen) { sizes =>
+      val df = sizes.zipWithIndex
+        .flatMap { case (k, g) => Seq.fill(k)(g) }.toDF("g")
+      val cur = Stats.lorenzDeciles(df, $"g")
+        .as[(Int, Long, Double, Double)].collect().toSeq
+      val below = cur.forall { case (_, _, p, m) => m <= p + 1e-9 }
+      val mono = cur.map(_._4).zip(cur.map(_._4).drop(1))
+        .forall { case (a, b) => b >= a - 1e-9 }
+      below && mono && cur.last._3 == 1.0 && cur.last._4 == 1.0
+    }, n = 10)
+  }
+
+  test("effectiveSampleSize: 1 <= ess <= n, deff >= 1") {
+    import graft.ops.Stats
+    val wGen = Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 1000).map(_.toDouble)))
+    check("ess", Prop.forAll(wGen) { ws =>
+      val df = ws.map(("g", _)).toDF("g", "w")
+      val (_, n, ess, deff) = Stats.effectiveSampleSize(df, $"g", $"w")
+        .as[(String, Long, Double, Double)].head()
+      ess >= 1.0 - 1e-6 && ess <= n + 1e-6 && deff >= 1.0 - 1e-6
+    }, n = 12)
+  }
+
   test("wordNgrams: equals the sliding-window reference on arbitrary texts") {
     import graft.text.TextAnalysis
     // split(" ") semantics incl. empty tokens from doubled/leading spaces
