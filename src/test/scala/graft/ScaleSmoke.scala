@@ -85,6 +85,14 @@ object ScaleSmoke {
           ((col("id") * 7919L) % 9973).cast("double").as("y"))
       graft.ops.Stats.spearman(vals, col("x"), col("y")).count()
     }
+    time("triangles-2M-edges") {
+      // sparse random graph: 1M nodes, ~2M edges, avg degree ~4 -> wedge
+      // volume ~ sum(d^2)/2 stays millions, the degree-peeling contract
+      val es = spark.range(2000000L)
+        .select((col("id") % 1000000).as("s"),
+          ((col("id") * 7919L + 13L) % 1000000).as("d"))
+      graft.ops.Graphs.triangleCount(es, col("s"), col("d")).count()
+    }
     time("basket-lift-1M-baskets") {
       // 1M baskets x 5 items over a ~10k catalog -> ~10 pairs per basket
       // (prime modulus: a 10k modulus makes 1M*48271 = 0 mod catalog and
