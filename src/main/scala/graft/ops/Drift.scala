@@ -376,6 +376,65 @@ object Drift {
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("w1"))
   }
 
+  /** Two-sample Cramér–von Mises statistic: T = nm/(n+m)² · Σ_z
+    * (F_a(z) − F_b(z))² over every observation z of the COMBINED sample
+    * (ties weighted by their multiplicity) — the L² member of the EDF
+    * drift family beside [[ksStatistic]] (sup) and [[wasserstein1d]] (L¹):
+    * more sensitive than KS to broad mid-distribution shifts, less to a
+    * single extreme gap. Returns ONE row (n_a, n_b, cvm rounded 6).
+    *
+    * Scale shape: identical distributed-ECDF scaffold as KS — tie-collapse
+    * groupBy, range-partitioned per-partition prefix sums, ≤`partitions`-
+    * row offset barrier. Per-value terms (fa−fb)²·(ca+cb) round to 8 and
+    * DECIMAL-sum (order-independent); the nm/(n+m)² scaling is one final
+    * scalar multiply.
+    */
+  def cvmStatistic(a: DataFrame, b: DataFrame, value: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = a.sparkSession
+    def side(df: DataFrame, ca: Int, cb: Int): DataFrame =
+      df.select(value.cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
+    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+      .groupBy("v")
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nA = partTotals.map(_._2).sum
+    val nB = partTotals.map(_._3).sum
+    import spark.implicits._
+    if (nA == 0L || nB == 0L)
+      return Seq((nA, nB)).toDF("n_a", "n_b")
+        .withColumn("cvm", lit(null).cast("double"))
+    val offsets = partTotals.scanLeft((0, 0L, 0L)) {
+      case ((_, accA, accB), (pid, ta, tb)) => (pid, accA + ta, accB + tb)
+    }
+    val offDf = partTotals.map(_._1).zip(offsets.map(o => (o._2, o._3)))
+      .map { case (pid, (oa, ob)) => (pid, oa, ob) }
+      .toSeq.toDF("__pid", "offa", "offb")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scale = nA.toDouble * nB.toDouble /
+      ((nA + nB).toDouble * (nA + nB).toDouble)
+    snap.join(broadcast(offDf), "__pid")
+      .withColumn("fa", (col("offa") + sum(col("ca")).over(w)).cast("double") / nA)
+      .withColumn("fb", (col("offb") + sum(col("cb")).over(w)).cast("double") / nB)
+      .withColumn("__t", round(
+        (col("fa") - col("fb")) * (col("fa") - col("fb")) *
+          (col("ca") + col("cb")).cast("double"), 8).cast("decimal(28,8)"))
+      .agg(round(sum(col("__t")).cast("double") * scale, 6).as("cvm"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("cvm"))
+  }
+
   /** Pairwise Jensen-Shannon divergence between the unigram term
     * distributions of each group (e.g. corpus source) — the symmetric,
     * bounded [0, ln 2] corpus-similarity matrix a mixing pipeline reads to

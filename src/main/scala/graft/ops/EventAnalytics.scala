@@ -354,6 +354,46 @@ object EventAnalytics {
           array(lit(0.5), lit(0.9))), 2), 6).as("p90_s"))
   }
 
+  /** Inter-arrival statistics per event type: within each (type, subject)
+    * stream, the gaps between consecutive events — count, mean, coefficient
+    * of variation (CV ≈ 1 ⇒ Poisson-like memoryless arrivals, ≪1 ⇒
+    * scheduled/heartbeat, ≫1 ⇒ bursty), and the exact interpolated median
+    * gap. The point-process fingerprint bot detection and capacity models
+    * read per event class.
+    *
+    * Exactness: gaps are exact µs-integer differences scaled to seconds
+    * (6 decimals); their sums and squared sums are lossless
+    * DECIMAL(38,12) (no rounding-mode hazard); mean/CV replay the
+    * identical double formula, round 6. Scale: the lag runs inside the
+    * (type, subject) key shuffle; aggregation map-side combines.
+    */
+  def interArrival(df: DataFrame, key: String, ts: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val us = unix_micros(col(ts))
+    val w = Window.partitionBy(col(typeCol), col(key))
+      .orderBy(col(ts), col(tieCol))
+    val deltas = df.filter(col(ts).isNotNull)
+      .withColumn("__prev", lag(us, 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__d", (us - col("__prev")).cast("double") / 1e6)
+    val agg = deltas.groupBy(typeCol)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__d").cast("decimal(38,12)")).cast("double").as("__s"),
+        sum((col("__d") * col("__d")).cast("decimal(38,12)"))
+          .cast("double").as("__s2"),
+        percentile(col("__d"), lit(0.5)).as("__p50"))
+    val n = col("n_gaps").cast("double")
+    val mean = col("__s") / n
+    val variance = (col("__s2") - col("__s") * col("__s") / n) / (n - 1)
+    agg.select(col(typeCol), col("n_gaps"),
+        round(mean, 6).as("mean_s"),
+        when(col("n_gaps") >= 2 && mean > 0 && variance > 0,
+          round(sqrt(variance) / mean, 6)).as("cv"),
+        round(col("__p50"), 6).as("p50_s"))
+      .orderBy(typeCol)
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

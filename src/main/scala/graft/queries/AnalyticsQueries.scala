@@ -262,7 +262,37 @@ object AnalyticsQueries extends QueryGroup {
         ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s
       FROM d"""))
 
+  /** Inter-arrival fingerprint per event type
+    * (EventAnalytics.interArrival): gap count / mean / CV / exact median
+    * within each (type, user) stream — CV≈1 memoryless, ≪1 heartbeat,
+    * ≫1 bursty. */
+  val q205InterArrival = QueryDef(
+    "q205_interarrival",
+    (s, d) => EventAnalytics.interArrival(Tables.events(s, d), "user_id",
+      "ts", "event_type", tieCol = "event_id"),
+    Some("""WITH dd AS (SELECT event_type,
+          epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY event_type, user_id ORDER BY ts, event_id) AS gap_us
+        FROM events WHERE ts IS NOT NULL),
+      g AS (SELECT event_type, CAST(gap_us AS DOUBLE) / 1000000.0 AS d
+        FROM dd WHERE gap_us IS NOT NULL),
+      a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+          quantile_cont(d, 0.5) AS p50 FROM g GROUP BY 1)
+      SELECT event_type, n_gaps,
+        ROUND(s / CAST(n_gaps AS DOUBLE), 6) AS mean_s,
+        CASE WHEN n_gaps >= 2 AND s / CAST(n_gaps AS DOUBLE) > 0
+            AND (s2 - s * s / CAST(n_gaps AS DOUBLE))
+              / (CAST(n_gaps AS DOUBLE) - 1) > 0
+          THEN ROUND(SQRT((s2 - s * s / CAST(n_gaps AS DOUBLE))
+            / (CAST(n_gaps AS DOUBLE) - 1))
+            / (s / CAST(n_gaps AS DOUBLE)), 6) END AS cv,
+        ROUND(p50, 6) AS p50_s
+      FROM a ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
-    q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency)
+    q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
+    q205InterArrival)
 }

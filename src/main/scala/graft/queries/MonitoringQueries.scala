@@ -522,9 +522,48 @@ object MonitoringQueries extends QueryGroup {
         JOIN sizes sb ON sb.g = inter.b
       ORDER BY a, b"""))
 
+  /** Two-sample Cramér–von Mises drift statistic on event values, even vs
+    * odd event ids (Drift.cvmStatistic): the L² member of the EDF family
+    * beside q149's KS-sup and q186's Wasserstein-L¹ — same distributed-
+    * ECDF scaffold, terms weighted by tie multiplicity. */
+  val q204Cvm = QueryDef(
+    "q204_cvm",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      Drift.cvmStatistic(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        col("value"))
+    },
+    Some("""WITH s AS (SELECT value AS v,
+          CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+          CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        FROM events WHERE value IS NOT NULL),
+      h AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+          CAST(SUM(ib) AS BIGINT) AS cb FROM s GROUP BY v),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb FROM h),
+      c AS (SELECT v, ca, cb,
+          CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE) AS cca,
+          CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE) AS ccb FROM h),
+      t AS (SELECT ROUND(
+          (cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))
+          * (cca / CAST(na AS DOUBLE) - ccb / CAST(nb AS DOUBLE))
+          * CAST(ca + cb AS DOUBLE), 8) AS term
+        FROM c, tot),
+      sc AS (SELECT CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS scale
+        FROM tot)
+      SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE)
+          * (SELECT scale FROM sc), 6) AS cvm
+      FROM t"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
-    q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard)
+    q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
+    q204Cvm)
 }

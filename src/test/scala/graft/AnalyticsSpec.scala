@@ -406,6 +406,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == ((2L, 200.0, 280.0)), s"latency stats: $got")
   }
 
+  test("cvmStatistic: identical -> 0; hand-computed disjoint case; " +
+      "partition-count invariant") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    assert(Drift.cvmStatistic(a, a, $"v")
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 0.0)))
+
+    // a={1,2}, b={3,4}: terms 0.25+1+0.25+0 = 1.5, scale 4/16 -> 0.375
+    val b = Seq(3.0, 4.0).toDF("v")
+    assert(Drift.cvmStatistic(a, b, $"v")
+      .as[(Long, Long, Double)].head() == ((2L, 2L, 0.375)))
+
+    val xs = (1 to 200).map(_.toDouble).toDF("v")
+    val ys = (1 to 200).map(_ + 0.5).toDF("v")
+    val p8 = Drift.cvmStatistic(xs, ys, $"v", partitions = 8)
+      .as[(Long, Long, Double)].head()
+    val p1 = Drift.cvmStatistic(xs, ys, $"v", partitions = 1)
+      .as[(Long, Long, Double)].head()
+    assert(p8 == p1, s"partitioned CvM diverged: $p8 vs $p1")
+  }
+
+  test("interArrival: hand-computed gaps within a (type, user) stream; " +
+      "single-event streams contribute nothing") {
+    import java.sql.Timestamp
+    def s(sec: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val rows = Seq(
+      (1L, 100L, s(0), "A"), (1L, 101L, s(10), "A"), (1L, 102L, s(30), "A"),
+      (2L, 103L, s(5), "A"),            // different user: no cross-user gap
+      (3L, 104L, s(0), "B")             // single event: no gaps for B
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.interArrival(rows, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // gaps for A: {10, 20}: mean 15, var 50, cv = sqrt(50)/15, p50 15
+    assert(got.size == 1 && got.head._1 == "A")
+    val (_, n, mean, cv, p50) = got.head
+    assert(n == 2L && mean == 15.0 && p50 == 15.0)
+    assert(cv == math.round(math.sqrt(50.0) / 15.0 * 1e6) / 1e6)
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists

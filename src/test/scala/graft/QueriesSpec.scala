@@ -70,7 +70,8 @@ class QueriesSpec extends SparkSpec {
     "q174_mutual_info", // three 1-row frames (entropies + MI) combined
     "q180_bootstrap_ci", // 1-row full-sample frame × 1-row resample stats
     "q187_kaplan_meier", "q189_basket_lift", "q193_seasonal",
-    "q202_rfm") // 1-row stream-edge max frame, as in q187
+    "q202_rfm", // 1-row stream-edge max frame, as in q187
+    "q198_triangles") // 1-row node/edge totals × 1-row triangle count
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
