@@ -394,6 +394,45 @@ object EventAnalytics {
       .orderBy(typeCol)
   }
 
+  /** Entropy rate of the first-order Markov chain over event types:
+    * H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ with π the empirical prev-state shares —
+    * ONE number for "how predictable are sessions" (0 = deterministic
+    * flows, ln k = uniform chaos); the scalar roll-up of
+    * [[markovTransitions]]' matrix for dashboards and bot thresholds.
+    * Returns (n_transitions, n_states, entropy_rate, max_entropy) —
+    * n_states counts distinct PREDECESSOR states (the support of π) and
+    * max_entropy = ln(n_states) is the uniform-chain ceiling for
+    * normalization.
+    *
+    * Exactness: per-cell terms −π·p·ln p round to 8 and DECIMAL-sum over
+    * the ≤|types|² cell table; one data pass (the lag inside the subject
+    * shuffle), everything after is report-sized. */
+  def markovEntropyRate(df: DataFrame, key: String, ts: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col(typeCol).isNotNull)
+      .groupBy(col("__prev").as("a"), col(typeCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byPrev = Window.partitionBy("a")
+    val nTot = sum(col("n")).over(all)
+    val pi = sum(col("n")).over(byPrev).cast("double") / nTot.cast("double")
+    val p = col("n").cast("double") / sum(col("n")).over(byPrev).cast("double")
+    val term = round(-pi * p * log(p), 8)
+    pairs
+      .withColumn("__t", term.cast("decimal(28,8)"))
+      .withColumn("__n", nTot)
+      .withColumn("__k", size(collect_set(col("a")).over(all)))
+      .groupBy()
+      .agg(
+        max(col("__n")).as("n_transitions"),
+        max(col("__k")).cast("bigint").as("n_states"),
+        round(sum(col("__t")).cast("double"), 6).as("entropy_rate"),
+        round(log(max(col("__k")).cast("double")), 6).as("max_entropy"))
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

@@ -291,8 +291,38 @@ object AnalyticsQueries extends QueryGroup {
         ROUND(p50, 6) AS p50_s
       FROM a ORDER BY event_type"""))
 
+  /** Markov entropy rate of session flows
+    * (EventAnalytics.markovEntropyRate): one number for "how predictable
+    * are sessions" — the scalar roll-up of q161's transition matrix, with
+    * ln(n_states) as the uniform ceiling. */
+  val q206EntropyRate = QueryDef(
+    "q206_entropy_rate",
+    (s, d) => EventAnalytics.markovEntropyRate(Tables.events(s, d),
+      "user_id", "ts", "event_type", tieCol = "event_id"),
+    Some("""WITH seq AS (SELECT user_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev
+        FROM events),
+      pairs AS (SELECT prev AS a, event_type AS b,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      t AS (SELECT a, b, n,
+          CAST(SUM(n) OVER () AS DOUBLE) AS ntot,
+          CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE) AS na FROM pairs),
+      terms AS (SELECT ROUND(-(na / ntot) * (CAST(n AS DOUBLE) / na)
+            * LN(CAST(n AS DOUBLE) / na), 8) AS term,
+          CAST(ntot AS BIGINT) AS ntr FROM t),
+      k AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS k FROM pairs)
+      SELECT (SELECT MAX(ntr) FROM terms) AS n_transitions,
+        (SELECT k FROM k) AS n_states,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6)
+          AS entropy_rate,
+        (SELECT ROUND(LN(CAST(k AS DOUBLE)), 6) FROM k) AS max_entropy
+      FROM terms"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
-    q205InterArrival)
+    q205InterArrival, q206EntropyRate)
 }

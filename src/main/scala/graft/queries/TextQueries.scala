@@ -843,11 +843,37 @@ object TextQueries extends QueryGroup {
       WHERE ROUND(jaro_winkler_similarity(p_name, 'small widget'), 6) > 0.75
       ORDER BY jw DESC, p_partkey"""))
 
+  /** Lexical-diversity corpus card per source
+    * (TextAnalysis.lexicalDiversity): vocab, TTR, hapax share, Simpson
+    * repeat probability — the templated-vs-fresh fingerprint beside
+    * q148's JSD and q197's vocab overlap. */
+  val q207LexicalDiversity = QueryDef(
+    "q207_lexical_diversity",
+    (s, d) => TextAnalysis.lexicalDiversity(Tables.documents(s, d),
+        col("source"), col("text"))
+      .withColumnRenamed("g", "source"),
+    Some("""WITH tf AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT source AS g, unnest(string_split(text, ' ')) AS t
+          FROM documents) raw
+        WHERE len(t) > 0 GROUP BY 1, 2),
+      a AS (SELECT g, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS vocab,
+          CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          CAST(SUM(CAST(tf * (tf - 1) AS DECIMAL(38,0))) AS DOUBLE) AS rep
+        FROM tf GROUP BY 1)
+      SELECT g AS source, n_tokens, vocab,
+        ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+          AS hapax_share,
+        CASE WHEN n_tokens >= 2 THEN ROUND(rep / (CAST(n_tokens AS DOUBLE)
+          * (CAST(n_tokens AS DOUBLE) - 1)), 6) END AS simpson
+      FROM a ORDER BY g"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
-    q171PmiCollocations, q191JaroWinkler)
+    q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity)
 }

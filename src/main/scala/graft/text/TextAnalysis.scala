@@ -402,4 +402,39 @@ object TextAnalysis {
             / sum(col("n")), 6).as("nll"),
         sum(col("n")).as("n_tokens"))
   }
+
+  /** Lexical-diversity report per corpus slice: vocabulary size, token
+    * count, type-token ratio, hapax share (terms seen once — the
+    * "long-tail freshness" of a source), and the Simpson repeat
+    * probability Σ tf·(tf−1) / (N·(N−1)) (the chance two random tokens are
+    * the same type — high = templated/repetitive). The corpus-card row a
+    * mixing dashboard prints beside q148's JSD and q197's vocab overlap.
+    *
+    * Scale shape: ONE explode+groupBy collapses the corpus to (group,
+    * term) counts; everything after is a per-group aggregation of that
+    * vocab-sized table. Numerators are integer-exact DECIMAL sums; ratios
+    * round to 6.
+    */
+  def lexicalDiversity(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(group.as("g"), explode(tokens(text)).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("g", "t").agg(count(lit(1)).as("tf"))
+    val agg = tf.groupBy("g")
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum((col("tf") * (col("tf") - 1)).cast("decimal(38,0)"))
+          .cast("double").as("__rep"))
+    val n = col("n_tokens").cast("double")
+    agg.select(col("g"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / n, 6).as("ttr"),
+        round(col("__hapax").cast("double") /
+          col("vocab").cast("double"), 6).as("hapax_share"),
+        when(col("n_tokens") >= 2,
+          round(col("__rep") / (n * (n - 1)), 6)).as("simpson"))
+      .orderBy("g")
+  }
 }

@@ -446,6 +446,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(cv == math.round(math.sqrt(50.0) / 15.0 * 1e6) / 1e6)
   }
 
+  test("markovEntropyRate: deterministic alternation -> 0; fair coin " +
+      "chain -> ln 2") {
+    import java.sql.Timestamp
+    def t(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val alt = (0 until 9).map(i =>
+      (1L, i.toLong, t(i), if (i % 2 == 0) "A" else "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val a = EventAnalytics.markovEntropyRate(alt, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(Long, Long, Double, Double)].head()
+    assert(a == ((8L, 2L, 0.0, math.round(math.log(2) * 1e6) / 1e6)))
+
+    // A->A, A->B, B->A, B->B each exactly twice: H = ln 2
+    val seq2 = "AABBAABB A".replace(" ", "")
+    val coin = seq2.zipWithIndex.map { case (c, i) =>
+      (1L, i.toLong, t(i), c.toString)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val b = EventAnalytics.markovEntropyRate(coin, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(Long, Long, Double, Double)].head()
+    assert(b._3 == math.round(math.log(2) * 1e6) / 1e6, s"coin chain: $b")
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists

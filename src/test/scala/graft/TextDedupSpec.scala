@@ -81,6 +81,21 @@ class TextDedupSpec extends SparkSpec {
       .as[Double].map(r6 _).head() == 0.961111)
   }
 
+  test("lexicalDiversity: hand-computed TTR/hapax/Simpson; all-hapax " +
+      "source vs fully templated source") {
+    val docs = Seq(
+      ("s1", "a a b"),        // N=3 V=2 ttr=2/3 hapax=1/2 simpson=2/6
+      ("s2", "x y z"),        // all hapax: simpson 0
+      ("s3", "t t t t")       // one type: ttr 1/4, simpson 1
+    ).toDF("source", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, $"source", $"text")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 3L, 2L, 0.666667, 0.5, 0.333333),
+      ("s2", 3L, 3L, 1.0, 1.0, 0.0),
+      ("s3", 4L, 1L, 0.25, 0.0, 1.0)))
+  }
+
   test("graft_substr_score callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
