@@ -821,6 +821,71 @@ object Stats {
       .orderBy("g")
   }
 
+  /** Two-proportion z-test between the subjects where `side` is true
+    * (variant A) and false (variant B): conversion = `converted`, pooled
+    * standard error, one row (n_a, n_b, conv_a, conv_b, p_a, p_b, z) —
+    * the A/B experiment readout beside [[welchTTest]]'s mean comparison.
+    * Null z when a group is empty or the pooled rate is degenerate (0 or
+    * 1 — no variance, no test). All counts integer-exact; the z formula
+    * replays identically from them; round 6. ONE aggregation pass.
+    */
+  def twoProportionZTest(df: DataFrame, side: Column,
+      converted: Column): DataFrame = {
+    val agg = df.filter(side.isNotNull && converted.isNotNull)
+      .agg(
+        count(when(side, 1)).as("n_a"),
+        count(when(!side, 1)).as("n_b"),
+        count(when(side && converted, 1)).as("conv_a"),
+        count(when(!side && converted, 1)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    val ok = col("n_a") > 0 && col("n_b") > 0 && pPool > 0 && pPool < 1
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, round(pa, 6)).as("p_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("p_b"),
+      when(ok, round((pa - pb) / se, 6)).as("z"))
+  }
+
+  /** ABC (Pareto) classification of items by cumulative value share:
+    * items ranked by value descending (id tie-break), class A while the
+    * cumulative share is within `aCut` (default 0.8), B within `bCut`
+    * (0.95), else C — the inventory-analysis standard ("which 20% of
+    * parts carry 80% of revenue"). Output per item: (item, value, rank,
+    * cum_share rounded 6, abc_class), ordered by rank.
+    *
+    * The CALLER aggregates data rows to the per-item value table; ranks
+    * and prefix sums here run over that item-catalog-sized report frame
+    * (the gini/lorenz acceptance). Value sums are decimal-exact; the
+    * class boundaries compare the ROUNDED share on both engines, so the
+    * A/B/C cut is engine-stable.
+    */
+  def abcClasses(perItem: DataFrame, item: Column, value: Column,
+      aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
+    val base = perItem.select(item.as("item"),
+        value.cast("decimal(28,6)").as("v"))
+      .filter(col("item").isNotNull && col("v").isNotNull)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byV = Window.orderBy(col("v").desc, col("item"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("v").desc, col("item"))).cast("bigint"))
+      .withColumn("__cum", sum(col("v")).over(byV))
+      .withColumn("__tot", sum(col("v")).over(all))
+      .withColumn("cum_share",
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B")
+          .otherwise("C"))
+      .select("item", "rank", "cum_share", "abc_class")
+      .orderBy("rank")
+  }
+
   /** Weighted median per group: the smallest value whose cumulative weight
     * reaches half the group total (the lower weighted median — exact, not
     * interpolated). The size-aware center a mixing pipeline reads when

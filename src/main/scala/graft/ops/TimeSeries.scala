@@ -90,6 +90,24 @@ object TimeSeries {
       .orderBy("t")
   }
 
+  /** Period-over-period change table: per period the metric, the prior
+    * period's value and the percent change — the WoW/MoM dashboard row.
+    * `series` is one row per period (caller-aggregated); lag + division
+    * run over that report frame. pct_change is null for the first period
+    * and when the prior value is 0 (a 0→x jump has no finite percent).
+    */
+  def pctChange(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val w = Window.orderBy("t")
+    base
+      .withColumn("prev", lag(col("y"), 1).over(w))
+      .withColumn("pct_change",
+        when(col("prev").isNotNull && col("prev") =!= 0.0,
+          round((col("y") - col("prev")) / col("prev"), 6)))
+      .orderBy("t")
+  }
+
   /** CUSUM changepoint locator: the period where the cumulative sum of
     * deviations from the series mean peaks in magnitude — the classic
     * "when did the level shift?" statistic (a flat series wanders near 0;

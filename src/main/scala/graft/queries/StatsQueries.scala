@@ -902,11 +902,101 @@ object StatsQueries extends QueryGroup {
         ROUND(CAST(n AS DOUBLE) * sw2 / (sw * sw), 6) AS deff
       FROM a ORDER BY g"""))
 
+  /** A/B two-proportion z-test (Stats.twoProportionZTest): even vs odd
+    * users on did-they-purchase — pooled-SE z with integer-exact counts,
+    * the experiment readout beside q157's Welch t on means. */
+  val q208AbTest = QueryDef(
+    "q208_ab_test",
+    (s, d) => Stats.twoProportionZTest(
+      Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("__conv"))
+        .select((col("user_id") % 2 === 0).as("side"),
+          (col("__conv") === 1).as("conv")),
+      col("side"), col("conv")),
+    Some("""WITH per AS (SELECT user_id, user_id % 2 = 0 AS side,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+            AS conv
+        FROM events GROUP BY 1),
+      a AS (SELECT
+          CAST(COUNT(CASE WHEN side THEN 1 END) AS BIGINT) AS n_a,
+          CAST(COUNT(CASE WHEN NOT side THEN 1 END) AS BIGINT) AS n_b,
+          CAST(COUNT(CASE WHEN side AND conv THEN 1 END) AS BIGINT) AS conv_a,
+          CAST(COUNT(CASE WHEN (NOT side) AND conv THEN 1 END) AS BIGINT)
+            AS conv_b
+        FROM per),
+      b AS (SELECT n_a, n_b, conv_a, conv_b,
+          CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+          CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+          CAST(conv_a + conv_b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        FROM a)
+      SELECT n_a, n_b, conv_a, conv_b,
+        CASE WHEN n_a > 0 THEN ROUND(pa, 6) END AS p_a,
+        CASE WHEN n_b > 0 THEN ROUND(pb, 6) END AS p_b,
+        CASE WHEN n_a > 0 AND n_b > 0 AND pp > 0 AND pp < 1
+          THEN ROUND((pa - pb) / SQRT(pp * (1.0 - pp)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+          END AS z
+      FROM b"""))
+
+  /** Week-over-week revenue deltas (TimeSeries.pctChange over the weekly
+    * order totals): the dashboard percent-change row, lag over the
+    * ≤#weeks report frame. */
+  val q209Wow = QueryDef(
+    "q209_wow",
+    (s, d) => graft.ops.TimeSeries.pctChange(
+        Tables.orders(s, d)
+          .groupBy(expr("CAST(datediff(o_orderdate, DATE'1970-01-01') DIV 7 AS BIGINT)")
+            .as("week"))
+          .agg(sum(col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            .as("y")),
+        col("week"), col("y"))
+      .withColumnRenamed("t", "week"),
+    Some("""WITH w AS (SELECT
+          (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1)
+      SELECT week, y, LAG(y) OVER (ORDER BY week) AS prev,
+        CASE WHEN LAG(y) OVER (ORDER BY week) IS NOT NULL
+            AND LAG(y) OVER (ORDER BY week) <> 0
+          THEN ROUND((y - LAG(y) OVER (ORDER BY week))
+            / LAG(y) OVER (ORDER BY week), 6) END AS pct_change
+      FROM w ORDER BY week"""))
+
+  /** ABC/Pareto classification of parts by revenue (Stats.abcClasses):
+    * rank + cumulative revenue share with the 80/95 class cuts compared
+    * on the ROUNDED share — engine-stable boundaries. */
+  val q210Abc = QueryDef(
+    "q210_abc",
+    (s, d) => Stats.abcClasses(
+        Tables.lineitem(s, d).groupBy(col("l_partkey").as("part"))
+          .agg(sum(col("l_extendedprice").cast("decimal(28,2)")).as("rev")),
+        col("part"), col("rev"))
+      .withColumnRenamed("item", "part"),
+    Some("""WITH per AS (SELECT l_partkey AS part,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+            AS DECIMAL(28,6)) AS v
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT part, v,
+          ROW_NUMBER() OVER (ORDER BY v DESC, part) AS rank,
+          SUM(v) OVER (ORDER BY v DESC, part
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(v) OVER () AS tot FROM per)
+      SELECT part, CAST(rank AS BIGINT) AS rank,
+        ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+        CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) <= 0.8
+            THEN 'A'
+          WHEN ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) <= 0.95
+            THEN 'B' ELSE 'C' END AS abc_class
+      FROM r ORDER BY rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
     q166CohenKappa, q167GiniUsers, q168Calibration, q169Auc, q170ZipfSlope,
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
-    q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess)
+    q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
+    q208AbTest, q209Wow, q210Abc)
 }

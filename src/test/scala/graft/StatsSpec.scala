@@ -643,6 +643,52 @@ class StatsSpec extends SparkSpec {
     assert(e._3 < 1.2 && e._4 > 8.0, s"dominated sample not flagged: $e")
   }
 
+  // --- twoProportionZTest / abcClasses ---------------------------------
+
+  test("twoProportionZTest: hand-computed pooled z; degenerate pools " +
+      "yield null z") {
+    val rows = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false)))
+      .toDF("v", "c").select(($"v" === "a").as("side"), $"c".as("conv"))
+    val got = Stats.twoProportionZTest(rows, $"side", $"conv")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val pp = 3.0 / 8
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    val wantZ = math.round((0.5 - 0.25) / se * 1e6) / 1e6
+    assert(got == ((4L, 4L, 2L, 1L, 0.5, 0.25, wantZ)))
+
+    // nobody converts anywhere: pooled rate 0 -> no test
+    val none = Seq((true, false), (false, false)).toDF("side", "conv")
+    val n = Stats.twoProportionZTest(none, $"side", $"conv").collect()(0)
+    assert(n.isNullAt(n.fieldIndex("z")))
+  }
+
+  test("abcClasses: 80/15/5 splits to A/B/C on the rounded-share " +
+      "boundaries; rank ties break by item") {
+    val items = Seq(("x", 80.0), ("y", 15.0), ("z", 5.0)).toDF("i", "v")
+    val got = Stats.abcClasses(items, $"i", $"v")
+      .as[(String, Long, Double, String)].collect().toSeq
+    assert(got == Seq(("x", 1L, 0.8, "A"), ("y", 2L, 0.95, "B"),
+      ("z", 3L, 1.0, "C")))
+
+    val tied = Seq(("b", 10.0), ("a", 10.0)).toDF("i", "v")
+    val t = Stats.abcClasses(tied, $"i", $"v")
+      .as[(String, Long, Double, String)].collect().toSeq
+    assert(t.map(_._1) == Seq("a", "b"), "equal values must rank by item id")
+  }
+
+  test("pctChange: first row and zero-prior rows yield null; hand deltas") {
+    import graft.ops.TimeSeries
+    val s = Seq((1, 10.0), (2, 15.0), (3, 15.0), (4, 0.0), (5, 5.0))
+      .toDF("t", "y")
+    val got = TimeSeries.pctChange(s, $"t", $"y")
+      .select($"t", $"pct_change").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSeq
+    assert(got == Seq(1 -> None, 2 -> Some(0.5), 3 -> Some(0.0),
+      4 -> Some(-1.0), 5 -> None))
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
