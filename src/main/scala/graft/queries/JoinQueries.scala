@@ -268,8 +268,49 @@ object JoinQueries extends QueryGroup {
       QUALIFY row_number() OVER (PARTITION BY l_key ORDER BY sim DESC, r_key) = 1
       ORDER BY l_key"""))
 
+  /** TPC-H-Q5-style 6-table star: local-supplier revenue per nation
+    * within one region — lineitem⋈orders on the fact keys, customer/
+    * supplier/nation/region as BROADCAST dims, the c_nationkey =
+    * s_nationkey local-supplier predicate applied post-join. The classic
+    * Catalyst star-planning showcase: one fact-fact shuffle, every dim a
+    * broadcast hash join, filters pushed to the dim scans. */
+  val q211StarRevenue = QueryDef(
+    "q211_star_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,8)")).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+        ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(38,8))) AS DOUBLE), 6) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q16Join3Revenue, q17AntiJoin, q18SemiJoin, q19GeoThetaJoin,
     q20RemapFallback, q24SetOps, q25CacheLookup, q132MergeUpsert,
-    q134FuzzyMatch, q192JwMatch)
+    q134FuzzyMatch, q192JwMatch, q211StarRevenue)
 }

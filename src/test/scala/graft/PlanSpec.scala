@@ -385,6 +385,17 @@ class PlanSpec extends SparkSpec {
       s"Cramér's-V sweep re-scans the source after its snapshot:\n$c")
   }
 
+  test("q211: 6-table star plans every dim as a broadcast hash join — " +
+      "no sort-merge joins, region filter pushed to its scan") {
+    val p = formatted(JoinQueries.q211StarRevenue.fn(spark, sf001))
+    assert(!p.contains("SortMergeJoin"),
+      s"a star dim degraded to sort-merge:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast dim joins, saw $bhj:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region predicate not pushed to the parquet scan")
+  }
+
   test("q179: quantile-normalize mapping is a pure projection — no join, " +
       "no shuffle, no window on the data side") {
     val docs = Tables.documents(spark, sf001)
