@@ -433,6 +433,62 @@ object EventAnalytics {
         round(log(max(col("__k")).cast("double")), 6).as("max_entropy"))
   }
 
+  /** Directly-follows PERFORMANCE graph (process mining): for each
+    * (prev → next) event-type transition, how many times it happens and
+    * how long it takes — count, mean gap and exact interpolated median
+    * gap in seconds. The timing annotation on [[markovTransitions]]' edge
+    * structure: where Markov says "what follows what", this says "and how
+    * slowly" (the bottleneck-edge view).
+    *
+    * One data pass (the lag inside the subject shuffle), then a map-side-
+    * combined groupBy on the ≤|types|² transition key; exact µs-integer
+    * gaps, DECIMAL sums, round 6. */
+  def transitionLatency(df: DataFrame, key: String, ts: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val us = unix_micros(col(ts))
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+    val gaps = df.filter(col(ts).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__prev_t", lag(col(typeCol), 1).over(w))
+      .withColumn("__prev_us", lag(us, 1).over(w))
+      .filter(col("__prev_t").isNotNull)
+      .withColumn("__d", (us - col("__prev_us")).cast("double") / 1e6)
+    gaps.groupBy(col("__prev_t").as("prev_type"),
+        col(typeCol).as("next_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("__d").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_s"),
+        round(percentile(col("__d"), lit(0.5)), 6).as("p50_s"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Process-variant analysis: the top-k complete event-type SEQUENCES
+    * (per subject, (ts, tie)-ordered, joined with '>') by subject count —
+    * "which session shapes dominate" (the process-mining variant table;
+    * a new dominant variant after a release is a behavioral regression).
+    * Output: (variant, n_subjects, n_steps) ordered by (count desc,
+    * variant) — total-ordered so the k-cutoff is engine-stable.
+    *
+    * One groupBy collapses events to a per-subject sorted struct array
+    * (bounded by per-subject activity), one more counts variants;
+    * top-k is a TakeOrdered heap, never a global sort. */
+  def processVariants(df: DataFrame, key: String, ts: String,
+      typeCol: String, tieCol: String, k: Int = 10): DataFrame = {
+    val seqs = df.filter(col(ts).isNotNull && col(typeCol).isNotNull)
+      .groupBy(key)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(ts).as("t"),
+            col(tieCol).as("tie"), col(typeCol).as("e")))),
+          x => x.getField("e")), ">").as("variant"))
+    seqs.groupBy("variant")
+      .agg(count(lit(1)).as("n_subjects"))
+      .withColumn("n_steps",
+        (size(split(col("variant"), ">", -1))).cast("bigint"))
+      .orderBy(col("n_subjects").desc, col("variant"))
+      .limit(k)
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

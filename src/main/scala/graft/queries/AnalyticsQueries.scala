@@ -321,8 +321,56 @@ object AnalyticsQueries extends QueryGroup {
         (SELECT ROUND(LN(CAST(k AS DOUBLE)), 6) FROM k) AS max_entropy
       FROM terms"""))
 
+  /** Directly-follows performance graph
+    * (EventAnalytics.transitionLatency): per (prev→next) event-type edge,
+    * count + mean + exact median gap seconds — q161's Markov structure
+    * annotated with timing (the bottleneck-edge view). */
+  val q213TransitionLatency = QueryDef(
+    "q213_transition_latency",
+    (s, d) => EventAnalytics.transitionLatency(Tables.events(s, d),
+      "user_id", "ts", "event_type", tieCol = "event_id"),
+    Some("""WITH g AS (SELECT event_type,
+          LAG(event_type) OVER w AS prev_t,
+          epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      d AS (SELECT prev_t AS prev_type, event_type AS next_type,
+          CAST(gap_us AS DOUBLE) / 1000000.0 AS ds
+        FROM g WHERE prev_t IS NOT NULL)
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(CAST(SUM(CAST(ds AS DECIMAL(38,12))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_s,
+        ROUND(quantile_cont(ds, 0.5), 6) AS p50_s
+      FROM d GROUP BY 1, 2 ORDER BY prev_type, next_type"""))
+
+  /** Process-variant table (EventAnalytics.processVariants) over each
+    * user's first five steps: which session openings dominate — the
+    * behavioral-regression fingerprint a release dashboard watches. */
+  val q214Variants = QueryDef(
+    "q214_variants",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val first5 = Tables.events(s, d)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("__rn") <= 5)
+      EventAnalytics.processVariants(first5, "user_id", "ts", "event_type",
+        tieCol = "event_id", k = 10)
+    },
+    Some("""WITH first5 AS (SELECT user_id, ts, event_id, event_type
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) <= 5),
+      seqs AS (SELECT user_id,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+        FROM first5 GROUP BY user_id)
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        CAST(len(string_split(variant, '>')) AS BIGINT) AS n_steps
+      FROM seqs GROUP BY variant
+      ORDER BY n_subjects DESC, variant LIMIT 10"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
-    q205InterArrival, q206EntropyRate)
+    q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants)
 }

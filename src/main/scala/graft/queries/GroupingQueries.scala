@@ -56,5 +56,31 @@ object GroupingQueries extends QueryGroup {
         CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END AS DECIMAL(28,2))) AS DOUBLE) AS O
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  override val defs: Seq[QueryDef] = Seq(q36Rollup, q37Cube, q38Pivot)
+  /** Explicit GROUPING SETS — the à-la-carte sibling of q36's ROLLUP /
+    * q37's CUBE: exactly (year × status), (year) and grand total, no
+    * unwanted (status) set, with the grouping-id disambiguator. */
+  val q212GroupingSets = QueryDef(
+    "q212_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("y", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("y"), col("o_orderstatus")), Seq(col("y")), Seq()),
+        col("y"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("cnt"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc("gid"), asc_nulls_first("y"),
+        asc_nulls_first("o_orderstatus")),
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderstatus,
+        CAST(GROUPING(y) * 2 + GROUPING(o_orderstatus)
+          AS INT) AS gid,
+        COUNT(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((y, o_orderstatus), (y), ())
+      ORDER BY gid ASC, y ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""))
+
+  override val defs: Seq[QueryDef] = Seq(q36Rollup, q37Cube, q38Pivot,
+    q212GroupingSets)
 }

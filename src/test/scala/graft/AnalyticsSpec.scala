@@ -469,6 +469,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(b._3 == math.round(math.log(2) * 1e6) / 1e6, s"coin chain: $b")
   }
 
+  test("transitionLatency: per-edge gap stats, no cross-user gaps") {
+    import java.sql.Timestamp
+    def s(sec: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val rows = Seq(
+      (1L, 1L, s(0), "A"), (1L, 2L, s(10), "B"), (1L, 3L, s(40), "A"),
+      (2L, 4L, s(100), "A"), (2L, 5L, s(120), "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.transitionLatency(rows, "user_id", "ts",
+        "event_type", "event_id")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // edges: A->B gaps {10, 20} (users 1, 2), B->A gap {30}
+    assert(got == Seq(("A", "B", 2L, 15.0, 15.0), ("B", "A", 1L, 30.0, 30.0)))
+  }
+
+  test("processVariants: identical sequences collapse to one variant; " +
+      "order respects (ts, tie); top-k cutoff total-ordered") {
+    import java.sql.Timestamp
+    def s(sec: Int): Timestamp = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val rows = Seq(
+      (1L, 1L, s(0), "A"), (1L, 2L, s(1), "B"),
+      (2L, 3L, s(0), "A"), (2L, 4L, s(1), "B"),
+      // same timestamps, tie decides order: event_id 6 ("C") before 7 ("D")
+      (3L, 6L, s(0), "C"), (3L, 7L, s(0), "D"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.processVariants(rows, "user_id", "ts",
+        "event_type", "event_id", k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A>B", 2L, 2L), ("C>D", 1L, 2L)))
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists
