@@ -90,6 +90,78 @@ object TimeSeries {
       .orderBy("t")
   }
 
+  /** Theil–Sen robust slope: the MEDIAN of all pairwise slopes
+    * (y_j − y_i)/(t_j − t_i), i < j — the outlier-proof trend line (one
+    * wild day can't move it, unlike OLS), with the median-residual
+    * intercept. One row (n, n_pairs, slope, intercept), rounded 6.
+    *
+    * The O(n²) pair join runs over the ≤#periods report series (the acf
+    * acceptance); medians are the exact interpolated percentile (the q05
+    * cross-engine contract). `t` must be numeric (epoch day/week).
+    */
+  def theilSen(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.cast("double").as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val spark = base.sparkSession
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(eager = true)
+    val pairs = snap.select(col("t").as("t1"), col("y").as("y1"))
+      .join(snap.select(col("t").as("t2"), col("y").as("y2")),
+        col("t1") < col("t2"))
+      .select(((col("y2") - col("y1")) / (col("t2") - col("t1"))).as("sl"))
+    val slope = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      percentile(col("sl"), lit(0.5)).as("__slope"))
+    val nRow = snap.agg(count(lit(1)).as("n"))
+    val withSlope = snap.crossJoin(broadcast(slope))
+    withSlope
+      .select((col("y") - col("__slope") * col("t")).as("__resid"),
+        col("n_pairs"), col("__slope"))
+      .agg(
+        max(col("n_pairs")).as("n_pairs"),
+        round(max(col("__slope")), 6).as("slope"),
+        round(percentile(col("__resid"), lit(0.5)), 6).as("intercept"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
+  /** Mann–Kendall trend test: S = Σ_{i<j} sign(y_j − y_i) with the
+    * tie-corrected variance and the continuity-corrected z — the
+    * nonparametric "is there ANY monotone trend" companion to
+    * [[theilSen]]'s slope (the standard pairing). One row
+    * (n, s, var_s, z): S and the variance numerator are INTEGER-exact
+    * (no float pair math at all), z rounds to 6; |z| > 1.96 is the usual
+    * 5% trend call. Pair join over the report-sized series.
+    */
+  def mannKendall(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.cast("double").as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val spark = base.sparkSession
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(eager = true)
+    val s = snap.select(col("t").as("t1"), col("y").as("y1"))
+      .join(snap.select(col("t").as("t2"), col("y").as("y2")),
+        col("t1") < col("t2"))
+      .agg(coalesce(sum(signum(col("y2") - col("y1")).cast("bigint")), lit(0L))
+        .as("s"))
+    val ties = snap.groupBy("y").agg(count(lit(1)).as("tg"))
+      .agg(coalesce(sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)),
+        lit(0L)).as("__tie_term"))
+    val n = snap.agg(count(lit(1)).as("n"))
+    val joined = s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1) * (lit(2.0) * nD + 5) -
+      col("__tie_term").cast("double")) / 18.0
+    val z = when(col("s") > 0, (col("s").cast("double") - 1) / sqrt(varS))
+      .when(col("s") < 0, (col("s").cast("double") + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    joined.select(col("n"), col("s"),
+      round(varS, 6).as("var_s"),
+      when(varS > 0, round(z, 6)).as("z"))
+  }
+
   /** Period-over-period change table: per period the metric, the prior
     * period's value and the percent change — the WoW/MoM dashboard row.
     * `series` is one row per period (caller-aggregated); lag + division

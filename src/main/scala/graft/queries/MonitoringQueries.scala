@@ -560,10 +560,65 @@ object MonitoringQueries extends QueryGroup {
           * (SELECT scale FROM sc), 6) AS cvm
       FROM t"""))
 
+  /** Theil–Sen robust slope of the daily volume curve
+    * (TimeSeries.theilSen): median of pairwise slopes + median-residual
+    * intercept — the outlier-proof trend line. */
+  val q215TheilSen = QueryDef(
+    "q215_theil_sen",
+    (s, d) => graft.ops.TimeSeries.theilSen(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      p AS (SELECT (b.y - a.y)
+            / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS sl
+        FROM daily a JOIN daily b ON a.t < b.t),
+      sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          quantile_cont(sl, 0.5) AS slope FROM p),
+      r AS (SELECT d.y - sl.slope * CAST(d.t AS DOUBLE) AS resid
+        FROM daily d, sl)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n,
+        (SELECT n_pairs FROM sl) AS n_pairs,
+        (SELECT ROUND(slope, 6) FROM sl) AS slope,
+        ROUND(quantile_cont(resid, 0.5), 6) AS intercept
+      FROM r"""))
+
+  /** Mann–Kendall trend test on the daily volume curve
+    * (TimeSeries.mannKendall): integer-exact S with tie-corrected
+    * variance and continuity-corrected z — Theil–Sen's standard partner. */
+  val q216MannKendall = QueryDef(
+    "q216_mann_kendall",
+    (s, d) => graft.ops.TimeSeries.mannKendall(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      sr AS (SELECT COALESCE(CAST(SUM(SIGN(b.y - a.y)) AS BIGINT), 0) AS s
+        FROM daily a JOIN daily b ON a.t < b.t),
+      ties AS (SELECT COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0)
+          AS tie_term
+        FROM (SELECT COUNT(*) AS tg FROM daily GROUP BY y) g),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      v AS (SELECT n, s,
+          (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+            * (2.0 * CAST(n AS DOUBLE) + 5)
+            - CAST(tie_term AS DOUBLE)) / 18.0 AS vs
+        FROM sr, ties, nn)
+      SELECT n, s, ROUND(vs, 6) AS var_s,
+        CASE WHEN vs > 0 THEN ROUND(
+          CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(vs)
+               WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(vs)
+               ELSE 0.0 END, 6) END AS z
+      FROM v"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
-    q204Cvm)
+    q204Cvm, q215TheilSen, q216MannKendall)
 }

@@ -501,6 +501,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("A>B", 2L, 2L), ("C>D", 1L, 2L)))
   }
 
+  test("theilSen: exact line recovered through one wild outlier; " +
+      "mannKendall: monotone series maxes S, flat series zeroes it") {
+    import graft.ops.TimeSeries
+    // y = 2t + 1 except a wild spike at t=5: the median slope ignores it
+    val ts = (1 to 9).map(i => (i, if (i == 5) 500.0 else 2.0 * i + 1))
+      .toDF("t", "y")
+    val (n, np, slope, icept) = TimeSeries.theilSen(ts, $"t", $"y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(n == 9L && np == 36L && slope == 2.0 && icept == 1.0,
+      s"robust line lost to the outlier: ($slope, $icept)")
+
+    // strictly increasing: S = n(n-1)/2; z > 0
+    val mono = (1 to 10).map(i => (i, i.toDouble)).toDF("t", "y")
+    val mk = TimeSeries.mannKendall(mono, $"t", $"y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(mk._2 == 45L && mk._4 > 2.0, s"monotone trend missed: $mk")
+
+    // constant: S = 0, z = 0 (vs > 0 via... all ties -> vs = 0 -> null z)
+    val flat = (1 to 6).map(i => (i, 7.0)).toDF("t", "y")
+    val fk = TimeSeries.mannKendall(flat, $"t", $"y").collect()(0)
+    assert(fk.getLong(fk.fieldIndex("s")) == 0L)
+    assert(fk.isNullAt(fk.fieldIndex("z")),
+      "an all-tied series has zero variance and no z")
+  }
+
   test("jsdPairs: identical distributions -> 0; disjoint vocab -> ln 2") {
     val docs = Seq(
       ("s1", "a b c"), ("s2", "a b c"), // identical unigram dists
