@@ -71,7 +71,10 @@ class QueriesSpec extends SparkSpec {
     "q180_bootstrap_ci", // 1-row full-sample frame × 1-row resample stats
     "q187_kaplan_meier", "q189_basket_lift", "q193_seasonal",
     "q202_rfm", // 1-row stream-edge max frame, as in q187
-    "q198_triangles") // 1-row node/edge totals × 1-row triangle count
+    "q198_triangles", // 1-row node/edge totals × 1-row triangle count
+    // q215/q216: the t1 < t2 theta self-join over the ≤#days daily series
+    // (Theil–Sen pair slopes / Mann–Kendall sign pairs) — report-sized
+    "q215_theil_sen", "q216_mann_kendall")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
