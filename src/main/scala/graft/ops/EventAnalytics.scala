@@ -489,6 +489,47 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Multi-window SLO burn rate (the SRE-handbook alert shape): per short
+    * window the error rate over `budget` (burn = rate/budget; burn 1.0
+    * consumes the error budget exactly at the sustainable pace), paired
+    * with the enclosing long tumbling window's burn, and an alert only
+    * when BOTH exceed `threshold` — the short window gives fast detection,
+    * the long window suppresses one-bucket blips.
+    *
+    * ONE map-side-combined aggregation over events to the per-short-hour
+    * frame; the long-window rollup and the join back run over report-sized
+    * (≤#hours) tables, long side broadcast. Rates are bigint/bigint
+    * divisions replayed identically cross-engine, round 6. Output per
+    * short bucket: (hour, total, errors, burn_short, burn_long, alert),
+    * ordered by hour. */
+  def sloBurnRate(df: DataFrame, ts: Column, isError: Column,
+      budget: Double, longBuckets: Int = 6,
+      threshold: Double = 1.0): DataFrame = {
+    require(budget > 0 && longBuckets >= 1, "sloBurnRate needs budget>0")
+    val hourly = df.filter(ts.isNotNull)
+      .groupBy(floorDivMicros(ts, 3600000000L).as("hour"))
+      .agg(count(lit(1)).as("total"),
+        count(when(isError, 1)).as("errors"))
+    def block(h: Column): Column =
+      ((h - pmod(h, lit(longBuckets.toLong))) / lit(longBuckets.toLong))
+        .cast("long")
+    val long = hourly
+      .groupBy(block(col("hour")).as("__block"))
+      .agg(sum(col("total")).as("__lt"), sum(col("errors")).as("__le"))
+    hourly
+      .join(broadcast(long), block(col("hour")) === col("__block"))
+      .withColumn("burn_short",
+        round(col("errors").cast("double") / col("total").cast("double")
+          / budget, 6))
+      .withColumn("burn_long",
+        round(col("__le").cast("double") / col("__lt").cast("double")
+          / budget, 6))
+      .withColumn("alert",
+        col("burn_short") > threshold && col("burn_long") > threshold)
+      .select("hour", "total", "errors", "burn_short", "burn_long", "alert")
+      .orderBy("hour")
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

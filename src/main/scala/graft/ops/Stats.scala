@@ -1021,4 +1021,110 @@ object Stats {
           .as("acf"))
       .orderBy("lag")
   }
+
+  /** Brown–Forsythe test for equal spread across groups: one-way ANOVA on
+    * the absolute deviations from each group's MEDIAN, z = |x − med_g| —
+    * the robust Levene variant (median-centering survives heavy tails,
+    * which mean-centered Levene does not). The homogeneity-of-variance
+    * check run BEFORE trusting [[anovaOneWay]] / [[welchTTest]] pooled
+    * assumptions: a large F here says the groups differ in SPREAD, so a
+    * mean comparison should use the Welch path.
+    *
+    * Two data passes by necessity (medians first, then deviations —
+    * exact medians can't fuse into one aggregation): pass 1 is a
+    * per-group exact interpolated percentile (the q05 cross-engine
+    * contract), pass 2 joins the ≤k-row median table back by BROADCAST
+    * and feeds |x−med| (rounded 8 so decimal sums agree cross-engine)
+    * into [[anovaOneWay]]'s single map-side-combined aggregation. Output:
+    * (k, n, ss_between, ss_within, f_stat, eta2) — anova's shape on the
+    * deviation variable. */
+  def brownForsythe(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("g"), value.cast("double").as("v"))
+    val med = base.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("__med"))
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"), round(abs(col("v") - col("__med")), 8).as("z"))
+    anovaOneWay(dev, col("g"), col("z"))
+  }
+
+  /** Two-sided normal tail probability 2·(1 − Φ(|z|)) by the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7). The
+    * SAME closed form replays in the DuckDB oracle — cross-engine
+    * agreement needs only libm-grade exp/sqrt (sub-ulp), far inside the
+    * round-6 quantum; the approximation error itself cancels because both
+    * engines evaluate the identical polynomial. */
+  def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    // 1 − erf(x) IS poly·e^{−x²} in this form — emitted directly so the
+    // oracle replays one expression, not a 1−(1−a) float detour
+    poly * exp(-x * x)
+  }
+
+  /** Per-group two-proportion z-test family: within each group, compares
+    * the conversion rate where `side` is true vs false — the "which
+    * segments actually moved" fan-out of [[twoProportionZTest]]. One
+    * map-side-combined aggregation over data rows; the z/ratio math runs
+    * on the ≤#groups report frame. Degenerate groups (an empty side or a
+    * pooled rate of 0/1) return null z. Counts are integer-exact; z
+    * replays from them identically on any engine. */
+  def twoProportionZByGroup(df: DataFrame, groupCols: Seq[String],
+      side: Column, converted: Column): DataFrame = {
+    val agg = df.filter(side.isNotNull && converted.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(side, 1)).as("n_a"),
+        count(when(!side, 1)).as("n_b"),
+        count(when(side && converted, 1)).as("conv_a"),
+        count(when(!side && converted, 1)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    val ok = col("n_a") > 0 && col("n_b") > 0 && pPool > 0 && pPool < 1
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(ok, (pa - pb) / se).as("z")): _*)
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a FAMILY of tests
+    * (a report-sized frame, one row per hypothesis): rank p ascending,
+    * q_i = p_i·m/i, adjusted p = the reverse running minimum clamped to 1,
+    * reject where adjusted p ≤ `alpha`. The multiple-comparisons guard a
+    * segment-drift sweep needs before paging anyone — at 20 segments and
+    * α=0.05 one raw-p "discovery" is EXPECTED under the null.
+    *
+    * Null p rows (degenerate tests) are dropped from the family (m counts
+    * only testable hypotheses — the standard convention). Ordered windows
+    * run over the ≤#hypotheses frame (the gini/lorenz acceptance); ties in
+    * p are broken by the key columns for a deterministic row order, and
+    * the reverse-cummin makes equal p values share one adjusted value, so
+    * tie order never changes results. Output: keys*, p_raw, rank, p_bh
+    * (round 6), reject — ordered by rank. */
+  def bhAdjust(family: DataFrame, keyCols: Seq[String], p: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val base = family.filter(p.isNotNull).withColumn("__p", p)
+    val ordCols = col("__p") +: keyCols.map(col)
+    val byP = Window.orderBy(ordCols: _*)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val revCum = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(byP).cast("bigint"))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__q",
+        col("__p") * col("__m").cast("double") / col("rank").cast("double"))
+      .withColumn("p_bh", round(least(min(col("__q")).over(revCum), lit(1.0)), 6))
+      .withColumn("p_raw", round(col("__p"), 6))
+      .withColumn("reject", col("p_bh") <= alpha)
+      .select(keyCols.map(col) ++
+        Seq(col("p_raw"), col("rank"), col("p_bh"), col("reject")): _*)
+      .orderBy("rank")
+  }
 }

@@ -162,6 +162,53 @@ object TimeSeries {
       when(varS > 0, round(z, 6)).as("z"))
   }
 
+  /** Kendall tau-b rank correlation between two aligned series (x_t, y_t):
+    * tau_b = (C − D) / √((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and
+    * n1/n2 the within-x / within-y tied-pair counts — the tie-corrected
+    * "do the two metrics move together" companion to [[mannKendall]]
+    * (which is Kendall of y against time). More robust than Pearson, no
+    * distributional assumption, exact under ties.
+    *
+    * C − D, n0, n1, n2 are all INTEGER-exact (sign products summed as
+    * bigint; tie counts from exact groupBys); only the final ratio is
+    * float, rounded 6. The O(n²) pair join runs over the ≤#periods
+    * caller-aggregated series (the theilSen acceptance). Callers should
+    * round float-valued series before passing them so the pair signs are
+    * engine-stable. Null tau when either variable is constant. One row:
+    * (n, c_minus_d, tie_x_pairs, tie_y_pairs, tau_b). */
+  def kendallTau(series: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = series.select(x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("__i", monotonically_increasing_id())
+    val spark = base.sparkSession
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(eager = true)
+    val pairs = snap.select(col("__i").as("i1"), col("x").as("x1"), col("y").as("y1"))
+      .join(snap.select(col("__i").as("i2"), col("x").as("x2"), col("y").as("y2")),
+        col("i1") < col("i2"))
+    val cd = pairs.agg(coalesce(sum(
+      (signum(col("x2") - col("x1")) * signum(col("y2") - col("y1")))
+        .cast("bigint")), lit(0L)).as("c_minus_d"))
+    // tg·(tg−1) is even, summed as bigint; DIV keeps the /2 integer-exact
+    def tiePairs(c: String, out: String): DataFrame =
+      snap.groupBy(c).agg(count(lit(1)).as("tg"))
+        .agg(coalesce(sum(col("tg") * (col("tg") - 1)), lit(0L)).as("__tp2"))
+        .select(expr("__tp2 DIV 2").as(out))
+    val n = snap.agg(count(lit(1)).as("n"))
+    val joined = cd
+      .crossJoin(broadcast(tiePairs("x", "tie_x_pairs")))
+      .crossJoin(broadcast(tiePairs("y", "tie_y_pairs")))
+      .crossJoin(broadcast(n))
+    val n0 = (col("n") * (col("n") - 1) / 2).cast("double")
+    val denom = sqrt((n0 - col("tie_x_pairs").cast("double")) *
+      (n0 - col("tie_y_pairs").cast("double")))
+    joined.select(col("n"), col("c_minus_d"),
+      col("tie_x_pairs"), col("tie_y_pairs"),
+      when(denom > 0, round(col("c_minus_d").cast("double") / denom, 6))
+        .as("tau_b"))
+  }
+
   /** Period-over-period change table: per period the metric, the prior
     * period's value and the percent change — the WoW/MoM dashboard row.
     * `series` is one row per period (caller-aggregated); lag + division

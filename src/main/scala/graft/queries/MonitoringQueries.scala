@@ -615,10 +615,76 @@ object MonitoringQueries extends QueryGroup {
                ELSE 0.0 END, 6) END AS z
       FROM v"""))
 
+  /** Kendall tau-b between the daily event volume and the daily mean
+    * event value (TimeSeries.kendallTau): tie-corrected rank concordance
+    * — "do busier days run hotter values?" without assuming linearity.
+    * C−D and the tie counts are integer-exact over the ≤#days series;
+    * the daily mean is a decimal-sum average rounded 6 BEFORE pairing so
+    * pair signs are engine-stable. */
+  val q218KendallTau = QueryDef(
+    "q218_kendall_tau",
+    (s, d) => graft.ops.TimeSeries.kendallTau(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          round(sum(col("value").cast("decimal(28,8)")).cast("double")
+            / count(lit(1)), 6).as("y")),
+      col("x"), col("y")),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          CAST(COUNT(*) AS DOUBLE) AS x,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+            / COUNT(*), 6) AS y
+        FROM events GROUP BY 1),
+      cd AS (SELECT CAST(COALESCE(SUM(CAST(SIGN(b.x - a.x) * SIGN(b.y - a.y)
+            AS BIGINT)), 0) AS BIGINT) AS c_minus_d
+        FROM daily a JOIN daily b ON a.day < b.day),
+      tx AS (SELECT CAST(COALESCE(SUM(tg * (tg - 1)), 0) // 2 AS BIGINT)
+          AS tie_x_pairs
+        FROM (SELECT COUNT(*) AS tg FROM daily GROUP BY x) g),
+      ty AS (SELECT CAST(COALESCE(SUM(tg * (tg - 1)), 0) // 2 AS BIGINT)
+          AS tie_y_pairs
+        FROM (SELECT COUNT(*) AS tg FROM daily GROUP BY y) g),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      v AS (SELECT n, c_minus_d, tie_x_pairs, tie_y_pairs,
+          CAST(n * (n - 1) AS DOUBLE) / 2 AS n0
+        FROM cd, tx, ty, nn)
+      SELECT n, c_minus_d, tie_x_pairs, tie_y_pairs,
+        CASE WHEN SQRT((n0 - CAST(tie_x_pairs AS DOUBLE))
+              * (n0 - CAST(tie_y_pairs AS DOUBLE))) > 0
+          THEN ROUND(CAST(c_minus_d AS DOUBLE)
+            / SQRT((n0 - CAST(tie_x_pairs AS DOUBLE))
+              * (n0 - CAST(tie_y_pairs AS DOUBLE))), 6) END AS tau_b
+      FROM v"""))
+
+  /** Multi-window SLO burn rate over the event stream
+    * (EventAnalytics.sloBurnRate): hourly error-budget burn paired with
+    * the enclosing 6-hour window's burn, alert only when BOTH exceed 1 —
+    * the SRE-handbook shape (fast detection, blip suppression). One
+    * data pass; rollup + join run over the ≤#hours report frame. */
+  val q220SloBurn = QueryDef(
+    "q220_slo_burn",
+    (s, d) => graft.ops.EventAnalytics.sloBurnRate(Tables.events(s, d),
+      col("ts"), col("event_type") === "error", budget = 0.25),
+    Some("""WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+          CAST(COUNT(*) AS BIGINT) AS total,
+          CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS errors
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      l AS (SELECT hour // 6 AS blk, CAST(SUM(total) AS BIGINT) AS lt,
+          CAST(SUM(errors) AS BIGINT) AS le FROM h GROUP BY 1)
+      SELECT hour, total, errors,
+        ROUND(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) / 0.25, 6)
+          AS burn_short,
+        ROUND(CAST(le AS DOUBLE) / CAST(lt AS DOUBLE) / 0.25, 6)
+          AS burn_long,
+        ROUND(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) / 0.25, 6) > 1.0
+          AND ROUND(CAST(le AS DOUBLE) / CAST(lt AS DOUBLE) / 0.25, 6) > 1.0
+          AS alert
+      FROM h JOIN l ON hour // 6 = l.blk ORDER BY hour"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
-    q204Cvm, q215TheilSen, q216MannKendall)
+    q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn)
 }

@@ -991,6 +991,103 @@ object StatsQueries extends QueryGroup {
             THEN 'B' ELSE 'C' END AS abc_class
       FROM r ORDER BY rank"""))
 
+  /** Brown–Forsythe equal-spread test across event types
+    * (Stats.brownForsythe): ANOVA on |value − group median| — the robust
+    * pre-check that decides whether q183's pooled-variance reading or
+    * q157's Welch path is trustworthy. Exact per-group medians (pass 1),
+    * then one map-side-combined ANOVA over the broadcast-centered
+    * deviations (pass 2). */
+  val q219BrownForsythe = QueryDef(
+    "q219_brown_forsythe",
+    (s, d) => Stats.brownForsythe(Tables.events(s, d),
+      col("event_type"), col("value")),
+    Some("""WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+          FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+      dev AS (SELECT b.g, ROUND(ABS(b.v - m.med), 8) AS z
+        FROM base b JOIN med m USING (g)),
+      per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(z AS DECIMAL(28,8))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(z * z AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        FROM dev GROUP BY 1),
+      roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(n) AS BIGINT) AS n,
+          CAST(SUM(CAST(s AS DECIMAL(38,8))) AS DOUBLE) AS ts,
+          CAST(SUM(CAST(s2 AS DECIMAL(38,8))) AS DOUBLE) AS ts2,
+          CAST(SUM(CAST(ROUND(s * s / CAST(n AS DOUBLE), 8)
+            AS DECIMAL(38,8))) AS DOUBLE) AS a
+        FROM per),
+      dd AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+          a - ts * ts / CAST(n AS DOUBLE) AS ssb,
+          ts2 - a AS ssw,
+          ts2 - ts * ts / CAST(n AS DOUBLE) AS sst FROM roll)
+      SELECT k, n, ROUND(ssb, 6) AS ss_between, ROUND(ssw, 6) AS ss_within,
+        CASE WHEN k >= 2 AND n > k AND ssw > 0
+          THEN ROUND((ssb / (kd - 1)) / (ssw / (nd - kd)), 6) END AS f_stat,
+        CASE WHEN sst > 0 THEN ROUND(ssb / sst, 6) END AS eta2
+      FROM dd"""))
+
+  /** Segment drift sweep with FDR control: per (event_type, user-id
+    * quartile-segment) a two-proportion z-test of early-half vs late-half
+    * conversion (value > 50), the z mapped to a two-sided normal p by the
+    * shared A&S erf closed form, then Benjamini–Hochberg adjusted across
+    * the 20-hypothesis family (Stats.twoProportionZByGroup +
+    * Stats.normalTwoSidedP + Stats.bhAdjust). The multiple-comparisons
+    * discipline a daily segment sweep needs — at 20 segments and α=.05,
+    * one raw-p "hit" is expected under the null. One data pass; every
+    * window runs over the 20-row family frame. */
+  val q217BhFdr = QueryDef(
+    "q217_bh_fdr",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("__mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("seg", col("user_id") % 4)
+      val fam = Stats.twoProportionZByGroup(tagged, Seq("event_type", "seg"),
+        expr("unix_micros(ts)") < col("__mid"), col("value") > 50.0)
+      Stats.bhAdjust(fam.withColumn("__p", Stats.normalTwoSidedP(col("z"))),
+        Seq("event_type", "seg"), col("__p"), alpha = 0.05)
+    },
+    Some("""WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+          AS mid FROM events),
+      t AS (SELECT event_type, user_id % 4 AS seg,
+          epoch_us(ts) < (SELECT mid FROM m) AS side,
+          value > 50.0 AS conv FROM events),
+      g AS (SELECT event_type, seg,
+          COUNT(*) FILTER (side) AS n_a,
+          COUNT(*) FILTER (NOT side) AS n_b,
+          COUNT(*) FILTER (side AND conv) AS conv_a,
+          COUNT(*) FILTER (NOT side AND conv) AS conv_b
+        FROM t GROUP BY 1, 2),
+      z AS (SELECT event_type, seg,
+          CASE WHEN n_a > 0 AND n_b > 0 AND (conv_a + conv_b) > 0
+              AND (conv_a + conv_b) < (n_a + n_b)
+            THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+              / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) END AS z
+        FROM g),
+      p AS (SELECT event_type, seg,
+          ((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+            - 0.284496736) * tt + 0.254829592) * tt * EXP(-x * x) AS p
+        FROM (SELECT event_type, seg, x, 1.0 / (1.0 + 0.3275911 * x) AS tt
+          FROM (SELECT event_type, seg, ABS(z) / SQRT(2.0) AS x FROM z
+            WHERE z IS NOT NULL))),
+      r AS (SELECT event_type, seg, p,
+          ROW_NUMBER() OVER (ORDER BY p, event_type, seg) AS rank,
+          COUNT(*) OVER () AS fm FROM p),
+      a AS (SELECT event_type, seg, p, rank,
+          MIN(p * fm / rank) OVER (ORDER BY rank DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+        FROM r)
+      SELECT event_type, CAST(seg AS BIGINT) AS seg, ROUND(p, 6) AS p_raw,
+        CAST(rank AS BIGINT) AS rank,
+        ROUND(LEAST(adj, 1.0), 6) AS p_bh,
+        ROUND(LEAST(adj, 1.0), 6) <= 0.05 AS reject
+      FROM a ORDER BY rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -998,5 +1095,5 @@ object StatsQueries extends QueryGroup {
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
-    q208AbTest, q209Wow, q210Abc)
+    q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe)
 }

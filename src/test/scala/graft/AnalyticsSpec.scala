@@ -626,5 +626,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("sloBurnRate: short-window blip with a calm long window is " +
+      "suppressed; sustained burn in both windows alerts") {
+    def at(hour: Long, i: Int) = new Timestamp(hour * 3600000L + i * 1000L)
+    // hour 0: 2/4 errors (burn 2.0) but block 0 overall 2/8 (burn 1.0,
+    // not > 1) -> suppressed; hour 6: 4/4 errors, block 1 all-error -> alert
+    val rows =
+      (0 until 4).map(i => (at(0, i), i < 2)) ++
+      (0 until 4).map(i => (at(1, i), false)) ++
+      (0 until 4).map(i => (at(6, i), true))
+    val df = rows.toDF("ts", "is_err")
+    val got = EventAnalytics.sloBurnRate(df, $"ts", $"is_err", budget = 0.25)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 2L, 2.0, 1.0, false),
+      (1L, 4L, 0L, 0.0, 1.0, false),
+      (6L, 4L, 4L, 4.0, 4.0, true)))
+  }
+
+  test("sloBurnRate: one map-side-combined pass over events, long side " +
+      "broadcast") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val plan = EventAnalytics.sloBurnRate(graft.Tables.normalizeTs(ev),
+        $"ts", $"event_type" === "error", budget = 0.25)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_count"), s"slo burn lost partial agg:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"long window not broadcast:\n$plan")
+  }
+
   private def round(x: Double): Double = math.round(x * 1e6) / 1e6
 }

@@ -74,7 +74,9 @@ class QueriesSpec extends SparkSpec {
     "q198_triangles", // 1-row node/edge totals × 1-row triangle count
     // q215/q216: the t1 < t2 theta self-join over the ≤#days daily series
     // (Theil–Sen pair slopes / Mann–Kendall sign pairs) — report-sized
-    "q215_theil_sen", "q216_mann_kendall")
+    "q215_theil_sen", "q216_mann_kendall",
+    "q217_bh_fdr", // 1-row global time-midpoint frame attached per event
+    "q218_kendall_tau") // i1 < i2 pair join over the ≤#days daily series
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

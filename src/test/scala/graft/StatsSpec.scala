@@ -689,6 +689,71 @@ class StatsSpec extends SparkSpec {
       4 -> Some(-1.0), 5 -> None))
   }
 
+  // --- brownForsythe ---------------------------------------------------
+
+  test("brownForsythe: identical spreads -> F = 0; wider group -> F > 0; " +
+      "deviations measured from group MEDIANS") {
+    val equal = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0),
+      ("b", 10.0), ("b", 11.0), ("b", 12.0)).toDF("g", "v")
+    val r1 = Stats.brownForsythe(equal, $"g", $"v")
+      .select($"k", $"n", $"f_stat").as[(Long, Long, Option[Double])].head()
+    assert(r1._1 == 2L && r1._2 == 6L && r1._3 == Some(0.0))
+
+    val spread = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0),
+      ("b", 0.0), ("b", 20.0), ("b", 40.0)).toDF("g", "v")
+    val r2 = Stats.brownForsythe(spread, $"g", $"v")
+      .select($"f_stat").as[Option[Double]].head()
+    assert(r2.exists(_ > 0.0), s"unequal spread must give F > 0, got $r2")
+  }
+
+  // --- normalTwoSidedP / bhAdjust / kendallTau -------------------------
+
+  test("normalTwoSidedP: 1 at z=0, ~0.05 at z=1.96, symmetric in sign") {
+    val got = Seq(0.0, 1.959964, -1.959964, 3.0).toDF("z")
+      .select(Stats.normalTwoSidedP($"z").as("p")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-8)
+    assert(math.abs(got(1) - 0.05) < 1e-5)
+    assert(got(1) == got(2), "two-sided p must ignore the sign of z")
+    assert(got(3) < 0.004 && got(3) > 0.0)
+  }
+
+  test("bhAdjust: hand family of 4 — adjusted p is the reverse cummin " +
+      "of p*m/rank, >= raw p, monotone in rank") {
+    val fam = Seq(("a", 0.005), ("b", 0.011), ("c", 0.02), ("d", 0.8))
+      .toDF("k", "p")
+    val got = Stats.bhAdjust(fam, Seq("k"), $"p")
+      .select($"k", $"p_raw", $"rank", $"p_bh", $"reject")
+      .as[(String, Double, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b", "c", "d"))
+    assert(got.map(_._4) == Seq(0.02, 0.022, r6(0.02 * 4.0 / 3.0), 0.8))
+    assert(got.map(_._5) == Seq(true, true, true, false))
+    got.foreach { case (_, praw, _, pbh, _) => assert(pbh >= praw) }
+    assert(got.map(_._4) == got.map(_._4).sorted, "p_bh must be monotone")
+  }
+
+  test("kendallTau: hand triples with and without ties; sign-flip " +
+      "antisymmetry") {
+    val plain = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("x", "y")
+    val r1 = graft.ops.TimeSeries.kendallTau(plain, $"x", $"y")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(r1 == ((3L, 1L, 0L, 0L, Some(r6(1.0 / 3.0)))))
+
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0)).toDF("x", "y")
+    val r2 = graft.ops.TimeSeries.kendallTau(tied, $"x", $"y")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(r2 == ((3L, 1L, 1L, 1L, Some(0.5))))
+
+    val flipped = graft.ops.TimeSeries.kendallTau(
+      plain.select($"x", (-$"y").as("y")), $"x", $"y")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(flipped._5 == Some(-r6(1.0 / 3.0)) && flipped._2 == -r1._2)
+
+    val const = graft.ops.TimeSeries.kendallTau(
+      plain.select($"x", lit(7.0).as("y")), $"x", $"y")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(const._5.isEmpty, "constant series must yield null tau")
+  }
+
   test("kappa/gini/calibration: one map-side-combined data pass, windows " +
       "only over report-sized frames") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
