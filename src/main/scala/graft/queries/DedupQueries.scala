@@ -527,9 +527,31 @@ object DedupQueries extends QueryGroup {
         n_chars AS kept_len
       FROM r WHERE rn = 1 AND size >= 2 ORDER BY cluster"""))
 
+  /** Edit-distance near-dup pairs (DedupOps.editDistancePairs): banded
+    * Levenshtein ≤ 8 under (length-band, 8-char-prefix) blocking with a
+    * 64-doc block cap — the character-level complement to q46's token
+    * MinHash; catches small in-place edits. One equi self-join on the
+    * block key, never all-pairs; both engines replay the identical
+    * blocking so the oracle is exact. */
+  val q221EditDistPairs = QueryDef(
+    "q221_edit_dist_pairs",
+    (s, d) => DedupOps.editDistancePairs(Tables.documents(s, d),
+      "doc_id", col("text")),
+    Some("""WITH d AS (SELECT doc_id AS id, text AS t,
+          length(text) // 16 AS lb, substr(text, 1, 8) AS pf
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT lb, pf, COUNT(*) AS bs FROM d GROUP BY 1, 2),
+      k AS (SELECT d.id, d.t, d.lb, d.pf FROM d
+        JOIN s USING (lb, pf) WHERE bs <= 64)
+      SELECT a.id AS doc_id_a, b.id AS doc_id_b,
+        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      FROM k a JOIN k b ON a.lb = b.lb AND a.pf = b.pf AND a.id < b.id
+      WHERE levenshtein(a.t, b.t) <= 8
+      ORDER BY doc_id_a, doc_id_b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
-    q126SharedSpans, q142LshRecall, q182DedupKeepBest)
+    q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs)
 }

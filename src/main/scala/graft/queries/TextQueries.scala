@@ -869,11 +869,58 @@ object TextQueries extends QueryGroup {
           * (CAST(n_tokens AS DOUBLE) - 1)), 6) END AS simpson
       FROM a ORDER BY g"""))
 
+  /** Per-document TF-IDF keywords: top-3 terms per doc by
+    * tf · ln((N+1)/(df+1)) with term-asc tie-break — the classic keyword
+    * extraction card (q114 is the per-SOURCE c-TF-IDF variant; this is
+    * document granularity with document frequency). One explode into a
+    * (doc, term) combined count; df and N are vocab-/1-row-sized; the
+    * rank window partitions BY DOC, so no single-partition funnel. */
+  val q222DocKeywords = QueryDef(
+    "q222_doc_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+        WHERE len(term) > 0 GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        GROUP BY term),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, term, tf,
+          ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (term), nn),
+      r AS (SELECT doc_id, term, tf, tfidf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM sc)
+      SELECT doc_id, rank, term, tf, tfidf FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
-    q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity)
+    q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity,
+    q222DocKeywords)
 }

@@ -580,6 +580,51 @@ object DedupOps {
         (col("len_grams") + (w + k - 2)).as("approx_chars"))
   }
 
+  /** Edit-distance near-dup pairs under deterministic blocking: candidates
+    * share a (length-band, text-prefix) block, pairs score with the BANDED
+    * Levenshtein (threshold-bounded — O(len·maxDist) per pair, not len²)
+    * and survive at distance ≤ `maxDist`. The character-level complement
+    * to MinHash/SimHash token overlap: catches small in-place edits
+    * (typo fixes, one-word swaps) that leave token sets nearly identical
+    * but matter for exactness-sensitive dedup.
+    *
+    * Blocking recall trade-off (standard, documented): a pair differing
+    * inside the first `prefixLen` chars, or length-banded apart, is not
+    * a candidate. `maxBlock` caps the per-block pair blowup — a
+    * boilerplate block bigger than that is skipped (at cap² pair cost it
+    * would dominate the stage); the cap is part of the operator's
+    * semantics and replays identically in an oracle.
+    *
+    * Scale shape: ONE equi self-join on the block key (hash-partitioned,
+    * never all-pairs), block sizes pre-joined so hot blocks drop before
+    * the pair fan-out. Output: (doc_id_a, doc_id_b, dist), ordered. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: Column,
+      maxDist: Int = 8, lenBand: Int = 16, prefixLen: Int = 8,
+      maxBlock: Int = 64): DataFrame = {
+    require(maxDist >= 1 && lenBand >= 1 && prefixLen >= 1 && maxBlock >= 2,
+      "editDistancePairs: degenerate blocking parameters")
+    val base = docs
+      .select(col(idCol).cast("long").as("id"), textCol.as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("lb", floor(length(col("t")) / lenBand).cast("long"))
+      .withColumn("pf", substring(col("t"), 1, prefixLen))
+    val sizes = base.groupBy("lb", "pf").agg(count(lit(1)).as("__bs"))
+    val kept = base.join(sizes, Seq("lb", "pf"))
+      .filter(col("__bs") <= maxBlock)
+      .select("id", "t", "lb", "pf")
+    val a = kept.select(col("id").as("doc_id_a"), col("t").as("ta"),
+      col("lb"), col("pf"))
+    val b = kept.select(col("id").as("doc_id_b"), col("t").as("tb"),
+      col("lb"), col("pf"))
+    a.join(b, Seq("lb", "pf"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("bigint"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("doc_id_a", "doc_id_b", "dist")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** SimHash (default 16 bits) over token multiset: bit b is set when the
     * signed sum of token-hash bit b is positive.
     */

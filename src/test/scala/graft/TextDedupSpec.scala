@@ -956,6 +956,30 @@ class TextDedupSpec extends SparkSpec {
     assert(frac.keySet == Set("train", "val", "test"))
   }
 
+  test("editDistancePairs: finds small in-place edits within a block, " +
+      "respects the block cap, misses cross-prefix edits (documented)") {
+    import graft.text.DedupOps
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("jumps", "jumped")),           // dist 2, same block
+      (3L, "a totally different document body here"),  // far from everything
+      (4L, "xx" + base.drop(2))                        // first-2-char edit
+    ).toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(docs, "doc_id", $"text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L)),
+      s"expected only the (1,2) typo pair, got $got")
+
+    // a hot block larger than maxBlock is dropped entirely
+    val hot = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = DedupOps.editDistancePairs(hot, "doc_id", $"text",
+      maxBlock = 4)
+    assert(capped.count() == 0, "block over the cap must be skipped")
+    val uncapped = DedupOps.editDistancePairs(hot, "doc_id", $"text")
+    assert(uncapped.count() == 10, "5 identical docs -> C(5,2) zero-dist pairs")
+  }
+
   test("vocab coverage cum_frac is nondecreasing and bounded by 1") {
     val rows = SparkEntry.queries("q107_vocab_coverage")(spark, sf001)
       .select("cum_frac").as[Double].collect()
