@@ -369,8 +369,71 @@ object AnalyticsQueries extends QueryGroup {
       FROM seqs GROUP BY variant
       ORDER BY n_subjects DESC, variant LIMIT 10"""))
 
+  /** HITS hubs & authorities (ops/Hits.scala) over the DIRECTED
+    * part→supplier graph from lineitem, 2 iterations, L1-normalized:
+    * parts score as hubs ("orders from good suppliers"), suppliers as
+    * authorities. Top-10 per side; the oracle unrolls both iterations
+    * with the same round-12/DECIMAL-sum contract as q137. */
+  val q223Hits = QueryDef(
+    "q223_hits",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.lineitem(s, d).select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val w = Window.partitionBy("side")
+        .orderBy(col("score").desc, col("node"))
+      graft.ops.Hits.run(edges, iterations = 2)
+        .withColumn("score", round(col("score"), 8))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select("side", "rank", "node", "score")
+        .orderBy("side", "rank")
+    },
+    Some("""WITH e AS (SELECT DISTINCT
+          'p' || CAST(l_partkey AS VARCHAR) AS src,
+          's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+      h1r AS (SELECT src AS node,
+          CAST(SUM(CAST(1.0 AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM e GROUP BY src),
+      h1t AS (SELECT CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM h1r),
+      h1 AS (SELECT node, ROUND(h / (SELECT tot FROM h1t), 12) AS h
+        FROM h1r),
+      a1r AS (SELECT e.dst AS node,
+          CAST(SUM(CAST(h1.h AS DECIMAL(28,12))) AS DOUBLE) AS a
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+      a1t AS (SELECT CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM a1r),
+      a1 AS (SELECT node, ROUND(a / (SELECT tot FROM a1t), 12) AS a
+        FROM a1r),
+      h2r AS (SELECT e.src AS node,
+          CAST(SUM(CAST(a1.a AS DECIMAL(28,12))) AS DOUBLE) AS h
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+      h2t AS (SELECT CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM h2r),
+      h2 AS (SELECT node, ROUND(h / (SELECT tot FROM h2t), 12) AS h
+        FROM h2r),
+      a2r AS (SELECT e.dst AS node,
+          CAST(SUM(CAST(h2.h AS DECIMAL(28,12))) AS DOUBLE) AS a
+        FROM e JOIN h2 ON e.src = h2.node GROUP BY e.dst),
+      a2t AS (SELECT CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS tot
+        FROM a2r),
+      a2 AS (SELECT node, ROUND(a / (SELECT tot FROM a2t), 12) AS a
+        FROM a2r),
+      stacked AS (
+        SELECT 'hub' AS side, node, ROUND(h, 8) AS score FROM h2
+        UNION ALL SELECT 'auth', node, ROUND(a, 8) FROM a2),
+      r AS (SELECT side, node, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY side
+            ORDER BY score DESC, node) AS BIGINT) AS rank
+        FROM stacked)
+      SELECT side, rank, node, score FROM r
+      WHERE rank <= 10 ORDER BY side, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
-    q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants)
+    q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
+    q223Hits)
 }

@@ -626,6 +626,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("hits: hand bipartite graph — 2 unrolled iterations, L1-normalized " +
+      "sides sum to 1, better-connected nodes score higher") {
+    val edges = Seq(("a", "x"), ("b", "x"), ("a", "y")).toDF("src", "dst")
+    val got = graft.ops.Hits.run(edges, iterations = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // iter1: h=(2/3,1/3); a(x)=1, a(y)=2/3 -> (0.6, 0.4)
+    // iter2: h raw=(1.0, 0.6) -> (0.625, 0.375); a raw=(1.0, 0.625)
+    //        -> (0.615384615385, 0.384615384615)
+    val byKey = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey(("hub", "a")) == 0.625 && byKey(("hub", "b")) == 0.375)
+    assert(byKey(("auth", "x")) == 0.615384615385)
+    assert(byKey(("auth", "y")) == 0.384615384615)
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    sums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
   test("sloBurnRate: short-window blip with a calm long window is " +
       "suppressed; sustained burn in both windows alerts") {
     def at(hour: Long, i: Int) = new Timestamp(hour * 3600000L + i * 1000L)
