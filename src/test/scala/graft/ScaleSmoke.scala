@@ -103,6 +103,35 @@ object ScaleSmoke {
       graft.ops.Baskets.pairLift(items, col("b"), col("i"),
         minCount = 2L, k = 50).count()
     }
+    time("edit-dist-pairs-1M-docs") {
+      // discriminative prefixes (hash first) -> ~750k blocks of ~1.3 docs;
+      // the 250k planted dup pairs survive at dist 0, banded lev bounds
+      // each comparison at O(len*8). (On the template corpus above the
+      // shared-prefix mega-blocks would all hit the cap — by design.)
+      val edocs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          md5(concat(lit("u"), (col("id") % 750000).cast("string"))),
+          lit("document body starts here with shared template words"),
+          lit("closing boilerplate that every page carries along"))
+          .as("text"))
+      graft.text.DedupOps.editDistancePairs(edocs, "doc_id", col("text"))
+        .count()
+    }
+    time("hits-2M-edges") {
+      val es = spark.range(2000000L)
+        .select(concat(lit("u"), (col("id") % 500000).cast("string")).as("src"),
+          concat(lit("v"), ((col("id") * 7919L + 13L) % 500000).cast("string"))
+            .as("dst"))
+        .distinct()
+      graft.ops.Hits.run(es, iterations = 2).count()
+    }
+    time("slo-burn-10M-events") {
+      val ev = spark.range(10000000L)
+        .select(timestamp_micros(col("id") * 300000L + 1700000000000000L)
+          .as("ts"), (col("id") % 7 === 0).as("err"))
+      graft.ops.EventAnalytics.sloBurnRate(ev, col("ts"), col("err"),
+        budget = 0.2).count()
+    }
     spark.stop()
   }
 }
