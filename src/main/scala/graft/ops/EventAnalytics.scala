@@ -530,6 +530,33 @@ object EventAnalytics {
       .orderBy("hour")
   }
 
+  /** Top-k contiguous n-step sequences (default trigrams) of the event
+    * stream: per subject the time-ordered type sequence, every contiguous
+    * window of `n` types counted with its distinct-subject support — the
+    * sequential-pattern mining readout one level up from
+    * [[markovTransitions]]' pairs (which flows dominate, not just which
+    * transitions). One keyed window (partitioned BY SUBJECT — distributed),
+    * one aggregation; top-k via TakeOrdered, no global sort. */
+  def topSequences(df: DataFrame, key: String, ts: String, typeCol: String,
+      tieCol: String, n: Int = 3, k: Int = 15): DataFrame = {
+    require(n >= 2 && k >= 1, "topSequences needs n >= 2, k >= 1")
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
+    val steps = (1 until n).foldLeft(
+      df.filter(col(ts).isNotNull && col(typeCol).isNotNull)) { (acc, i) =>
+      acc.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+    }
+    val stepCols = col(typeCol).as("s1") +:
+      (1 until n).map(i => col(s"__s$i").as(s"s${i + 1}"))
+    steps
+      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(col(key).as("__k") +: stepCols: _*)
+      .groupBy((1 to n).map(i => col(s"s$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__k")).as("n_subjects"))
+      .orderBy(col("n_occurrences").desc +: (1 to n).map(i => col(s"s$i")): _*)
+      .limit(k)
+  }
+
   def markovTransitions(df: DataFrame, key: String, ts: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))

@@ -1048,6 +1048,58 @@ object Stats {
     anovaOneWay(dev, col("g"), col("z"))
   }
 
+  /** Weight-of-Evidence / Information-Value scorecard binning: the numeric
+    * `value` is cut at its exact interpolated quantile edges (nBins
+    * equal-frequency bins; edges rounded 6 so the cut replays identically
+    * cross-engine), and each bin reports WoE = ln((bad_i/B)/(good_i/G))
+    * plus its IV term — the credit-scorecard readout of how strongly a
+    * feature separates a binary label (IV < 0.02 useless, > 0.3 strong).
+    *
+    * Bins with an empty side get null WoE and drop out of IV (the
+    * unsmoothed textbook form — smoothing variants differ by vendor; the
+    * null is the honest answer). Scale shape: ONE percentile aggregation
+    * for the edge row (broadcast back — no global sort, no ntile funnel),
+    * one combined groupBy over data; shares/WoE/IV run over the ≤nBins
+    * report frame (windows bounded there). All counts integer-exact; IV
+    * sums round-6 terms as DECIMAL. Output per bin: (bin, n, n_bad,
+    * n_good, bad_share, good_share, woe, iv_term, iv_total) by bin. */
+  def woeIv(df: DataFrame, value: Column, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "woeIv needs at least two bins")
+    val base = df.filter(value.isNotNull && label.isNotNull)
+      .select(value.cast("double").as("v"), label.as("y"))
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val edges = base.agg(
+      transform(percentile(col("v"), typedlit(qs)), e => round(e, 6))
+        .as("__edges"))
+    val binned = base.crossJoin(broadcast(edges))
+      .withColumn("bin",
+        size(filter(col("__edges"), e => col("v") > e)).cast("bigint"))
+    val per = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      count(when(col("y"), 1)).as("n_bad"),
+      count(when(!col("y"), 1)).as("n_good"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val bS = col("n_bad").cast("double") / col("__B").cast("double")
+    val gS = col("n_good").cast("double") / col("__G").cast("double")
+    per
+      .withColumn("__B", sum(col("n_bad")).over(all))
+      .withColumn("__G", sum(col("n_good")).over(all))
+      .withColumn("bad_share", round(bS, 6))
+      .withColumn("good_share", round(gS, 6))
+      .withColumn("woe",
+        when(col("n_bad") > 0 && col("n_good") > 0, round(log(bS / gS), 6)))
+      .withColumn("iv_term",
+        when(col("woe").isNotNull, round((bS - gS) * col("woe"), 6)))
+      .withColumn("iv_total",
+        round(sum(col("iv_term").cast("decimal(28,6)")).over(all)
+          .cast("double"), 6))
+      .select("bin", "n", "n_bad", "n_good", "bad_share", "good_share",
+        "woe", "iv_term", "iv_total")
+      .orderBy("bin")
+  }
+
   /** Two-sided normal tail probability 2·(1 − Φ(|z|)) by the
     * Abramowitz–Stegun 7.1.26 erf polynomial (|err| < 1.5e-7). The
     * SAME closed form replays in the DuckDB oracle — cross-engine

@@ -431,9 +431,28 @@ object AnalyticsQueries extends QueryGroup {
       SELECT side, rank, node, score FROM r
       WHERE rank <= 10 ORDER BY side, rank"""))
 
+  /** Top-15 contiguous event-type trigrams with distinct-user support
+    * (EventAnalytics.topSequences): the sequential-pattern step up from
+    * q213's directly-follows pairs. One user-partitioned window + one
+    * aggregation; TakeOrdered top-k. */
+  val q224TopSequences = QueryDef(
+    "q224_top_sequences",
+    (s, d) => EventAnalytics.topSequences(Tables.events(s, d),
+      "user_id", "ts", "event_type", tieCol = "event_id"),
+    Some("""WITH g AS (SELECT user_id, event_type AS s1,
+          LEAD(event_type, 1) OVER w AS s2,
+          LEAD(event_type, 2) OVER w AS s3
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subjects
+      FROM g WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      GROUP BY s1, s2, s3
+      ORDER BY n_occurrences DESC, s1, s2, s3 LIMIT 15"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
-    q223Hits)
+    q223Hits, q224TopSequences)
 }

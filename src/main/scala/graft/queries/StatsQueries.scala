@@ -1088,6 +1088,47 @@ object StatsQueries extends QueryGroup {
         ROUND(LEAST(adj, 1.0), 6) <= 0.05 AS reject
       FROM a ORDER BY rank"""))
 
+  /** WoE/IV scorecard binning of order value vs the finished-order label
+    * (Stats.woeIv): exact-decile cuts (edges broadcast back — no ntile
+    * funnel), per-bin weight of evidence and the information-value total.
+    * The credit-scorecard "does this feature separate the label" card. */
+  val q225WoeIv = QueryDef(
+    "q225_woe_iv",
+    (s, d) => Stats.woeIv(Tables.orders(s, d),
+      col("o_totalprice"), col("o_orderstatus") === "F"),
+    Some("""WITH base AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+          o_orderstatus = 'F' AS y
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+      ed AS (SELECT ROUND(unnest(quantile_cont(v,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS e
+        FROM base),
+      binned AS (SELECT v, y,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE v > e) AS bin
+        FROM base),
+      per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) FILTER (y) AS BIGINT) AS n_bad,
+          CAST(COUNT(*) FILTER (NOT y) AS BIGINT) AS n_good
+        FROM binned GROUP BY bin),
+      t AS (SELECT bin, n, n_bad, n_good,
+          CAST(SUM(n_bad) OVER () AS BIGINT) AS tb,
+          CAST(SUM(n_good) OVER () AS BIGINT) AS tg FROM per),
+      w AS (SELECT bin, n, n_bad, n_good,
+          CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE) AS bs,
+          CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE) AS gs,
+          CASE WHEN n_bad > 0 AND n_good > 0 THEN
+            ROUND(LN((CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+              / (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))), 6)
+          END AS woe FROM t),
+      iv AS (SELECT bin, n, n_bad, n_good,
+          ROUND(bs, 6) AS bad_share, ROUND(gs, 6) AS good_share, woe,
+          CASE WHEN woe IS NOT NULL
+            THEN ROUND((bs - gs) * woe, 6) END AS iv_term FROM w)
+      SELECT bin, n, n_bad, n_good, bad_share, good_share, woe, iv_term,
+        ROUND(CAST(SUM(CAST(iv_term AS DECIMAL(28,6))) OVER ()
+          AS DOUBLE), 6) AS iv_total
+      FROM iv ORDER BY bin"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1095,5 +1136,5 @@ object StatsQueries extends QueryGroup {
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
-    q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe)
+    q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv)
 }

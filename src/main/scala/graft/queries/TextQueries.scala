@@ -915,6 +915,49 @@ object TextQueries extends QueryGroup {
       SELECT doc_id, rank, term, tf, tfidf FROM r
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** Per-source vocabulary richness estimators: hapax/dis-legomena
+    * counts, Turing missing mass N1/N (the probability the NEXT token is
+    * an unseen type — "is this source mined out?"), and the
+    * bias-corrected Chao1 richness estimate V + N1(N1−1)/(2(N2+1)) (how
+    * big the vocabulary really is) — the corpus-growth planning card
+    * beside q107's coverage curve. One explode → combined (source, term)
+    * count, then a ≤vocab-sized rollup; all ratio math per source. */
+  val q226VocabRichness = QueryDef(
+    "q226_vocab_richness",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      tf.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count(when(col("c") === 1, 1)).as("n1"),
+          count(when(col("c") === 2, 1)).as("n2"))
+        .withColumn("missing_mass",
+          round(col("n1").cast("double") / col("n_tokens").cast("double"), 6))
+        .withColumn("chao1",
+          round(col("vocab") + (col("n1") * (col("n1") - 1))
+            / (lit(2.0) * (col("n2") + 1)), 6))
+        .select("source", "n_tokens", "vocab", "n1", "n2",
+          "missing_mass", "chao1")
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+      tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM t
+        WHERE len(term) > 0 GROUP BY source, term)
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n1,
+        CAST(COUNT(*) FILTER (c = 2) AS BIGINT) AS n2,
+        ROUND(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE)
+          / CAST(SUM(c) AS DOUBLE), 6) AS missing_mass,
+        ROUND(COUNT(*) + (COUNT(*) FILTER (c = 1)
+            * (COUNT(*) FILTER (c = 1) - 1))
+          / (2.0 * (COUNT(*) FILTER (c = 2) + 1)), 6) AS chao1
+      FROM tf GROUP BY source ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,
     q70LangIdNgram, q81UrlCanon, q86Bm25, q89UnigramNll, q93HtmlExtract,
@@ -922,5 +965,5 @@ object TextQueries extends QueryGroup {
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
     q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity,
-    q222DocKeywords)
+    q222DocKeywords, q226VocabRichness)
 }

@@ -626,6 +626,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("topSequences: contiguous trigrams per user with distinct-subject " +
+      "support; sequences never cross users") {
+    val rows = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"), (3L, 1L, ts(3), "c"),
+      (4L, 1L, ts(4), "b"), (5L, 1L, ts(5), "c"),
+      (6L, 2L, ts(1), "a"), (7L, 2L, ts(2), "b"), (8L, 2L, ts(3), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topSequences(rows, "user_id", "ts",
+        "event_type", tieCol = "event_id")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", "c", 2L, 2L),
+      ("b", "c", "b", 1L, 1L),
+      ("c", "b", "c", 1L, 1L)))
+  }
+
   test("hits: hand bipartite graph — 2 unrolled iterations, L1-normalized " +
       "sides sum to 1, better-connected nodes score higher") {
     val edges = Seq(("a", "x"), ("b", "x"), ("a", "y")).toDF("src", "dst")

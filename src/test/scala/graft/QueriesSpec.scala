@@ -78,7 +78,8 @@ class QueriesSpec extends SparkSpec {
     "q217_bh_fdr", // 1-row global time-midpoint frame attached per event
     "q218_kendall_tau", // i1 < i2 pair join over the ≤#days daily series
     "q222_doc_keywords", // 1-row corpus-size frame in the IDF (q114 shape)
-    "q223_hits") // 1-row L1-normalization totals per half-iteration
+    "q223_hits", // 1-row L1-normalization totals per half-iteration
+    "q225_woe_iv") // 1-row quantile-edge frame attached per order
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -706,6 +706,27 @@ class StatsSpec extends SparkSpec {
     assert(r2.exists(_ > 0.0), s"unequal spread must give F > 0, got $r2")
   }
 
+  // --- woeIv -----------------------------------------------------------
+
+  test("woeIv: hand 2-bin example — empty-side bin gets null WoE and " +
+      "drops from IV; counts and shares exact") {
+    val df = (1 to 10).map(v => (v.toDouble, v >= 4)).toDF("v", "y")
+    val got = Stats.woeIv(df, $"v", $"y", nBins = 2)
+      .select($"bin", $"n", $"n_bad", $"n_good", $"woe", $"iv_term",
+        $"iv_total")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    // edges = [5.5]; bin0 = {1..5}: 2 bad 3 good; bin1 = {6..10}: all bad
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq((0L, 5L, 2L, 3L), (1L, 5L, 5L, 0L)))
+    assert(got(1)._5.isEmpty && got(1)._6.isEmpty,
+      "empty-good bin must yield null woe/iv_term")
+    assert(got(0)._5 == Some(r6(math.log((2.0 / 7.0) / 1.0))))
+    val ivTerm = r6((2.0 / 7.0 - 1.0) * r6(math.log(2.0 / 7.0)))
+    assert(got(0)._6 == Some(ivTerm))
+    assert(got.forall(_._7 == Some(ivTerm)), "iv_total repeats per bin")
+  }
+
   // --- normalTwoSidedP / bhAdjust / kendallTau -------------------------
 
   test("normalTwoSidedP: 1 at z=0, ~0.05 at z=1.96, symmetric in sign") {
