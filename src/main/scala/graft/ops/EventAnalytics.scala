@@ -510,6 +510,16 @@ object EventAnalytics {
       .groupBy(floorDivMicros(ts, 3600000000L).as("hour"))
       .agg(count(lit(1)).as("total"),
         count(when(isError, 1)).as("errors"))
+    sloBurnFromHourly(hourly, budget, longBuckets, threshold)
+  }
+
+  /** The burn computation over an ALREADY-AGGREGATED hourly
+    * (hour, total, errors) frame — shared by [[sloBurnRate]] and the
+    * streaming monitor (streaming/SloStreams), whose upsert store holds
+    * exactly this shape. Report-sized input; long side broadcast. */
+  def sloBurnFromHourly(hourly: DataFrame, budget: Double,
+      longBuckets: Int = 6, threshold: Double = 1.0): DataFrame = {
+    require(budget > 0 && longBuckets >= 1, "sloBurnFromHourly needs budget>0")
     def block(h: Column): Column =
       ((h - pmod(h, lit(longBuckets.toLong))) / lit(longBuckets.toLong))
         .cast("long")

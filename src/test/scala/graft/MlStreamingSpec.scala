@@ -340,6 +340,59 @@ class MlStreamingSpec extends SparkSpec {
     val total = sessions.agg(sum("n_events")).head().getLong(0)
     assert(total == ev.count())
   }
+  test("streaming SLO monitor: closed hourly windows upsert into the " +
+      "hourly store and the burn report matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.SloStreams
+    val base = java.nio.file.Files.createTempDirectory("slo").toString
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Boolean)]
+    val hourly = SloStreams.hourlyCounts(
+      mem.toDF().toDF("ts", "is_err"), "ts", col("is_err"))
+    val q = SloStreams.burnSink(hourly, s"$base/hourly", s"$base/report",
+      s"$base/ckpt", budget = 0.25)
+    val rows =
+      (0 until 4).map(i => (t(0, i), i < 2)) ++
+      (0 until 4).map(i => (t(1, i), false))
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // watermark pusher at 04:00 closes hours 0 and 1 (stays open itself)
+      mem.addData((t(4, 0), false))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/report")
+        .as[(Long, Long, Long, Double, Double, Boolean)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got.size == 2)
+      assert(got(1)._1 == got(0)._1 + 1, "consecutive hour keys")
+      assert(got.map(r => (r._2, r._3, r._4, r._5, r._6)) == Seq(
+        (4L, 2L, 2.0, 1.0, false),   // hour-0 blip, long window calm
+        (4L, 0L, 0.0, 1.0, false)))
+      // batch twin over the same closed-hour events must agree exactly
+      val twin = graft.ops.EventAnalytics.sloBurnRate(
+          rows.toDF("ts", "is_err"), col("ts"), col("is_err"), budget = 0.25)
+        .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+      assert(twin.sortBy(_._1) == got)
+    } finally q.stop()
+  }
+
+  test("streaming SLO monitor: replaying the same hourly batch converges " +
+      "(one row per window key, report unchanged)") {
+    import graft.streaming.SloStreams
+    val base = java.nio.file.Files.createTempDirectory("slo2").toString
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 4L, 2L),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 4L, 0L))
+      .toDF("w", "total", "errors")
+    SloStreams.applyBatch(batch, s"$base/hourly", s"$base/report", 0.25)
+    val once = spark.read.parquet(s"$base/report").collect().toSet
+    SloStreams.applyBatch(batch, s"$base/hourly", s"$base/report", 0.25)
+    assert(spark.read.parquet(s"$base/hourly").count() == 2,
+      "replay must not duplicate hourly rows")
+    assert(spark.read.parquet(s"$base/report").collect().toSet == once)
+  }
+
   test("streaming drift monitor: closed windows score PSI against the frozen " +
       "reference and upsert by window key") {
     implicit val sql = spark.sqlContext
