@@ -489,6 +489,38 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Audience overlap matrix: for every unordered pair of categories, the
+    * EXACT count of subjects active in both, with Jaccard — the "how much
+    * do these segments overlap" card behind dedup'd reach numbers (two
+    * segments of 1M users each may be 900k shared). Zero-overlap pairs
+    * appear with 0 (grid densified from the per-category frame).
+    *
+    * Scale shape: ONE distinct pass to (subject, category), then a keyed
+    * self-join ON SUBJECT — each subject fans out to its own C(k,2) pairs
+    * (k = categories the subject touches, ≤ #categories), never a
+    * cross-product over subjects. The densify grid and ratio math run on
+    * the ≤#categories² report frame. Counts integer-exact; Jaccard
+    * rounds 6. Output: (cat_a, cat_b, n_a, n_b, n_both, jaccard). */
+  def audienceOverlap(df: DataFrame, subject: Column,
+      category: Column): DataFrame = {
+    val pairs = df.filter(subject.isNotNull && category.isNotNull)
+      .select(subject.as("k"), category.as("c")).distinct()
+    val perCat = pairs.groupBy("c").agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("k"), col("c").as("cat_a"))
+      .join(pairs.select(col("k"), col("c").as("cat_b")), Seq("k"))
+      .filter(col("cat_a") < col("cat_b"))
+      .groupBy("cat_a", "cat_b").agg(count(lit(1)).as("n_both"))
+    val grid = broadcast(perCat.select(col("c").as("cat_a"), col("n").as("n_a")))
+      .join(broadcast(perCat.select(col("c").as("cat_b"), col("n").as("n_b"))),
+        col("cat_a") < col("cat_b"))
+    grid.join(inter, Seq("cat_a", "cat_b"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .withColumn("jaccard", round(col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+      .select("cat_a", "cat_b", "n_a", "n_b", "n_both", "jaccard")
+      .orderBy("cat_a", "cat_b")
+  }
+
   /** Multi-window SLO burn rate (the SRE-handbook alert shape): per short
     * window the error rate over `budget` (burn = rate/budget; burn 1.0
     * consumes the error budget exactly at the sustainable pace), paired

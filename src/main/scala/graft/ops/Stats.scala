@@ -1048,6 +1048,50 @@ object Stats {
     anovaOneWay(dev, col("g"), col("z"))
   }
 
+  /** Partial correlation r_xy·z — the Pearson correlation of `x` and `y`
+    * with the linear effect of the confounder `z` removed:
+    * (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)). The "is the
+    * quantity–price relationship real or is discount driving both"
+    * screen. ONE map-side-combined aggregation collects all ten exact
+    * DECIMAL moments; every r and the partial replay from them with a
+    * mirrored operation order, rounded 6. Null when any marginal is
+    * degenerate (zero variance, or |r·z| = 1). One row:
+    * (n, r_xy, r_xz, r_yz, partial_r). */
+  def partialCorrelation(df: DataFrame, x: Column, y: Column,
+      z: Column): DataFrame = {
+    val base = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .select(x.cast("double").as("x"), y.cast("double").as("y"),
+        z.cast("double").as("z"))
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      s(col("x")).as("sx"), s(col("y")).as("sy"), s(col("z")).as("sz"),
+      s(col("x") * col("x")).as("sxx"), s(col("y") * col("y")).as("syy"),
+      s(col("z") * col("z")).as("szz"),
+      s(col("x") * col("y")).as("sxy"), s(col("x") * col("z")).as("sxz"),
+      s(col("y") * col("z")).as("syz"))
+    val nD = col("n").cast("double")
+    def varOf(saa: Column, sa: Column): Column = nD * saa - sa * sa
+    // divide by NULL, never by zero: ANSI mode throws on /0 even inside an
+    // untaken `when` branch once subexpression elimination hoists it
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    def r(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column): Column =
+      (nD * sab - sa * sb) / nz(sqrt(varOf(saa, sa) * varOf(sbb, sb)))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val ok = varOf(col("sxx"), col("sx")) > 0 &&
+      varOf(col("syy"), col("sy")) > 0 && varOf(col("szz"), col("sz")) > 0
+    val denom = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    agg.select(col("n"),
+      when(ok, round(rxy, 6)).as("r_xy"),
+      when(ok, round(rxz, 6)).as("r_xz"),
+      when(ok, round(ryz, 6)).as("r_yz"),
+      when(ok && denom > 0, round((rxy - rxz * ryz) / nz(denom), 6))
+        .as("partial_r"))
+  }
+
   /** Weight-of-Evidence / Information-Value scorecard binning: the numeric
     * `value` is cut at its exact interpolated quantile edges (nBins
     * equal-frequency bins; edges rounded 6 so the cut replays identically
@@ -1081,8 +1125,11 @@ object Stats {
       count(when(!col("y"), 1)).as("n_good"))
     val all = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val bS = col("n_bad").cast("double") / col("__B").cast("double")
-    val gS = col("n_good").cast("double") / col("__G").cast("double")
+    // null-denominator form: an all-one-class label yields null shares/WoE
+    // instead of an ANSI divide-by-zero
+    def nzL(c: Column): Column = when(c =!= 0L, c)
+    val bS = col("n_bad").cast("double") / nzL(col("__B")).cast("double")
+    val gS = col("n_good").cast("double") / nzL(col("__G")).cast("double")
     per
       .withColumn("__B", sum(col("n_bad")).over(all))
       .withColumn("__G", sum(col("n_good")).over(all))

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Divide by NULL, never by zero: ANSI mode throws on /0 even inside an
+    * untaken `when` branch once subexpression elimination hoists it. */
+  private def nz(c: Column): Column = when(c =!= 0.0, c)
+
   /** Classical additive decomposition y = trend + seasonal + residual:
     * trend is the centered `period`-point moving average (null at the
     * edges where the window is short), the seasonal term is the per-phase
@@ -162,6 +166,107 @@ object TimeSeries {
       when(varS > 0, round(z, 6)).as("z"))
   }
 
+  /** OLS fit of y on t over the series with per-period regression
+    * diagnostics — fitted value, residual, leverage h_ii = 1/n +
+    * (t − t̄)²/S_tt, internally studentized residual, and Cook's distance
+    * D_i = r_i²·h_ii / (p·(1 − h_ii)) with p = 2 — the "which day bent
+    * the trend line" influence audit on top of the plain slope. Output
+    * per period (t, y, fitted, resid, leverage, cooks_d), ordered by t;
+    * null diagnostics when the fit is degenerate (n ≤ 2 or zero t
+    * variance, or h_ii = 1).
+    *
+    * Exactness: slope/intercept from the five exact DECIMAL sums (the
+    * regrByGroup contract); every diagnostic replays from those doubles
+    * in mirrored order, rounded 6. All frames are ≤#periods report-sized
+    * (the theilSen acceptance). */
+  def olsInfluence(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.cast("double").as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val moments = base.agg(
+      count(lit(1)).as("__n"),
+      s(col("t")).as("__st"), s(col("y")).as("__sy"),
+      s(col("t") * col("t")).as("__stt"), s(col("t") * col("y")).as("__sty"))
+    val nD = col("__n").cast("double")
+    val sttC = nD * col("__stt") - col("__st") * col("__st") // n·S_tt
+    val slope = (nD * col("__sty") - col("__st") * col("__sy")) / nz(sttC)
+    val intercept = (col("__sy") - slope * col("__st")) / nz(nD)
+    val withFit = base.crossJoin(broadcast(moments))
+      .withColumn("__slope", slope)
+      .withColumn("__inter", intercept)
+      .withColumn("__fit", col("__inter") + col("__slope") * col("t"))
+      .withColumn("__e", col("y") - col("__fit"))
+      // h_ii = 1/n + (t − t̄)²/S_tt; S_tt = (n·S_tt)/n
+      .withColumn("__h",
+        lit(1.0) / nz(nD) +
+          (col("t") - col("__st") / nz(nD)) * (col("t") - col("__st") / nz(nD))
+            / nz(sttC / nz(nD)))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val mse = sum(round(col("__e") * col("__e"), 8).cast("decimal(38,8)"))
+      .over(all).cast("double") / nz(nD - 2)
+    val okFit = col("__n") > 2 && sttC > 0
+    withFit
+      .withColumn("__mse", mse)
+      .withColumn("fitted", when(okFit, round(col("__fit"), 6)))
+      .withColumn("resid", when(okFit, round(col("__e"), 6)))
+      .withColumn("leverage", when(okFit, round(col("__h"), 6)))
+      .withColumn("cooks_d",
+        when(okFit && col("__h") < 1 && col("__mse") > 0, round(
+          (col("__e") * col("__e")
+            / nz(col("__mse") * (lit(1.0) - col("__h"))))
+            * col("__h") / nz(lit(2.0) * (lit(1.0) - col("__h"))), 6)))
+      .select(col("t"), col("y"), col("fitted"), col("resid"),
+        col("leverage"), col("cooks_d"))
+      .orderBy("t")
+  }
+
+  /** Durbin–Watson statistic of the y-on-t OLS residuals:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² — the standard "are the residuals
+    * serially correlated" check (≈2 means none; → 0 positive; → 4
+    * negative autocorrelation). A trend fit whose residuals autocorrelate
+    * is under-modeling the series (seasonality, level shift) — run this
+    * BEFORE trusting the q155/q215 slope's error bars. One row:
+    * (n, slope, dw, rho1) with rho1 ≈ 1 − DW/2, rounded 6.
+    *
+    * Same exactness contract as [[olsInfluence]]: decimal moment sums,
+    * mirrored double replay, lag window over the ≤#periods frame. */
+  def durbinWatson(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.cast("double").as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val moments = base.agg(
+      count(lit(1)).as("__n"),
+      s(col("t")).as("__st"), s(col("y")).as("__sy"),
+      s(col("t") * col("t")).as("__stt"), s(col("t") * col("y")).as("__sty"))
+    val nD = col("__n").cast("double")
+    val sttC = nD * col("__stt") - col("__st") * col("__st")
+    val slope = (nD * col("__sty") - col("__st") * col("__sy")) / nz(sttC)
+    val intercept = (col("__sy") - slope * col("__st")) / nz(nD)
+    val resid = base.crossJoin(broadcast(moments))
+      .withColumn("__slope", slope)
+      .withColumn("__e", col("y") - (intercept + slope * col("t")))
+    val w = Window.orderBy("t")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    resid
+      .withColumn("__de", col("__e") - lag(col("__e"), 1).over(w))
+      .withColumn("__num",
+        sum(round(col("__de") * col("__de"), 8).cast("decimal(38,8)"))
+          .over(all).cast("double"))
+      .withColumn("__den",
+        sum(round(col("__e") * col("__e"), 8).cast("decimal(38,8)"))
+          .over(all).cast("double"))
+      .select(col("__n").as("n"),
+        when(sttC > 0, round(col("__slope"), 6)).as("slope"),
+        when(col("__den") > 0, round(col("__num") / col("__den"), 6))
+          .as("dw"),
+        when(col("__den") > 0,
+          round(lit(1.0) - col("__num") / col("__den") / 2.0, 6))
+          .as("rho1"))
+      .limit(1)
+  }
+
   /** Kendall tau-b rank correlation between two aligned series (x_t, y_t):
     * tau_b = (C − D) / √((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and
     * n1/n2 the within-x / within-y tied-pair counts — the tie-corrected
@@ -205,7 +310,7 @@ object TimeSeries {
       (n0 - col("tie_y_pairs").cast("double")))
     joined.select(col("n"), col("c_minus_d"),
       col("tie_x_pairs"), col("tie_y_pairs"),
-      when(denom > 0, round(col("c_minus_d").cast("double") / denom, 6))
+      when(denom > 0, round(col("c_minus_d").cast("double") / nz(denom), 6))
         .as("tau_b"))
   }
 

@@ -450,9 +450,33 @@ object AnalyticsQueries extends QueryGroup {
       GROUP BY s1, s2, s3
       ORDER BY n_occurrences DESC, s1, s2, s3 LIMIT 15"""))
 
+  /** Audience overlap matrix across event types
+    * (EventAnalytics.audienceOverlap): exact pairwise shared-user counts
+    * + Jaccard, grid densified so zero-overlap pairs report 0. Keyed
+    * self-join on the subject — per-subject C(k,2) fan-out, never a
+    * subject cross-product. */
+  val q227AudienceOverlap = QueryDef(
+    "q227_audience_overlap",
+    (s, d) => EventAnalytics.audienceOverlap(Tables.events(s, d),
+      col("user_id"), col("event_type")),
+    Some("""WITH p AS (SELECT DISTINCT user_id AS k, event_type AS c
+          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      pc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY c),
+      i AS (SELECT a.c AS cat_a, b.c AS cat_b,
+          CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM p a JOIN p b ON a.k = b.k AND a.c < b.c GROUP BY 1, 2),
+      g AS (SELECT a.c AS cat_a, b.c AS cat_b, a.n AS n_a, b.n AS n_b
+        FROM pc a JOIN pc b ON a.c < b.c)
+      SELECT cat_a, cat_b, n_a, n_b,
+        COALESCE(n_both, 0) AS n_both,
+        ROUND(CAST(COALESCE(n_both, 0) AS DOUBLE)
+          / CAST(n_a + n_b - COALESCE(n_both, 0) AS DOUBLE), 6) AS jaccard
+      FROM g LEFT JOIN i USING (cat_a, cat_b)
+      ORDER BY cat_a, cat_b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
-    q223Hits, q224TopSequences)
+    q223Hits, q224TopSequences, q227AudienceOverlap)
 }

@@ -681,10 +681,94 @@ object MonitoringQueries extends QueryGroup {
           AS alert
       FROM h JOIN l ON hour // 6 = l.blk ORDER BY hour"""))
 
+  /** Durbin–Watson serial-correlation check of the daily-volume OLS
+    * residuals (TimeSeries.durbinWatson): DW ≈ 2 means the q215-style
+    * trend's error bars are trustworthy; DW → 0 says the residuals trend
+    * together (seasonality/level shift under-modeled). */
+  val q228DurbinWatson = QueryDef(
+    "q228_durbin_watson",
+    (s, d) => graft.ops.TimeSeries.durbinWatson(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE)
+          AS t, CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY epoch_us(ts) // 86400000000),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(t * t AS DECIMAL(38,8))) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(t * y AS DECIMAL(38,8))) AS DOUBLE) AS sty
+        FROM daily),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd, st, sy, stt, sty,
+          CAST(n AS DOUBLE) * stt - st * st AS sttc FROM m),
+      s AS (SELECT n, nd, st, sy, sttc,
+          (nd * sty - st * sy) / sttc AS slope FROM d),
+      s2 AS (SELECT n, nd, sttc, slope,
+          (sy - slope * st) / nd AS inter FROM s),
+      r AS (SELECT daily.t, daily.y - (inter + slope * daily.t) AS e
+        FROM daily, s2),
+      l AS (SELECT e, e - LAG(e) OVER (ORDER BY t) AS de FROM r),
+      agg AS (SELECT
+          CAST(SUM(CAST(ROUND(de * de, 8) AS DECIMAL(38,8))) AS DOUBLE)
+            AS num,
+          CAST(SUM(CAST(ROUND(e * e, 8) AS DECIMAL(38,8))) AS DOUBLE)
+            AS den FROM l)
+      SELECT n,
+        CASE WHEN sttc > 0 THEN ROUND(slope, 6) END AS slope,
+        CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS dw,
+        CASE WHEN den > 0 THEN ROUND(1.0 - num / den / 2.0, 6) END AS rho1
+      FROM s2, agg"""))
+
+  /** Per-day OLS influence diagnostics of the daily volume trend
+    * (TimeSeries.olsInfluence): fitted/residual/leverage/Cook's distance
+    * — which single day bent the trend line. */
+  val q229OlsInfluence = QueryDef(
+    "q229_ols_influence",
+    (s, d) => graft.ops.TimeSeries.olsInfluence(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE)
+          AS t, CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY epoch_us(ts) // 86400000000),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(t * t AS DECIMAL(38,8))) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(t * y AS DECIMAL(38,8))) AS DOUBLE) AS sty
+        FROM daily),
+      d AS (SELECT n, CAST(n AS DOUBLE) AS nd, st, sy, stt, sty,
+          CAST(n AS DOUBLE) * stt - st * st AS sttc FROM m),
+      s AS (SELECT n, nd, st, sttc,
+          (nd * sty - st * sy) / sttc AS slope, sy FROM d),
+      s2 AS (SELECT n, nd, st, sttc, slope,
+          (sy - slope * st) / nd AS inter FROM s),
+      f AS (SELECT t, y, n, nd, sttc, st,
+          inter + slope * t AS fit,
+          y - (inter + slope * t) AS e,
+          1.0 / nd + (t - st / nd) * (t - st / nd) / (sttc / nd) AS h
+        FROM daily, s2),
+      w AS (SELECT t, y, n, sttc, fit, e, h,
+          CAST(SUM(CAST(ROUND(e * e, 8) AS DECIMAL(38,8))) OVER ()
+            AS DOUBLE) / (CAST(n AS DOUBLE) - 2) AS mse
+        FROM f)
+      SELECT t, y,
+        CASE WHEN n > 2 AND sttc > 0 THEN ROUND(fit, 6) END AS fitted,
+        CASE WHEN n > 2 AND sttc > 0 THEN ROUND(e, 6) END AS resid,
+        CASE WHEN n > 2 AND sttc > 0 THEN ROUND(h, 6) END AS leverage,
+        CASE WHEN n > 2 AND sttc > 0 AND h < 1 AND mse > 0 THEN
+          ROUND((e * e / (mse * (1.0 - h))) * h / (2.0 * (1.0 - h)), 6)
+        END AS cooks_d
+      FROM w ORDER BY t"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
-    q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn)
+    q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
+    q228DurbinWatson, q229OlsInfluence)
 }

@@ -1129,6 +1129,54 @@ object StatsQueries extends QueryGroup {
           AS DOUBLE), 6) AS iv_total
       FROM iv ORDER BY bin"""))
 
+  /** Partial correlation of quantity and extended price controlling for
+    * discount (Stats.partialCorrelation): the confounder-removed
+    * association check beside q09's raw correlation matrix. One
+    * map-side-combined pass collects all ten decimal moments. */
+  val q230PartialCorr = QueryDef(
+    "q230_partial_corr",
+    (s, d) => Stats.partialCorrelation(Tables.lineitem(s, d),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+    Some("""WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y,
+          CAST(l_discount AS DOUBLE) AS z
+        FROM lineitem WHERE l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(z AS DECIMAL(38,8))) AS DOUBLE) AS sz,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(z * z AS DECIMAL(38,8))) AS DOUBLE) AS szz,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x * z AS DECIMAL(38,8))) AS DOUBLE) AS sxz,
+          CAST(SUM(CAST(y * z AS DECIMAL(38,8))) AS DOUBLE) AS syz
+        FROM b),
+      r AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sz,
+          CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+          CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+          CAST(n AS DOUBLE) * szz - sz * sz AS vz,
+          sxy, sxz, syz FROM m),
+      c AS (SELECT n, vx, vy, vz,
+          (nd * sxy - sx * sy) / SQRT(vx * vy) AS rxy,
+          (nd * sxz - sx * sz) / SQRT(vx * vz) AS rxz,
+          (nd * syz - sy * sz) / SQRT(vy * vz) AS ryz
+        FROM r)
+      SELECT n,
+        CASE WHEN vx > 0 AND vy > 0 AND vz > 0 THEN ROUND(rxy, 6) END
+          AS r_xy,
+        CASE WHEN vx > 0 AND vy > 0 AND vz > 0 THEN ROUND(rxz, 6) END
+          AS r_xz,
+        CASE WHEN vx > 0 AND vy > 0 AND vz > 0 THEN ROUND(ryz, 6) END
+          AS r_yz,
+        CASE WHEN vx > 0 AND vy > 0 AND vz > 0
+            AND SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0
+          THEN ROUND((rxy - rxz * ryz)
+            / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        END AS partial_r
+      FROM c"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1136,5 +1184,6 @@ object StatsQueries extends QueryGroup {
     q174MutualInfo, q177TrimmedMean, q179QuantileNorm, q180BootstrapCI,
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
-    q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv)
+    q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
+    q230PartialCorr)
 }

@@ -626,6 +626,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("audienceOverlap: exact pairwise shared-subject counts, zero-" +
+      "overlap pairs densified to 0") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"),
+      (4L, "c"), (4L, "a")) // duplicate (4,a) must not double-count
+      .toDF("u", "c")
+    val got = EventAnalytics.audienceOverlap(rows, $"u", $"c")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 1L, 0.25),
+      ("a", "c", 3L, 1L, 1L, round(1.0 / 3.0)),
+      ("b", "c", 2L, 1L, 0L, 0.0)))
+  }
+
   test("topSequences: contiguous trigrams per user with distinct-subject " +
       "support; sequences never cross users") {
     val rows = Seq(

@@ -79,7 +79,10 @@ class QueriesSpec extends SparkSpec {
     "q218_kendall_tau", // i1 < i2 pair join over the ≤#days daily series
     "q222_doc_keywords", // 1-row corpus-size frame in the IDF (q114 shape)
     "q223_hits", // 1-row L1-normalization totals per half-iteration
-    "q225_woe_iv") // 1-row quantile-edge frame attached per order
+    "q225_woe_iv", // 1-row quantile-edge frame attached per order
+    "q227_audience_overlap", // ≤#categories² densify grid (cat_a < cat_b)
+    "q228_durbin_watson", // 1-row OLS-moment frame over the ≤#days series
+    "q229_ols_influence") // same 1-row moment frame as q228
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -706,6 +706,62 @@ class StatsSpec extends SparkSpec {
     assert(r2.exists(_ > 0.0), s"unequal spread must give F > 0, got $r2")
   }
 
+  // --- durbinWatson / olsInfluence -------------------------------------
+
+  test("durbinWatson: exact line -> zero residuals, null DW; alternating " +
+      "residuals -> DW near 4 (negative autocorrelation)") {
+    val line = (1 to 12).map(t => (t.toDouble, 2.0 * t + 1)).toDF("t", "y")
+    val r1 = graft.ops.TimeSeries.durbinWatson(line, $"t", $"y")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(r1._2 == Some(2.0) && r1._3.isEmpty && r1._4.isEmpty)
+
+    val alt = (1 to 40).map(t =>
+      (t.toDouble, t + (if (t % 2 == 0) 1.0 else -1.0))).toDF("t", "y")
+    val r2 = graft.ops.TimeSeries.durbinWatson(alt, $"t", $"y")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(r2._3.exists(_ > 3.0), s"alternating residuals: dw=${r2._3}")
+    assert(r2._4.exists(_ < -0.5), s"rho1 must be strongly negative: ${r2._4}")
+  }
+
+  test("olsInfluence: a bumped middle point owns the residual, endpoints " +
+      "own the leverage") {
+    val pts = (1 to 11).map { t =>
+      (t.toDouble, 2.0 * t + (if (t == 6) 30.0 else 0.0))
+    }.toDF("t", "y")
+    val got = graft.ops.TimeSeries.olsInfluence(pts, $"t", $"y")
+      .as[(Double, Double, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    val byT = got.map(r => r._1 -> r).toMap
+    val maxCook = got.maxBy(_._6.getOrElse(0.0))
+    assert(maxCook._1 == 6.0, s"bumped day must own max Cook's D: $maxCook")
+    assert(byT(1.0)._5.get > byT(6.0)._5.get,
+      "endpoint leverage must exceed center leverage")
+    assert(byT(11.0)._5.get == byT(1.0)._5.get,
+      "symmetric endpoints share leverage")
+  }
+
+  // --- partialCorrelation ----------------------------------------------
+
+  test("partialCorrelation: y = x + z gives partial r_xy.z = 1 after " +
+      "removing the confounder; raw r_xy below 1; constant z -> null") {
+    val z = Seq(1.0, -1.0, 2.0, 0.0, 3.0, -2.0, 1.0, 0.0)
+    val df = z.zipWithIndex.map { case (zv, i) =>
+      val x = (i + 1).toDouble; (x, x + zv, zv)
+    }.toDF("x", "y", "z")
+    val r = Stats.partialCorrelation(df, $"x", $"y", $"z")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(r._1 == 8L)
+    assert(r._5 == Some(1.0), s"partial r must be exactly 1, got ${r._5}")
+    assert(r._2.exists(v => v > 0 && v < 1), s"raw r_xy should be <1: ${r._2}")
+
+    val const = Stats.partialCorrelation(
+      df.select($"x", $"y", lit(5.0).as("z")), $"x", $"y", $"z")
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(const._5.isEmpty, "zero-variance confounder must yield null")
+  }
+
   // --- woeIv -----------------------------------------------------------
 
   test("woeIv: hand 2-bin example — empty-side bin gets null WoE and " +
