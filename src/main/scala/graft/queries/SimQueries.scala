@@ -676,9 +676,43 @@ object SimQueries extends QueryGroup {
         UNION ALL SELECT 5, vec_id, rel, score FROM s5)
       ORDER BY rank"""))
 
+  /** Label-noise screen (Similarity.labelNoiseScreen): top-20 vectors by
+    * own-centroid / nearest-other-centroid distance margin — the
+    * confident-learning-style relabeling queue. Centroid table broadcast;
+    * decimal-sum distances replay verbatim in the oracle. */
+  val q231LabelNoise = QueryDef(
+    "q231_label_noise",
+    (s, d) => Similarity.labelNoiseScreen(Tables.embeddings(s, d),
+      "vec_id", "embedding", "label"),
+    Some("""WITH x AS (SELECT vec_id, label,
+          unnest(range(len(embedding))) AS pos,
+          CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      c AS (SELECT label AS lc, pos,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS cv
+        FROM x GROUP BY 1, 2),
+      d AS (SELECT x.vec_id, x.label, c.lc,
+          CAST(SUM(CAST(ROUND((x.v - c.cv) * (x.v - c.cv), 8)
+            AS DECIMAL(38,8))) AS DOUBLE) AS d2
+        FROM x JOIN c USING (pos) GROUP BY 1, 2, 3),
+      own AS (SELECT vec_id, label, d2 AS d_own FROM d WHERE label = lc),
+      nrst AS (SELECT vec_id, lc AS nearest_other, d2 AS d_other FROM
+        (SELECT vec_id, lc, d2, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2, lc) AS rn
+          FROM d WHERE label != lc) WHERE rn = 1)
+      SELECT o.vec_id, o.label, ROUND(d_own, 6) AS d_own, nearest_other,
+        ROUND(d_other, 6) AS d_other,
+        ROUND(d_own / d_other, 6) AS margin,
+        ROUND(d_own, 6) > ROUND(d_other, 6) AS mislabeled
+      FROM own o JOIN nrst USING (vec_id)
+      WHERE d_other != 0
+      ORDER BY margin DESC, vec_id LIMIT 20"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
-    q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank)
+    q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
+    q231LabelNoise)
 }

@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis.md5Int32
@@ -734,5 +734,54 @@ object Similarity {
         greatest(col("xid"), col("yid")).as("d2"),
         safeSim(col("xv"), col("yv"), col("xn"), col("yn")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Label-noise screen (the "confident-learning lite" curation pass):
+    * per labeled vector, squared distance to its OWN label centroid vs the
+    * nearest OTHER centroid; margin = d_own/d_other > 1 flags a point
+    * sitting closer to a different class — the candidates a relabeling /
+    * cleaning queue reviews first. Returns the top-k by margin.
+    *
+    * Exactness (oracle-replayable without a vector runtime): dims explode
+    * once, centroid means are DECIMAL-sum averages, distances sum
+    * round-8 squared terms as DECIMAL — order-independent on any
+    * partitioning, mirrored verbatim in SQL. Scale shape: the distance
+    * pass is |V|·L·D explode-join work with the L·D centroid table
+    * BROADCAST and all sums map-side combined — the honest brute force
+    * for label counts in the tens/hundreds; at larger L, route through
+    * the IVF quantizer instead (buildIvfIndexLloyd) and screen within
+    * probed cells. */
+  def labelNoiseScreen(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 20): DataFrame = {
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    val x = emb
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val cents = x.groupBy(col("label").as("lc"), col("pos"))
+      .agg((sum(col("v").cast("decimal(38,8)")).cast("double")
+        / count(lit(1))).as("cv"))
+    val d = x.join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "label", "lc")
+      .agg(sum(round((col("v") - col("cv")) * (col("v") - col("cv")), 8)
+        .cast("decimal(38,8)")).cast("double").as("d2"))
+    val own = d.filter(col("label") === col("lc"))
+      .select(col("vec_id"), col("label"), col("d2").as("d_own"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("lc").asc)
+    val nearest = d.filter(col("label") =!= col("lc"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("lc").as("nearest_other"),
+        col("d2").as("d_other"))
+    own.join(nearest, Seq("vec_id"))
+      .withColumn("margin", round(col("d_own") / nz(col("d_other")), 6))
+      .filter(col("margin").isNotNull)
+      .withColumn("d_own", round(col("d_own"), 6))
+      .withColumn("d_other", round(col("d_other"), 6))
+      .withColumn("mislabeled", col("d_own") > col("d_other"))
+      .select("vec_id", "label", "d_own", "nearest_other", "d_other",
+        "margin", "mislabeled")
+      .orderBy(col("margin").desc, col("vec_id"))
+      .limit(k)
   }
 }

@@ -397,4 +397,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (q, _, c, s) => free.get((q, c)).forall(_ == s) })
   }
 
+  test("labelNoiseScreen: a point planted inside the other cluster tops " +
+      "the margin ranking and flags mislabeled; clean points do not") {
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(10.0f, 10.0f), 1), (5L, Array(11.0f, 10.0f), 1),
+      (6L, Array(10.0f, 11.0f), 1),
+      (7L, Array(10.0f, 10.5f), 0)) // labeled 0, sits in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.sim.Similarity.labelNoiseScreen(rows, "vec_id",
+        "embedding", "label")
+      .select("vec_id", "mislabeled", "nearest_other")
+      .as[(Long, Boolean, Int)].collect().toSeq
+    assert(got.head._1 == 7L && got.head._2 && got.head._3 == 1,
+      s"planted point must rank first and flag: $got")
+    assert(got.count(_._2) == 1, s"only the planted point flags: $got")
+  }
+
 }
