@@ -489,6 +489,45 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** Day-over-day top-k leaderboard churn: per period the top-k subjects
+    * by activity (count-desc, subject-asc tie-break — total order, so
+    * engines agree), then the Jaccard overlap of CONSECUTIVE periods'
+    * leaderboards — the "is the dashboard's top-10 stable or thrashing"
+    * volatility readout behind ranking-based alerting.
+    *
+    * One combined (period, subject) count shuffle; the rank window
+    * partitions BY PERIOD (distributed); the overlap join matches only
+    * leaderboard rows (≤k per period) on (subject, next period). Output
+    * per consecutive pair: (day_a, day_b, size_a, size_b, n_shared,
+    * jaccard round-6), ordered by day_a. */
+  def topKChurn(df: DataFrame, ts: Column, subject: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "topKChurn needs k >= 1")
+    val daily = df.filter(ts.isNotNull && subject.isNotNull)
+      .groupBy(floorDivMicros(ts, 86400000000L).as("day"),
+        subject.as("s"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("day").orderBy(col("cnt").desc, col("s"))
+    val board = daily.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("day", "s")
+    val sizes = board.groupBy("day").agg(count(lit(1)).as("size"))
+    val shared = board.select(col("day").as("day_a"), col("s"))
+      .join(board.select((col("day") - 1).as("day_a"), col("s"),
+        col("day").as("day_b")), Seq("day_a", "s"))
+      .groupBy("day_a", "day_b").agg(count(lit(1)).as("n_shared"))
+    val pairs = broadcast(sizes.select(col("day").as("day_a"),
+        col("size").as("size_a")))
+      .join(broadcast(sizes.select((col("day") - 1).as("day_a"),
+        col("size").as("size_b"), col("day").as("day_b"))), Seq("day_a"))
+    pairs.join(shared, Seq("day_a", "day_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("size_a") + col("size_b") - col("n_shared")).cast("double"), 6))
+      .select("day_a", "day_b", "size_a", "size_b", "n_shared", "jaccard")
+      .orderBy("day_a")
+  }
+
   /** Audience overlap matrix: for every unordered pair of categories, the
     * EXACT count of subjects active in both, with Jaccard — the "how much
     * do these segments overlap" card behind dedup'd reach numbers (two

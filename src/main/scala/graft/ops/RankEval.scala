@@ -94,4 +94,53 @@ object RankEval {
         coalesce(round(lit(1.0) / col("__first").cast("double"), 6), lit(0.0)))
       .select(col(group), col("n_rel"), col("ndcg"), col("mrr"))
   }
+
+  /** Per-group precision@k, recall@k, hit@k and average precision@k — the
+    * set-based eval card beside the graded nDCG/MRR pair: P@k is what the
+    * user sees on page one, R@k is what the retriever left behind, AP@k
+    * (→ MAP when averaged) rewards putting relevant items early.
+    *
+    * AP@k = Σ_{relevant i ≤ k} P@i / min(R, k) with R the group's TOTAL
+    * relevant count (the trec_eval convention). Same scale shape as
+    * ndcgAtK: every window shares the ONE group-key shuffle; AP terms
+    * are DECIMAL(28,10) before summing; ratios round 6. Output:
+    * (group, n_rel_total, n_rel_at_k, precision_at_k, recall_at_k,
+    * hit_at_k, ap_at_k). */
+  def precisionRecallAtK(df: DataFrame, group: String, scoreCol: Column,
+      relCol: Column, tieCol: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, "precisionRecallAtK needs k >= 1")
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    val byScore = Window.partitionBy(group).orderBy(scoreCol.desc, tieCol.asc)
+    val withRank = df
+      .withColumn("__rank", row_number().over(byScore))
+      .withColumn("__rel",
+        when(relCol.cast("double") > 0, 1L).otherwise(0L))
+    val totals = withRank.groupBy(group)
+      .agg(sum(col("__rel")).as("n_rel_total"))
+    val cum = Window.partitionBy(group).orderBy(col("__rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGroup = withRank.filter(col("__rank") <= k)
+      .withColumn("__cum", sum(col("__rel")).over(cum))
+      .groupBy(group)
+      .agg(
+        sum(col("__rel")).as("n_rel_at_k"),
+        sum(when(col("__rel") === 1L,
+          (col("__cum").cast("double") / col("__rank").cast("double"))
+            .cast("decimal(28,10)"))).as("__apsum"))
+    perGroup.join(totals, Seq(group))
+      .withColumn("precision_at_k",
+        round(col("n_rel_at_k").cast("double") / k.toDouble, 6))
+      .withColumn("recall_at_k",
+        coalesce(round(col("n_rel_at_k").cast("double") /
+          nz(col("n_rel_total").cast("double")), 6), lit(0.0)))
+      .withColumn("hit_at_k", col("n_rel_at_k") > 0)
+      .withColumn("ap_at_k",
+        coalesce(round(col("__apsum").cast("double") /
+          nz(least(col("n_rel_total"), lit(k.toLong)).cast("double")), 6),
+          lit(0.0)))
+      .select(col(group), col("n_rel_total"), col("n_rel_at_k"),
+        col("precision_at_k"), col("recall_at_k"), col("hit_at_k"),
+        col("ap_at_k"))
+      .orderBy(group)
+  }
 }

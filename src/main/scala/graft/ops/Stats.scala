@@ -348,6 +348,115 @@ object Stats {
       .select("n", "mean", "se", "ci_lo", "ci_hi")
   }
 
+  /** Wald's Sequential Probability Ratio Test over a per-period
+    * (trials, successes) series: the cumulative log-likelihood ratio
+    * walk for H1: p = p1 vs H0: p = p0, with the classic decision
+    * boundaries ln((1−β)/α) and ln(β/(1−α)) — the "stop the experiment
+    * as soon as the evidence is in" monitor (fixed-horizon tests like
+    * q208 must wait for their planned n; SPRT stops early in either
+    * direction with controlled error rates).
+    *
+    * llr_t = X_t·ln(p1/p0) + (N_t − X_t)·ln((1−p1)/(1−p0)) on the
+    * INTEGER cumulative sums — exact prefix counts, two engine-computed
+    * log constants, round 6; the decision compares the rounded llr to the
+    * rounded boundaries so the verdict is engine-stable. Windows run over
+    * the ≤#periods series (the acf acceptance). Output per period:
+    * (t, n_cum, x_cum, llr, decision ∈ accept_h0|accept_h1|continue). */
+  def sprt(series: DataFrame, t: Column, x: Column, n: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "sprt needs distinct p0, p1 in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "sprt needs alpha, beta in (0,1)")
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lWin = log(lit(p1) / lit(p0))
+    val lLoss = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val upper = round(log((lit(1.0) - lit(beta)) / lit(alpha)), 6)
+    val lower = round(log(lit(beta) / (lit(1.0) - lit(alpha))), 6)
+    series
+      .select(t.as("t"), x.cast("bigint").as("x"), n.cast("bigint").as("n"))
+      .filter(col("t").isNotNull && col("x").isNotNull && col("n").isNotNull)
+      .withColumn("x_cum", sum(col("x")).over(w))
+      .withColumn("n_cum", sum(col("n")).over(w))
+      .withColumn("llr", round(col("x_cum").cast("double") * lWin +
+        (col("n_cum") - col("x_cum")).cast("double") * lLoss, 6))
+      .withColumn("decision",
+        when(col("llr") >= upper, "accept_h1")
+          .when(col("llr") <= lower, "accept_h0")
+          .otherwise("continue"))
+      .select("t", "n_cum", "x_cum", "llr", "decision")
+      .orderBy("t")
+  }
+
+  /** Deterministic Poisson-bootstrap CI of an A/B UPLIFT (difference of
+    * means): the [[bootstrapMeanCI]] machinery run on both sides of
+    * `side` inside one stacked pass — each resample reweights EVERY row
+    * with an md5-derived Poisson(1) multiplicity and reports
+    * mean_A − mean_B; the CI is the percentile band of those B uplifts.
+    * The experiment readout that answers "how big is the lift, ±what",
+    * where q208's z-test only answers "is it nonzero".
+    *
+    * Resamples with an empty side drop (no uplift defined). Same
+    * determinism contract as q180: multiplicities replay from
+    * md5(seed|b|id) on any engine, sums are DECIMAL, round 6. One data
+    * pass (b-fold stacked), everything after runs on the B-row frame. */
+  def bootstrapUpliftCI(df: DataFrame, idCol: String, side: Column,
+      value: Column, b: Int = 40, seed: String = "42",
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val x = value.cast("double")
+    def nz(c: Column): Column = when(c =!= 0.0, c)
+    val stacked = df.filter(value.isNotNull && side.isNotNull)
+      .select(col(idCol).cast("string").as("__id"), side.as("__side"),
+        x.as("__x"), explode(sequence(lit(0), lit(b - 1))).as("__b"))
+    val u = (conv(substring(md5(concat_ws("|", lit(seed),
+      col("__b").cast("string"), col("__id"))), 1, 15), 16, 10)
+      .cast("double") + 1.0) / lit(1.152921504606846976e18)
+    val w = when(u < 0.36787944117144233, 0)
+      .when(u < 0.7357588823428847, 1)
+      .when(u < 0.9196986029286058, 2)
+      .when(u < 0.9810118431238462, 3)
+      .otherwise(4)
+    val uplifts = stacked
+      .select(col("__b"), col("__side"), w.as("__w"), col("__x"))
+      .groupBy("__b")
+      .agg(
+        sum(when(col("__side"), col("__w") * col("__x")).cast("decimal(38,8)"))
+          .as("sa"),
+        sum(when(col("__side"), col("__w"))).as("wa"),
+        sum(when(!col("__side"), col("__w") * col("__x")).cast("decimal(38,8)"))
+          .as("sb"),
+        sum(when(!col("__side"), col("__w"))).as("wb"))
+      .filter(col("wa") > 0 && col("wb") > 0)
+      .select((col("sa").cast("double") / col("wa").cast("double") -
+        col("sb").cast("double") / col("wb").cast("double")).as("u"))
+    val stats = uplifts.agg(
+      count(lit(1)).as("__bn"),
+      sum(col("u").cast("decimal(28,10)")).as("__su"),
+      sum((col("u") * col("u")).cast("decimal(38,10)")).as("__su2"),
+      round(percentile(col("u"), lit(lo)), 6).as("ci_lo"),
+      round(percentile(col("u"), lit(hi)), 6).as("ci_hi"))
+    val full = df.filter(value.isNotNull && side.isNotNull).agg(
+      count(when(side, 1)).as("n_a"),
+      count(when(!side, 1)).as("n_b"),
+      (sum(when(side, x).cast("decimal(28,8)")).cast("double") /
+        nz(count(when(side, 1)).cast("double"))).as("__ma"),
+      (sum(when(!side, x).cast("decimal(28,8)")).cast("double") /
+        nz(count(when(!side, 1)).cast("double"))).as("__mb"))
+    val bn = col("__bn").cast("double")
+    val varU = (col("__su2").cast("double") -
+      col("__su").cast("double") * col("__su").cast("double") /
+        nz(bn)) / nz(bn - 1)
+    full.crossJoin(broadcast(stats)) // 1 row × 1 row
+      .withColumn("mean_a", round(col("__ma"), 6))
+      .withColumn("mean_b", round(col("__mb"), 6))
+      .withColumn("uplift", round(col("__ma") - col("__mb"), 6))
+      .withColumn("se", when(col("__bn") >= 2, round(sqrt(varU), 6)))
+      .select("n_a", "n_b", "mean_a", "mean_b", "uplift", "se",
+        "ci_lo", "ci_hi")
+  }
+
   /** Quantile-normalize `value` against a REFERENCE distribution: each row
     * maps to the reference quantile midpoint of its bucket — the feature
     * alignment that makes a drifted feature comparable to what the model

@@ -764,11 +764,42 @@ object MonitoringQueries extends QueryGroup {
         END AS cooks_d
       FROM w ORDER BY t"""))
 
+  /** Day-over-day top-10 user leaderboard churn
+    * (EventAnalytics.topKChurn): consecutive-day Jaccard of the activity
+    * leaderboard — ranking-stability monitoring. */
+  val q235LeaderboardChurn = QueryDef(
+    "q235_leaderboard_churn",
+    (s, d) => graft.ops.EventAnalytics.topKChurn(Tables.events(s, d),
+      col("ts"), col("user_id")),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          user_id AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2),
+      board AS (SELECT day, s FROM (SELECT day, s,
+          ROW_NUMBER() OVER (PARTITION BY day
+            ORDER BY cnt DESC, s) AS rn FROM daily) WHERE rn <= 10),
+      sizes AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS size
+        FROM board GROUP BY day),
+      shared AS (SELECT a.day AS day_a, b.day AS day_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM board a JOIN board b ON b.day = a.day + 1 AND a.s = b.s
+        GROUP BY 1, 2),
+      pairs AS (SELECT a.day AS day_a, b.day AS day_b,
+          a.size AS size_a, b.size AS size_b
+        FROM sizes a JOIN sizes b ON b.day = a.day + 1)
+      SELECT day_a, day_b, size_a, size_b,
+        COALESCE(n_shared, 0) AS n_shared,
+        ROUND(CAST(COALESCE(n_shared, 0) AS DOUBLE)
+          / CAST(size_a + size_b - COALESCE(n_shared, 0) AS DOUBLE), 6)
+          AS jaccard
+      FROM pairs LEFT JOIN shared USING (day_a, day_b)
+      ORDER BY day_a"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
-    q228DurbinWatson, q229OlsInfluence)
+    q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn)
 }

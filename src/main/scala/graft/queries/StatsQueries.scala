@@ -1177,6 +1177,127 @@ object StatsQueries extends QueryGroup {
         END AS partial_r
       FROM c"""))
 
+  /** Deterministic Poisson-bootstrap CI of the A/B uplift in event value
+    * (Stats.bootstrapUpliftCI, even vs odd user ids): the ±what beside
+    * q208's is-it-nonzero. Same md5-multiplicity replay contract as
+    * q180. */
+  val q232BootstrapUplift = QueryDef(
+    "q232_bootstrap_uplift",
+    (s, d) => Stats.bootstrapUpliftCI(Tables.events(s, d), "event_id",
+      col("user_id") % 2 === 0, col("value")),
+    Some("""WITH st AS (SELECT t.b AS b, user_id % 2 = 0 AS side,
+          CAST(value AS DOUBLE) AS x,
+          (CAST(('0x' || substr(md5('42' || '|' || CAST(t.b AS VARCHAR)
+              || '|' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            + 1.0) / 1152921504606846976.0 AS u
+        FROM events, range(40) t(b)
+        WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      ww AS (SELECT b, side, x, CASE
+          WHEN u < 0.36787944117144233 THEN 0
+          WHEN u < 0.7357588823428847 THEN 1
+          WHEN u < 0.9196986029286058 THEN 2
+          WHEN u < 0.9810118431238462 THEN 3
+          ELSE 4 END AS w FROM st),
+      ups AS (SELECT b,
+          CAST(SUM(CAST(CASE WHEN side THEN w * x END AS DECIMAL(38,8)))
+            AS DOUBLE) / CAST(SUM(CASE WHEN side THEN w END) AS DOUBLE)
+          - CAST(SUM(CAST(CASE WHEN NOT side THEN w * x END
+              AS DECIMAL(38,8))) AS DOUBLE)
+            / CAST(SUM(CASE WHEN NOT side THEN w END) AS DOUBLE) AS u
+        FROM ww GROUP BY b
+        HAVING SUM(CASE WHEN side THEN w END) > 0
+          AND SUM(CASE WHEN NOT side THEN w END) > 0),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+          CAST(SUM(CAST(u AS DECIMAL(28,10))) AS DOUBLE) AS su,
+          CAST(SUM(CAST(u * u AS DECIMAL(38,10))) AS DOUBLE) AS su2,
+          ROUND(quantile_cont(u, 0.05), 6) AS ci_lo,
+          ROUND(quantile_cont(u, 0.95), 6) AS ci_hi
+        FROM ups),
+      fl AS (SELECT
+          CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+          CAST(COUNT(*) FILTER (user_id % 2 != 0) AS BIGINT) AS n_b,
+          CAST(SUM(CAST(value AS DECIMAL(28,8)))
+              FILTER (user_id % 2 = 0) AS DOUBLE)
+            / CAST(COUNT(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS ma,
+          CAST(SUM(CAST(value AS DECIMAL(28,8)))
+              FILTER (user_id % 2 != 0) AS DOUBLE)
+            / CAST(COUNT(*) FILTER (user_id % 2 != 0) AS DOUBLE) AS mb
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)
+      SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        ROUND(ma - mb, 6) AS uplift,
+        CASE WHEN bn >= 2 THEN ROUND(SQRT(
+          (su2 - su * su / CAST(bn AS DOUBLE)) / (CAST(bn AS DOUBLE) - 1)),
+          6) END AS se,
+        ci_lo, ci_hi
+      FROM fl, stats"""))
+
+  /** Wald SPRT early-stopping walk over daily conversion (value > 50) —
+    * H1: p = 0.52 vs H0: p = 0.48, α = β = 0.05 (Stats.sprt): cumulative
+    * integer counts, engine-computed log constants, per-day decision. */
+  val q233Sprt = QueryDef(
+    "q233_sprt",
+    (s, d) => Stats.sprt(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(when(col("value") > 50.0, 1)).as("x"),
+          count(lit(1)).as("n")),
+      col("day"), col("x"), col("n"), p0 = 0.48, p1 = 0.52),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
+          CAST(COUNT(*) FILTER (value > 50.0) AS BIGINT) AS x,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      c AS (SELECT t,
+          CAST(SUM(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS x_cum,
+          CAST(SUM(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS n_cum FROM daily),
+      l AS (SELECT t, n_cum, x_cum,
+          ROUND(CAST(x_cum AS DOUBLE) * LN(0.52 / 0.48)
+            + CAST(n_cum - x_cum AS DOUBLE)
+              * LN((1.0 - 0.52) / (1.0 - 0.48)), 6) AS llr FROM c)
+      SELECT t, n_cum, x_cum, llr,
+        CASE WHEN llr >= ROUND(LN((1.0 - 0.05) / 0.05), 6) THEN 'accept_h1'
+          WHEN llr <= ROUND(LN(0.05 / (1.0 - 0.05)), 6) THEN 'accept_h0'
+          ELSE 'continue' END AS decision
+      FROM l ORDER BY t"""))
+
+  /** Precision/recall/hit/AP@10 on the q163 stand-in qrels
+    * (RankEval.precisionRecallAtK): the set-based retrieval eval beside
+    * the graded nDCG pair — trec_eval AP convention. */
+  val q234PrecisionRecall = QueryDef(
+    "q234_precision_recall",
+    (s, d) => RankEval.precisionRecallAtK(Tables.documents(s, d), "source",
+      scoreCol = col("n_chars"),
+      relCol = when(col("lang") === "en", 1.0).otherwise(0.0),
+      tieCol = col("doc_id"), k = 10),
+    Some("""WITH ranked AS (SELECT source, doc_id,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents),
+      tot AS (SELECT source, CAST(SUM(rel) AS BIGINT) AS n_rel_total
+        FROM ranked GROUP BY source),
+      topk AS (SELECT source, rel, rank,
+          SUM(rel) OVER (PARTITION BY source ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ranked WHERE rank <= 10),
+      agg AS (SELECT source, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+          CAST(SUM(CASE WHEN rel = 1 THEN
+            CAST(CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+              AS DECIMAL(28,10)) END) AS DOUBLE) AS apsum
+        FROM topk GROUP BY source)
+      SELECT a.source, n_rel_total, n_rel_at_k,
+        ROUND(CAST(n_rel_at_k AS DOUBLE) / 10.0, 6) AS precision_at_k,
+        CASE WHEN n_rel_total > 0
+          THEN ROUND(CAST(n_rel_at_k AS DOUBLE)
+            / CAST(n_rel_total AS DOUBLE), 6) ELSE 0.0 END AS recall_at_k,
+        n_rel_at_k > 0 AS hit_at_k,
+        CASE WHEN LEAST(n_rel_total, 10) > 0
+          THEN COALESCE(
+            ROUND(apsum / CAST(LEAST(n_rel_total, 10) AS DOUBLE), 6), 0.0)
+          ELSE 0.0 END AS ap_at_k
+      FROM agg a JOIN tot USING (source) ORDER BY a.source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1185,5 +1306,5 @@ object StatsQueries extends QueryGroup {
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
     q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
-    q230PartialCorr)
+    q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall)
 }

@@ -626,6 +626,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("topKChurn: consecutive-day leaderboard Jaccard with count-desc " +
+      "subject-asc tie-break") {
+    def at(day: Long, i: Int) =
+      new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    // day 0 board (k=2): users 1 (3 events), 2 (2) ; user 3 (1) misses
+    // day 1 board: users 2 (3 events), 3 (2)  -> shared {2}, jaccard 1/3
+    val rows =
+      (0 until 3).map(i => (at(0, i), 1L)) ++
+      (0 until 2).map(i => (at(0, 10 + i), 2L)) ++ Seq((at(0, 20), 3L)) ++
+      (0 until 3).map(i => (at(1, i), 2L)) ++
+      (0 until 2).map(i => (at(1, 10 + i), 3L)) ++ Seq((at(1, 20), 4L))
+    val got = EventAnalytics.topKChurn(rows.toDF("ts", "user_id"),
+        $"ts", $"user_id", k = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 2L, 2L, 1L, round(1.0 / 3.0))))
+  }
+
   test("audienceOverlap: exact pairwise shared-subject counts, zero-" +
       "overlap pairs densified to 0") {
     val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"),

@@ -706,6 +706,55 @@ class StatsSpec extends SparkSpec {
     assert(r2.exists(_ > 0.0), s"unequal spread must give F > 0, got $r2")
   }
 
+  // --- sprt / bootstrapUpliftCI / precisionRecallAtK --------------------
+
+  test("sprt: all-success evidence accepts H1, all-failure accepts H0, " +
+      "llr is the exact cumulative closed form") {
+    val win = (1 to 5).map(t => (t.toLong, 10L, 10L)).toDF("t", "x", "n")
+    val got = Stats.sprt(win, $"t", $"x", $"n", p0 = 0.2, p1 = 0.8)
+      .select($"t", $"llr", $"decision")
+      .as[(Long, Double, String)].collect().toSeq
+    // each period adds 10*ln(4); boundary ln(19) ~ 2.944 crossed at t=1
+    assert(got.head._2 == r6(10 * math.log(0.8 / 0.2)))
+    assert(got.head._3 == "accept_h1" && got.forall(_._3 == "accept_h1"))
+
+    val lose = (1 to 5).map(t => (t.toLong, 0L, 10L)).toDF("t", "x", "n")
+    val g2 = Stats.sprt(lose, $"t", $"x", $"n", p0 = 0.2, p1 = 0.8)
+      .select($"decision").as[String].collect()
+    assert(g2.forall(_ == "accept_h0"))
+
+    val mid = Seq((1L, 5L, 10L)).toDF("t", "x", "n")
+    val g3 = Stats.sprt(mid, $"t", $"x", $"n", p0 = 0.45, p1 = 0.55)
+      .select($"decision").as[String].head()
+    assert(g3 == "continue", "balanced evidence must keep sampling")
+  }
+
+  test("bootstrapUpliftCI: constant-by-side values give a degenerate CI " +
+      "at the exact uplift with zero se") {
+    val df = (1 to 40).map(i => (i.toLong, i % 2 == 0,
+      if (i % 2 == 0) 10.0 else 0.0)).toDF("id", "side", "v")
+    val r = Stats.bootstrapUpliftCI(df, "id", $"side", $"v", b = 16)
+      .as[(Long, Long, Double, Double, Double, Option[Double], Double,
+        Double)].head()
+    assert(r._1 == 20L && r._2 == 20L)
+    assert(r._3 == 10.0 && r._4 == 0.0 && r._5 == 10.0)
+    assert(r._6 == Some(0.0) && r._7 == 10.0 && r._8 == 10.0)
+  }
+
+  test("precisionRecallAtK: hand group — P@10, R@10, AP follow the " +
+      "trec_eval convention; relevant item beyond k hurts recall only") {
+    val rows = (1 to 12).map { i =>
+      // scores descend with i; relevant at ranks 1, 3 and 12
+      (i.toLong, 100.0 - i, if (i == 1 || i == 3 || i == 12) 1.0 else 0.0)
+    }.map { case (id, sc, rel) => ("g", id, sc, rel) }
+      .toDF("g", "id", "score", "rel")
+    val r = RankEval.precisionRecallAtK(rows, "g", $"score", $"rel", $"id")
+      .as[(String, Long, Long, Double, Double, Boolean, Double)].head()
+    assert(r._2 == 3L && r._3 == 2L)
+    assert(r._4 == 0.2 && r._5 == r6(2.0 / 3.0) && r._6)
+    assert(r._7 == r6((1.0 + 2.0 / 3.0) / 3.0))
+  }
+
   // --- durbinWatson / olsInfluence -------------------------------------
 
   test("durbinWatson: exact line -> zero residuals, null DW; alternating " +
