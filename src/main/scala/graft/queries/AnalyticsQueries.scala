@@ -474,9 +474,55 @@ object AnalyticsQueries extends QueryGroup {
       FROM g LEFT JOIN i USING (cat_a, cat_b)
       ORDER BY cat_a, cat_b"""))
 
+  /** Daily Herfindahl–Hirschman concentration of user activity: per day
+    * HHI = Σ share² over users (1/n ≤ HHI ≤ 1) plus the 0-1 normalized
+    * form — "is today's traffic a broad base or three whales". Squared
+    * shares round-10 then DECIMAL-sum (order-independent); one combined
+    * (day, user) count shuffle, per-day rollup. */
+  val q239Hhi = QueryDef(
+    "q239_hhi",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val per = daily.groupBy("day")
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("__tot"))
+      daily.join(per, Seq("day"))
+        .withColumn("__sh",
+          col("cnt").cast("double") / col("__tot").cast("double"))
+        .groupBy(col("day"), col("n_users"))
+        .agg(sum(round(col("__sh") * col("__sh"), 10)
+          .cast("decimal(28,10)")).cast("double").as("__hhi"))
+        .withColumn("hhi", round(col("__hhi"), 6))
+        .withColumn("hhi_norm",
+          when(col("n_users") > 1, round(
+            (col("__hhi") - lit(1.0) / col("n_users").cast("double"))
+              / (lit(1.0) - lit(1.0) / col("n_users").cast("double")), 6)))
+        .select("day", "n_users", "hhi", "hhi_norm")
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2),
+      per AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(cnt) AS BIGINT) AS tot FROM daily GROUP BY day),
+      h AS (SELECT daily.day, n_users,
+          CAST(SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+            * (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 10)
+            AS DECIMAL(28,10))) AS DOUBLE) AS hhi_raw
+        FROM daily JOIN per USING (day) GROUP BY daily.day, n_users)
+      SELECT day, n_users, ROUND(hhi_raw, 6) AS hhi,
+        CASE WHEN n_users > 1 THEN ROUND(
+          (hhi_raw - 1.0 / CAST(n_users AS DOUBLE))
+            / (1.0 - 1.0 / CAST(n_users AS DOUBLE)), 6) END AS hhi_norm
+      FROM h ORDER BY day"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
-    q223Hits, q224TopSequences, q227AudienceOverlap)
+    q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi)
 }

@@ -549,9 +549,55 @@ object DedupQueries extends QueryGroup {
       WHERE levenshtein(a.t, b.t) <= 8
       ORDER BY doc_id_a, doc_id_b"""))
 
+  /** Per-source duplication card: exact-dup rate within the source plus
+    * how much of the source is duplicated ACROSS sources — the
+    * "which feed is recycling content" procurement readout on top of
+    * q44's global dup groups. Two keyed aggregations (hash spread, then
+    * per-source rollup), counts integer-exact, rates round 6. */
+  val q236DupRateCard = QueryDef(
+    "q236_dup_rate_card",
+    (s, d) => {
+      val h = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("source"), md5(col("text")).as("h"))
+      val spread = h.groupBy("h")
+        .agg(countDistinct(col("source")).as("__ns"))
+      h.join(spread, Seq("h"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          count(when(col("__ns") > 1, 1)).as("n_cross"))
+        .withColumn("n_dup", col("n_docs") - col("n_distinct"))
+        .withColumn("dup_rate", round(
+          (col("n_docs") - col("n_distinct")).cast("double")
+            / col("n_docs").cast("double"), 6))
+        .withColumn("cross_rate", round(
+          col("n_cross").cast("double") / col("n_docs").cast("double"), 6))
+        .select("source", "n_docs", "n_distinct", "n_dup", "dup_rate",
+          "n_cross", "cross_rate")
+        .orderBy("source")
+    },
+    Some("""WITH h AS (SELECT source, md5(text) AS h FROM documents
+          WHERE text IS NOT NULL),
+      hs AS (SELECT h, CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+        FROM h GROUP BY h),
+      per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT h.h) AS BIGINT) AS n_distinct,
+          CAST(COUNT(*) FILTER (ns > 1) AS BIGINT) AS n_cross
+        FROM h JOIN hs USING (h) GROUP BY source)
+      SELECT source, n_docs, n_distinct,
+        n_docs - n_distinct AS n_dup,
+        ROUND(CAST(n_docs - n_distinct AS DOUBLE)
+          / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+        n_cross,
+        ROUND(CAST(n_cross AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS cross_rate
+      FROM per ORDER BY source"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
-    q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs)
+    q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
+    q236DupRateCard)
 }

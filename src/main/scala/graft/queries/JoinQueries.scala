@@ -309,8 +309,63 @@ object JoinQueries extends QueryGroup {
       WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
       GROUP BY n_name ORDER BY n_name"""))
 
+  /** Relational consistency audit of the orders↔lineitem contract: orphan
+    * counts on both sides (FK integrity as data, not just a unit check)
+    * and how many orders' header total disagrees with the recomputed
+    * line total Σ round(extprice·(1+tax)·(1−disc), 4) — one summary row
+    * (n_orders, n_orphan_orders, n_orphan_items, n_mismatch,
+    * max_abs_diff). Per-line terms round-4 then DECIMAL-sum
+    * (order-independent); the header comparison uses the round-4 diff so
+    * the mismatch verdict is engine-stable. One join + one anti join,
+    * both keyed on the order key. */
+  val q238ConsistencyAudit = QueryDef(
+    "q238_consistency_audit",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+            * (lit(1.0) - col("l_discount")), 4).cast("decimal(28,4)"))
+          .cast("double").as("__computed"))
+      val joined = orders.join(perOrder,
+          orders("o_orderkey") === perOrder("l_orderkey"), "left")
+        .withColumn("__diff",
+          round(abs(col("o_totalprice") - col("__computed")), 4))
+      val orphanItems = li.join(orders,
+          li("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_items"))
+      joined.agg(
+          count(lit(1)).as("n_orders"),
+          count(when(col("__computed").isNull, 1)).as("n_orphan_orders"),
+          count(when(col("__diff") > 0.01, 1)).as("n_mismatch"),
+          round(coalesce(max(col("__diff")), lit(0.0)), 4)
+            .as("max_abs_diff"))
+        .crossJoin(broadcast(orphanItems))
+        .select("n_orders", "n_orphan_orders", "n_orphan_items",
+          "n_mismatch", "max_abs_diff")
+    },
+    Some("""WITH per AS (SELECT l_orderkey,
+          CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 + l_tax)
+            * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE)
+            AS computed
+        FROM lineitem GROUP BY l_orderkey),
+      j AS (SELECT o.o_orderkey, computed,
+          ROUND(ABS(o.o_totalprice - computed), 4) AS diff
+        FROM orders o LEFT JOIN per ON o.o_orderkey = per.l_orderkey),
+      oi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_items
+        FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(COUNT(*) FILTER (computed IS NULL) AS BIGINT)
+          AS n_orphan_orders,
+        (SELECT n_orphan_items FROM oi) AS n_orphan_items,
+        CAST(COUNT(*) FILTER (diff > 0.01) AS BIGINT) AS n_mismatch,
+        ROUND(COALESCE(MAX(diff), 0.0), 4) AS max_abs_diff
+      FROM j"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q16Join3Revenue, q17AntiJoin, q18SemiJoin, q19GeoThetaJoin,
     q20RemapFallback, q24SetOps, q25CacheLookup, q132MergeUpsert,
-    q134FuzzyMatch, q192JwMatch, q211StarRevenue)
+    q134FuzzyMatch, q192JwMatch, q211StarRevenue, q238ConsistencyAudit)
 }

@@ -795,11 +795,34 @@ object MonitoringQueries extends QueryGroup {
       FROM pairs LEFT JOIN shared USING (day_a, day_b)
       ORDER BY day_a"""))
 
+  /** Daily value fan chart: per day the exact interpolated p10/p50/p90 of
+    * event value plus the count — the percentile-band monitoring view
+    * (is the MEDIAN moving, or just the tail?). One keyed aggregation;
+    * the q05 exact-percentile cross-engine contract. */
+  val q237QuantileBands = QueryDef(
+    "q237_quantile_bands",
+    (s, d) => Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.1)), 6).as("p10"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .orderBy("day"),
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(quantile_cont(value, 0.1), 6) AS p10,
+        ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        ROUND(quantile_cont(value, 0.9), 6) AS p90
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1 ORDER BY day"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
     q165PsiCategorical, q172PsiVsReference, q173PsiMulti, q175Contract,
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
-    q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn)
+    q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
+    q237QuantileBands)
 }
