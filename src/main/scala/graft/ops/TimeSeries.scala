@@ -130,6 +130,44 @@ object TimeSeries {
       .select(col("n"), col("n_pairs"), col("slope"), col("intercept"))
   }
 
+  /** Per-group Theil–Sen robust slope: [[theilSen]] fanned out across a
+    * group key in set-based form — the "one robust trend line PER
+    * segment" sweep a release dashboard runs (which event types are
+    * actually growing?). The pair join is EQUI on the group with the
+    * t1 < t2 condition inside it, so pair work is Σ_g (periods_g)² —
+    * bounded when the caller aggregates to a report-sized series per
+    * group, and hash-partitioned by group, never a global product.
+    * Output per group: (group, n, n_pairs, slope, intercept) ordered;
+    * groups with < 2 periods yield null slope. */
+  def theilSenByGroup(series: DataFrame, group: String, t: Column,
+      y: Column): DataFrame = {
+    val base = series.select(col(group).as("g"), t.cast("double").as("t"),
+        y.cast("double").as("y"))
+      .filter(col("g").isNotNull && col("t").isNotNull && col("y").isNotNull)
+    val spark = base.sparkSession
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(eager = true)
+    val slopes = snap.select(col("g"), col("t").as("t1"), col("y").as("y1"))
+      .join(snap.select(col("g"), col("t").as("t2"), col("y").as("y2")),
+        Seq("g"))
+      .filter(col("t1") < col("t2"))
+      .select(col("g"),
+        ((col("y2") - col("y1")) / (col("t2") - col("t1"))).as("sl"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("sl"), lit(0.5)).as("__slope"))
+    snap.join(broadcast(slopes), Seq("g"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(col("n_pairs")), lit(0L)).as("n_pairs"),
+        round(max(col("__slope")), 6).as("slope"),
+        round(percentile(col("y") - col("__slope") * col("t"), lit(0.5)), 6)
+          .as("intercept"))
+      .withColumnRenamed("g", group)
+      .orderBy(group)
+  }
+
   /** Mann–Kendall trend test: S = Σ_{i<j} sign(y_j − y_i) with the
     * tie-corrected variance and the continuity-corrected z — the
     * nonparametric "is there ANY monotone trend" companion to

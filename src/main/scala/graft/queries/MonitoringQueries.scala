@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -817,6 +818,94 @@ object MonitoringQueries extends QueryGroup {
       FROM events WHERE value IS NOT NULL
       GROUP BY 1 ORDER BY day"""))
 
+  /** Per-event-type Theil–Sen trend sweep (TimeSeries.theilSenByGroup):
+    * one robust slope per segment over its daily volume — "which event
+    * types are actually growing". Pair join equi on the group, pair work
+    * Σ_g(days_g)², hash-partitioned by group. */
+  val q241TheilSenByType = QueryDef(
+    "q241_theil_sen_by_type",
+    (s, d) => graft.ops.TimeSeries.theilSenByGroup(
+      Tables.events(s, d).filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      "event_type", col("day"), col("y")),
+    Some("""WITH daily AS (SELECT event_type AS g,
+          epoch_us(ts) // 86400000000 AS t, CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT a.g,
+          (b.y - a.y) / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS sl
+        FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t),
+      sl AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          quantile_cont(sl, 0.5) AS slope FROM p GROUP BY g),
+      r AS (SELECT d.g, d.y - sl.slope * CAST(d.t AS DOUBLE) AS resid
+        FROM daily d LEFT JOIN sl USING (g))
+      SELECT r.g AS event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COALESCE(MAX(sl.n_pairs), 0) AS BIGINT) AS n_pairs,
+        ROUND(MAX(sl.slope), 6) AS slope,
+        ROUND(quantile_cont(resid, 0.5), 6) AS intercept
+      FROM r LEFT JOIN sl ON r.g = sl.g
+      GROUP BY r.g ORDER BY event_type"""))
+
+  /** Seasonal-adjusted anomaly flags: q193's decomposition residuals
+    * scored by the robust z (median/MAD, 1.4826 consistency constant) —
+    * the "alert AFTER removing the weekly rhythm" completion of the
+    * decomposition. Two tiny percentile frames broadcast back; |z| > 3
+    * flags; edge days (null trend) carry null z/flag. */
+  val q242SeasonalAnomaly = QueryDef(
+    "q242_seasonal_anomaly",
+    (s, d) => {
+      def nzd(c: Column) = when(c =!= 0.0, c)
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val dec = graft.ops.TimeSeries.seasonalDecompose(daily, col("day"),
+        col("y"), pmod(datediff(col("day"), to_date(lit("1970-01-01"))),
+          lit(7)), period = 7)
+      val med = dec.filter(col("residual").isNotNull)
+        .agg(percentile(col("residual"), lit(0.5)).as("__med"))
+      val withMed = dec.crossJoin(broadcast(med))
+      val mad = withMed.filter(col("residual").isNotNull)
+        .agg(percentile(abs(col("residual") - col("__med")), lit(0.5))
+          .as("__mad"))
+      withMed.crossJoin(broadcast(mad))
+        .withColumn("robust_z",
+          when(col("residual").isNotNull && col("__mad") > 0,
+            round((col("residual") - col("__med"))
+              / nzd(lit(1.4826) * col("__mad")), 6)))
+        .withColumn("is_anomaly",
+          when(col("robust_z").isNotNull, abs(col("robust_z")) > 3.0))
+        .select("t", "y", "residual", "robust_z", "is_anomaly")
+        .orderBy("t")
+    },
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      tr AS (SELECT t, y,
+          (t - DATE '1970-01-01') % 7 AS phase,
+          CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT t, y, phase, trend, y - trend AS d FROM tr),
+      pm AS (SELECT phase, AVG(d) AS pm FROM det GROUP BY phase),
+      cc AS (SELECT AVG(pm) AS c FROM pm),
+      dec AS (SELECT t, y,
+          ROUND(y - trend - (pm - c), 6) AS residual
+        FROM det LEFT JOIN pm USING (phase), cc),
+      med AS (SELECT quantile_cont(residual, 0.5) AS med FROM dec
+        WHERE residual IS NOT NULL),
+      mad AS (SELECT quantile_cont(ABS(residual - (SELECT med FROM med)),
+          0.5) AS mad FROM dec WHERE residual IS NOT NULL),
+      z AS (SELECT t, y, residual,
+          CASE WHEN residual IS NOT NULL AND (SELECT mad FROM mad) > 0
+            THEN ROUND((residual - (SELECT med FROM med))
+              / (1.4826 * (SELECT mad FROM mad)), 6) END AS robust_z
+        FROM dec)
+      SELECT t, y, residual, robust_z,
+        CASE WHEN robust_z IS NOT NULL THEN ABS(robust_z) > 3.0 END
+          AS is_anomaly
+      FROM z ORDER BY t"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -824,5 +913,5 @@ object MonitoringQueries extends QueryGroup {
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
-    q237QuantileBands)
+    q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly)
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1298,6 +1300,73 @@ object StatsQueries extends QueryGroup {
           ELSE 0.0 END AS ap_at_k
       FROM agg a JOIN tot USING (source) ORDER BY a.source"""))
 
+  /** Cumulative gains / lift chart of the q163 stand-in scorer: exact
+    * decile cuts of the score (edge row broadcast — no ntile global
+    * sort), bands ranked from the top, cumulative capture rate and lift
+    * per band — "the top 20% of scores captures X% of positives", the
+    * model-targeting readout beside q168's calibration. Windows run over
+    * the ≤10-row band frame. */
+  val q240GainsChart = QueryDef(
+    "q240_gains_chart",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+        .select(col("n_chars").cast("double").as("v"),
+          (col("lang") === "en").as("y"))
+      val qs = (1 until 10).map(_.toDouble / 10)
+      val edges = docs.agg(
+        transform(percentile(col("v"), typedlit(qs)), e => round(e, 6))
+          .as("__edges"))
+      val per = docs.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          size(filter(col("__edges"), e => col("v") > e)).cast("bigint"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), count(when(col("y"), 1)).as("n_pos"))
+        .withColumn("band", lit(10L) - col("bin"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val cum = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def nzd(c: Column) = when(c =!= 0.0, c)
+      val tn = sum(col("n")).over(all).cast("double")
+      val tp = sum(col("n_pos")).over(all).cast("double")
+      per
+        .withColumn("cum_n", sum(col("n")).over(cum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+        .withColumn("gain",
+          round(col("cum_pos").cast("double") / nzd(tp), 6))
+        .withColumn("lift", round(
+          (col("cum_pos").cast("double") / nzd(col("cum_n").cast("double")))
+            / nzd(tp / nzd(tn)), 6))
+        .select("band", "n", "n_pos", "cum_n", "cum_pos", "gain", "lift")
+        .orderBy("band")
+    },
+    Some("""WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+          lang = 'en' AS y FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      ed AS (SELECT ROUND(unnest(quantile_cont(v,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS e
+        FROM base),
+      binned AS (SELECT v, y,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE v > e) AS bin
+        FROM base),
+      per AS (SELECT 10 - bin AS band, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) FILTER (y) AS BIGINT) AS n_pos
+        FROM binned GROUP BY bin),
+      c AS (SELECT band, n, n_pos,
+          CAST(SUM(n) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+          CAST(SUM(n_pos) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+          CAST(SUM(n) OVER () AS BIGINT) AS tn,
+          CAST(SUM(n_pos) OVER () AS BIGINT) AS tp
+        FROM per)
+      SELECT band, n, n_pos, cum_n, cum_pos,
+        ROUND(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS gain,
+        ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+          / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+      FROM c ORDER BY band"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1306,5 +1375,6 @@ object StatsQueries extends QueryGroup {
     q181InfoGainSweep, q183Anova, q184CramersV, q185Acf, q187KaplanMeier,
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
     q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
-    q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall)
+    q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall,
+    q240GainsChart)
 }
