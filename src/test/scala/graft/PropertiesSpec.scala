@@ -512,4 +512,59 @@ class PropertiesSpec extends SparkSpec {
     }, n = 40)
   }
 
+  test("bhAdjust: adjusted p >= raw p, monotone in rank, bounded by 1, " +
+      "and invariant to input row order") {
+    import graft.ops.Stats
+    check("bh-fdr", Prop.forAll(
+      Gen.listOfN(8, Gen.chooseNum(0.0001, 0.9999)).suchThat(_.nonEmpty)) {
+      ps =>
+        val fam = ps.zipWithIndex.map { case (p, i) => (s"k$i", p) }
+        val run = Stats.bhAdjust(fam.toDF("k", "p"), Seq("k"), $"p")
+          .select($"k", $"p_raw", $"rank", $"p_bh")
+          .as[(String, Double, Long, Double)].collect().toSeq
+        val shuffled = Stats.bhAdjust(
+            fam.reverse.toDF("k", "p").repartition(3), Seq("k"), $"p")
+          .select($"k", $"p_raw", $"rank", $"p_bh")
+          .as[(String, Double, Long, Double)].collect().toSeq
+        run == shuffled &&
+          run.forall(r => r._4 >= r._2 - 1e-9 && r._4 <= 1.0) &&
+          run.map(_._4) == run.map(_._4).sorted
+    }, n = 8)
+  }
+
+  test("kendallTau: tau(x, x) = 1 on distinct values; tau in [-1, 1]") {
+    import graft.ops.TimeSeries
+    check("kendall-tau", Prop.forAll(
+      Gen.listOfN(12, Gen.chooseNum(-1000, 1000)).map(_.distinct)
+        .suchThat(_.size >= 3)) { xs =>
+      val self = TimeSeries.kendallTau(
+          xs.map(v => (v.toDouble, v.toDouble)).toDF("x", "y"), $"x", $"y")
+        .select($"tau_b").as[Option[Double]].head()
+      val ys = xs.map(v => (v.toDouble, ((v * 7919) % 101).toDouble))
+      val any = TimeSeries.kendallTau(ys.toDF("x", "y"), $"x", $"y")
+        .select($"tau_b").as[Option[Double]].head()
+      self == Some(1.0) && any.forall(t => t >= -1.0 && t <= 1.0)
+    }, n = 6)
+  }
+
+  test("hhi: per-day HHI within [1/n, 1], normalized form within [0, 1]") {
+    val got = SparkEntry.queries("q239_hhi")(spark, sf001)
+      .as[(Long, Long, Double, Option[Double])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, hhi, norm) =>
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6)
+      norm.foreach(v => assert(v >= -1e-6 && v <= 1.0 + 1e-6))
+    }
+  }
+
+  test("gains chart: cumulative counts monotone, final gain = 1, " +
+      "final lift = 1") {
+    val got = SparkEntry.queries("q240_gains_chart")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    assert(got.map(_._5) == got.map(_._5).sorted)
+    assert(got.last._6 == 1.0 && got.last._7 == 1.0)
+  }
+
 }
