@@ -1090,6 +1090,62 @@ object Stats {
     * as the Benford digit table. Exactness: ȳ from decimal sums; products
     * round to 8 before their per-lag decimal totals.
     */
+  /** Sample cross-correlation between two aligned series at lags
+    * −maxLag..maxLag: CCF(k) = Σ dx_t·dy_{t+k} / √(Σdx²·Σdy²) — the
+    * lead/lag detector ("volume moves, does value follow two days
+    * later?") that [[acfByLag]] is the self-paired special case of.
+    * Positive lag: x leads y. Normalization uses the FULL-series second
+    * moments (the standard sample CCF), so |ccf| ≤ 1 and lags are
+    * comparable. Same determinism/scale contract as acfByLag: decimal
+    * round-8 term sums, windows over the ≤#periods caller-aggregated
+    * series. Output (lag, n_pairs, ccf) ordered by lag. */
+  def crossCorrByLag(series: DataFrame, t: Column, x: Column, y: Column,
+      maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, "crossCorrByLag needs maxLag >= 1")
+    def nzc(c: Column): Column = when(c =!= 0.0, c)
+    val base = series.select(t.as("t"), x.cast("double").as("x"),
+        y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def meanOf(c: Column): Column =
+      sum(c.cast("decimal(28,8)")).over(all).cast("double") /
+        count(lit(1)).over(all).cast("double")
+    val withDev = base
+      .withColumn("__dx", col("x") - meanOf(col("x")))
+      .withColumn("__dy", col("y") - meanOf(col("y")))
+    val withDenom = withDev
+      .withColumn("__denom", sqrt(
+        sum(round(col("__dx") * col("__dx"), 8).cast("decimal(28,8)"))
+          .over(all).cast("double") *
+        sum(round(col("__dy") * col("__dy"), 8).cast("decimal(28,8)"))
+          .over(all).cast("double")))
+    val wLead = Window.orderBy("t")
+    val withLeads = (1 to maxLag).foldLeft(withDenom) { (acc, k) =>
+      acc.withColumn(s"__ly_$k", lead(col("__dy"), k).over(wLead))
+        .withColumn(s"__lx_$k", lead(col("__dx"), k).over(wLead))
+    }
+    // lag k>0: dx_t · dy_{t+k}; lag k<0: dy_t · dx_{t+|k|} (same pairs,
+    // re-indexed); lag 0 is the plain product
+    val terms = (-maxLag to maxLag).map { k =>
+      val prod =
+        if (k > 0) col("__dx") * col(s"__ly_$k")
+        else if (k < 0) col("__dy") * col(s"__lx_${-k}")
+        else col("__dx") * col("__dy")
+      struct(lit(k).as("lag"), prod.as("prod"))
+    }
+    withLeads
+      .select(col("__denom"), explode(array(terms: _*)).as("l"))
+      .select(col("l.lag").as("lag"), col("l.prod").as("prod"),
+        col("__denom"))
+      .filter(col("prod").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("prod"), 8).cast("decimal(28,8)"))
+          .cast("double") / nzc(max(col("__denom"))), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
   def acfByLag(series: DataFrame, t: Column, y: Column,
       maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "acfByLag needs maxLag >= 1")

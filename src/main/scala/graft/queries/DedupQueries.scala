@@ -594,10 +594,42 @@ object DedupQueries extends QueryGroup {
           AS cross_rate
       FROM per ORDER BY source"""))
 
+  /** Exact-dup cluster-size histogram: how many clusters of each size and
+    * what share of the corpus sits in them — the "how bad is duplication"
+    * distribution behind q44's flat group list. Two keyed aggregations;
+    * the 1-row total broadcast back. */
+  val q245DupSizeHist = QueryDef(
+    "q245_dup_size_hist",
+    (s, d) => {
+      val h = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(md5(col("text")).as("h"))
+      val tot = h.agg(count(lit(1)).as("__n"))
+      h.groupBy("h").agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("doc_share", round(
+          col("n_docs").cast("double") / col("__n").cast("double"), 6))
+        .select("cluster_size", "n_clusters", "n_docs", "doc_share")
+        .orderBy("cluster_size")
+    },
+    Some("""WITH h AS (SELECT md5(text) AS h FROM documents
+          WHERE text IS NOT NULL),
+      g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY h),
+      hist AS (SELECT c AS cluster_size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY c),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h)
+      SELECT cluster_size, n_clusters,
+        cluster_size * n_clusters AS n_docs,
+        ROUND(CAST(cluster_size * n_clusters AS DOUBLE)
+          / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS doc_share
+      FROM hist ORDER BY cluster_size"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
-    q236DupRateCard)
+    q236DupRateCard, q245DupSizeHist)
 }

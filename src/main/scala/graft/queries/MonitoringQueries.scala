@@ -906,6 +906,102 @@ object MonitoringQueries extends QueryGroup {
           AS is_anomaly
       FROM z ORDER BY t"""))
 
+  /** Cross-correlation at lags −5..5 between daily volume and daily mean
+    * value (Stats.crossCorrByLag): does one metric LEAD the other? The
+    * lead/lag completion of q185's self-paired ACF. */
+  val q243CrossCorr = QueryDef(
+    "q243_cross_corr", {
+      (s, d) => graft.ops.Stats.crossCorrByLag(
+        Tables.events(s, d)
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("x"),
+            round(sum(col("value").cast("decimal(28,8)")).cast("double")
+              / count(lit(1)), 6).as("y")),
+        col("day"), col("x"), col("y"), maxLag = 5)
+    },
+    Some {
+      val branches = (-5 to 5).map { k =>
+        val prod =
+          if (k > 0) s"dx * ly$k" else if (k < 0) s"dy * lx${-k}"
+          else "dx * dy"
+        s"SELECT $k AS lag, $prod AS prod FROM l"
+      }.mkString(" UNION ALL ")
+      val leads = (1 to 5).map(k =>
+        s"LEAD(dy, $k) OVER w AS ly$k, LEAD(dx, $k) OVER w AS lx$k")
+        .mkString(", ")
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
+          CAST(COUNT(*) AS DOUBLE) AS x,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+            / COUNT(*), 6) AS y
+        FROM events GROUP BY 1),
+      m AS (SELECT
+          CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mx,
+          CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS my
+        FROM daily),
+      d AS (SELECT t, x - mx AS dx, y - my AS dy FROM daily, m),
+      den AS (SELECT SQRT(
+          CAST(SUM(CAST(ROUND(dx * dx, 8) AS DECIMAL(28,8))) AS DOUBLE)
+          * CAST(SUM(CAST(ROUND(dy * dy, 8) AS DECIMAL(28,8))) AS DOUBLE))
+          AS denom FROM d),
+      l AS (SELECT t, dx, dy, $leads FROM d WINDOW w AS (ORDER BY t)),
+      terms AS ($branches)
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ROUND(CAST(SUM(CAST(ROUND(prod, 8) AS DECIMAL(28,8))) AS DOUBLE)
+          / (SELECT denom FROM den), 6) AS ccf
+      FROM terms WHERE prod IS NOT NULL
+      GROUP BY lag ORDER BY lag"""
+    })
+
+  /** Holt one-step-ahead backtest (forecast_t = level_{t−1} + trend_{t−1}
+    * on q196's smoother): MAPE + RMSE over the daily volume curve — the
+    * "is the forecast any good" accuracy card that has to accompany a
+    * forecasting operator. One summary row. */
+  val q244HoltBacktest = QueryDef(
+    "q244_holt_backtest",
+    (s, d) => {
+      def nzd(c: Column) = when(c =!= 0.0, c)
+      val sm = graft.ops.TimeSeries.holtSmooth(
+        Tables.events(s, d).groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("y")),
+        col("day"), col("y"), alpha = 0.5, beta = 0.3)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      sm.withColumn("__f",
+          lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w))
+        .filter(col("__f").isNotNull && col("y") =!= 0.0)
+        .agg(
+          count(lit(1)).as("n_forecasts"),
+          round(sum(round(abs(col("y") - col("__f")) / abs(col("y")), 8)
+              .cast("decimal(38,8)")).cast("double")
+            / nzd(count(lit(1)).cast("double")), 6).as("mape"),
+          round(sqrt(sum(round((col("y") - col("__f"))
+              * (col("y") - col("__f")), 8).cast("decimal(38,8)"))
+              .cast("double") / nzd(count(lit(1)).cast("double"))), 6)
+            .as("rmse"))
+    },
+    Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      l AS (SELECT t, y, list(y) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs FROM daily),
+      f AS (SELECT t, y, list_reduce(
+          list_prepend([vs[1], 0.0], list_transform(vs[2:], v -> [v, 0.0])),
+          (acc, x) -> [x[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+            ((x[1] * 0.5 + (acc[1] + acc[2]) * 0.5) - acc[1]) * 0.3
+              + acc[2] * 0.7]) AS st
+        FROM l),
+      r AS (SELECT t, y, ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend
+        FROM f),
+      fc AS (SELECT t, y, LAG(level) OVER (ORDER BY t)
+          + LAG(trend) OVER (ORDER BY t) AS fcst FROM r),
+      a AS (SELECT y, fcst FROM fc WHERE fcst IS NOT NULL AND y != 0)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+        ROUND(CAST(SUM(CAST(ROUND(ABS(y - fcst) / ABS(y), 8)
+          AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS mape,
+        ROUND(SQRT(CAST(SUM(CAST(ROUND((y - fcst) * (y - fcst), 8)
+          AS DECIMAL(38,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+          AS rmse
+      FROM a"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -913,5 +1009,6 @@ object MonitoringQueries extends QueryGroup {
     q186Wasserstein, q193Seasonal, q194Cusum, q196Holt, q197VocabJaccard,
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
-    q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly)
+    q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly,
+    q243CrossCorr, q244HoltBacktest)
 }

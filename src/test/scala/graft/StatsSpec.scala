@@ -755,6 +755,27 @@ class StatsSpec extends SparkSpec {
     assert(r._7 == r6((1.0 + 2.0 / 3.0) / 3.0))
   }
 
+  // --- crossCorrByLag --------------------------------------------------
+
+  test("crossCorrByLag: self-pair gives ccf(0) = 1; a shifted copy puts " +
+      "the peak at the shift lag") {
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0)
+    val self = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, v) }
+      .toDF("t", "x", "y")
+    val s = Stats.crossCorrByLag(self, $"t", $"x", $"y", maxLag = 2)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(s(0) == Some(1.0))
+
+    // y_t = x_{t-2}: x LEADS y by 2 -> peak at lag +2
+    val shifted = xs.indices.drop(2).map(i =>
+      (i.toLong, xs(i), xs(i - 2))).toDF("t", "x", "y")
+    val c = Stats.crossCorrByLag(shifted, $"t", $"x", $"y", maxLag = 3)
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._3.getOrElse(0.0)).toMap
+    assert(c(2) == c.values.max, s"peak must sit at lag +2: $c")
+  }
+
   // --- durbinWatson / olsInfluence -------------------------------------
 
   test("durbinWatson: exact line -> zero residuals, null DW; alternating " +
