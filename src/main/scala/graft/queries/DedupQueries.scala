@@ -626,10 +626,36 @@ object DedupQueries extends QueryGroup {
           / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS doc_share
       FROM hist ORDER BY cluster_size"""))
 
+  /** PPJoin-style prefix-filtered exact Jaccard join over the FULL corpus
+    * (DedupOps.prefixFilterJaccardPairs, t = 0.6): candidate-complete by
+    * the prefix theorem, hot tokens never fan out — the principled exact
+    * set-similarity join beside q46's approximate MinHash banding. The
+    * oracle brute-forces all pairs at this SF, so any false negative
+    * from the pruning would hash-mismatch. */
+  val q246PrefixJaccard = QueryDef(
+    "q246_prefix_jaccard",
+    (s, d) => DedupOps.prefixFilterJaccardPairs(
+      Tables.documents(s, d), "doc_id", col("text"),
+      threshold = 0.5, shingle = 3),
+    Some("""WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS words
+        FROM documents WHERE text IS NOT NULL),
+      sh AS (SELECT id, list_sort(list_distinct(list_transform(
+          range(1, greatest(len(words) - 2, 0) + 1),
+          i -> array_to_string(words[i:i+2], ' ')))) AS arr FROM w),
+      ww AS (SELECT id, arr FROM sh WHERE len(arr) > 0),
+      p AS (SELECT a.id AS doc_a, b.id AS doc_b,
+          len(list_intersect(a.arr, b.arr)) AS i,
+          len(a.arr) AS na, len(b.arr) AS nb
+        FROM ww a JOIN ww b ON a.id < b.id)
+      SELECT doc_a, doc_b,
+        ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+      FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q44ExactDup, q45NgramJaccard, q46MinhashLsh, q47Simhash, q55DedupClusters,
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
-    q236DupRateCard, q245DupSizeHist)
+    q236DupRateCard, q245DupSizeHist, q246PrefixJaccard)
 }

@@ -580,6 +580,66 @@ object DedupOps {
         (col("len_grams") + (w + k - 2)).as("approx_chars"))
   }
 
+  /** Exact set-similarity join by PREFIX FILTERING (the PPJoin candidate
+    * rule): doc pairs with token-set Jaccard ≥ `threshold`, with NO false
+    * negatives and candidates generated only from each doc's
+    * p = |s| − ⌈t·|s|⌉ + 1 RAREST tokens under one global (df, token)
+    * order. The principled scale path where q45's every-shared-shingle
+    * join melts on hot tokens: a stopword shared by half the corpus never
+    * generates candidates because it sorts to the END of every prefix
+    * order. If J(x,y) ≥ t, the two prefixes must share a token (else
+    * |x∩y| ≤ |x| − p < t·|x| ≤ |x∩y|) — so the equi join on prefix
+    * tokens is candidate-complete; exact Jaccard then verifies each
+    * candidate once via sorted-array intersection.
+    *
+    * Scale shape: token df is one keyed count; prefix selection is a
+    * per-doc rank window (partitioned BY DOC); the candidate join is
+    * EQUI on the prefix token with rare tokens by construction (bounded
+    * fan-out); verification joins the ≤candidates pair list back to the
+    * doc→array table twice, keyed. Never all-pairs, never a hot-token
+    * quadratic bucket. */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: Column, threshold: Double = 0.5,
+      shingle: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      "prefixFilterJaccardPairs needs threshold in (0,1)")
+    require(shingle >= 1, "prefixFilterJaccardPairs needs shingle >= 1")
+    // shingle > 1 makes the set elements discriminative (a small shared
+    // vocabulary drowns unigram Jaccard); 1 degrades to plain token sets
+    val elems =
+      if (shingle == 1) filter(tokens(textCol), t => length(t) > 0)
+      else shingles(textCol, shingle)
+    val base = docs.filter(textCol.isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        array_sort(array_distinct(elems)).as("arr"))
+      .filter(size(col("arr")) > 0)
+    val tok = base.select(col("id"), size(col("arr")).as("sz"),
+      explode(col("arr")).as("tk"))
+    val dfs = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("tk").asc)
+    val prefix = tok.join(dfs, Seq("tk"))
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("tk", "id")
+    val cand = prefix.withColumnRenamed("id", "a")
+      .join(prefix.withColumnRenamed("id", "b"), Seq("tk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val ja = col("i").cast("double") /
+      (size(col("__aa")) + size(col("__ab")) - col("i"))
+    cand
+      .join(base.select(col("id").as("a"), col("arr").as("__aa")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("arr").as("__ab")), Seq("b"))
+      .withColumn("i",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("bigint"))
+      .filter(ja >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(ja, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Edit-distance near-dup pairs under deterministic blocking: candidates
     * share a (length-band, text-prefix) block, pairs score with the BANDED
     * Levenshtein (threshold-bounded — O(len·maxDist) per pair, not len²)

@@ -125,6 +125,19 @@ object ScaleSmoke {
         .distinct()
       graft.ops.Hits.run(es, iterations = 2).count()
     }
+    time("prefix-jaccard-1M-docs") {
+      // six hash tokens + a 2-token template: every 3-shingle touches a
+      // hash, so no corpus-wide hot shingle can leak into a prefix and
+      // the candidate join stays on rare keys; the 250k planted dup
+      // pairs come back at jaccard 1
+      val pdocs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (Seq("a", "b", "c", "d", "e", "f").map(s =>
+            md5(concat(lit(s), (col("id") % 750000).cast("string")))) ++
+            Seq(lit("template"), lit("tail"))): _*).as("text"))
+      graft.text.DedupOps.prefixFilterJaccardPairs(pdocs, "doc_id",
+        col("text"), threshold = 0.5, shingle = 3).count()
+    }
     time("slo-burn-10M-events") {
       val ev = spark.range(10000000L)
         .select(timestamp_micros(col("id") * 300000L + 1700000000000000L)

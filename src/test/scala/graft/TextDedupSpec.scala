@@ -980,6 +980,34 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped.count() == 10, "5 identical docs -> C(5,2) zero-dist pairs")
   }
 
+  test("prefixFilterJaccardPairs: equals the brute-force pair set (no " +
+      "false negatives from pruning); plan never goes all-pairs") {
+    import graft.text.DedupOps
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val got = DedupOps.prefixFilterJaccardPairs(docs, "doc_id", $"text",
+      threshold = 0.5, shingle = 3)
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay equi-keyed:\n$plan")
+
+    // brute force on the same shingle sets
+    val arrs = docs.filter($"text".isNotNull)
+      .select($"doc_id".cast("long").as("id"),
+        array_sort(DedupOps.shingles($"text", 3)).as("arr"))
+      .filter(size($"arr") > 0)
+    val brute = arrs.select($"id".as("a"), $"arr".as("aa"))
+      .crossJoin(arrs.select($"id".as("b"), $"arr".as("ab")))
+      .filter($"a" < $"b")
+      .withColumn("i", size(array_intersect($"aa", $"ab")).cast("bigint"))
+      .filter($"i".cast("double") / (size($"aa") + size($"ab") - $"i") >= 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val pruned = got.select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == brute,
+      s"pruned=${pruned.size} brute=${brute.size}: sets must be identical")
+  }
+
   test("vocab coverage cum_frac is nondecreasing and bounded by 1") {
     val rows = SparkEntry.queries("q107_vocab_coverage")(spark, sf001)
       .select("cum_frac").as[Double].collect()
