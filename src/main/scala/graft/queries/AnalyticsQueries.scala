@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -520,9 +521,108 @@ object AnalyticsQueries extends QueryGroup {
             / (1.0 - 1.0 / CAST(n_users AS DOUBLE)), 6) END AS hhi_norm
       FROM h ORDER BY day"""))
 
+  /** DAU / trailing-7-day WAU / stickiness per day: each (day, user)
+    * presence is exploded to the 7 target days it supports, so the
+    * rolling distinct count is two keyed shuffles — no per-day rescan, no
+    * window-distinct (which Spark can't do) and no range self-join blowup.
+    * Trailing days with no activity of their own are excluded (join on
+    * the DAU day list). stickiness = dau/wau (the DAU/MAU cousin). */
+  val q248Stickiness = QueryDef(
+    "q248_stickiness",
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness", round(
+          col("dau").cast("double") / col("wau").cast("double"), 6))
+        .select("day", "dau", "wau", "stickiness")
+        .orderBy("day")
+    },
+    Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+          user_id FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du
+        GROUP BY day),
+      wau AS (SELECT d.day,
+          CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM dau d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+      SELECT day, dau, wau,
+        ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY day"""))
+
+  /** Inter-event regularity screen ("bot cadence detector"): per user the
+    * coefficient of variation of inter-event gaps — humans are bursty
+    * (CV ≈ 1 for Poisson arrivals), schedulers are metronomes (CV → 0).
+    * Gap moments are DECIMAL-exact in µs (µs² products stay inside
+    * DECIMAL(38)); one user-keyed window + one combined aggregation.
+    * Flag: ≥ 20 gaps and CV < 0.1. */
+  val q249BotCadence = QueryDef(
+    "q249_bot_cadence",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def nzd(c: Column) = when(c =!= 0.0, c)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("__gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__gap").isNotNull)
+      val per = gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__gap").cast("decimal(38,0)")).cast("double").as("__s"),
+        sum(col("__gap").cast("decimal(19,0)")
+          * col("__gap").cast("decimal(19,0)")).cast("double").as("__s2"))
+      val nD = col("n_gaps").cast("double")
+      val mean = col("__s") / nzd(nD)
+      val varG = greatest((col("__s2") - col("__s") * col("__s") / nzd(nD))
+        / nzd(nD - 1), lit(0.0))
+      per
+        .withColumn("mean_gap_s", round(mean / 1000000.0, 6))
+        .withColumn("cv",
+          when(col("n_gaps") >= 2 && col("__s") > 0,
+            round(sqrt(varG) / nzd(mean), 6)))
+        .withColumn("is_regular",
+          col("n_gaps") >= 20 && col("cv").isNotNull && col("cv") < 0.1)
+        .select("user_id", "n_gaps", "mean_gap_s", "cv", "is_regular")
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (SELECT user_id,
+          epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS gap
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+            AS DOUBLE) AS s2
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      c AS (SELECT user_id, n_gaps, s,
+          s / CAST(n_gaps AS DOUBLE) AS mean,
+          GREATEST((s2 - s * s / CAST(n_gaps AS DOUBLE))
+            / (CAST(n_gaps AS DOUBLE) - 1), 0.0) AS varg
+        FROM p)
+      SELECT user_id, n_gaps,
+        ROUND(mean / 1000000.0, 6) AS mean_gap_s,
+        CASE WHEN n_gaps >= 2 AND s > 0
+          THEN ROUND(SQRT(varg) / mean, 6) END AS cv,
+        n_gaps >= 20 AND (CASE WHEN n_gaps >= 2 AND s > 0
+          THEN ROUND(SQRT(varg) / mean, 6) END) IS NOT NULL
+          AND (CASE WHEN n_gaps >= 2 AND s > 0
+          THEN ROUND(SQRT(varg) / mean, 6) END) < 0.1 AS is_regular
+      FROM c ORDER BY user_id"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
-    q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi)
+    q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi,
+    q248Stickiness, q249BotCadence)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1002,6 +1002,46 @@ object MonitoringQueries extends QueryGroup {
           AS rmse
       FROM a"""))
 
+  /** Q–Q comparison table of doc length, English vs non-English: both
+    * distributions at the 19 vigintiles plus the per-quantile gap — the
+    * "where exactly do the distributions diverge" view that a single KS
+    * statistic (q149) summarizes away. Two 1-row exact-percentile frames,
+    * zipped; everything report-sized. */
+  val q247QqTable = QueryDef(
+    "q247_qq_table",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
+      val qs = (1 until 20).map(_.toDouble / 20)
+      def side(f: Column): DataFrame = docs.filter(f)
+        .agg(percentile(col("n_chars").cast("double"), typedlit(qs)))
+      val a = side(col("lang") === "en").toDF("qa")
+      val b = side(col("lang") =!= "en").toDF("qb")
+      a.crossJoin(broadcast(b))
+        .select(posexplode(arrays_zip(col("qa"), col("qb")))
+          .as(Seq("i", "z")))
+        .select(
+          round((col("i") + 1) * 0.05, 2).as("q"),
+          round(col("z.qa"), 6).as("q_a"),
+          round(col("z.qb"), 6).as("q_b"),
+          round(col("z.qa") - col("z.qb"), 6).as("diff"))
+        .orderBy("q")
+    },
+    Some("""WITH a AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+          [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55,
+           0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qa
+        FROM documents WHERE n_chars IS NOT NULL AND lang = 'en'),
+      b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+          [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55,
+           0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qb
+        FROM documents WHERE n_chars IS NOT NULL AND lang != 'en'),
+      z AS (SELECT unnest(range(19)) AS i,
+          unnest((SELECT qa FROM a)) AS qa,
+          unnest((SELECT qb FROM b)) AS qb)
+      SELECT CAST(ROUND((i + 1) * 0.05, 2) AS DOUBLE) AS q,
+        ROUND(qa, 6) AS q_a,
+        ROUND(qb, 6) AS q_b, ROUND(qa - qb, 6) AS diff
+      FROM z ORDER BY q"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -1010,5 +1050,5 @@ object MonitoringQueries extends QueryGroup {
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
     q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly,
-    q243CrossCorr, q244HoltBacktest)
+    q243CrossCorr, q244HoltBacktest, q247QqTable)
 }

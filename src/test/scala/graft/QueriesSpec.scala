@@ -87,7 +87,8 @@ class QueriesSpec extends SparkSpec {
     "q238_consistency_audit", // 1-row orphan-count frame × 1-row summary
     "q240_gains_chart", // 1-row decile-edge frame attached per doc
     "q242_seasonal_anomaly", // 1-row median/MAD frames over the ≤#days series
-    "q245_dup_size_hist") // 1-row corpus-total frame on the size histogram
+    "q245_dup_size_hist", // 1-row corpus-total frame on the size histogram
+    "q247_qq_table") // two 1-row percentile-array frames zipped
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
