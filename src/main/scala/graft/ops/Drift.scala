@@ -266,6 +266,51 @@ object Drift {
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_stat"))
   }
 
+  /** Distributed EXACT empirical CDF table: per distinct value its row
+    * count and ECDF = P(X ≤ v) — the percentile-rank feature transform
+    * (and the reusable half of [[ksStatistic]]), WITHOUT a global sort:
+    * tie-collapse groupBy, range partitioning by value, per-partition
+    * prefix sums, and a ≤`partitions`-row driver barrier for the
+    * exclusive offsets (the DenseId/KS scaffold). Joining a data table
+    * back on value turns this into a per-row percentile feature; the
+    * table itself is the lossless Q-Q/calibration input. Output:
+    * (value, n_rows, ecdf round-6) ordered by value. */
+  def ecdfTable(df: DataFrame, value: Column,
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = partTotals.map(_._2).sum
+    import spark.implicits._
+    if (n == 0L)
+      return Seq.empty[(Double, Long, Double)]
+        .toDF("value", "n_rows", "ecdf")
+    val offsets = partTotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }
+    val offDf = partTotals.map(_._1).zip(offsets.map(_._2))
+      .map { case (pid, off) => (pid, off) }
+      .toSeq.toDF("__pid", "off")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap.join(broadcast(offDf), "__pid")
+      .withColumn("ecdf", round(
+        (col("off") + sum(col("c")).over(w)).cast("double") / n, 6))
+      .select(col("v").as("value"), col("c").as("n_rows"), col("ecdf"))
+      .orderBy("value")
+  }
+
   /** Pairwise VOCABULARY Jaccard between groups: |V_a ∩ V_b| / |V_a ∪ V_b|
     * over each group's distinct term set — the set-overlap complement to
     * [[jsdPairs]] (JSD weighs by frequency; vocab Jaccard asks only "do

@@ -1042,6 +1042,26 @@ object MonitoringQueries extends QueryGroup {
         ROUND(qb, 6) AS q_b, ROUND(qa - qb, 6) AS diff
       FROM z ORDER BY q"""))
 
+  /** Distributed exact ECDF of order value (Drift.ecdfTable): the
+    * percentile-rank transform on the range-partitioned prefix-sum
+    * scaffold — no global sort, ≤#partitions driver barrier. The oracle
+    * replays it as a cumulative window, so every prefix sum and offset
+    * must line up exactly. */
+  val q250Ecdf = QueryDef(
+    "q250_ecdf",
+    (s, d) => graft.ops.Drift.ecdfTable(Tables.orders(s, d),
+      col("o_totalprice")),
+    Some("""WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      s AS (SELECT v, c,
+          CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER () AS BIGINT) AS n FROM c)
+      SELECT v AS value, c AS n_rows,
+        ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ecdf
+      FROM s ORDER BY value"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -1050,5 +1070,5 @@ object MonitoringQueries extends QueryGroup {
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
     q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly,
-    q243CrossCorr, q244HoltBacktest, q247QqTable)
+    q243CrossCorr, q244HoltBacktest, q247QqTable, q250Ecdf)
 }

@@ -626,6 +626,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(win.contains("user_id"), s"anomaly window lost its entity key:\n$win")
   }
 
+  test("ecdfTable: exact ECDF with ties, partition-count invariant, " +
+      "ends at exactly 1") {
+    val xs = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 5.0, 5.0, 4.0)
+    val df = xs.toDF("v")
+    val got = Drift.ecdfTable(df, $"v", partitions = 4)
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(got == Seq((1.0, 1L, 0.125), (2.0, 1L, 0.25), (3.0, 2L, 0.5),
+      (4.0, 1L, 0.625), (5.0, 3L, 1.0)))
+    val other = Drift.ecdfTable(df.repartition(7), $"v", partitions = 2)
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(other == got, "ECDF must not depend on the partition layout")
+  }
+
   test("topKChurn: consecutive-day leaderboard Jaccard with count-desc " +
       "subject-asc tie-break") {
     def at(day: Long, i: Int) =
