@@ -619,10 +619,39 @@ object AnalyticsQueries extends QueryGroup {
           THEN ROUND(SQRT(varg) / mean, 6) END) < 0.1 AS is_regular
       FROM c ORDER BY user_id"""))
 
+  /** Weekday × hour activity punch card: events per (dow, hour) cell with
+    * the cell's share of all traffic — the classic seasonality heatmap
+    * input. One combined aggregation; the share window runs over the
+    * ≤168-cell report frame. Day 0 = Thursday (epoch day 0), matching
+    * integer epoch-day arithmetic on both engines. */
+  val q251PunchCard = QueryDef(
+    "q251_punch_card",
+    (s, d) => {
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(expr("(unix_micros(ts) DIV 86400000000) % 7").as("dow"),
+          expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(
+          col("n").cast("double") / sum(col("n")).over(all).cast("double"), 6))
+        .select("dow", "hour", "n", "share")
+        .orderBy("dow", "hour")
+    },
+    Some("""WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+          (epoch_us(ts) // 3600000000) % 24 AS hour,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+      SELECT dow, hour, n,
+        ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+          AS share
+      FROM c ORDER BY dow, hour"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
     q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi,
-    q248Stickiness, q249BotCadence)
+    q248Stickiness, q249BotCadence, q251PunchCard)
 }

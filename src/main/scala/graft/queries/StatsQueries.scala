@@ -1367,6 +1367,63 @@ object StatsQueries extends QueryGroup {
           / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
       FROM c ORDER BY band"""))
 
+  /** Chi-square follow-up: the densified priority × status contingency
+    * grid with expected counts and Pearson standardized residuals
+    * (o − e)/√e — WHICH cells drove q156-style significance (|r| > 2 is
+    * the usual call-out). One data pass to the observed cells; the dense
+    * grid is marginal × marginal on report-sized frames; integer counts,
+    * round-6 ratio math. */
+  val q252CellResiduals = QueryDef(
+    "q252_cell_residuals",
+    (s, d) => {
+      def nzd(c: Column) = when(c =!= 0.0, c)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isNotNull &&
+          col("o_orderstatus").isNotNull)
+      val obs = base.groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status")).agg(count(lit(1)).as("o"))
+      val ma = base.groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("na"))
+      val mb = base.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("nb"))
+      val n = base.agg(count(lit(1)).as("__n"))
+      broadcast(ma).crossJoin(broadcast(mb))
+        .crossJoin(broadcast(n))
+        .join(obs, Seq("prio", "status"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .withColumn("e", round(col("na").cast("double")
+          * col("nb").cast("double") / col("__n").cast("double"), 6))
+        .withColumn("residual", when(col("e") > 0,
+          round((col("o").cast("double") - col("e")) / nzd(sqrt(col("e"))),
+            6)))
+        .select("prio", "status", "o", "e", "residual")
+        .orderBy("prio", "status")
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS prio,
+          o_orderstatus AS status FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+      obs AS (SELECT prio, status, CAST(COUNT(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2),
+      ma AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS na FROM base
+        GROUP BY prio),
+      mb AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS nb FROM base
+        GROUP BY status),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+      grid AS (SELECT prio, status, na, nb FROM ma, mb)
+      SELECT g.prio, g.status, COALESCE(o, 0) AS o,
+        ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+          / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS e,
+        CASE WHEN ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+            / CAST((SELECT n FROM nn) AS DOUBLE), 6) > 0
+          THEN ROUND((CAST(COALESCE(o, 0) AS DOUBLE)
+            - ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              / CAST((SELECT n FROM nn) AS DOUBLE), 6))
+            / SQRT(ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              / CAST((SELECT n FROM nn) AS DOUBLE), 6)), 6) END AS residual
+      FROM grid g LEFT JOIN obs ON g.prio = obs.prio
+        AND g.status = obs.status
+      ORDER BY g.prio, g.status"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1376,5 +1433,5 @@ object StatsQueries extends QueryGroup {
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
     q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
     q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall,
-    q240GainsChart)
+    q240GainsChart, q252CellResiduals)
 }
