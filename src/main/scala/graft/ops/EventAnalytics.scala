@@ -291,12 +291,20 @@ object EventAnalytics {
     * `monetaryWhen` picks which rows carry spend (e.g. purchase events).
     *
     * Determinism: quintiles are NTILE(5) over a TOTAL order (metric +
-    * subject id tie-break) — both engines implement the same standard
-    * equal-height ntile, so scores replicate exactly. Scale shape: one
-    * map-side-combined groupBy collapses events to the per-subject report
-    * table; the ntile windows run over that table (the gini/lorenz
-    * report-frame acceptance), and the stream-edge max is a 1-row
-    * broadcast.
+    * subject id tie-break) — replicated exactly WITHOUT a global-sort
+    * window: subjects scale with data, so `ntile(5).over(Window.orderBy
+    * (…))` (three successive single-partition sorts of every subject row)
+    * is the canonical scale killer. Instead each metric's exact 0-based
+    * rank comes from [[graft.ops.DenseId.withDenseId]]'s range-partition +
+    * per-partition-ordinal + broadcast-offset scaffold (distributed sort,
+    * no WindowExec at all), and the bucket is the closed-form standard
+    * ntile of (rank, n): the first n mod 5 buckets take ceil(n/5) rows,
+    * the rest floor(n/5) — bit-identical to NTILE(5) in both engines.
+    * Recency's DESC order rides the same ascending scaffold on the
+    * negated value. Scale shape: one map-side-combined groupBy collapses
+    * events to the per-subject table; three range-repartitions of that
+    * table (each a distributed sort + ≤#partitions driver offset barrier);
+    * the stream-edge max is a 1-row broadcast.
     */
   def rfm(df: DataFrame, key: String, ts: String, value: Column,
       monetaryWhen: Column): DataFrame = {
@@ -312,11 +320,28 @@ object EventAnalytics {
     val base = per.crossJoin(broadcast(gmax))
       .withColumn("recency_days",
         expr("(__gmax_us - __last_us) DIV 86400000000"))
-    val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col(key)))
-    val f = ntile(5).over(Window.orderBy(col("frequency"), col(key)))
-    val m = ntile(5).over(Window.orderBy(col("monetary"), col(key)))
-    base
-      .withColumn("r", r).withColumn("f", f).withColumn("m", m)
+      .withColumn("__negr", -col("recency_days"))
+    val ranked = graft.ops.DenseId.withDenseId(
+      graft.ops.DenseId.withDenseId(
+        graft.ops.DenseId.withDenseId(
+          base, Seq("__negr", key), "__rk_r"),
+        Seq("frequency", key), "__rk_f"),
+      Seq("monetary", key), "__rk_m")
+    // n rows (cheap: `ranked` sits on DenseId's eager snapshot); the
+    // closed-form ntile below needs it as a plan literal
+    val n = ranked.count()
+    def ntileOf(rk: String): Column = {
+      val q = n / 5; val rem = n % 5
+      if (rem == 0L) expr(s"CAST($rk DIV ${math.max(q, 1L)} + 1 AS INT)")
+      else expr(s"CAST(CASE WHEN $rk < ${rem * (q + 1)} " +
+        s"THEN $rk DIV ${q + 1} + 1 " +
+        s"ELSE $rem + ($rk - ${rem * (q + 1)}) DIV ${math.max(q, 1L)} + 1 " +
+        s"END AS INT)")
+    }
+    ranked
+      .withColumn("r", ntileOf("__rk_r"))
+      .withColumn("f", ntileOf("__rk_f"))
+      .withColumn("m", ntileOf("__rk_m"))
       .withColumn("rfm", concat(col("r"), col("f"), col("m")))
       .select(col(key), col("recency_days"), col("frequency"),
         col("monetary"), col("r"), col("f"), col("m"), col("rfm"))

@@ -34,7 +34,17 @@ object Hits {
   def run(edges: DataFrame, iterations: Int = 2,
       broadcastScores: Boolean = true): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val e = edges.select(col("src"), col("dst")).persist()
+    // eager snapshot, not persist/unpersist: the edge frame is scanned
+    // 2·iterations times (each half-iteration joins it) and the returned
+    // plan is evaluated AFTER run() exits, so a deferred persist paired
+    // with an immediate unpersist would never materialize — the snapshot
+    // materializes once here and needs no lifecycle management (reliable
+    // checkpoint on a cluster, localCheckpoint otherwise)
+    val spark = edges.sparkSession
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e =
+      if (spark.sparkContext.getCheckpointDir.isDefined) eRaw.checkpoint(eager = true)
+      else eRaw.localCheckpoint(eager = true)
 
     def l1Normalize(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(
@@ -60,11 +70,9 @@ object Hits {
         .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a"))
       auth = l1Normalize(aRaw, "a")
     }
-    val out = hub
+    hub
       .select(lit("hub").as("side"), col("node"), col("h").as("score"))
       .union(auth.select(lit("auth").as("side"), col("node"),
         col("a").as("score")))
-    e.unpersist(blocking = false)
-    out
   }
 }

@@ -1134,7 +1134,7 @@ object Stats {
         else col("__dx") * col("__dy")
       struct(lit(k).as("lag"), prod.as("prod"))
     }
-    withLeads
+    val grouped = withLeads
       .select(col("__denom"), explode(array(terms: _*)).as("l"))
       .select(col("l.lag").as("lag"), col("l.prod").as("prod"),
         col("__denom"))
@@ -1143,6 +1143,15 @@ object Stats {
       .agg(count(lit(1)).as("n_pairs"),
         round(sum(round(col("prod"), 8).cast("decimal(28,8)"))
           .cast("double") / nzc(max(col("__denom"))), 6).as("ccf"))
+    // densify the lag axis: a lag with zero overlapping pairs (maxLag >=
+    // series length) still surfaces as (lag, 0, null) — the documented
+    // contract is every lag in -maxLag..maxLag, and silently missing rows
+    // read as "forgot to compute", not "no data"
+    val spark = series.sparkSession
+    import spark.implicits._
+    val lagAxis = (-maxLag to maxLag).toDF("lag")
+    broadcast(lagAxis).join(grouped, Seq("lag"), "left")
+      .na.fill(Map("n_pairs" -> 0L))
       .orderBy("lag")
   }
 

@@ -627,7 +627,7 @@ object DedupQueries extends QueryGroup {
       FROM hist ORDER BY cluster_size"""))
 
   /** PPJoin-style prefix-filtered exact Jaccard join over the FULL corpus
-    * (DedupOps.prefixFilterJaccardPairs, t = 0.6): candidate-complete by
+    * (DedupOps.prefixFilterJaccardPairs, t = 0.5): candidate-complete by
     * the prefix theorem, hot tokens never fan out — the principled exact
     * set-similarity join beside q46's approximate MinHash banding. The
     * oracle brute-forces all pairs at this SF, so any false negative

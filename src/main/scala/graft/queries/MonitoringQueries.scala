@@ -695,7 +695,8 @@ object MonitoringQueries extends QueryGroup {
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE)
           AS t, CAST(COUNT(*) AS DOUBLE) AS y
-        FROM events GROUP BY epoch_us(ts) // 86400000000),
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY epoch_us(ts) // 86400000000),
       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
           CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
@@ -734,7 +735,8 @@ object MonitoringQueries extends QueryGroup {
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS DOUBLE)
           AS t, CAST(COUNT(*) AS DOUBLE) AS y
-        FROM events GROUP BY epoch_us(ts) // 86400000000),
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY epoch_us(ts) // 86400000000),
       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
           CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
@@ -944,12 +946,15 @@ object MonitoringQueries extends QueryGroup {
           * CAST(SUM(CAST(ROUND(dy * dy, 8) AS DECIMAL(28,8))) AS DOUBLE))
           AS denom FROM d),
       l AS (SELECT t, dx, dy, $leads FROM d WINDOW w AS (ORDER BY t)),
-      terms AS ($branches)
-      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        ROUND(CAST(SUM(CAST(ROUND(prod, 8) AS DECIMAL(28,8))) AS DOUBLE)
-          / (SELECT denom FROM den), 6) AS ccf
-      FROM terms WHERE prod IS NOT NULL
-      GROUP BY lag ORDER BY lag"""
+      terms AS ($branches),
+      g AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ROUND(CAST(SUM(CAST(ROUND(prod, 8) AS DECIMAL(28,8))) AS DOUBLE)
+            / (SELECT denom FROM den), 6) AS ccf
+        FROM terms WHERE prod IS NOT NULL
+        GROUP BY lag),
+      axis AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-5, 6))
+      SELECT axis.lag, COALESCE(n_pairs, 0) AS n_pairs, ccf
+      FROM axis LEFT JOIN g ON axis.lag = g.lag ORDER BY axis.lag"""
     })
 
   /** Holt one-step-ahead backtest (forecast_t = level_{t−1} + trend_{t−1}

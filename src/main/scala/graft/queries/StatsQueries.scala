@@ -1056,7 +1056,8 @@ object StatsQueries extends QueryGroup {
           AS mid FROM events),
       t AS (SELECT event_type, user_id % 4 AS seg,
           epoch_us(ts) < (SELECT mid FROM m) AS side,
-          value > 50.0 AS conv FROM events),
+          value > 50.0 AS conv FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
       g AS (SELECT event_type, seg,
           COUNT(*) FILTER (side) AS n_a,
           COUNT(*) FILTER (NOT side) AS n_b,

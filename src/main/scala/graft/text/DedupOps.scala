@@ -597,7 +597,13 @@ object DedupOps {
     * EQUI on the prefix token with rare tokens by construction (bounded
     * fan-out); verification joins the ≤candidates pair list back to the
     * doc→array table twice, keyed. Never all-pairs, never a hot-token
-    * quadratic bucket. */
+    * quadratic bucket.
+    *
+    * Id contract: `idCol` must be NUMERIC (it is cast to long; the `a <
+    * b` canonical pair order and the oracle both rely on that total
+    * order). A string/non-castable id becomes NULL and its rows drop
+    * silently — callers with opaque ids should first mint a surrogate
+    * (e.g. [[graft.ops.DenseId.withDenseId]]) and join names back after. */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
       textCol: Column, threshold: Double = 0.5,
       shingle: Int = 3): DataFrame = {
@@ -657,7 +663,12 @@ object DedupOps {
     *
     * Scale shape: ONE equi self-join on the block key (hash-partitioned,
     * never all-pairs), block sizes pre-joined so hot blocks drop before
-    * the pair fan-out. Output: (doc_id_a, doc_id_b, dist), ordered. */
+    * the pair fan-out. Output: (doc_id_a, doc_id_b, dist), ordered.
+    *
+    * Id contract: same as [[prefixFilterJaccardPairs]] — `idCol` must be
+    * numeric (cast to long for the canonical pair order); non-numeric ids
+    * become NULL and drop. Mint a dense surrogate id first for opaque
+    * keys. */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: Column,
       maxDist: Int = 8, lenBand: Int = 16, prefixLen: Int = 8,
       maxBlock: Int = 64): DataFrame = {
