@@ -213,19 +213,18 @@ object Stats {
     * One row (n_groups, total, gini) with the sorted-rank formula
     * G = Σ_i (2i − n − 1)·x_i / (n·Σx), x ascending.
     *
-    * The data pass is ONE keyed groupBy (sizes); the rank window runs over
-    * the ≤#groups report table (a global window over report rows, like
-    * every ≤buckets window in the suite — never over data). Integer-exact
-    * numerator via DECIMAL; ties rank deterministically by group key. */
+    * The data pass is ONE keyed groupBy (sizes); ranks over the per-group
+    * frame come from [[Ranked.withRankCumSum]]'s range-partition scaffold
+    * (groups scale with data — a global rank window here would be a
+    * single-partition sort of every group row). Integer-exact numerator
+    * via DECIMAL; ties rank deterministically by group key. */
   def giniConcentration(df: DataFrame, group: Column): DataFrame = {
     val sizes = df.select(group.cast("string").as("g"))
       .filter(col("g").isNotNull)
       .groupBy("g").agg(count(lit(1)).as("x"))
-    val byX = Window.orderBy(col("x").asc, col("g").asc)
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    sizes
-      .withColumn("i", row_number().over(byX))
-      .withColumn("n", count(lit(1)).over(all))
+    Ranked.withRankCumSum(sizes, Seq(col("x").asc, col("g").asc), col("x"))
+      .withColumn("i", col("__rank"))
+      .withColumn("n", col("__n"))
       .agg(
         max(col("n")).as("n_groups"),
         sum(col("x")).as("total"),
@@ -884,27 +883,22 @@ object Stats {
     * concentrates in a few heavy groups. Output per decile 1..10:
     * (decile, n_groups, pop_share, mass_share) rounded 6.
     *
-    * One data pass collapses rows to group sizes; the rank/cumsum windows
-    * run over the ≤#groups report table (the gini contract). */
+    * One data pass collapses rows to group sizes; ranks and running sums
+    * over the per-group frame come from [[Ranked.withRankCumSum]]'s
+    * range-partition scaffold (groups scale with data — no global
+    * window). */
   def lorenzDeciles(df: DataFrame, group: Column): DataFrame = {
     val sizes = df.filter(group.isNotNull)
       .groupBy(group.as("g")).agg(count(lit(1)).as("sz"))
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val bySize = Window.orderBy(col("sz"), col("g"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sizes
-      .withColumn("__r", row_number().over(Window.orderBy(col("sz"), col("g"))))
-      .withColumn("__gtot", count(lit(1)).over(all))
-      .withColumn("__mtot", sum(col("sz")).over(all))
-      .withColumn("__cum", sum(col("sz")).over(bySize))
-      .withColumn("decile", ceil(col("__r") * 10 / col("__gtot")).cast("int"))
+    Ranked.withRankCumSum(sizes, Seq(col("sz").asc, col("g").asc), col("sz"))
+      .withColumn("decile", ceil(col("__rank") * 10 / col("__n")).cast("int"))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_groups"),
-        round(max(col("__r")).cast("double") /
-          max(col("__gtot")).cast("double"), 6).as("pop_share"),
+        round(max(col("__rank")).cast("double") /
+          max(col("__n")).cast("double"), 6).as("pop_share"),
         round(max(col("__cum")).cast("double") /
-          max(col("__mtot")).cast("double"), 6).as("mass_share"))
+          max(col("__tot")).cast("double"), 6).as("mass_share"))
       .orderBy("decile")
   }
 
@@ -967,24 +961,19 @@ object Stats {
     * cum_share rounded 6, abc_class), ordered by rank.
     *
     * The CALLER aggregates data rows to the per-item value table; ranks
-    * and prefix sums here run over that item-catalog-sized report frame
-    * (the gini/lorenz acceptance). Value sums are decimal-exact; the
-    * class boundaries compare the ROUNDED share on both engines, so the
-    * A/B/C cut is engine-stable.
+    * and prefix sums over that item-catalog-sized frame come from
+    * [[Ranked.withRankCumSum]]'s range-partition scaffold (item catalogs
+    * scale with data — no global window). Value sums are decimal-exact;
+    * the class boundaries compare the ROUNDED share on both engines, so
+    * the A/B/C cut is engine-stable.
     */
   def abcClasses(perItem: DataFrame, item: Column, value: Column,
       aCut: Double = 0.8, bCut: Double = 0.95): DataFrame = {
     val base = perItem.select(item.as("item"),
         value.cast("decimal(28,6)").as("v"))
       .filter(col("item").isNotNull && col("v").isNotNull)
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val byV = Window.orderBy(col("v").desc, col("item"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("v").desc, col("item"))).cast("bigint"))
-      .withColumn("__cum", sum(col("v")).over(byV))
-      .withColumn("__tot", sum(col("v")).over(all))
+    Ranked.withRankCumSum(base, Seq(col("v").desc, col("item").asc), col("v"))
+      .withColumn("rank", col("__rank"))
       .withColumn("cum_share",
         round(col("__cum").cast("double") / col("__tot").cast("double"), 6))
       .withColumn("abc_class",
