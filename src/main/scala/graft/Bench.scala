@@ -72,8 +72,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Regression pin: compare each headline query against its checked-in
-    // warm-min reference (Pinned below). The full per-query ratio table goes
+    // Regression pin: compare EVERY query against its checked-in warm-min
+    // reference (BenchPins.values). The full per-query ratio table goes
     // to a sidecar file (the JSON line has a ~2000-char budget); the line
     // carries the geomean, the worst ratio, and the >1.5x offender list so a
     // single-query regression (e.g. round-6's q46 anomaly) is adjudicable
@@ -125,43 +125,7 @@ object Bench {
     "q126_shared_spans", "q127_bpe_encode", "q128_cc_luhn",
     "q129_script_shares", "q143_ivf_probe_saved")
 
-  /** Pinned warm-min seconds per headline query at sf0.1 / local[32]:
-    * BENCH_r06 values for the queries that ran green that round, BENCH_r05
-    * for q33/q63 (erroring in r06 on the TIMESTAMP_NTZ testdata regression,
-    * so their r06 "times" were analysis-failure times). Ratios >1.5x against
-    * these are surfaced in the bench JSON (`over_pinned_1_5x`); update the
-    * pin only with an adjudicated improvement/regression, not noise.
-    */
-  private val Pinned: Map[String, Double] = Map(
-    "q01_pricing_summary" -> 0.332, "q05_quantiles_price" -> 0.128,
-    "q09_corr" -> 0.164, "q100_chunk_sliding" -> 0.211,
-    "q103_bigram_nll" -> 3.581, "q104_dsir_weights" -> 2.880,
-    "q110_rrf_fusion" -> 1.242, "q115_c4_lines" -> 0.302,
-    "q117_ivf_lloyd" -> 3.257, "q118_quality_classifier" -> 0.804,
-    "q122_incremental_semdedup" -> 0.588, "q124_hamming_topk" -> 0.604,
-    "q125_matryoshka" -> 0.320, "q126_shared_spans" -> 1.354,
-    "q127_bpe_encode" -> 1.292, "q128_cc_luhn" -> 0.124,
-    "q129_script_shares" -> 0.186, "q143_ivf_probe_saved" -> 0.738,
-    "q16_join3_revenue" -> 0.656, "q19_geo_theta_join" -> 0.359,
-    "q21_dedup_first" -> 1.219, "q22_topk_per_group" -> 0.215,
-    "q23_running_sum" -> 0.139, "q25_cache_lookup" -> 0.221,
-    "q31_date_agg" -> 0.245, "q33_tumbling_window" -> 0.303, // r05
-    "q34_window_suite" -> 0.136, "q36_rollup" -> 0.260,
-    "q41_lang_id" -> 0.352, "q44_exact_dup" -> 0.265,
-    // q46 adjudicated: the r06 2.565 s warm-min was the anomaly (history
-    // 1.2-1.5 s; clean r07 re-run on unchanged DedupOps measured 1.157 s)
-    "q45_ngram_jaccard" -> 0.552, "q46_minhash_lsh" -> 1.157,
-    "q47_simhash" -> 0.306, "q48_cosine_topk" -> 0.610,
-    "q49_cosine_neardup" -> 1.713, "q50_ann_lsh" -> 0.899,
-    "q55_dedup_clusters" -> 1.581, "q57_rolling_hash" -> 0.128,
-    "q58_winnowing" -> 0.364, "q60_immo_pipeline" -> 3.910,
-    "q61_link_lifecycle" -> 2.673, "q63_sessionize" -> 0.630, // r05
-    "q64_ml_leaderboard" -> 1.606, "q65_ivf_topk" -> 3.371,
-    "q68_embed_clusters" -> 1.787, "q71_dedup_keep" -> 1.354,
-    "q72_simhash_pairs" -> 1.130, "q78_bloom_dedup" -> 0.549,
-    "q79_paragraph_dedup" -> 0.359, "q82_chunk_pack" -> 0.125,
-    "q85_decontamination" -> 0.551, "q86_bm25_topk" -> 0.834,
-    "q88_pack_windows" -> 0.337, "q92_semdedup" -> 1.624,
-    "q94_corpus_report" -> 0.188, "q95_bpe_merges" -> 1.723,
-    "q97_curation_e2e" -> 0.986)
+  /** Full-registry pins — see [[BenchPins]] for provenance and the
+    * adjudication log. */
+  private val Pinned: Map[String, Double] = BenchPins.values
 }

@@ -12,7 +12,9 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val groups: Seq[QueryGroup] = Seq(
+  // private[graft]: tools.OperatorIndex generates the README query index
+  // from the live registry (group membership -> defining file)
+  private[graft] val groups: Seq[QueryGroup] = Seq(
     CoreQueries, JoinQueries, WindowQueries, ScalarQueries,
     TextQueries, DedupQueries, SimQueries, PipelineQueries, MlStreamQueries,
     WindowExtraQueries, GroupingQueries, CurationQueries, AnalyticsQueries,

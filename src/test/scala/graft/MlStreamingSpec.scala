@@ -393,6 +393,58 @@ class MlStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/report").collect().toSet == once)
   }
 
+  test("streaming SLO monitor: restart from checkpoint over overlapping " +
+      "input re-alerts exactly once — no double count, no lost hour") {
+    import graft.streaming.SloStreams
+    val base = java.nio.file.Files.createTempDirectory("slo3").toString
+    val (srcDir, ckptDir) = (s"$base/src", s"$base/ckpt")
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: Seq[(java.sql.Timestamp, Boolean)]): Unit =
+      rows.toDF("ts", "is_err").write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("ts timestamp, is_err boolean").parquet(srcDir)
+      val q = SloStreams.burnSink(
+        SloStreams.hourlyCounts(src, "ts", col("is_err")),
+        s"$base/hourly", s"$base/report", ckptDir, budget = 0.25)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // hour 0: 2/4 errors (short burn 2.0); hour 1: 3/4 (short burn 3.0);
+    // their 6-hour block: 5/8 -> long burn 2.5 -> BOTH hours alert.
+    // The 04:00 pusher advances the watermark past hours 0-1.
+    write((0 until 4).map(i => (t(0, i), i < 2)) ++
+      (0 until 4).map(i => (t(1, i), i < 3)) :+ ((t(4, 0), false)))
+    runOnce()
+    val firstReport = spark.read.parquet(s"$base/report")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    // hour keys are absolute epoch hours; anchor on the earliest
+    val h0 = firstReport.map(_._1).min
+    assert(firstReport.filter(_._6).map(_._1).sorted == Seq(h0, h0 + 1),
+      s"first run must alert exactly hours 0 and 1: $firstReport")
+    // restart from the SAME checkpoint over OVERLAPPING input: new files
+    // replay hour-0 events (late beyond the recovered watermark — they
+    // must NOT re-open or overwrite the closed hour) plus a 09:00 pusher
+    // that closes the 04:00 pusher's own hour
+    write((0 until 2).map(i => (t(0, 30 + i), true)) :+ ((t(9, 0), false)))
+    runOnce()
+    val hourly = spark.read.parquet(s"$base/hourly")
+      .select((unix_micros(col("w")) / lit(3600000000L)).cast("long"),
+        col("total"), col("errors"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(hourly.map(_._1) == hourly.map(_._1).distinct,
+      s"hourly store holds duplicate hour rows: $hourly")
+    // hour 0 still exactly (4, 2): the replayed late rows neither doubled
+    // the counts nor replaced them with the late fragment
+    assert(hourly.take(2) == Seq((h0, 4L, 2L), (h0 + 1, 4L, 3L)),
+      s"restart corrupted closed hours: $hourly")
+    val report = spark.read.parquet(s"$base/report")
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    val alerts = report.filter(_._6).map(_._1)
+    assert(alerts.sorted == Seq(h0, h0 + 1) && alerts.size == 2,
+      s"restart must re-alert hours 0-1 exactly once: $report")
+  }
+
   test("streaming drift monitor: closed windows score PSI against the frozen " +
       "reference and upsert by window key") {
     implicit val sql = spark.sqlContext

@@ -138,6 +138,43 @@ object ScaleSmoke {
       graft.text.DedupOps.prefixFilterJaccardPairs(pdocs, "doc_id",
         col("text"), threshold = 0.5, shingle = 3).count()
     }
+    time("theil-sen-10k-groups") {
+      // 10k groups x 60 points: the group-keyed pair join fans to
+      // 60*59/2 * 10k = ~17.7M slope pairs — bounded per group, never
+      // cross-group; the q241 shape at 100x its sf0.1 group count
+      val series = spark.range(600000L)
+        .select((col("id") % 10000).as("g"), (col("id") / 10000).as("t"),
+          ((col("id") * 48271L) % 997).cast("double").as("y"))
+      graft.ops.TimeSeries.theilSenByGroup(series, "g", col("t"),
+        col("y")).count()
+    }
+    time("ecdf-10M-rows-1M-distinct") {
+      // the q250 transform at data scale: tie-collapse groupBy to 1M
+      // distinct values, range partition, per-partition prefix sums,
+      // <=32-row driver offset barrier — no global window anywhere
+      val vals = spark.range(10000000L)
+        .select(((col("id") * 2654435761L) % 1000000).cast("double").as("v"))
+      graft.ops.Drift.ecdfTable(vals, col("v")).count()
+    }
+    time("prefix-jaccard-1M-docs-t03") {
+      // low threshold stress: t=0.3 lengthens every prefix to ~70% of the
+      // doc, multiplying candidate-join fan-in — the worst realistic
+      // PPJoin regime (recall-greedy dedup). Same planted corpus as t=0.5.
+      val pdocs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (Seq("a", "b", "c", "d", "e", "f").map(s =>
+            md5(concat(lit(s), (col("id") % 750000).cast("string")))) ++
+            Seq(lit("template"), lit("tail"))): _*).as("text"))
+      graft.text.DedupOps.prefixFilterJaccardPairs(pdocs, "doc_id",
+        col("text"), threshold = 0.3, shingle = 3).count()
+    }
+    time("ranked-cumsum-10M-rows-1M-groups") {
+      // the Ranked scaffold (gini/lorenz/ABC ranks) over a 1M-group
+      // frame: range shuffle + partitioned windows, no global sort task
+      graft.ops.Stats.lorenzDeciles(
+        spark.range(10000000L).select((col("id") % 1000000).as("g")),
+        col("g")).count()
+    }
     time("slo-burn-10M-events") {
       val ev = spark.range(10000000L)
         .select(timestamp_micros(col("id") * 300000L + 1700000000000000L)
