@@ -311,6 +311,60 @@ object Drift {
       .orderBy("value")
   }
 
+  /** Exact EQUI-DEPTH histogram: `nBuckets` buckets of (as close as ties
+    * allow) equal row counts, each reporting its value range and actual
+    * row count — the optimizer-statistics / feature-binning primitive
+    * ([[ecdfTable]]'s bucketed readout). A distinct value v lands in
+    * bucket ceil(cum(v)·k/n) where cum is the INCLUSIVE row count ≤ v —
+    * integer arithmetic only ((cum·k + n − 1) DIV n), so the bucket cut
+    * replays bit-identically in any engine; ties never split across
+    * buckets (they share a value, so they share a bucket), which is why
+    * per-bucket counts can deviate from n/k exactly where heavy ties sit.
+    *
+    * Scale shape: identical to [[ecdfTable]] — tie-collapse groupBy,
+    * range partition, per-partition prefix sums, ≤`partitions`-row driver
+    * offset barrier; the bucket aggregation runs over distinct values.
+    * Output: (bucket 1..k, lo, hi, n_rows) ordered by bucket. */
+  def equiDepthHistogram(df: DataFrame, value: Column, nBuckets: Int = 10,
+      partitions: Int = 32): DataFrame = {
+    require(nBuckets >= 1, "equiDepthHistogram needs nBuckets >= 1")
+    val spark = df.sparkSession
+    val hist = df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = snap.groupBy("__pid")
+      .agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = partTotals.map(_._2).sum
+    import spark.implicits._
+    if (n == 0L)
+      return Seq.empty[(Int, Double, Double, Long)]
+        .toDF("bucket", "lo", "hi", "n_rows")
+    val offsets = partTotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, t)) => (pid, acc + t)
+    }
+    val offDf = partTotals.map(_._1).zip(offsets.map(_._2))
+      .map { case (pid, off) => (pid, off) }
+      .toSeq.toDF("__pid", "off")
+    val w = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snap.join(broadcast(offDf), "__pid")
+      .withColumn("__cum", col("off") + sum(col("c")).over(w))
+      .withColumn("bucket", expr(
+        s"CAST((__cum * $nBuckets + $n - 1) DIV $n AS INT)"))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"))
+      .orderBy("bucket")
+  }
+
   /** Pairwise VOCABULARY Jaccard between groups: |V_a ∩ V_b| / |V_a ∪ V_b|
     * over each group's distinct term set — the set-overlap complement to
     * [[jsdPairs]] (JSD weighs by frequency; vocab Jaccard asks only "do

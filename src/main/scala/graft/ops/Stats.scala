@@ -984,6 +984,58 @@ object Stats {
       .orderBy("rank")
   }
 
+  /** Cohen's d (with Hedges' g small-sample correction) per group: the
+    * standardized mean difference between the `side`=true (A) and
+    * `side`=false (B) rows of each group — the EFFECT-SIZE companion the
+    * significance tests need (q208's z and [[welchTTest]]'s t say "is
+    * the difference real"; d says "is it big enough to matter", the number
+    * an experiment readout is incomplete without).
+    *
+    * d = (mean_A − mean_B) / s_pooled with the (n−1)-weighted pooled
+    * sample SD; g = d · (1 − 3/(4(n_A+n_B)−9)). Rows with NULL side or
+    * value drop (both engines). Determinism: Σx and Σx² per side as
+    * DECIMAL(38,8); ratio math in double, round 6. Degenerate groups
+    * (either side < 2 rows, zero pooled variance) emit null d/g.
+    * Scale shape: ONE map-side-combined keyed aggregate over data — no
+    * windows, no joins. Output: (group, n_a, n_b, mean_a, mean_b,
+    * pooled_sd, d, g) ordered by group. */
+  def cohensDByGroup(df: DataFrame, group: String, side: Column,
+      value: Column): DataFrame = {
+    val v = value.cast("double")
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = df.filter(col(group).isNotNull && side.isNotNull &&
+        value.isNotNull)
+      .groupBy(col(group))
+      .agg(
+        count(when(side, 1)).as("n_a"),
+        count(when(!side, 1)).as("n_b"),
+        s(when(side, v)).as("__sa"), s(when(side, v * v)).as("__sa2"),
+        s(when(!side, v)).as("__sb"), s(when(!side, v * v)).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val meanA = col("__sa") / na
+    val meanB = col("__sb") / nb
+    val varA = (col("__sa2") - col("__sa") * col("__sa") / na) / (na - 1)
+    val varB = (col("__sb2") - col("__sb") * col("__sb") / nb) / (nb - 1)
+    // greatest(…, 0): float cancellation can push a constant-valued side's
+    // variance a hair negative; sqrt(negative) is NaN and engines disagree
+    // on NaN comparisons — clamp so pooled is always a real number
+    val pooled = sqrt(greatest(
+      ((na - 1) * varA + (nb - 1) * varB) / (na + nb - 2), lit(0.0)))
+    val d = (meanA - meanB) / pooled
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9.0))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && pooled > 0
+    agg.select(
+        col(group), col("n_a"), col("n_b"),
+        when(col("n_a") > 0, round(meanA, 6)).as("mean_a"),
+        when(col("n_b") > 0, round(meanB, 6)).as("mean_b"),
+        when(col("n_a") >= 2 && col("n_b") >= 2, round(pooled, 6))
+          .as("pooled_sd"),
+        when(ok, round(d, 6)).as("d"),
+        when(ok, round(g, 6)).as("g"))
+      .orderBy(group)
+  }
+
   /** Weighted median per group: the smallest value whose cumulative weight
     * reaches half the group total (the lower weighted median — exact, not
     * interpolated). The size-aware center a mixing pipeline reads when

@@ -269,6 +269,45 @@ object TimeSeries {
     *
     * Same exactness contract as [[olsInfluence]]: decimal moment sums,
     * mirrored double replay, lag window over the ≤#periods frame. */
+  /** Per-GROUP simple OLS of y on t: one (n, slope, intercept, r2) row per
+    * group — "which segment is trending, how fast, how well does a line
+    * fit" in a single map-side-combined aggregation (the per-segment
+    * completion of the global trend ops: [[theilSenByGroup]] is the robust
+    * slope, this is the classical one with a goodness-of-fit).
+    *
+    * Determinism: all five moment sums are DECIMAL(38,8) (order
+    * independent); slope/intercept/r2 round to 6. Degenerate groups emit
+    * nulls (n < 2, zero t-variance; r2 additionally needs nonzero
+    * y-variance). Scale shape: ONE keyed aggregate over the input —
+    * no windows, no joins, no barriers; safe at any group count. */
+  def olsByGroup(series: DataFrame, group: String, t: Column,
+      y: Column): DataFrame = {
+    val base = series.select(col(group).as("g"), t.cast("double").as("t"),
+        y.cast("double").as("y"))
+      .filter(col("g").isNotNull && col("t").isNotNull && col("y").isNotNull)
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      s(col("t")).as("__st"), s(col("y")).as("__sy"),
+      s(col("t") * col("t")).as("__stt"),
+      s(col("t") * col("y")).as("__sty"),
+      s(col("y") * col("y")).as("__syy"))
+    val nD = col("n").cast("double")
+    val sttC = nD * col("__stt") - col("__st") * col("__st")
+    val syyC = nD * col("__syy") - col("__sy") * col("__sy")
+    val cov = nD * col("__sty") - col("__st") * col("__sy")
+    val slope = cov / sttC
+    val intercept = (col("__sy") - slope * col("__st")) / nD
+    val okFit = col("n") >= 2 && sttC > 0
+    agg.select(
+        col("g").as(group), col("n"),
+        when(okFit, round(slope, 6)).as("slope"),
+        when(okFit, round(intercept, 6)).as("intercept"),
+        when(okFit && syyC > 0,
+          round(cov * cov / (sttC * syyC), 6)).as("r2"))
+      .orderBy(group)
+  }
+
   def durbinWatson(series: DataFrame, t: Column, y: Column): DataFrame = {
     val base = series.select(t.cast("double").as("t"), y.cast("double").as("y"))
       .filter(col("t").isNotNull && col("y").isNotNull)

@@ -1067,6 +1067,64 @@ object MonitoringQueries extends QueryGroup {
         ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ecdf
       FROM s ORDER BY value"""))
 
+  /** Exact equi-depth histogram of extended price, 10 buckets
+    * (Drift.equiDepthHistogram): the optimizer-statistics / binning
+    * primitive on the q250 ECDF scaffold — integer-exact bucket cuts
+    * ((cum·k + n − 1) DIV n), ties never split, no global window. */
+  val q253EquiDepth = QueryDef(
+    "q253_equi_depth",
+    (s, d) => graft.ops.Drift.equiDepthHistogram(Tables.lineitem(s, d),
+      col("l_extendedprice"), nBuckets = 10),
+    Some("""WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      t AS (SELECT v, c,
+          CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER () AS BIGINT) AS n FROM h)
+      SELECT CAST((cum * 10 + n - 1) // n AS INTEGER) AS bucket,
+        MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(c) AS BIGINT) AS n_rows
+      FROM t GROUP BY 1 ORDER BY bucket"""))
+
+  /** Per-event-type OLS trend of daily volume (TimeSeries.olsByGroup):
+    * which segment is growing, how fast, and how well a line fits —
+    * slope/intercept/r2 per type from one keyed decimal-moment
+    * aggregation (the classical per-segment companion to q241's robust
+    * Theil-Sen slopes). */
+  val q254OlsByType = QueryDef(
+    "q254_ols_by_type",
+    (s, d) => graft.ops.TimeSeries.olsByGroup(
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      "event_type", col("day"), col("y")),
+    Some("""WITH daily AS (SELECT event_type AS g,
+          CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, epoch_us(ts) // 86400000000),
+      m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(t * t AS DECIMAL(38,8))) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(t * y AS DECIMAL(38,8))) AS DOUBLE) AS sty,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM daily GROUP BY 1),
+      c AS (SELECT g, n, CAST(n AS DOUBLE) AS nd, st, sy,
+          CAST(n AS DOUBLE) * stt - st * st AS sttc,
+          CAST(n AS DOUBLE) * syy - sy * sy AS syyc,
+          CAST(n AS DOUBLE) * sty - st * sy AS cov
+        FROM m)
+      SELECT g AS event_type, n,
+        CASE WHEN n >= 2 AND sttc > 0
+          THEN ROUND(cov / sttc, 6) END AS slope,
+        CASE WHEN n >= 2 AND sttc > 0
+          THEN ROUND((sy - (cov / sttc) * st) / nd, 6) END AS intercept,
+        CASE WHEN n >= 2 AND sttc > 0 AND syyc > 0
+          THEN ROUND(cov * cov / (sttc * syyc), 6) END AS r2
+      FROM c ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -1075,5 +1133,6 @@ object MonitoringQueries extends QueryGroup {
     q204Cvm, q215TheilSen, q216MannKendall, q218KendallTau, q220SloBurn,
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
     q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly,
-    q243CrossCorr, q244HoltBacktest, q247QqTable, q250Ecdf)
+    q243CrossCorr, q244HoltBacktest, q247QqTable, q250Ecdf,
+    q253EquiDepth, q254OlsByType)
 }

@@ -1425,6 +1425,60 @@ object StatsQueries extends QueryGroup {
         AND g.status = obs.status
       ORDER BY g.prio, g.status"""))
 
+  /** Cohen's d + Hedges' g per event type between the stream's early and
+    * late halves (Stats.cohensDByGroup): the effect-SIZE readout beside
+    * q208's significance z — did value actually shift, and by how many
+    * pooled SDs. One keyed decimal-moment aggregation. */
+  val q255CohensD = QueryDef(
+    "q255_cohens_d",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("__mid"))
+      Stats.cohensDByGroup(
+        ev.filter(col("ts").isNotNull).crossJoin(broadcast(mid)),
+        "event_type", expr("unix_micros(ts)") < col("__mid"), col("value"))
+    },
+    Some("""WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+          AS mid FROM events),
+      t AS (SELECT event_type AS gg,
+          epoch_us(ts) < (SELECT mid FROM m) AS side,
+          CAST(value AS DOUBLE) AS v
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      a AS (SELECT gg,
+          CAST(COUNT(*) FILTER (side) AS BIGINT) AS n_a,
+          CAST(COUNT(*) FILTER (NOT side) AS BIGINT) AS n_b,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) FILTER (side) AS DOUBLE) AS sa,
+          CAST(SUM(CAST(v * v AS DECIMAL(38,8))) FILTER (side) AS DOUBLE)
+            AS sa2,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) FILTER (NOT side) AS DOUBLE)
+            AS sb,
+          CAST(SUM(CAST(v * v AS DECIMAL(38,8))) FILTER (NOT side)
+            AS DOUBLE) AS sb2
+        FROM t GROUP BY 1),
+      e AS (SELECT gg, n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+          CAST(n_b AS DOUBLE) AS nb, sa / n_a AS ma, sb / n_b AS mb,
+          (sa2 - sa * sa / n_a) / (n_a - 1) AS va,
+          (sb2 - sb * sb / n_b) / (n_b - 1) AS vb
+        FROM a),
+      f AS (SELECT gg, n_a, n_b, na, nb, ma, mb,
+          SQRT(GREATEST(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2),
+            0.0)) AS pooled
+        FROM e)
+      SELECT gg AS event_type, n_a, n_b,
+        CASE WHEN n_a > 0 THEN ROUND(ma, 6) END AS mean_a,
+        CASE WHEN n_b > 0 THEN ROUND(mb, 6) END AS mean_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2 THEN ROUND(pooled, 6) END
+          AS pooled_sd,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0
+          THEN ROUND((ma - mb) / pooled, 6) END AS d,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND pooled > 0
+          THEN ROUND((ma - mb) / pooled
+            * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) END AS g
+      FROM f ORDER BY event_type"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1434,5 +1488,5 @@ object StatsQueries extends QueryGroup {
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
     q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
     q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall,
-    q240GainsChart, q252CellResiduals)
+    q240GainsChart, q252CellResiduals, q255CohensD)
 }

@@ -639,6 +639,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(other == got, "ECDF must not depend on the partition layout")
   }
 
+  test("equiDepthHistogram: integer-exact cuts, ties stay in one bucket, " +
+      "partition-count invariant, counts sum to n") {
+    // 8 rows, 4 buckets of 2 — except the 3-way tie at 5.0 which must
+    // land whole in its cum-rank bucket
+    val xs = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 5.0, 5.0, 4.0)
+    val got = Drift.equiDepthHistogram(xs.toDF("v"), $"v",
+        nBuckets = 4, partitions = 3)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    // cum(1)=1->b1, cum(2)=2->b1, cum(3)=4->b2, cum(4)=5->b3, cum(5)=8->b4
+    assert(got == Seq((1, 1.0, 2.0, 2L), (2, 3.0, 3.0, 2L),
+      (3, 4.0, 4.0, 1L), (4, 5.0, 5.0, 3L)))
+    assert(got.map(_._4).sum == xs.size.toLong)
+    val other = Drift.equiDepthHistogram(xs.toDF("v").repartition(5), $"v",
+        nBuckets = 4, partitions = 2)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(other == got, "histogram must not depend on partition layout")
+    assert(Drift.equiDepthHistogram(Seq.empty[Double].toDF("v"), $"v")
+      .count() == 0L)
+  }
+
   test("topKChurn: consecutive-day leaderboard Jaccard with count-desc " +
       "subject-asc tie-break") {
     def at(day: Long, i: Int) =

@@ -89,7 +89,8 @@ class QueriesSpec extends SparkSpec {
     "q242_seasonal_anomaly", // 1-row median/MAD frames over the ≤#days series
     "q245_dup_size_hist", // 1-row corpus-total frame on the size histogram
     "q247_qq_table", // two 1-row percentile-array frames zipped
-    "q252_cell_residuals") // marginal × marginal densify grid + 1-row total
+    "q252_cell_residuals", // marginal × marginal densify grid + 1-row total
+    "q255_cohens_d") // 1-row global time-midpoint frame, the q217 shape
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

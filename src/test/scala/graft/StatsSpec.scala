@@ -915,4 +915,45 @@ class StatsSpec extends SparkSpec {
       assert(plan.contains("partial_"), s"$name lost partial aggregation:\n$plan")
     }
   }
+
+  test("olsByGroup: exact fit recovers slope/intercept with r2=1; " +
+      "degenerate groups emit nulls; one keyed pass, no window") {
+    val rows = (0 until 5).map(t => ("up", t.toDouble, 2.0 * t + 1.0)) ++
+      (0 until 5).map(t => ("flat", t.toDouble, 7.0)) ++
+      Seq(("single", 0.0, 3.0))
+    val got = graft.ops.TimeSeries.olsByGroup(
+        rows.toDF("g", "t", "y"), "g", $"t", $"y")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("up") == ((5L, Some(2.0), Some(1.0), Some(1.0))))
+    // zero y-variance: perfect zero slope but r2 undefined
+    assert(got("flat") == ((5L, Some(0.0), Some(7.0), None)))
+    // single point: zero t-variance, everything null
+    assert(got("single") == ((1L, None, None, None)))
+    val plan = graft.ops.TimeSeries.olsByGroup(
+        rows.toDF("g", "t", "y"), "g", $"t", $"y")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("WindowExec") && plan.contains("partial_"),
+      s"olsByGroup must be one map-side-combined aggregate:\n$plan")
+  }
+
+  test("cohensDByGroup: hand-computed d and Hedges' g; one-sided and " +
+      "constant groups emit nulls") {
+    // A=(1,2,3) B=(4,5,6): means 2/5, both variances 1, pooled 1,
+    // d=-3, g=-3*(1-3/(4*6-9))=-2.4
+    val rows = Seq(("x", true, 1.0), ("x", true, 2.0), ("x", true, 3.0),
+      ("x", false, 4.0), ("x", false, 5.0), ("x", false, 6.0),
+      ("onlyA", true, 1.0), ("onlyA", true, 2.0),
+      ("const", true, 5.0), ("const", true, 5.0),
+      ("const", false, 5.0), ("const", false, 5.0))
+    val got = Stats.cohensDByGroup(rows.toDF("g", "side", "v"),
+        "g", $"side", $"v")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._7, r._8))).toMap
+    assert(got("x") == ((3L, 3L, Some(-3.0), Some(-2.4))))
+    assert(got("onlyA") == ((2L, 0L, None, None)))
+    // identical constants on both sides: pooled sd 0 -> d undefined
+    assert(got("const") == ((2L, 2L, None, None)))
+  }
 }
