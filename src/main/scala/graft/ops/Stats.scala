@@ -1036,6 +1036,106 @@ object Stats {
       .orderBy(group)
   }
 
+  /** Mix-shift (Oaxaca-style) decomposition of a metric change between two
+    * periods: overall Δ = Σ_g (w_B − w_A)·m_A  (MIX effect — the metric
+    * moved because traffic shifted between segments)  +  Σ_g w_B·(m_B −
+    * m_A)  (RATE effect — segments themselves changed), the identity that
+    * answers the post-launch "did the number move, or did the mix move?"
+    * question a plain before/after comparison cannot.
+    *
+    * `side` true = period A (baseline), false = period B. Per group:
+    * weights w = group rows / period rows, means from DECIMAL sums; mix
+    * and rate terms round 6. A group absent from a period keeps weight 0
+    * there; its terms needing the missing mean emit null (documented —
+    * entering/exiting segments have no defined within-segment change).
+    * Scale shape: ONE keyed aggregate + a 1-row period-totals broadcast.
+    * Output: (group, n_a, n_b, w_a, w_b, mean_a, mean_b, mix_effect,
+    * rate_effect) ordered by group. */
+  def mixShiftDecomposition(df: DataFrame, group: String, side: Column,
+      value: Column): DataFrame = {
+    val v = value.cast("double")
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val per = df.filter(col(group).isNotNull && side.isNotNull &&
+        value.isNotNull)
+      .groupBy(col(group))
+      .agg(
+        count(when(side, 1)).as("n_a"),
+        count(when(!side, 1)).as("n_b"),
+        s(when(side, v)).as("__sa"), s(when(!side, v)).as("__sb"))
+    val tot = per.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val wa = col("n_a").cast("double") / col("__ta").cast("double")
+    val wb = col("n_b").cast("double") / col("__tb").cast("double")
+    val ma = col("__sa") / col("n_a").cast("double")
+    val mb = col("__sb") / col("n_b").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(group), col("n_a"), col("n_b"),
+        round(wa, 6).as("w_a"), round(wb, 6).as("w_b"),
+        when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+        when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
+        when(col("n_a") > 0, round((wb - wa) * ma, 6)).as("mix_effect"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(wb * (mb - ma), 6)).as("rate_effect"))
+      .orderBy(group)
+  }
+
+  /** CUPED variance reduction (Deng et al.): adjust the experiment metric
+    * with a pre-experiment covariate, y* = y − θ(x − x̄), θ = cov(x,y)/
+    * var(x) pooled over all rows — the standard trick that shrinks
+    * experiment confidence intervals without touching the treatment
+    * effect (E[y*] per arm shifts both arms identically). Everything is
+    * closed-form from one pass of moments: adjusted mean per side =
+    * ȳ_s − θ(x̄_s − x̄), adjusted variance per side = var(y)_s +
+    * θ²·var(x)_s − 2θ·cov(x,y)_s.
+    *
+    * Determinism: all moment sums DECIMAL(38,8); round 6. Degenerate
+    * inputs (var(x) = 0) emit θ null and raw values only. Scale shape:
+    * one keyed aggregate by side + a 1-row pooled-moments broadcast.
+    * Output per side: (side, n, mean_raw, mean_adj, theta, var_raw,
+    * var_adj, var_reduction_pct) ordered by side desc (A first). */
+  def cupedAdjustedMeans(df: DataFrame, side: Column, metric: Column,
+      covariate: Column): DataFrame = {
+    val y = metric.cast("double")
+    val x = covariate.cast("double")
+    def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
+    val base = df.filter(side.isNotNull && metric.isNotNull &&
+        covariate.isNotNull)
+      .select(side.as("side"), y.as("y"), x.as("x"))
+    val perSide = base.groupBy("side").agg(
+      count(lit(1)).as("n"),
+      s(col("y")).as("__sy"), s(col("y") * col("y")).as("__syy"),
+      s(col("x")).as("__sx"), s(col("x") * col("x")).as("__sxx"),
+      s(col("x") * col("y")).as("__sxy"))
+    val pooled = base.agg(
+      count(lit(1)).as("__pn"),
+      s(col("x")).as("__px"), s(col("x") * col("x")).as("__pxx"),
+      s(col("y")).as("__py"), s(col("x") * col("y")).as("__pxy"))
+    val pn = col("__pn").cast("double")
+    val varX = col("__pxx") / pn - (col("__px") / pn) * (col("__px") / pn)
+    val covXY = col("__pxy") / pn - (col("__px") / pn) * (col("__py") / pn)
+    val theta = covXY / varX
+    val xbar = col("__px") / pn
+    val nD = col("n").cast("double")
+    val meanY = col("__sy") / nD
+    val meanX = col("__sx") / nD
+    val varY = col("__syy") / nD - meanY * meanY
+    val varXs = col("__sxx") / nD - meanX * meanX
+    val covS = col("__sxy") / nD - meanX * meanY
+    val varAdj = varY + theta * theta * varXs - lit(2.0) * theta * covS
+    val ok = varX > 0
+    perSide.crossJoin(broadcast(pooled))
+      .select(
+        col("side"), col("n"),
+        round(meanY, 6).as("mean_raw"),
+        when(ok, round(meanY - theta * (meanX - xbar), 6)).as("mean_adj"),
+        when(ok, round(theta, 6)).as("theta"),
+        round(varY, 6).as("var_raw"),
+        when(ok, round(varAdj, 6)).as("var_adj"),
+        when(ok && varY > 0,
+          round((varY - varAdj) / varY * 100.0, 6)).as("var_reduction_pct"))
+      .orderBy(col("side").desc)
+  }
+
   /** Weighted median per group: the smallest value whose cumulative weight
     * reaches half the group total (the lower weighted median — exact, not
     * interpolated). The size-aware center a mixing pipeline reads when

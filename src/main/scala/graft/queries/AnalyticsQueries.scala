@@ -648,10 +648,28 @@ object AnalyticsQueries extends QueryGroup {
           AS share
       FROM c ORDER BY dow, hour"""))
 
+  /** 2-D skyline of the event stream (Skyline.skyline2d): the
+    * Pareto-frontier events no other event beats on BOTH "earlier" and
+    * "lower value" — distributed per-x min + range-partitioned exclusive
+    * prefix min, never all-pairs; the oracle brute-forces dominance with
+    * NOT EXISTS, so a pruning false negative/positive hash-mismatches. */
+  val q256Skyline = QueryDef(
+    "q256_skyline",
+    (s, d) => graft.ops.Skyline.skyline2d(Tables.events(s, d),
+      expr("unix_micros(ts)"), col("value")),
+    Some("""WITH p AS (SELECT CAST(epoch_us(ts) AS DOUBLE) AS x,
+          CAST(value AS DOUBLE) AS y, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT x, y, n_rows FROM p a
+      WHERE NOT EXISTS (SELECT 1 FROM p b
+        WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+      ORDER BY x"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
     q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
     q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi,
-    q248Stickiness, q249BotCadence, q251PunchCard)
+    q248Stickiness, q249BotCadence, q251PunchCard, q256Skyline)
 }

@@ -1479,6 +1479,113 @@ object StatsQueries extends QueryGroup {
             * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 6) END AS g
       FROM f ORDER BY event_type"""))
 
+  /** Mix-shift decomposition of mean value between the stream's halves by
+    * event type (Stats.mixShiftDecomposition): Δ = mix effect (traffic
+    * moved between segments) + rate effect (segments changed) — the
+    * post-launch "did the number move or did the mix move?" identity. */
+  val q257MixShift = QueryDef(
+    "q257_mix_shift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("__mid"))
+      Stats.mixShiftDecomposition(
+        ev.filter(col("ts").isNotNull).crossJoin(broadcast(mid)),
+        "event_type", expr("unix_micros(ts)") < col("__mid"), col("value"))
+    },
+    Some("""WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+          AS mid FROM events),
+      t AS (SELECT event_type AS gg,
+          epoch_us(ts) < (SELECT mid FROM m) AS side,
+          CAST(value AS DOUBLE) AS v
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      per AS (SELECT gg,
+          CAST(COUNT(*) FILTER (side) AS BIGINT) AS n_a,
+          CAST(COUNT(*) FILTER (NOT side) AS BIGINT) AS n_b,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) FILTER (side) AS DOUBLE) AS sa,
+          CAST(SUM(CAST(v AS DECIMAL(38,8))) FILTER (NOT side) AS DOUBLE)
+            AS sb
+        FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+          CAST(SUM(n_b) AS DOUBLE) AS tb FROM per),
+      e AS (SELECT gg, n_a, n_b,
+          CAST(n_a AS DOUBLE) / ta AS wa, CAST(n_b AS DOUBLE) / tb AS wb,
+          sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb
+        FROM per, tot)
+      SELECT gg AS event_type, n_a, n_b,
+        ROUND(wa, 6) AS w_a, ROUND(wb, 6) AS w_b,
+        CASE WHEN n_a > 0 THEN ROUND(ma, 6) END AS mean_a,
+        CASE WHEN n_b > 0 THEN ROUND(mb, 6) END AS mean_b,
+        CASE WHEN n_a > 0 THEN ROUND((wb - wa) * ma, 6) END AS mix_effect,
+        CASE WHEN n_a > 0 AND n_b > 0
+          THEN ROUND(wb * (mb - ma), 6) END AS rate_effect
+      FROM e ORDER BY event_type"""))
+
+  /** CUPED variance reduction on the A/B halves (Stats.cupedAdjustedMeans):
+    * value adjusted by the user-bucket covariate, θ from pooled moments —
+    * per arm the raw vs adjusted mean/variance and the CI-shrink
+    * percentage the experiment readout quotes. */
+  val q258Cuped = QueryDef(
+    "q258_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(
+        expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+          .as("__mid"))
+      Stats.cupedAdjustedMeans(
+        ev.filter(col("ts").isNotNull).crossJoin(broadcast(mid)),
+        expr("unix_micros(ts)") < col("__mid"), col("value"),
+        expr("user_id % 100"))
+    },
+    Some("""WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+          AS mid FROM events),
+      t AS (SELECT epoch_us(ts) < (SELECT mid FROM m) AS side,
+          CAST(value AS DOUBLE) AS y, CAST(user_id % 100 AS DOUBLE) AS x
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL),
+      p AS (SELECT CAST(COUNT(*) AS BIGINT) AS pn,
+          CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS px,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS pxx,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS py,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS pxy
+        FROM t),
+      s AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        FROM t GROUP BY 1),
+      e AS (SELECT side, n, CAST(n AS DOUBLE) AS nd,
+          sy / CAST(n AS DOUBLE) AS my, sx / CAST(n AS DOUBLE) AS mx,
+          syy / CAST(n AS DOUBLE)
+            - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vy,
+          sxx / CAST(n AS DOUBLE)
+            - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS vxs,
+          sxy / CAST(n AS DOUBLE)
+            - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cs,
+          pxx / CAST(pn AS DOUBLE)
+            - (px / CAST(pn AS DOUBLE)) * (px / CAST(pn AS DOUBLE)) AS vx,
+          pxy / CAST(pn AS DOUBLE)
+            - (px / CAST(pn AS DOUBLE)) * (py / CAST(pn AS DOUBLE)) AS cxy,
+          px / CAST(pn AS DOUBLE) AS xbar
+        FROM s, p),
+      f AS (SELECT side, n, my, mx, vy, vxs, cs, vx, xbar,
+          cxy / vx AS th FROM e)
+      SELECT side, n, ROUND(my, 6) AS mean_raw,
+        CASE WHEN vx > 0 THEN ROUND(my - th * (mx - xbar), 6) END
+          AS mean_adj,
+        CASE WHEN vx > 0 THEN ROUND(th, 6) END AS theta,
+        ROUND(vy, 6) AS var_raw,
+        CASE WHEN vx > 0
+          THEN ROUND(vy + th * th * vxs - 2.0 * th * cs, 6) END AS var_adj,
+        CASE WHEN vx > 0 AND vy > 0
+          THEN ROUND((vy - (vy + th * th * vxs - 2.0 * th * cs)) / vy
+            * 100.0, 6) END AS var_reduction_pct
+      FROM f ORDER BY side DESC"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q155Regression, q156ChiSquare, q157WelchT, q158MadOutliers, q159Benford,
     q160Ewma, q161Markov, q162Compaction, q163Ndcg, q164NdcgGlobal,
@@ -1488,5 +1595,6 @@ object StatsQueries extends QueryGroup {
     q190Spearman, q195WeightedMedian, q199Ols2, q200Lorenz, q201Ess,
     q208AbTest, q209Wow, q210Abc, q217BhFdr, q219BrownForsythe, q225WoeIv,
     q230PartialCorr, q232BootstrapUplift, q233Sprt, q234PrecisionRecall,
-    q240GainsChart, q252CellResiduals, q255CohensD)
+    q240GainsChart, q252CellResiduals, q255CohensD, q257MixShift,
+    q258Cuped)
 }

@@ -90,7 +90,10 @@ class QueriesSpec extends SparkSpec {
     "q245_dup_size_hist", // 1-row corpus-total frame on the size histogram
     "q247_qq_table", // two 1-row percentile-array frames zipped
     "q252_cell_residuals", // marginal × marginal densify grid + 1-row total
-    "q255_cohens_d") // 1-row global time-midpoint frame, the q217 shape
+    "q255_cohens_d", // 1-row global time-midpoint frame, the q217 shape
+    "q257_mix_shift", // 1-row midpoint + 1-row period-totals frames
+    "q258_cuped", // 1-row midpoint + 1-row pooled-moments frames
+    "q259_kn_bigram_nll") // 1-row bigram-type total, the q103 shape
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

@@ -937,6 +937,67 @@ class StatsSpec extends SparkSpec {
       s"olsByGroup must be one map-side-combined aggregate:\n$plan")
   }
 
+  test("skyline2d: exact Pareto frontier with duplicate survivors, " +
+      "partition-count invariant, empty input") {
+    val pts = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 3.0), (2.0, 4.0),
+      (3.0, 3.0), (4.0, 1.0), (5.0, 2.0))
+    val got = graft.ops.Skyline.skyline2d(pts.toDF("x", "y"), $"x", $"y",
+        partitions = 3)
+      .as[(Double, Double, Long)].collect().toSeq
+    // (3,3) is beaten by (2,3) on x at equal y; (5,2) by (4,1) on both;
+    // the duplicated (1,5) survives as one frontier row with count 2
+    assert(got == Seq((1.0, 5.0, 2L), (2.0, 3.0, 1L), (4.0, 1.0, 1L)))
+    val other = graft.ops.Skyline.skyline2d(pts.toDF("x", "y").repartition(5),
+        $"x", $"y", partitions = 2)
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(other == got, "skyline must not depend on partition layout")
+    assert(graft.ops.Skyline.skyline2d(
+      Seq.empty[(Double, Double)].toDF("x", "y"), $"x", $"y").count() == 0L)
+  }
+
+  test("mixShiftDecomposition: hand case satisfies the Oaxaca identity; " +
+      "entering segments emit null effects") {
+    val rows = Seq(("g1", true, 10.0), ("g1", true, 10.0),
+      ("g1", false, 20.0),
+      ("g2", true, 5.0), ("g2", true, 5.0),
+      ("g2", false, 5.0), ("g2", false, 5.0), ("g2", false, 5.0),
+      ("new", false, 9.0))
+    val got = Stats.mixShiftDecomposition(rows.toDF("g", "side", "v"),
+        "g", $"side", $"v")
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // ta=4, tb=5; g1: mix (1/5 - 1/2)*10 = -3.0, rate (1/5)*(20-10) = 2.0
+    assert(got("g1")._8 == Some(-3.0) && got("g1")._9 == Some(2.0))
+    val mixSum = got.values.flatMap(_._8).sum
+    val rateSum = got.values.flatMap(_._9).sum
+    // overall_B - overall_A = (20+5*3+9)/5 - (10*2+5*2)/4 = 44/5 - 7.5
+    val delta = 44.0 / 5 - 7.5
+    // "new" enters in B only: its mix/rate are null, so the identity holds
+    // only up to the entering segment's contribution w_b*m_b = (1/5)*9
+    assert(math.abs(mixSum + rateSum + (1.0 / 5) * 9.0 - delta) < 1e-9)
+    assert(got("new")._8.isEmpty && got("new")._9.isEmpty)
+  }
+
+  test("cupedAdjustedMeans: perfectly-explained metric adjusts to equal " +
+      "arm means and 100% variance reduction") {
+    // y = 2x exactly: theta = 2, the entire A/B gap is covariate drift
+    val rows = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 4.0), (false, 5.0), (false, 6.0))
+      .map { case (s, x) => (s, 2.0 * x, x) }
+    val got = Stats.cupedAdjustedMeans(rows.toDF("side", "y", "x"),
+        $"side", $"y", $"x")
+      .as[(Boolean, Long, Double, Option[Double], Option[Double], Double,
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(true, false), "A arm first")
+    got.foreach { r =>
+      assert(r._5 == Some(2.0), s"theta: $r")
+      assert(r._4 == Some(7.0), s"adjusted mean must equalize arms: $r")
+      assert(r._7 == Some(0.0) && r._8 == Some(100.0),
+        s"perfect covariate must zero the adjusted variance: $r")
+    }
+  }
+
   test("cohensDByGroup: hand-computed d and Hedges' g; one-sided and " +
       "constant groups emit nulls") {
     // A=(1,2,3) B=(4,5,6): means 2/5, both variances 1, pooled 1,
