@@ -573,6 +573,38 @@ object TextQueries extends QueryGroup {
         CAST(SUM(n) AS BIGINT) AS n_bigrams
       FROM sc GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
 
+  /** Kneser-Ney bigram NLL (D=0.75): the 20 most surprising documents
+    * under the industry-standard perplexity-filter smoothing —
+    * continuation probabilities instead of raw frequency for the backoff
+    * mass (TextAnalysis.knBigramNll). Same float contract as q103. */
+  val q259KnBigramNll = QueryDef(
+    "q259_kn_bigram_nll",
+    (s, d) => TextAnalysis.knBigramNll(Tables.documents(s, d), "doc_id",
+        col("text"))
+      .orderBy(col("nll").desc, col("doc_id")).limit(20),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+          CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS p
+          FROM t WHERE len(ws) >= 2) q
+        GROUP BY doc_id, p.w1, p.w2),
+      bi AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM db GROUP BY w1, w2),
+      fwd AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          CAST(COUNT(*) AS BIGINT) AS nf FROM bi GROUP BY w1),
+      bwd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bi GROUP BY w2),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bi),
+      sc AS (SELECT doc_id, n,
+          GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) / c1
+            + (0.75 * nf / c1) * (CAST(nb AS DOUBLE) / ntypes) AS p
+        FROM db JOIN bi USING (w1, w2) JOIN fwd USING (w1)
+          JOIN bwd USING (w2), tot)
+      SELECT doc_id,
+        ROUND(CAST(SUM(CAST(n * -ln(p) AS DECIMAL(38,12))) AS DOUBLE)
+          / CAST(SUM(n) AS BIGINT), 6) AS nll,
+        CAST(SUM(n) AS BIGINT) AS n_bigrams
+      FROM sc GROUP BY doc_id ORDER BY nll DESC, doc_id LIMIT 20"""))
+
   /** Top-20 collocations by pointwise mutual information
     * (TextAnalysis.pmiCollocations): PMI over the bigram event space with
     * c12 >= 5, 6-rounded, word-tie-broken — the phrase-mining signal a
@@ -965,5 +997,5 @@ object TextQueries extends QueryGroup {
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
     q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity,
-    q222DocKeywords, q226VocabRichness)
+    q222DocKeywords, q226VocabRichness, q259KnBigramNll)
 }

@@ -346,6 +346,64 @@ object TextAnalysis {
         sum(col("n")).as("n_bigrams"))
   }
 
+  /** Kneser-Ney smoothed bigram-LM NLL — the industry-standard smoothing
+    * for perplexity filtering, one rung above [[bigramNll]]'s
+    * Jelinek-Mercer mix: p(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + D·N₁₊(w₁·)/c₁ ·
+    * P_cont(w₂), where P_cont(w₂) = N₁₊(·w₂)/N₁₊(··) is the CONTINUATION
+    * probability (how many distinct contexts w₂ completes, not how often
+    * it occurs — the fix that stops "Francisco" looking likely outside
+    * "San Francisco"). Absolute discount D; every quantity is a corpus
+    * count ratio, fully SQL-reproducible, no model artifact.
+    *
+    * Shape: identical to [[bigramNll]] — one corpus explode to per-doc
+    * bigram counts (materialized once), continuation/count tables all
+    * derive from the SAME vocab-sized bigram table (N₁₊(w₁·) and
+    * N₁₊(·w₂) are row counts of that table grouped by each side; no
+    * second data pass), scoring enriches the distinct-bigram table first
+    * and hits the doc-bigram table with ONE keyed join. Decimal-cast term
+    * sums; round 6. Output: (idCol, nll length-normalized, n_bigrams).
+    */
+  def knBigramNll(df: DataFrame, idCol: String, textCol: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "knBigramNll needs D in (0,1)")
+    val toks = tokens(textCol)
+    val cnt = greatest(size(toks) - 1, lit(0))
+    val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(slice(toks, lit(1), cnt), slice(toks, lit(2), cnt),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val docBi = df
+      .select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val bi = docBi.groupBy("w1", "w2").agg(sum("n").as("c12"))
+      .localCheckpoint(true)
+    // c1 and N1+(w1·) from one pass over the bigram table; same for the
+    // continuation side — the event space is the bigram table throughout
+    val fwd = bi.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
+    val bwd = bi.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val types = bi.agg(count(lit(1)).as("ntypes"))
+    // max(c12 − D, 0) never binds for observed bigrams (c12 ≥ 1 > D) but
+    // states the standard formula; the continuation term keeps p > 0
+    val p = greatest(col("c12").cast("double") - discount, lit(0.0)) /
+      col("c1") +
+      (lit(discount) * col("nf") / col("c1")) *
+        (col("nb").cast("double") / col("ntypes"))
+    val biP = bi
+      .join(fwd, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), p.as("p"))
+    docBi
+      .join(biP, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum((col("n") * -log(col("p"))).cast("decimal(38,12)")).cast("double")
+          / sum(col("n")), 6).as("nll"),
+        sum(col("n")).as("n_bigrams"))
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent word
     * pairs: PMI = ln(c12·T / (c1·c2)) with marginals and T taken from the
     * bigram event space (the bigramNll convention, so normalizations stay

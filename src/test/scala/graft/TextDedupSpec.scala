@@ -152,6 +152,28 @@ class TextDedupSpec extends SparkSpec {
     assert((0L to 5L).map(got).distinct.size == 1, "identical docs score identically")
   }
 
+  test("knBigramNll: hand-computed Kneser-Ney probabilities; the per-" +
+      "context distribution normalizes to 1 over the full vocab") {
+    // corpus bigrams: (a,b):2 (b,a):1 (a,c):1 -> D=0.75:
+    //   p(b|a) = 1.25/3 + (0.75*2/3)*(1/3) = 0.583333...
+    //   p(a|b) = 0.25/1 + 0.75*(1/3)       = 0.5
+    //   p(c|a) = 0.25/3 + (0.75*2/3)*(1/3) = 0.25
+    // doc1 nll = (2*-ln(p(b|a)) + -ln(p(a|b)))/3 ; doc2 nll = -ln(0.25)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramNll(df, "doc_id", $"text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("nll"), r.getAs[Long]("n_bigrams"))))
+      .toMap
+    assert(got(1L) == ((0.59038, 3L)), got.toString)
+    assert(got(2L) == ((1.386294, 1L)), got.toString)
+    // normalization over the full vocab for context 'a': observed b,c plus
+    // the pure-backoff unseen 'a' term must sum to exactly 1
+    val pB = 1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pC = 0.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pUnseenA = (0.75 * 2 / 3) * (1.0 / 3)
+    assert(math.abs(pB + pC + pUnseenA - 1.0) < 1e-12)
+  }
+
   test("exactDupGroups finds only true duplicate groups") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
     val got = DedupOps.exactDupGroups(df, "id", md5($"text")).collect()
