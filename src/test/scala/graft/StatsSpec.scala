@@ -937,6 +937,27 @@ class StatsSpec extends SparkSpec {
       s"olsByGroup must be one map-side-combined aggregate:\n$plan")
   }
 
+  test("Ranked.withRankCumSum: exact ranks and running sums in asc and " +
+      "desc orders, invariant to input partitioning") {
+    val rows = Seq(("a", 3L), ("b", 1L), ("c", 1L), ("d", 7L), ("e", 2L))
+    def run(df: org.apache.spark.sql.DataFrame, desc: Boolean) = {
+      val ord = if (desc) Seq($"v".desc, $"k".asc) else Seq($"v".asc, $"k".asc)
+      graft.ops.Ranked.withRankCumSum(df, ord, $"v")
+        .select($"k", $"__rank", $"__cum".cast("long"), $"__n",
+          $"__tot".cast("long"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    }
+    val asc = run(rows.toDF("k", "v"), desc = false)
+    // order: b(1) c(1) e(2) a(3) d(7); cums 1 2 4 7 14
+    assert(asc == Seq(("b", 1L, 1L, 5L, 14L), ("c", 2L, 2L, 5L, 14L),
+      ("e", 3L, 4L, 5L, 14L), ("a", 4L, 7L, 5L, 14L), ("d", 5L, 14L, 5L, 14L)))
+    val desc = run(rows.toDF("k", "v"), desc = true)
+    assert(desc.map(r => (r._1, r._2)) ==
+      Seq(("d", 1L), ("a", 2L), ("e", 3L), ("b", 4L), ("c", 5L)))
+    val repart = run(rows.toDF("k", "v").repartition(7), desc = false)
+    assert(repart == asc, "rank/cumsum must not depend on input layout")
+  }
+
   test("skyline2d: exact Pareto frontier with duplicate survivors, " +
       "partition-count invariant, empty input") {
     val pts = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 3.0), (2.0, 4.0),
