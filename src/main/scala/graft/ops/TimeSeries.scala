@@ -422,6 +422,49 @@ object TimeSeries {
     * arithmetic — the argmax comparison and its earliest-t tie-break are
     * exact on both engines (no float argmax ties, no decimal-rescale
     * divergence); the /n/10⁶ division happens once on the winning row. */
+  /** Broken-trend readout: split the series at the max-|CUSUM| point (the
+    * [[cusumChangepoint]] statistic) and fit an OLS line to each side —
+    * "the trend didn't just shift level, its SLOPE changed at the break,
+    * from a to b" — the one-row narrative a level-only changepoint can't
+    * give. Composes the two existing primitives: the split is the exact
+    * q194 argmax (ties break on earliest t), segments are before = t ≤
+    * t*, after = t > t*; fits come from [[olsByGroup]] over the tagged
+    * series; slope_delta subtracts the ROUNDED slopes (engine-stable).
+    *
+    * `t` must be NUMERIC (epoch days, not DATE — it feeds both the CUSUM
+    * prefix order and the regression axis). Degenerate sides (< 2 points
+    * or zero t-variance) emit null slopes, like olsByGroup. Scale shape:
+    * all windows run over the ≤#periods caller-aggregated series; the
+    * split is a 1-row broadcast. Output one row: (t_split, n_before,
+    * n_after, slope_before, slope_after, slope_delta, r2_before,
+    * r2_after). */
+  def brokenTrend(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val base = series.select(t.as("t"), y.cast("double").as("y"))
+      .filter(col("t").isNotNull && col("y").isNotNull)
+    val split = cusumChangepoint(series, t, y)
+      .select(col("t_at_max").as("__tsplit"))
+    val tagged = base.crossJoin(broadcast(split))
+      .withColumn("g",
+        when(col("t") <= col("__tsplit"), "before").otherwise("after"))
+    val fit = olsByGroup(tagged.select(col("g"), col("t"), col("y")),
+      "g", col("t").cast("double"), col("y"))
+    def pick(c: String, side: String): Column =
+      max(when(col("g") === side, col(c)))
+    fit.agg(
+        coalesce(pick("n", "before"), lit(0L)).as("n_before"),
+        coalesce(pick("n", "after"), lit(0L)).as("n_after"),
+        pick("slope", "before").as("slope_before"),
+        pick("slope", "after").as("slope_after"),
+        pick("r2", "before").as("r2_before"),
+        pick("r2", "after").as("r2_after"))
+      .crossJoin(broadcast(split))
+      .select(col("__tsplit").as("t_split"),
+        col("n_before"), col("n_after"),
+        col("slope_before"), col("slope_after"),
+        round(col("slope_after") - col("slope_before"), 6).as("slope_delta"),
+        col("r2_before"), col("r2_after"))
+  }
+
   def cusumChangepoint(series: DataFrame, t: Column, y: Column): DataFrame = {
     val base = series
       .select(t.as("t"), (y.cast("double") * 1e6).cast("decimal(38,0)").as("y6"))

@@ -1125,6 +1125,58 @@ object MonitoringQueries extends QueryGroup {
           THEN ROUND(cov * cov / (sttc * syyc), 6) END AS r2
       FROM c ORDER BY event_type"""))
 
+  /** Broken trend of the daily event volume (TimeSeries.brokenTrend):
+    * CUSUM-split the series at the q194 changepoint, OLS-fit each side —
+    * slope before vs after the break in one row. */
+  val q260BrokenTrend = QueryDef(
+    "q260_broken_trend",
+    (s, d) => graft.ops.TimeSeries.brokenTrend(
+      Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("day"), col("y")),
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+      b AS (SELECT t, y, CAST(y * 1000000 AS HUGEINT) AS y6 FROM daily),
+      s AS (SELECT t, y6,
+          COUNT(*) OVER () AS cn, SUM(y6) OVER () AS sa,
+          SUM(y6) OVER (ORDER BY t) AS p,
+          ROW_NUMBER() OVER (ORDER BY t) AS i FROM b),
+      sp AS (SELECT t AS tsplit FROM
+        (SELECT t, cn * p - i * sa AS numer FROM s)
+        ORDER BY ABS(numer) DESC, t LIMIT 1),
+      tagged AS (SELECT CASE WHEN t <= (SELECT tsplit FROM sp)
+            THEN 'before' ELSE 'after' END AS g,
+          CAST(t AS DOUBLE) AS t, y FROM daily),
+      m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE) AS st,
+          CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(t * t AS DECIMAL(38,8))) AS DOUBLE) AS stt,
+          CAST(SUM(CAST(t * y AS DECIMAL(38,8))) AS DOUBLE) AS sty,
+          CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM tagged GROUP BY 1),
+      c AS (SELECT g, n,
+          CAST(n AS DOUBLE) * stt - st * st AS sttc,
+          CAST(n AS DOUBLE) * syy - sy * sy AS syyc,
+          CAST(n AS DOUBLE) * sty - st * sy AS cov
+        FROM m),
+      f AS (SELECT g, n,
+          CASE WHEN n >= 2 AND sttc > 0
+            THEN ROUND(cov / sttc, 6) END AS slope,
+          CASE WHEN n >= 2 AND sttc > 0 AND syyc > 0
+            THEN ROUND(cov * cov / (sttc * syyc), 6) END AS r2
+        FROM c)
+      SELECT (SELECT tsplit FROM sp) AS t_split,
+        COALESCE(MAX(CASE WHEN g = 'before' THEN n END), 0) AS n_before,
+        COALESCE(MAX(CASE WHEN g = 'after' THEN n END), 0) AS n_after,
+        MAX(CASE WHEN g = 'before' THEN slope END) AS slope_before,
+        MAX(CASE WHEN g = 'after' THEN slope END) AS slope_after,
+        ROUND(MAX(CASE WHEN g = 'after' THEN slope END)
+          - MAX(CASE WHEN g = 'before' THEN slope END), 6) AS slope_delta,
+        MAX(CASE WHEN g = 'before' THEN r2 END) AS r2_before,
+        MAX(CASE WHEN g = 'after' THEN r2 END) AS r2_after
+      FROM f"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q144PsiDrift, q145RollingWindow, q146Novelty, q147Attribution,
     q148JsdSources, q149KsDrift, q153PsiTimeline, q154RollingAnomaly,
@@ -1134,5 +1186,5 @@ object MonitoringQueries extends QueryGroup {
     q228DurbinWatson, q229OlsInfluence, q235LeaderboardChurn,
     q237QuantileBands, q241TheilSenByType, q242SeasonalAnomaly,
     q243CrossCorr, q244HoltBacktest, q247QqTable, q250Ecdf,
-    q253EquiDepth, q254OlsByType)
+    q253EquiDepth, q254OlsByType, q260BrokenTrend)
 }

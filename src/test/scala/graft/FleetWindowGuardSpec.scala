@@ -63,6 +63,7 @@ class FleetWindowGuardSpec extends SparkSpec {
     "q243_cross_corr" -> "≤#days daily series (lag axis ≤11)",
     "q244_holt_backtest" -> "≤#days daily series",
     "q251_punch_card" -> "≤168 weekday×hour cells",
+    "q260_broken_trend" -> "≤#days daily series (CUSUM split)",
     "q80_mix_rates" -> "≤#sources mixture table")
 
   private def globalWindows(p: SparkPlan): Seq[String] = {

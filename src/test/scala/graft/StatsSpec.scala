@@ -1019,6 +1019,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("brokenTrend: a clean level step splits exactly at the step; a " +
+      "slope change reports the before/after fits consistently") {
+    // step: y=0 days 0-9, y=10 days 10-19 -> max |CUSUM| uniquely at
+    // day 9 (numer = -100i for i<=10, peak 1000); both sides flat
+    val step = ((0 until 10).map(d => (d.toLong, 0.0)) ++
+      (10 until 20).map(d => (d.toLong, 10.0))).toDF("day", "y")
+    val s1 = graft.ops.TimeSeries.brokenTrend(step, $"day", $"y")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(s1._1 == 9L && s1._2 == 10L && s1._3 == 10L, s1.toString)
+    assert(s1._4 == Some(0.0) && s1._5 == Some(0.0) && s1._6 == Some(0.0))
+    // zero y-variance per side: r2 undefined on both
+    assert(s1._7.isEmpty && s1._8.isEmpty)
+    // kink: flat then rising at slope 2 — wherever the CUSUM split lands,
+    // the reported delta must equal the difference of the reported fits
+    // and the rising side must fit at least as steep as the flat side
+    val kink = ((0 until 10).map(d => (d.toLong, 5.0)) ++
+      (10 until 20).map(d => (d.toLong, 5.0 + 2.0 * (d - 9)))).toDF("day", "y")
+    val s2 = graft.ops.TimeSeries.brokenTrend(kink, $"day", $"y")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(s2._2 + s2._3 == 20L)
+    assert(s2._4.get < s2._5.get, s2.toString)
+    assert(s2._6 == Some(math.rint((s2._5.get - s2._4.get) * 1e6) / 1e6))
+  }
+
   test("cohensDByGroup: hand-computed d and Hedges' g; one-sided and " +
       "constant groups emit nulls") {
     // A=(1,2,3) B=(4,5,6): means 2/5, both variances 1, pooled 1,
