@@ -244,24 +244,29 @@ object SimQueries extends QueryGroup {
     s"list_dot_product($a,$a) - 2*list_dot_product($a,$b) + list_dot_product($b,$b)"
 
   /** Argmin cell assignment as a DuckDB CTE — rounded d2, smaller-cell
-    * tie-break. ONE definition used by every assignment in the q117 oracle
-    * (both Lloyd iterations and the final indexing), so a tie-break or
-    * rounding tweak cannot silently diverge them. */
-  private def argminCellSql(name: String, cent: String): String =
+    * tie-break. ONE definition used by every assignment in the q117 and
+    * q261 oracles (Lloyd iterations, final indexing, PQ sub-encoding), so
+    * a tie-break or rounding tweak cannot silently diverge them. `src` is
+    * the vector table (full vectors or a PQ subspace slice). */
+  private def argminCellSql(name: String, cent: String,
+      src: String = "ev"): String =
     s"""$name AS (SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
-          FROM ev e, $cent c) WHERE rn = 1)"""
+          FROM $src e, $cent c) WHERE rn = 1)"""
 
   /** One Lloyd iteration as two DuckDB CTEs: `asg` = [[argminCellSql]],
     * `cent` = element-wise round-6 means over the assignment. Mirrors
     * Similarity.lloydCentroids step for step so the oracle replays the
-    * exact centroid trajectory. */
-  private def lloydStepSql(asg: String, cent: String, prevCent: String): String =
-    s"""${argminCellSql(asg, prevCent)},
+    * exact centroid trajectory. `src`/`px` name the vector and exploded-
+    * position tables (defaults = the full-vector pair; PQ passes per-
+    * subspace slices). */
+  private def lloydStepSql(asg: String, cent: String, prevCent: String,
+      src: String = "ev", px: String = "px"): String =
+    s"""${argminCellSql(asg, prevCent, src)},
       $cent AS (SELECT cell, list(val ORDER BY pos) AS cv FROM (
           SELECT a.cell, p.pos, ROUND(AVG(p.val), 6) AS val
-          FROM $asg a JOIN px p USING (vec_id) GROUP BY a.cell, p.pos)
+          FROM $asg a JOIN $px p USING (vec_id) GROUP BY a.cell, p.pos)
         GROUP BY cell)"""
 
   /** IVF top-k with the DETERMINISTIC Lloyd quantizer — the exact-oracle
@@ -709,10 +714,60 @@ object SimQueries extends QueryGroup {
       WHERE d_other != 0
       ORDER BY margin DESC, vec_id LIMIT 20"""))
 
+  /** One PQ subspace's oracle CTE chain: slice table, positions, seeded
+    * init (ids < ksub), one Lloyd step, final sub-encoding. Composes the
+    * SAME argmin/Lloyd templates as q117, per 16-dim slice. */
+  private def pqSubspaceSql(j: Int, lo: Int, hi: Int, ksub: Int): String =
+    s"""ev$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM ev),
+      px$j AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos
+          FROM ev$j)),
+      c0_$j AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev$j
+        WHERE vec_id < $ksub),
+      ${lloydStepSql(s"a1_$j", s"c1_$j", s"c0_$j", s"ev$j", s"px$j")},
+      ${argminCellSql(s"asg$j", s"c1_$j", s"ev$j")},
+      dt$j AS (SELECT q.vec_id AS qid, c.cell,
+          ROUND(${d2Sql(s"q.v[$lo:$hi]", "c.cv")}, 6) AS d2v
+        FROM q, c1_$j c)"""
+
+  /** Product quantization + ADC top-k (Pq.pqAdcTopK): 4 subspaces of 16
+    * dims, 8 sub-centroids each from the SAME seeded deterministic Lloyd
+    * as q117 (one iteration), asymmetric-distance scoring = per-subspace
+    * round-6 squared-L2 lookups summed and rounded — the canonical ANN
+    * compression. The oracle replays codebook training, encoding, the
+    * per-query distance tables, and the ADC ranking CTE for CTE. */
+  val q261PqAdc = QueryDef(
+    "q261_pq_adc",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Pq.pqAdcTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 3, dim = 64, m = 4, ksub = 8, iters = 1)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      ${(0 until 4).map(j => pqSubspaceSql(j, j * 16 + 1, j * 16 + 16, 8))
+        .mkString(",\n      ")},
+      adc AS (SELECT dt0.qid, a0.vec_id AS cid,
+          ROUND(dt0.d2v + dt1.d2v + dt2.d2v + dt3.d2v, 6) AS adc
+        FROM asg0 a0 JOIN asg1 a1 USING (vec_id)
+          JOIN asg2 a2 USING (vec_id) JOIN asg3 a3 USING (vec_id)
+          JOIN dt0 ON dt0.cell = a0.cell
+          JOIN dt1 ON dt1.cell = a1.cell AND dt1.qid = dt0.qid
+          JOIN dt2 ON dt2.cell = a2.cell AND dt2.qid = dt0.qid
+          JOIN dt3 ON dt3.cell = a3.cell AND dt3.qid = dt0.qid
+        WHERE a0.vec_id <> dt0.qid),
+      r AS (SELECT qid, cid, adc, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc, cid) AS INT) AS rank FROM adc)
+      SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
-    q231LabelNoise)
+    q231LabelNoise, q261PqAdc)
 }

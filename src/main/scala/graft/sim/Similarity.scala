@@ -139,7 +139,7 @@ object Similarity {
     * |partitions|·|Q|·k partial states → per-qid merge → posexplode into
     * ranked rows. No |Q|-hot-partition window anywhere.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[sim] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k), Encoders.product[ScoredHit])
     scored.filter(col("sim").isNotNull) // zero-norm vectors have no cosine
       .groupBy("qid")
@@ -362,7 +362,7 @@ object Similarity {
     * (`list_dot_product(a,a) - 2*list_dot_product(a,b) +
     * list_dot_product(b,b)`), so both engines produce the same double.
     */
-  private def dist2(a: Column, b: Column): Column =
+  private[sim] def dist2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Nearest driver-held centroid as a pure per-row projection: a `least`
@@ -371,7 +371,7 @@ object Similarity {
     * shuffle; the quantizer rides along as literals inside whole-stage
     * codegen.
     */
-  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private[sim] def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     cents match {
       // least() needs ≥2 children; 1 and 0 centroids are degenerate but
       // legal (a filtered-to-nothing corpus must flow through, not crash)

@@ -415,4 +415,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(_._2) == 1, s"only the planted point flags: $got")
   }
 
+  test("pq: when every vector seeds its own sub-centroid, encoding is " +
+      "lossless and ADC ranking equals exact L2 ranking") {
+    import spark.implicits._
+    // 8 well-separated vectors (ids 0-7 = all seeds, dim 8, m=2):
+    // Lloyd keeps each point its own centroid, so ADC distances are the
+    // exact (round-6) squared L2 and the top-k must match brute force
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 8).map(p =>
+        (if (p == i) 10.0 else 0.0) + i * 0.25).toArray)
+    }.toDF("vec_id", "embedding")
+    val got = graft.sim.Pq.pqAdcTopK(vecs.filter($"vec_id" < 3), vecs,
+        "vec_id", "embedding", k = 2, dim = 8, m = 2, ksub = 8, iters = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // exact reference computed locally
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = vecs.as[(Long, Array[Double])].collect().toMap
+    for (q <- 0L until 3L) {
+      val want = byId.keys.filter(_ != q).toSeq
+        .sortBy(c => (d2(byId(q), byId(c)), c)).take(2)
+      val gotQ = got.filter(_._1 == q).sortBy(_._2).map(_._3)
+      assert(gotQ == want, s"q$q: adc ranking $gotQ != exact $want")
+    }
+    // ADC distance itself must be the exact rounded d2 (lossless codes)
+    got.foreach { case (q, _, c, adc) =>
+      val exact = {
+        val (a, b) = (byId(q), byId(c))
+        val h1 = math.rint(d2(a.take(4), b.take(4)) * 1e6) / 1e6
+        val h2 = math.rint(d2(a.drop(4), b.drop(4)) * 1e6) / 1e6
+        math.rint((h1 + h2) * 1e6) / 1e6
+      }
+      assert(math.abs(adc - exact) < 1e-9, s"($q,$c): adc $adc != $exact")
+    }
+  }
+
 }
