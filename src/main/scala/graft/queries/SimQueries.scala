@@ -764,10 +764,58 @@ object SimQueries extends QueryGroup {
       SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
       FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** PQ quality gate: per-query recall@3 of q261's ADC ranking against
+    * the brute-force exact squared-L2 answer — the eval number that says
+    * what the 16x compression costs, itself exactly oracled (both
+    * pipelines are deterministic; the q98 contract for distance-ranked
+    * ANN). */
+  val q262PqRecall = QueryDef(
+    "q262_pq_recall",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceL2TopK(q, e, "vec_id", "embedding", 3)
+      val approx = graft.sim.Pq.pqAdcTopK(q, e, "vec_id", "embedding",
+        k = 3, dim = 64, m = 4, ksub = 8, iters = 1)
+      Similarity.recallAtK(approx, exact, "qid", "cid").orderBy("qid")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      xscored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${d2Sql("q.v", "c.v")}, 6) AS d2
+        FROM ev c, q WHERE q.vec_id <> c.vec_id),
+      exact AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, cid ASC)
+            AS rank FROM xscored) WHERE rank <= 3),
+      ${(0 until 4).map(j => pqSubspaceSql(j, j * 16 + 1, j * 16 + 16, 8))
+        .mkString(",\n      ")},
+      adc AS (SELECT dt0.qid, a0.vec_id AS cid,
+          ROUND(dt0.d2v + dt1.d2v + dt2.d2v + dt3.d2v, 6) AS adc
+        FROM asg0 a0 JOIN asg1 a1 USING (vec_id)
+          JOIN asg2 a2 USING (vec_id) JOIN asg3 a3 USING (vec_id)
+          JOIN dt0 ON dt0.cell = a0.cell
+          JOIN dt1 ON dt1.cell = a1.cell AND dt1.qid = dt0.qid
+          JOIN dt2 ON dt2.cell = a2.cell AND dt2.qid = dt0.qid
+          JOIN dt3 ON dt3.cell = a3.cell AND dt3.qid = dt0.qid
+        WHERE a0.vec_id <> dt0.qid),
+      approx AS (SELECT qid, cid FROM (SELECT qid, cid,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc, cid) AS INT) AS rank FROM adc) WHERE rank <= 3),
+      hits AS (SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact x JOIN approx a ON x.qid = a.qid AND x.cid = a.cid
+        GROUP BY x.qid),
+      base AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY qid)
+      SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+      FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
-    q231LabelNoise, q261PqAdc)
+    q231LabelNoise, q261PqAdc, q262PqRecall)
 }

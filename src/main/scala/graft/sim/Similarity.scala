@@ -169,6 +169,24 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Brute-force EXACT squared-L2 top-k (ascending, id tie-break) — the
+    * ground-truth twin for distance-ranked ANN paths ([[graft.sim.Pq]]'s
+    * ADC), as [[bruteForceTopK]] is for the cosine paths. Same shape:
+    * broadcast queries, one corpus pass, map-side bounded heaps. d2 rounds
+    * to 6 (the quantizer contract) so ranking replays cross-engine.
+    * Output: (qid, rank, cid, d2). */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", -round(dist2(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, k)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(-col("sim"), 6).as("d2"))
+  }
+
   /** Hamming-space ANN over binary (sign) quantized embeddings — the
     * 32×-compressed candidate generator: both sides pack into
     * ceil(dim/32) longs ([[Quantization.signBits]]), candidates rank by

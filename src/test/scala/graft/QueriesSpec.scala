@@ -94,7 +94,8 @@ class QueriesSpec extends SparkSpec {
     "q257_mix_shift", // 1-row midpoint + 1-row period-totals frames
     "q258_cuped", // 1-row midpoint + 1-row pooled-moments frames
     "q259_kn_bigram_nll", // 1-row bigram-type total, the q103 shape
-    "q260_broken_trend") // 1-row CUSUM-split frame over the ≤#days series
+    "q260_broken_trend", // 1-row CUSUM-split frame over the ≤#days series
+    "q262_pq_recall") // q48's broadcast-query exact twin beside the ADC path
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
