@@ -16,7 +16,8 @@ object GraftFunctions {
     "graft_substr_score" -> (exprs => SubstringSetScore(exprs.head, exprs(1))),
     "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)),
     "graft_md5_long" -> (exprs => Md5Long(exprs.head)),
-    "graft_jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1))))
+    "graft_jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1))),
+    "graft_vec_sub" -> (exprs => VecSub(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>

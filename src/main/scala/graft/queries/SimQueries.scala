@@ -715,10 +715,14 @@ object SimQueries extends QueryGroup {
       ORDER BY margin DESC, vec_id LIMIT 20"""))
 
   /** One PQ subspace's oracle CTE chain: slice table, positions, seeded
-    * init (ids < ksub), one Lloyd step, final sub-encoding. Composes the
-    * SAME argmin/Lloyd templates as q117, per 16-dim slice. */
-  private def pqSubspaceSql(j: Int, lo: Int, hi: Int, ksub: Int): String =
-    s"""ev$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM ev),
+    * init (ids < ksub), one Lloyd step, final sub-encoding, and the flat
+    * per-query distance table dt$j (over FULL query-vector slices — the
+    * IVF-PQ oracle builds its own residual tables instead and leaves dt$j
+    * unreferenced; DuckDB prunes unused CTEs). Composes the SAME
+    * argmin/Lloyd templates as q117, per 16-dim slice of `src`. */
+  private def pqSubspaceSql(j: Int, lo: Int, hi: Int, ksub: Int,
+      src: String = "ev"): String =
+    s"""ev$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
       px$j AS (SELECT vec_id, pos, v[pos] AS val FROM (
           SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos
           FROM ev$j)),
@@ -812,10 +816,76 @@ object SimQueries extends QueryGroup {
         ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
       FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
 
+  /** IVF-PQ with residual encoding (Pq.ivfPqTopK): q117's coarse Lloyd
+    * cells + q261's PQ codebooks trained on the RESIDUALS, nProbe=2 cell
+    * probing, ADC over per-(query, cell) residual distance tables — the
+    * production FAISS-style ANN architecture, fully deterministic and
+    * oracled CTE-for-CTE (coarse training, residuals, sub-codebooks,
+    * probing, ADC ranking). */
+  val q263IvfPq = QueryDef(
+    "q263_ivf_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Pq.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", k = 3, dim = 64, nLists = 8, nProbe = 2, m = 4,
+        ksub = 8, iters = 1)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos
+          FROM ev)),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
+        WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${argminCellSql("asg", "c1")},
+      rv AS (SELECT e.vec_id, list_transform(
+          generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS v
+        FROM ev e JOIN asg a USING (vec_id) JOIN c1 c ON c.cell = a.cell),
+      ${(0 until 4).map(j => pqSubspaceSql(j, j * 16 + 1, j * 16 + 16, 8,
+        src = "rv")).mkString(",\n      ")},
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c1 c) WHERE rn <= 2),
+      qr AS (SELECT p.qid, p.cell, list_transform(
+          generate_series(1, len(q.v)), i -> q.v[i] - c.cv[i]) AS v
+        FROM pr p JOIN q ON q.vec_id = p.qid JOIN c1 c ON c.cell = p.cell),
+      ${(0 until 4).map { j =>
+        val (lo, hi) = (j * 16 + 1, j * 16 + 16)
+        s"""pdt$j AS (SELECT qr.qid, qr.cell, sc.cell AS scell,
+          ROUND(${d2Sql(s"qr.v[$lo:$hi]", "sc.cv")}, 6) AS d2v
+        FROM qr, c1_$j sc)"""
+      }.mkString(",\n      ")},
+      adc AS (SELECT p.qid, a.vec_id AS cid,
+          ROUND(p0.d2v + p1.d2v + p2.d2v + p3.d2v, 6) AS adc
+        FROM pr p JOIN asg a ON a.cell = p.cell
+          JOIN asg0 e0 ON e0.vec_id = a.vec_id
+          JOIN asg1 e1 ON e1.vec_id = a.vec_id
+          JOIN asg2 e2 ON e2.vec_id = a.vec_id
+          JOIN asg3 e3 ON e3.vec_id = a.vec_id
+          JOIN pdt0 p0 ON p0.qid = p.qid AND p0.cell = p.cell
+            AND p0.scell = e0.cell
+          JOIN pdt1 p1 ON p1.qid = p.qid AND p1.cell = p.cell
+            AND p1.scell = e1.cell
+          JOIN pdt2 p2 ON p2.qid = p.qid AND p2.cell = p.cell
+            AND p2.scell = e2.cell
+          JOIN pdt3 p3 ON p3.qid = p.qid AND p3.cell = p.cell
+            AND p3.scell = e3.cell
+        WHERE a.vec_id <> p.qid),
+      r AS (SELECT qid, cid, adc, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc, cid) AS INT) AS rank FROM adc)
+      SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
-    q231LabelNoise, q261PqAdc, q262PqRecall)
+    q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq)
 }

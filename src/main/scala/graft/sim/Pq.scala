@@ -43,14 +43,24 @@ object Pq {
     }
   }
 
-  /** Encode the corpus: (idCol, code_0 … code_{m-1}) int codes. */
+  /** Encode the corpus: (idCol, code_0 … code_{m-1}) int codes.
+    *
+    * The subspace slices are hoisted into their OWN projection: inlined
+    * into the ksub-way nearest-cell trees, each of the 3·ksub dot
+    * products would carry its own `slice` child — hundreds of array
+    * copies per row (measured ~60 s over 1M×64 vs seconds hoisted).
+    * CollapseProject keeps the split because a multiply-referenced
+    * non-trivial alias is not collapsible, and codegen then CSEs the
+    * repeated dot(s, s) over the plain column reference. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
     val m = books.size
     val sub = dim / m
-    corpus.select(col(idCol) +: (0 until m).map(j =>
-      nearestCell(slice(asDouble(col(vecCol)), j * sub + 1, sub), books(j))
-        .as(s"code_$j")): _*)
+    corpus
+      .select(col(idCol) +: (0 until m).map(j =>
+        slice(asDouble(col(vecCol)), j * sub + 1, sub).as(s"__s$j")): _*)
+      .select(col(idCol) +: (0 until m).map(j =>
+        nearestCell(col(s"__s$j"), books(j)).as(s"code_$j")): _*)
   }
 
   /** ADC top-k: for each query, the k corpus vectors with the smallest
@@ -96,6 +106,111 @@ object Pq {
     topKPerQuery(
       scored.filter(col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"), (-adc).as("sim")), k)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(-col("sim"), 6).as("adc_d2"))
+  }
+
+  /** IVF-PQ with residual encoding — the production ANN architecture
+    * (FAISS's workhorse): a coarse `nLists`-cell quantizer (the SAME
+    * deterministic seeded Lloyd as q117) partitions the corpus; each
+    * vector's RESIDUAL against its cell centroid is PQ-encoded (residuals
+    * are smaller and better-conditioned than raw vectors — the standard
+    * accuracy win); queries probe their `nProbe` nearest cells and score
+    * only those cells' candidates by ADC over the per-(query, cell)
+    * residual distance tables.
+    *
+    * Scale shape: candidate volume ≈ nProbe/nLists of the corpus reached
+    * through ONE equi join on the coarse cell; the probe table (|Q|·nProbe
+    * rows, each carrying m ksub-entry distance maps) broadcasts; coarse
+    * centroids and sub-codebooks are bounded driver literals; per-query
+    * top-k is the TopKAgg heap. A Lloyd step can empty a sub-cell, so
+    * distance tables are MAPS keyed by surviving code, not dense arrays.
+    * Output: (qid, rank, cid, adc_d2) — ADC ascending, id tie-break.
+    *
+    * `trainOn`: the 100 TB posture — train the coarse quantizer and the
+    * sub-codebooks on a (deterministic) SAMPLE instead of the full corpus
+    * (it must contain the seed ids < max(nLists, ksub)); assignment and
+    * encoding stay single full-corpus projections, and the multi-pass
+    * snapshot shrinks to the sample. None (default) trains on the corpus
+    * itself — the exactly-oracled q263 path. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nLists: Int = 8, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, iters: Int = 1,
+      trainOn: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"ivfPq needs m | dim (got $m, $dim)")
+    val sub = dim / m
+    val spark = corpus.sparkSession
+    val trainDf = trainOn.getOrElse(corpus)
+    val coarse = lloydCentroids(trainDf, idCol, vecCol, nLists, iters)
+    def emptyOut: DataFrame =
+      topKPerQuery(
+        queries.select(col(idCol).as("qid"), lit(0L).as("cid"),
+          lit(0.0).as("sim")).limit(0), k)
+        .select(col("qid"), col("rank"), col("cid"),
+          round(-col("sim"), 6).as("adc_d2"))
+    if (coarse.isEmpty) return emptyOut
+    val centMap = typedlit(coarse.map { case (c, v) => c -> v }.toMap)
+    def residualize(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__cell", nearestCell(col("__v"), coarse))
+      .withColumn("__r", Similarity.vecSub(col("__v"),
+        element_at(centMap, col("__cell"))))
+    // snapshot the TRAINING residuals: codebook training is m bounded
+    // passes over them (the full corpus is never multi-passed when a
+    // training sample is given)
+    val trainRes0 = residualize(trainDf)
+    val trainRes =
+      if (spark.sparkContext.getCheckpointDir.isDefined) trainRes0.checkpoint(eager = true)
+      else trainRes0.localCheckpoint(eager = true)
+    val books = pqCodebooks(trainRes, "cid", "__r", dim, m, ksub, iters)
+    if (books.exists(_.isEmpty)) return emptyOut
+    // the residual is a zip_with (interpreted HOF, re-evaluated per
+    // consumer) and the encoder consults it m·ksub times per row — it
+    // must be MATERIALIZED before encoding or the projection goes
+    // quadratic-ish in (m·ksub·dim) interpreted lambda calls. The
+    // no-sample path already has it materialized in trainRes; the
+    // sample path snapshots the corpus residuals once here.
+    val encSrc =
+      if (trainOn.isEmpty) trainRes
+      else {
+        val r0 = residualize(corpus).select("cid", "__cell", "__r")
+        if (spark.sparkContext.getCheckpointDir.isDefined) r0.checkpoint(eager = true)
+        else r0.localCheckpoint(eager = true)
+      }
+    // slices hoisted before the nearest-cell trees — see [[pqEncode]]
+    val enc = encSrc
+      .select(col("cid") +: col("__cell") +: (0 until m).map(j =>
+        slice(col("__r"), j * sub + 1, sub).as(s"__s$j")): _*)
+      .select(col("cid") +: col("__cell") +: (0 until m).map(j =>
+        nearestCell(col(s"__s$j"), books(j)).as(s"code_$j")): _*)
+    // probes: nProbe nearest coarse cells per query (round-6 d2 asc,
+    // smaller cell on ties — the struct sort is lexicographic)
+    val cellStructs = coarse.map { case (c, cvv) =>
+      struct(round(dist2(col("__qv"), typedlit(cvv)), 6).as("d2"),
+        lit(c).as("cell"))
+    }
+    val probes0 = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__pc", slice(sort_array(array(cellStructs: _*)), 1, nProbe))
+      .select(col("qid"), col("__qv"), explode(col("__pc")).as("p"))
+      .select(col("qid"), col("__qv"), col("p.cell").as("__pcell"))
+    val qres = Similarity.vecSub(col("__qv"),
+      element_at(centMap, col("__pcell")))
+    val probes = probes0.withColumn("__qr", qres)
+      .select(col("qid") +: col("__pcell") +: (0 until m).map { j =>
+        map_from_arrays(
+          typedlit(books(j).map(_._1)),
+          array(books(j).map { case (_, cvv) =>
+            round(dist2(slice(col("__qr"), j * sub + 1, sub), typedlit(cvv)), 6)
+          }: _*)).as(s"__dt$j")
+      }: _*)
+    val adc = round((0 until m).map(j =>
+      element_at(col(s"__dt$j"), col(s"code_$j"))).reduce(_ + _), 6)
+    val scored = enc
+      .join(broadcast(probes), col("__cell") === col("__pcell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), (-adc).as("sim"))
+    topKPerQuery(scored, k)
       .select(col("qid"), col("rank"), col("cid"),
         round(-col("sim"), 6).as("adc_d2"))
   }

@@ -31,8 +31,13 @@ class TopKAgg(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredHi
   // amortized trim: let the buffer grow to 2k, then cut back to k
   private def trim(s: Seq[ScoredHit]): Seq[ScoredHit] =
     if (s.length <= 2 * k) s else s.sorted(ord).take(k)
-  override def zero: Seq[ScoredHit] = Seq.empty
-  override def reduce(b: Seq[ScoredHit], a: ScoredHit): Seq[ScoredHit] = trim(b :+ a)
+  // Vector, not List: trim checks `length` (O(n) on List) and prepends
+  // on EVERY update — with the 2k buffer that turned a 600k-row top-k
+  // pass into ~70 s of list traversal (measured, 1M-vector IVF-PQ
+  // smoke). Vector gives O(1) length and effectively-O(1) prepend; trim
+  // sorts anyway, so buffer order never matters.
+  override def zero: Seq[ScoredHit] = Vector.empty
+  override def reduce(b: Seq[ScoredHit], a: ScoredHit): Seq[ScoredHit] = trim(a +: b)
   override def merge(x: Seq[ScoredHit], y: Seq[ScoredHit]): Seq[ScoredHit] =
     (x ++ y).sorted(ord).take(k)
   override def finish(r: Seq[ScoredHit]): Seq[ScoredHit] = r.sorted(ord).take(k)
@@ -66,6 +71,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Codegen'd element-wise subtraction with containsNull=false elements
+    * (graft.functions.VecSub) — same values as `zip_with(a, b, _ - _)`,
+    * but keeps consumers of the result on the primitive fast path. */
+  def vecSub(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VecSub(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
@@ -391,13 +405,21 @@ object Similarity {
     */
   private[sim] def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     cents match {
-      // least() needs ≥2 children; 1 and 0 centroids are degenerate but
-      // legal (a filtered-to-nothing corpus must flow through, not crash)
+      // 1 and 0 centroids are degenerate but legal (a filtered-to-nothing
+      // corpus must flow through, not crash)
       case Seq() => lit(null).cast("int")
       case Seq((cell, _)) => lit(cell)
-      case _ => least(cents.map { case (cell, cv) =>
-        struct(round(dist2(v, typedLit(cv)), 6).as("d2"), lit(cell).as("cell"))
-      }: _*).getField("cell")
+      // one codegen'd argmin loop (graft.functions.NearestCentroid), NOT a
+      // least(struct(round(dist2…)…)) tree: two or more of those trees in
+      // one projection blow the generated method past the JIT threshold
+      // and the stage runs interpreted (1.3 s → 39 s for the second tree,
+      // measured on 1M×16). Identical values/tie-break — see the
+      // expression's float-parity note.
+      case _ =>
+        val sorted = cents.sortBy(_._1)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.functions.NearestCentroid(
+          ColumnBridge.expression(v), sorted.map(_._1), sorted.map(_._2)))
     }
 
   /** Deterministic Lloyd refinement of [[seedCentroids]]: `iters` unrolled
@@ -430,7 +452,16 @@ object Similarity {
       // (no ids < nLists); there is nothing to refine — degenerate, not a crash
       if (init.isEmpty) return Seq.empty
       (1 to iters).foldLeft(init) { (cents, _) =>
-        e.select(nearestCell(col("cv"), cents).as("cell"), posexplode(col("cv")))
+        // the assignment MUST evaluate once per input row, in its own
+        // stage: projected next to a generator, the nLists-way
+        // nearest-cell struct tree is re-evaluated per EXPLODED row — a
+        // dim-fold blowup (measured 45 s vs 2 s on 100k×64 at 32 cells).
+        // The lazy localCheckpoint is an evaluation barrier the optimizer
+        // cannot collapse into the Generate; values are unchanged.
+        val assigned = e
+          .select(nearestCell(col("cv"), cents).as("cell"), col("cv"))
+          .localCheckpoint(eager = false)
+        assigned.select(col("cell"), posexplode(col("cv")))
           .groupBy("cell", "pos").agg(round(avg(col("col")), 6).as("val"))
           .groupBy("cell")
           .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),

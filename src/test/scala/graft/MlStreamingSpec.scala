@@ -524,6 +524,45 @@ class MlStreamingSpec extends SparkSpec {
       "replayed window emitted duplicate sink rows")
   }
 
+  test("streaming drift monitor: restart from checkpoint over overlapping " +
+      "input keeps one converged row per window — no recount, no dup") {
+    import graft.streaming.DriftStreams
+    val base = java.nio.file.Files.createTempDirectory("psidrift3").toString
+    val (srcDir, ckptDir) = (s"$base/src", s"$base/ckpt")
+    def t(m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 0${m / 60}:${m % 60}%02d:00")
+    def write(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "event_type").write.mode("append").parquet(srcDir)
+    val ref = Seq(("click", 0.5), ("view", 0.5)).toDF("bucket", "q")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("ts timestamp, event_type string").parquet(srcDir)
+      val q = DriftStreams.psiSink(
+        DriftStreams.windowedHistogram(src, "ts", col("event_type"),
+          "10 minutes", "10 minutes"),
+        ref, s"$base/out", ckptDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // window [0,10): 2 click + 2 view (PSI exactly 0); the 40-min pusher
+    // closes it
+    write(Seq((t(1), "click"), (t(2), "view"), (t(3), "click"),
+      (t(4), "view"), (t(40), "click")))
+    runOnce()
+    // restart over OVERLAPPING input: replayed window-0 events are late
+    // beyond the recovered watermark and must neither re-open nor recount
+    // the closed window; the 80-min pusher closes the 40-min pusher's own
+    write(Seq((t(5), "click"), (t(6), "click"), (t(80), "view")))
+    runOnce()
+    val got = spark.read.parquet(s"$base/out")
+      .select(col("w").cast("string"), col("n_events"), col("psi"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == got.map(_._1).distinct,
+      s"duplicate window rows after restart: $got")
+    val w0 = got.find(_._1 == "2024-01-01 00:00:00")
+    assert(w0 == Some(("2024-01-01 00:00:00", 4L, 0.0)),
+      s"restart corrupted the closed window: $got")
+  }
+
   test("streaming heavy hitters: sketch state accumulates across batches, " +
       "stays bounded, and the merged candidates cover the true heavy keys") {
     implicit val sql = spark.sqlContext

@@ -19,7 +19,10 @@ object ScaleSmoke {
         md5(concat(lit("u"), (col("id") % 750000).cast("string"))),
         lit("closing boilerplate that every page carries along")).as("text"))
       .localCheckpoint(true)
+    // optional args: label prefixes to run (dev iteration; default all)
+    val wanted = args.toSeq
     def time(label: String)(f: => Long): Unit = {
+      if (wanted.nonEmpty && !wanted.exists(label.startsWith)) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"SCALE $label%s ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
@@ -174,6 +177,23 @@ object ScaleSmoke {
       graft.ops.Stats.lorenzDeciles(
         spark.range(10000000L).select((col("id") % 1000000).as("g")),
         col("g")).count()
+    }
+    time("ivfpq-1M-vectors") {
+      // 1M deterministic 64-dim vectors (hash-mixed, no RNG), 10 queries:
+      // coarse Lloyd (32 cells, 1 iter) + residual PQ (m=4, ksub=16),
+      // nProbe=2 — candidates ~2/32 of the corpus through one equi join
+      val dim = 64
+      val vecs = spark.range(1000000L).select(col("id").as("vec_id"),
+        array((0 until dim).map(p =>
+          (((col("id") * 2654435761L + p * 40503L) % 997L).cast("double")
+            - 498.0) / 100.0): _*).as("embedding"))
+        .localCheckpoint(true)
+      // quantizers train on a 100k deterministic sample (the documented
+      // 100 TB posture); assignment/encoding stay full-corpus projections
+      graft.sim.Pq.ivfPqTopK(vecs.filter(col("vec_id") < 10), vecs,
+        "vec_id", "embedding", k = 10, dim = dim, nLists = 32, nProbe = 2,
+        m = 4, ksub = 16, iters = 1,
+        trainOn = Some(vecs.filter(col("vec_id") < 100000L))).count()
     }
     time("slo-burn-10M-events") {
       val ev = spark.range(10000000L)

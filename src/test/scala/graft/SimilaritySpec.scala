@@ -451,4 +451,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPq: one coarse cell + per-point residual codebooks is exact — " +
+      "d2(q-c, x-c) = d2(q, x), so ranking matches brute-force L2") {
+    import spark.implicits._
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 8).map(p =>
+        (if (p == i) 10.0 else 0.0) + i * 0.25).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val got = graft.sim.Pq.ivfPqTopK(q, vecs, "vec_id", "embedding",
+        k = 2, dim = 8, nLists = 1, nProbe = 1, m = 2, ksub = 8, iters = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val want = graft.sim.Similarity.bruteForceL2TopK(q, vecs, "vec_id",
+        "embedding", 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)),
+      s"ivfPq ranking $got != exact $want")
+    // distances agree up to the per-subspace rounding
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-5, s"adc ${g._4} vs exact ${w._4}")
+    }
+  }
+
 }
