@@ -403,7 +403,7 @@ object Similarity {
     * shuffle; the quantizer rides along as literals inside whole-stage
     * codegen.
     */
-  private[sim] def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private[graft] def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     cents match {
       // 1 and 0 centroids are degenerate but legal (a filtered-to-nothing
       // corpus must flow through, not crash)

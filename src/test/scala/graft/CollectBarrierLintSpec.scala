@@ -62,4 +62,20 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     val stale = audited.keySet -- found.keySet
     assert(stale.isEmpty, s"audited files no longer contain collect(): $stale")
   }
+
+  test("README's generated operator index matches the live registry " +
+      "(regenerate with tools.OperatorIndex after registry changes)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val header = """(\d+) registered queries \((\d+) DuckDB-oracled\)""".r
+    val m = header.findFirstMatchIn(readme)
+    assert(m.isDefined, "README lost its generated operator-index header")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size &&
+      m.get.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README index counts (${m.get.group(1)}/${m.get.group(2)}) are stale " +
+        s"vs registry (${SparkEntry.queries.size}/${SparkEntry.oracleSql.size})")
+    val rows = """\| q[0-9]""".r.findAllIn(readme).size
+    assert(rows == SparkEntry.queries.size,
+      s"README index has $rows query rows, registry has ${SparkEntry.queries.size}")
+  }
 }

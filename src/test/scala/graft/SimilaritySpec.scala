@@ -451,6 +451,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VecSub: bit-identical to the zip_with subtraction it replaces, " +
+      "non-nullable elements, null on length mismatch; SQL-registered") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf001).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val viaHof = df.select($"vec_id",
+        zip_with($"v", reverse($"v"), (a, b) => a - b).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaExpr = df.select($"vec_id",
+        graft.sim.Similarity.vecSub($"v", reverse($"v")).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(viaExpr == viaHof, "VecSub diverged from zip_with subtraction")
+    val schema = df.select(
+      graft.sim.Similarity.vecSub($"v", $"v").as("r")).schema
+    assert(!schema("r").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+      "VecSub must declare containsNull=false (the fast-path contract)")
+    // length mismatch -> whole result null (documented divergence from
+    // zip_with's null padding, which would need nullable elements back)
+    val mm = spark.sql(
+      "SELECT graft_vec_sub(array(1.0D, 2.0D), array(3.0D)) AS r")
+    assert(mm.head().isNullAt(0))
+  }
+
+  test("NearestCentroid: identical assignment to the least(struct) tree " +
+      "it replaces, including rounded-d2 ties broken toward smaller cell") {
+    import spark.implicits._
+    // centroid 0 and 1 EQUIDISTANT from (1.5): tie must pick cell 0;
+    // plus a batch of points against an unsorted centroid input
+    val cents = Seq((1, Seq(2.0)), (0, Seq(1.0)), (2, Seq(9.0)))
+    val pts = Seq(0.5, 1.5, 2.2, 8.0, 100.0, -3.0).toDF("x")
+      .select(array($"x").as("v"))
+    def leastTree(v: org.apache.spark.sql.Column) =
+      least(cents.map { case (cell, cv) =>
+        struct(round(
+          graft.sim.Similarity.dot(v, v)
+            - lit(2.0) * graft.sim.Similarity.dot(v, typedLit(cv))
+            + lit(cv.map(x => x * x).sum), 6).as("d2"),
+          lit(cell).as("cell"))
+      }: _*).getField("cell")
+    val got = pts.select(
+        graft.sim.Similarity.nearestCell($"v", cents).as("c"),
+        leastTree($"v").as("ref"))
+      .as[(Int, Int)].collect().toSeq
+    got.foreach { case (c, ref) => assert(c == ref, s"got $c want $ref") }
+    // the 1.5 tie specifically: equidistant to cells 0 and 1 -> 0
+    assert(got(1)._1 == 0, s"tie must break toward the smaller cell: $got")
+  }
+
   test("ivfPq: one coarse cell + per-point residual codebooks is exact — " +
       "d2(q-c, x-c) = d2(q, x), so ranking matches brute-force L2") {
     import spark.implicits._
