@@ -17,7 +17,11 @@ object GraftFunctions {
     "graft_compression_ratio" -> (exprs => CompressionRatio(exprs.head)),
     "graft_md5_long" -> (exprs => Md5Long(exprs.head)),
     "graft_jaro_winkler" -> (exprs => JaroWinkler(exprs.head, exprs(1))),
-    "graft_vec_sub" -> (exprs => VecSub(exprs.head, exprs(1))))
+    // SQL path is STRICT about nullable elements (VecSub reads elements
+    // ignoring null flags — internal callers guarantee non-null elements,
+    // external SQL callers can't, so they're rejected at analysis time)
+    "graft_vec_sub" ->
+      (exprs => VecSub(exprs.head, exprs(1), strictNullElements = true)))
 
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>

@@ -21,19 +21,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Length contract: both arrays must have the same length (the vector
   * case); a mismatch yields NULL for the whole result rather than
   * zip_with's null-padding — padding would need nullable elements back.
+  *
+  * Null-element contract (like [[NearestCentroid]]): elements are read
+  * with getDouble IGNORING per-element null flags — a null element reads
+  * as 0.0, where zip_with would propagate a null element. Callers in
+  * this repo always pass non-null-element vectors (embeddings,
+  * centroids); the SQL-registered path (`graft_vec_sub`) REJECTS
+  * nullable-element arrays at analysis time so external callers can't
+  * silently hit the 0.0 reading.
   */
-case class VecSub(left: Expression, right: Expression)
+case class VecSub(left: Expression, right: Expression,
+    strictNullElements: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, cn) => !(strictNullElements && cn)
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_sub expects array<double> inputs, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      s"vec_sub expects array<double> inputs" +
+        (if (strictNullElements) " with non-nullable elements" else "") +
+        s", got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -77,4 +87,6 @@ case class VecSub(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecSub =
     copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_vec_sub"
 }

@@ -37,6 +37,19 @@ object JobSession {
   * Args: linksDir propertiesDir sitemapIndexUrl
   */
 object ScrapeJob {
+  /** spark-submit entrypoint (the DAG's run_scraper task and the scheduled
+    * workflow): live HTTP fetcher, wall-clock snapshot time. Everything
+    * else in the repo injects a canned fetcher + fixed timestamp — this is
+    * the one production wiring. */
+  def main(args: Array[String]): Unit = {
+    val Array(linksDir, propertiesDir, indexXml) = args.take(3)
+    val spark = JobSession.build("graft-scrape")
+    try run(spark, linksDir, propertiesDir, indexXml,
+      new Sitemap.HttpFetcher(),
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    finally spark.stop()
+  }
+
   def run(spark: SparkSession, linksDir: String, propertiesDir: String,
       indexXml: String, fetcher: Sitemap.Fetcher,
       now: java.sql.Timestamp): Unit = {

@@ -1291,7 +1291,10 @@ object Stats {
     val spark = series.sparkSession
     import spark.implicits._
     val lagAxis = (-maxLag to maxLag).toDF("lag")
-    broadcast(lagAxis).join(grouped, Seq("lag"), "left")
+    // broadcast the BUILD (right) side: a LEFT OUTER join can't broadcast
+    // its preserved side, so hinting lagAxis would be silently ignored;
+    // grouped is ≤ 2·maxLag+1 rows — trivially broadcastable
+    lagAxis.join(broadcast(grouped), Seq("lag"), "left")
       .na.fill(Map("n_pairs" -> 0L))
       .orderBy("lag")
   }

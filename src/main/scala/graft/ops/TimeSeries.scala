@@ -66,12 +66,29 @@ object TimeSeries {
     * identical left-to-right recursion on both engines (the q160 EWMA
     * list-fold contract, with a (level, trend) struct as state) — same
     * op order, bit-identical doubles, round 6. The O(n²) prefix refolds
-    * are over the ≤#periods report series, like every frame here.
+    * are over the ≤#periods report series, like every frame here — but
+    * unlike the O(n) frames, misuse is QUADRATIC, so the report-size
+    * contract is ENFORCED: a series longer than `maxRows` raises at
+    * execution time (plan-embedded raise_error — no extra job, and the
+    * in-bounds path's values are untouched) instead of silently folding
+    * n² list prefixes over raw events.
     */
   def holtSmooth(series: DataFrame, t: Column, y: Column,
-      alpha: Double = 0.5, beta: Double = 0.3): DataFrame = {
+      alpha: Double = 0.5, beta: Double = 0.3,
+      maxRows: Long = 100000L): DataFrame = {
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = series.select(t.as("t"), y.cast("double").as("y"))
       .filter(col("t").isNotNull && col("y").isNotNull)
+      // the guard rides on y so column pruning can't eliminate it; the
+      // otherwise-branch is the untouched column, so in-bounds results
+      // are bit-identical to the unguarded fold
+      .withColumn("y",
+        when(count(lit(1)).over(wAll) > maxRows,
+          raise_error(lit(s"holtSmooth: series exceeds maxRows=$maxRows " +
+            "— aggregate to a report-sized (per-period) series first"))
+            .cast("double"))
+          .otherwise(col("y")))
     val w = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val vals = collect_list(col("y")).over(w)

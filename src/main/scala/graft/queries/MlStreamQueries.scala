@@ -84,6 +84,108 @@ object MlStreamQueries extends QueryGroup {
     },
     None)
 
+  /** Deterministic model-selection leaderboard (DetLeaderboard.leaderboard)
+    * — the exactly-oracled twin of q64: md5-threshold split (q109
+    * contract), closed-form univariate OLS/ridge + bivariate OLS fits on
+    * DECIMAL-summed normal equations, test RMSE ranking. Unlike q64
+    * (RNG-trained, metric-gated), the RANKING itself replays CTE-for-CTE
+    * in DuckDB: split membership, every moment sum, every coefficient,
+    * every squared error. */
+  val q265DetLeaderboard = QueryDef(
+    "q265_det_leaderboard",
+    (s, d) => graft.ml.DetLeaderboard.leaderboard(
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("x1"), col("l_discount").as("x2"),
+          col("l_tax").as("x3"), col("l_extendedprice").as("y")),
+      features = Seq("x1", "x2", "x3"), target = "y",
+      id = concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+      lambdas = Seq(0.0, 0.5)),
+    Some(detLeaderboardOracle))
+
+  /** q265's oracle, generated per (feature, lambda) so the model list and
+    * the Spark zoo can't drift apart. Every arithmetic step mirrors
+    * DetLeaderboard.leaderboard's expression ORDER (IEEE doubles are only
+    * replayable when the op order matches). */
+  private def detLeaderboardOracle: String = {
+    val feats = Seq("x1", "x2", "x3")
+    val lams = Seq("0.0", "0.5")
+    // per (feature, lambda) rows feeding the shared slope formula
+    val uniRows = (for { f <- feats; lam <- lams } yield {
+      val name = if (lam == "0.0") s"ols_$f" else s"ridge_${f}_$lam"
+      s"""SELECT '$name' AS model, '$f' AS f, $lam AS lam,
+          cy$f AS cyv, cx$f AS cxv, m$f AS mf, nd, my FROM c"""
+    }).mkString("\n        UNION ALL ")
+    s"""WITH b AS (SELECT
+          (CAST(('0x' || substr(md5('42|' || CAST(l_orderkey AS VARCHAR)
+            || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+            + 0.5) / 4294967296.0 AS u,
+          CAST(l_extendedprice AS DOUBLE) AS y,
+          CAST(l_quantity AS DOUBLE) AS x1,
+          CAST(l_discount AS DOUBLE) AS x2,
+          CAST(l_tax AS DOUBLE) AS x3
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      tr AS (SELECT * FROM b WHERE u < 0.8),
+      te AS (SELECT * FROM b WHERE u >= 0.8),
+      m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+          CAST(SUM(CAST(ROUND(y, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+          ${feats.map(f =>
+            s"""CAST(SUM(CAST(ROUND($f, 8) AS DECIMAL(38,8))) AS DOUBLE) AS s$f,
+          CAST(SUM(CAST(ROUND($f * $f, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sxx$f,
+          CAST(SUM(CAST(ROUND($f * y, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sxy$f""")
+            .mkString(",\n          ")},
+          CAST(SUM(CAST(ROUND(x1 * x2, 8) AS DECIMAL(38,8))) AS DOUBLE) AS s12
+        FROM tr),
+      c AS (SELECT nd, sy, sy / nd AS my,
+          ${feats.map(f => s"s$f / nd AS m$f").mkString(", ")},
+          ${feats.map(f => s"sxx$f - s$f * s$f / nd AS cx$f").mkString(",\n          ")},
+          ${feats.map(f => s"sxy$f - s$f * sy / nd AS cy$f").mkString(",\n          ")},
+          s12 - sx1 * sx2 / nd AS c12
+        FROM m),
+      mu AS ($uniRows),
+      mu2 AS (SELECT model, f, ROUND(cyv / (cxv + lam * nd), 6) AS b1,
+          my, mf FROM mu WHERE cxv + lam * nd > 0),
+      uni AS (SELECT model, f, ROUND(my - b1 * mf, 6) AS b0, b1,
+          CAST(NULL AS DOUBLE) AS b2 FROM mu2),
+      bid AS (SELECT c.*, cxx1 * cxx2 - c12 * c12 AS det FROM c),
+      bis AS (SELECT ROUND((cyx1 * cxx2 - cyx2 * c12) / det, 6) AS b1,
+          ROUND((cyx2 * cxx1 - cyx1 * c12) / det, 6) AS b2,
+          my, mx1 AS mf1, mx2 AS mf2 FROM bid WHERE det <> 0),
+      bi AS (SELECT 'ols_x1_x2' AS model,
+          ROUND(my - b1 * mf1 - b2 * mf2, 6) AS b0, b1, b2 FROM bis),
+      models AS (SELECT model, b0, b1, b2 FROM uni
+        UNION ALL SELECT model, b0, b1, b2 FROM bi),
+      nte AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ntd,
+          CAST(COUNT(*) AS BIGINT) AS n_test FROM te),
+      su AS (SELECT u.model,
+          ROUND((te.y - (u.b0 + u.b1 * (CASE u.f WHEN 'x1' THEN te.x1
+              WHEN 'x2' THEN te.x2 ELSE te.x3 END)))
+            * (te.y - (u.b0 + u.b1 * (CASE u.f WHEN 'x1' THEN te.x1
+              WHEN 'x2' THEN te.x2 ELSE te.x3 END))), 8) AS se
+        FROM te, uni u),
+      sb AS (SELECT b.model,
+          ROUND((te.y - (b.b0 + b.b1 * te.x1 + b.b2 * te.x2))
+            * (te.y - (b.b0 + b.b1 * te.x1 + b.b2 * te.x2)), 8) AS se
+        FROM te, bi b),
+      ag AS (SELECT model,
+          CAST(SUM(CAST(se AS DECIMAL(38,8))) AS DOUBLE) AS sse
+        FROM (SELECT model, se FROM su UNION ALL
+              SELECT model, se FROM sb) GROUP BY model),
+      r AS (SELECT a.model, mo.b0, mo.b1, mo.b2,
+          (SELECT CAST(nd AS BIGINT) FROM c) AS n_train,
+          (SELECT n_test FROM nte) AS n_test,
+          ROUND(SQRT(a.sse / (SELECT ntd FROM nte)), 6) AS rmse
+        FROM ag a JOIN models mo USING (model)),
+      fr AS (SELECT r.*, CAST(ROW_NUMBER()
+          OVER (ORDER BY rmse, model) AS INT) AS rank FROM r)
+      SELECT model, b0, b1, b2, n_train, n_test, rmse, rank,
+        rank = 1 AS is_winner
+      FROM fr ORDER BY rank"""
+  }
+
   /** Interval join (range join on an equi key): views within 10 minutes
     * after a click by the same user — the batch twin of the stream-stream
     * join in EventStreams.clickViewJoin. Scalar roll-up keeps the oracle
@@ -144,5 +246,5 @@ object MlStreamQueries extends QueryGroup {
       ORDER BY c.event_id"""))
 
   override val defs: Seq[QueryDef] = Seq(q62FeatureCorr, q63Sessionize,
-    q64MlLeaderboard, q66IntervalJoin, q67AsofJoin)
+    q64MlLeaderboard, q66IntervalJoin, q67AsofJoin, q265DetLeaderboard)
 }

@@ -464,7 +464,8 @@ object MonitoringQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("y")),
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       b AS (SELECT t, CAST(y * 1000000 AS HUGEINT) AS y6 FROM daily),
       s AS (SELECT t, y6,
           COUNT(*) OVER () AS n, SUM(y6) OVER () AS sa,
@@ -1136,7 +1137,8 @@ object MonitoringQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("y")),
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       b AS (SELECT t, y, CAST(y * 1000000 AS HUGEINT) AS y6 FROM daily),
       s AS (SELECT t, y6,
           COUNT(*) OVER () AS cn, SUM(y6) OVER () AS sa,

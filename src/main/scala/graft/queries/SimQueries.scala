@@ -831,7 +831,65 @@ object SimQueries extends QueryGroup {
         ksub = 8, iters = 1)
         .orderBy("qid", "rank")
     },
-    Some(s"""WITH ev AS (SELECT vec_id,
+    Some(ivfPqOracle))
+
+  /** Saved-index IVF-PQ probe (Pq.buildIvfPqIndex → saveIvfPqIndex →
+    * loadIvfPqIndex → queryIvfPqIndex): the q143 caching pattern — index
+    * keyed by a content fingerprint of the source parquet, built once
+    * under a temp dir and atomically published, codes partitioned by
+    * coarse cell so the probe join prunes unprobed cells at the file
+    * level. Same deterministic-Lloyd trajectory as q263, so build → save
+    * → load → query is oracled by the SAME SQL (shared [[ivfPqOracle]]). */
+  val q264IvfPqSaved = QueryDef(
+    "q264_ivfpq_saved",
+    (s, d) => {
+      val hconf = s.sparkContext.hadoopConfiguration
+      val srcPath = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val srcFs = srcPath.getFileSystem(hconf)
+      val fp = {
+        val parts = srcFs.listStatus(srcPath).filter(_.isFile)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.getBytes("UTF-8"))
+          .take(8).map(b => f"$b%02x").mkString
+      }
+      val idxBase = sys.props("java.io.tmpdir") +
+        "/graft_ivfpq_v1_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val idxDir = s"${idxBase}_$fp"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(idxDir), hconf)
+      // _SUCCESS gates completeness: a half-written index rebuilds rather
+      // than serving partial cells
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/codes/_SUCCESS"))) {
+        val tmpDir = s"${idxDir}__build_${java.util.UUID.randomUUID().toString.take(8)}"
+        val idx = graft.sim.Pq.buildIvfPqIndex(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, nLists = 8, m = 4, ksub = 8,
+          iters = 1)
+        graft.sim.Pq.saveIvfPqIndex(idx, tmpDir)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
+              new org.apache.hadoop.fs.Path(idxDir)))
+          fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true) // lost the race: winner's index is complete
+        val parent = new org.apache.hadoop.fs.Path(idxDir).getParent
+        val base = new org.apache.hadoop.fs.Path(idxBase).getName
+        fs.globStatus(new org.apache.hadoop.fs.Path(parent, base + "_*"))
+          .filter(st => st.getPath.getName != s"${base}_$fp" &&
+            !st.getPath.getName.contains("__build_"))
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      val idx = graft.sim.Pq.loadIvfPqIndex(s, idxDir)
+      graft.sim.Pq.queryIvfPqIndex(idx,
+        Tables.embeddings(s, d).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(ivfPqOracle))
+
+  /** Shared by q263 (inline build+probe) and q264 (saved-index probe):
+    * both must reproduce exactly this trajectory — seeded coarse Lloyd,
+    * residual sub-codebooks, nProbe=2 probing, ADC ranking. */
+  private def ivfPqOracle: String =
+    s"""WITH ev AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       px AS (SELECT vec_id, pos, v[pos] AS val FROM (
@@ -880,12 +938,12 @@ object SimQueries extends QueryGroup {
       r AS (SELECT qid, cid, adc, CAST(ROW_NUMBER() OVER (PARTITION BY qid
           ORDER BY adc, cid) AS INT) AS rank FROM adc)
       SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
-      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""
 
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
-    q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq)
+    q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved)
 }

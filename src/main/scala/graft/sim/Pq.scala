@@ -20,8 +20,12 @@ import Similarity.{asDouble, dist2, lloydCentroids, nearestCell, topKPerQuery}
   * ADC: each query's m×ksub distance TABLE is computed once on the query
   * row and broadcast as (qid, cell, d2) rows; the corpus is scanned once
   * and scored by m broadcast-hash joins on its codes; per-query top-k is
-  * the two-phase TopKAgg heap — no |Q|-partition window, nothing
-  * all-pairs.
+  * the two-phase TopKAgg heap — no |Q|-partition window. Scale shape:
+  * [[pqAdcTopK]] is still a FULL |Q|×|corpus| scan in row count (one
+  * scored row per pair, each costing m map lookups instead of dim
+  * multiplies) — PQ compresses the per-pair cost, not the candidate set;
+  * the candidate-pruned path is [[ivfPqTopK]], whose coarse probe keeps
+  * only ≈ nProbe/nLists of the corpus per query.
   *
   * Determinism: per-subspace squared-L2 rounds to 6 (assignment and ADC),
   * the ADC sum rounds to 6 — bit-replayable in any engine with list ops.
@@ -136,25 +140,51 @@ object Pq {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nLists: Int = 8, nProbe: Int = 2,
       m: Int = 4, ksub: Int = 8, iters: Int = 1,
-      trainOn: Option[DataFrame] = None): DataFrame = {
+      trainOn: Option[DataFrame] = None): DataFrame =
+    queryIvfPqIndex(
+      buildIvfPqIndex(corpus, idCol, vecCol, dim, nLists, m, ksub, iters,
+        trainOn),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** A built IVF-PQ index — the persistable form of [[ivfPqTopK]]'s
+    * training products, mirroring [[Similarity.IvfIndex]]:
+    *  - `coarse`: the nLists (cell, centroid) coarse quantizer — bounded,
+    *    driver-held;
+    *  - `books`: m per-subspace ksub-centroid codebooks trained on cell
+    *    RESIDUALS — bounded, driver-held (ksub·dim doubles total);
+    *  - `codes`: the corpus as (cid, cell, code_0 … code_{m-1}) — the only
+    *    corpus-sized piece, m small ints per vector instead of dim
+    *    doubles (the PQ compression win: at 100 TB of raw vectors the
+    *    index is ~the id column plus m bytes-ish per row).
+    * Build once (multi-pass training, bounded by `trainOn` sampling),
+    * query many; [[saveIvfPqIndex]] / [[loadIvfPqIndex]] persist it as
+    * parquet with codes partitioned BY CELL, so a probed query's join
+    * prunes unprobed cells at the file level — the index read scales with
+    * nProbe/nLists, not corpus size.
+    */
+  final case class IvfPqIndex(coarse: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]], codes: DataFrame) {
+    /** Vector dimensionality, recoverable from the coarse centroids (empty
+      * index ⇒ 0; queries against it return empty). */
+    def dim: Int = coarse.headOption.map(_._2.size).getOrElse(0)
+  }
+
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nLists: Int = 8, m: Int = 4, ksub: Int = 8, iters: Int = 1,
+      trainOn: Option[DataFrame] = None): IvfPqIndex = {
     require(m >= 1 && dim % m == 0, s"ivfPq needs m | dim (got $m, $dim)")
     val sub = dim / m
     val spark = corpus.sparkSession
     val trainDf = trainOn.getOrElse(corpus)
     val coarse = lloydCentroids(trainDf, idCol, vecCol, nLists, iters)
-    def emptyOut: DataFrame =
-      topKPerQuery(
-        queries.select(col(idCol).as("qid"), lit(0L).as("cid"),
-          lit(0.0).as("sim")).limit(0), k)
-        .select(col("qid"), col("rank"), col("cid"),
-          round(-col("sim"), 6).as("adc_d2"))
-    if (coarse.isEmpty) return emptyOut
+    if (coarse.isEmpty)
+      return IvfPqIndex(Nil, Nil, corpus.sparkSession.emptyDataFrame)
     val centMap = typedlit(coarse.map { case (c, v) => c -> v }.toMap)
     def residualize(df: DataFrame): DataFrame = df
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__cell", nearestCell(col("__v"), coarse))
+      .withColumn("cell", nearestCell(col("__v"), coarse))
       .withColumn("__r", Similarity.vecSub(col("__v"),
-        element_at(centMap, col("__cell"))))
+        element_at(centMap, col("cell"))))
     // snapshot the TRAINING residuals: codebook training is m bounded
     // passes over them (the full corpus is never multi-passed when a
     // training sample is given)
@@ -163,7 +193,8 @@ object Pq {
       if (spark.sparkContext.getCheckpointDir.isDefined) trainRes0.checkpoint(eager = true)
       else trainRes0.localCheckpoint(eager = true)
     val books = pqCodebooks(trainRes, "cid", "__r", dim, m, ksub, iters)
-    if (books.exists(_.isEmpty)) return emptyOut
+    if (books.exists(_.isEmpty))
+      return IvfPqIndex(Nil, Nil, corpus.sparkSession.emptyDataFrame)
     // the residual is a zip_with (interpreted HOF, re-evaluated per
     // consumer) and the encoder consults it m·ksub times per row — it
     // must be MATERIALIZED before encoding or the projection goes
@@ -173,16 +204,74 @@ object Pq {
     val encSrc =
       if (trainOn.isEmpty) trainRes
       else {
-        val r0 = residualize(corpus).select("cid", "__cell", "__r")
+        val r0 = residualize(corpus).select("cid", "cell", "__r")
         if (spark.sparkContext.getCheckpointDir.isDefined) r0.checkpoint(eager = true)
         else r0.localCheckpoint(eager = true)
       }
     // slices hoisted before the nearest-cell trees — see [[pqEncode]]
-    val enc = encSrc
-      .select(col("cid") +: col("__cell") +: (0 until m).map(j =>
+    val codes = encSrc
+      .select(col("cid") +: col("cell") +: (0 until m).map(j =>
         slice(col("__r"), j * sub + 1, sub).as(s"__s$j")): _*)
-      .select(col("cid") +: col("__cell") +: (0 until m).map(j =>
+      .select(col("cid") +: col("cell") +: (0 until m).map(j =>
         nearestCell(col(s"__s$j"), books(j)).as(s"code_$j")): _*)
+    IvfPqIndex(coarse, books, codes)
+  }
+
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.coarse.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    index.books.zipWithIndex
+      .flatMap { case (book, j) => book.map { case (c, v) => (j, c, v) } }
+      .toDF("subspace", "cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    // partitioned BY CELL: queryIvfPqIndex joins codes on the probed cell,
+    // so unprobed cells prune at the file level (dynamic partition pruning)
+    index.codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    // coarse + books are bounded driver tables by construction
+    // (nLists + m·ksub rows) — collect is the index's contract, not a
+    // data-sized barrier
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      .sortBy(_._1)
+    val books0 = spark.read.parquet(s"$dir/books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val books = books0.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => t._2 -> t._3).toSeq.sortBy(_._1))
+    val m = books.size
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("cid") +: col("cell").cast("int").as("cell") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+    IvfPqIndex(coarse, books, codes)
+  }
+
+  /** Probe + ADC-score a built/loaded [[IvfPqIndex]]: each query probes
+    * its `nProbe` nearest coarse cells, carries m per-(query, cell)
+    * residual distance MAPS (keyed by surviving code — a Lloyd step can
+    * empty a sub-cell), and scores only the probed cells' codes through
+    * ONE broadcast equi join; per-query top-k is the TopKAgg heap.
+    * Output: (qid, rank, cid, adc_d2) — ADC ascending, id tie-break. */
+  def queryIvfPqIndex(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    def emptyOut: DataFrame =
+      topKPerQuery(
+        queries.select(col(idCol).as("qid"), lit(0L).as("cid"),
+          lit(0.0).as("sim")).limit(0), k)
+        .select(col("qid"), col("rank"), col("cid"),
+          round(-col("sim"), 6).as("adc_d2"))
+    val coarse = index.coarse
+    val books = index.books
+    if (coarse.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return emptyOut
+    val m = books.size
+    val sub = index.dim / m
+    val centMap = typedlit(coarse.map { case (c, v) => c -> v }.toMap)
     // probes: nProbe nearest coarse cells per query (round-6 d2 asc,
     // smaller cell on ties — the struct sort is lexicographic)
     val cellStructs = coarse.map { case (c, cvv) =>
@@ -206,8 +295,8 @@ object Pq {
       }: _*)
     val adc = round((0 until m).map(j =>
       element_at(col(s"__dt$j"), col(s"code_$j"))).reduce(_ + _), 6)
-    val scored = enc
-      .join(broadcast(probes), col("__cell") === col("__pcell"))
+    val scored = index.codes
+      .join(broadcast(probes), col("cell") === col("__pcell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), (-adc).as("sim"))
     topKPerQuery(scored, k)

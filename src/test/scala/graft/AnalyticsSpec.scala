@@ -328,6 +328,19 @@ class AnalyticsSpec extends SparkSpec {
     val last = TimeSeries.holtSmooth(ramp, $"t", $"y")
       .as[(Int, Double, Double, Double)].collect().last
     assert(math.abs(last._4 - 3.0) < 0.2, s"ramp trend off: ${last._4}")
+
+    // the report-size contract is ENFORCED: the O(n²) prefix refold must
+    // refuse a series longer than maxRows instead of quietly going
+    // quadratic on raw events
+    val over = (1 to 20).map(i => (i, i.toDouble)).toDF("t", "y")
+    val e = intercept[Exception] {
+      TimeSeries.holtSmooth(over, $"t", $"y", maxRows = 10).collect()
+    }
+    assert(e.getMessage.contains("maxRows"), s"wrong guard error: $e")
+    // and an in-bounds series is untouched by the guard column
+    val ok = TimeSeries.holtSmooth(two, $"t", $"y", maxRows = 2)
+      .as[(Int, Double, Double, Double)].collect().toSeq
+    assert(ok == Seq((1, 10.0, 10.0, 0.0), (2, 20.0, 15.0, 1.5)))
   }
 
   test("triangleCount: hand graphs — triangle, star, K4; direction/dup/" +

@@ -30,8 +30,10 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "Bench.scala" -> 2,            // JVM warmup actions (1-row / limit 10)
     "Preprocessing.scala" -> 1,    // union of tiny column aggregates
     "sim/Similarity.scala" -> 3,   // centroid/cell tables (≤nLists each)
+    "sim/Pq.scala" -> 2,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub)
     "enrich/Geocode.scala" -> 1,   // geocode cache map (≤#cached addresses)
     "tools/ProfileQuery.scala" -> 1, // dev profiling main, not library path
+    "tools/BenchSf1.scala" -> 1,   // JVM warmup action (1-row sum)
     "encode/TargetEncoder.scala" -> 1) // category->mean map (≤#categories)
 
   test("every .collect() in src/main is in the audited bounded-barrier " +

@@ -64,6 +64,7 @@ class FleetWindowGuardSpec extends SparkSpec {
     "q244_holt_backtest" -> "≤#days daily series",
     "q251_punch_card" -> "≤168 weekday×hour cells",
     "q260_broken_trend" -> "≤#days daily series (CUSUM split)",
+    "q265_det_leaderboard" -> "≤|zoo| model rows (the leaderboard rank)",
     "q80_mix_rates" -> "≤#sources mixture table")
 
   private def globalWindows(p: SparkPlan): Seq[String] = {

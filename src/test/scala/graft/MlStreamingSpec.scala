@@ -672,4 +672,32 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DetLeaderboard: exact linear data -> OLS on the true feature wins " +
+      "with rmse 0; degenerate (constant) features are dropped, not NaN") {
+    import graft.ml.DetLeaderboard
+    // y = 3*x1 + 1 exactly; x2 constant (cx2 = 0 -> OLS drops it, ridge
+    // shrinks to b1 = 0)
+    val df = Seq.tabulate(200)(i => (i.toLong, (i % 17).toDouble, 2.0,
+      3.0 * (i % 17) + 1.0)).toDF("id", "x1", "x2", "y")
+    val lb = DetLeaderboard.leaderboard(df, Seq("x1", "x2"), "y", col("id"))
+      .as[(String, Double, Double, Option[Double], Long, Long, Double,
+        Int, Boolean)].collect().toSeq
+    val names = lb.map(_._1).toSet
+    // ols_x2 (den = 0) and ols_x1_x2 (det = 0) must be ABSENT, not NaN rows
+    assert(names == Set("ols_x1", "ridge_x1_0.5", "ridge_x2_0.5"),
+      s"zoo: $names")
+    val winner = lb.find(_._9).get
+    assert(winner._1 == "ols_x1" && winner._8 == 1, s"winner: $winner")
+    assert(winner._2 == 1.0 && winner._3 == 3.0,
+      s"exact fit must recover b0=1, b1=3: $winner")
+    assert(winner._7 == 0.0, s"exact fit must have rmse 0: $winner")
+    // split is the q109 md5 contract: train+test partitions the data
+    assert(winner._5 + winner._6 == 200, s"split sizes: $winner")
+    // ridge on the constant feature predicts the train mean (b1 = 0)
+    val rx2 = lb.find(_._1 == "ridge_x2_0.5").get
+    assert(rx2._3 == 0.0, s"constant-feature ridge slope must be 0: $rx2")
+    // ranking is rmse-ascending
+    assert(lb.sortBy(_._8).map(_._7) == lb.map(_._7).sorted, s"rank order: $lb")
+  }
+
 }

@@ -474,6 +474,15 @@ class SimilaritySpec extends SparkSpec {
     val mm = spark.sql(
       "SELECT graft_vec_sub(array(1.0D, 2.0D), array(3.0D)) AS r")
     assert(mm.head().isNullAt(0))
+    // the SQL registration is STRICT: elements are read ignoring null
+    // flags (null reads as 0.0), so nullable-element arrays — which only
+    // external SQL callers can produce — are rejected at analysis time
+    val strict = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vec_sub(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D)) AS r").collect()
+    }
+    assert(strict.getMessage.contains("non-nullable"),
+      s"wrong strictness error: ${strict.getMessage}")
   }
 
   test("NearestCentroid: identical assignment to the least(struct) tree " +
@@ -521,6 +530,37 @@ class SimilaritySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) =>
       assert(math.abs(g._4 - w._4) < 1e-5, s"adc ${g._4} vs exact ${w._4}")
     }
+  }
+
+  test("IvfPqIndex: build -> save -> load -> query reproduces the inline " +
+      "ivfPqTopK result exactly (codes partitioned by cell)") {
+    import spark.implicits._
+    import graft.sim.Pq
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(p =>
+        ((i * 31 + p * 7) % 13).toDouble - 6.0).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 4)
+    val inline = Pq.ivfPqTopK(q, vecs, "vec_id", "embedding",
+        k = 3, dim = 8, nLists = 4, nProbe = 2, m = 2, ksub = 4, iters = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val built = Pq.buildIvfPqIndex(vecs, "vec_id", "embedding",
+      dim = 8, nLists = 4, m = 2, ksub = 4, iters = 1)
+    Pq.saveIvfPqIndex(built, dir)
+    // the corpus-sized piece is partitioned by coarse cell on disk
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes must be parquet-partitioned by cell")
+    val loaded = Pq.loadIvfPqIndex(spark, dir)
+    assert(loaded.dim == 8 && loaded.books.size == 2)
+    assert(loaded.coarse == built.coarse, "coarse quantizer must round-trip")
+    assert(loaded.books == built.books, "sub-codebooks must round-trip")
+    val viaIndex = Pq.queryIvfPqIndex(loaded, q, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(viaIndex == inline,
+      s"saved-index probe $viaIndex != inline $inline")
   }
 
 }
