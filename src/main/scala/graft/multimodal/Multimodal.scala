@@ -27,16 +27,24 @@ object Multimodal {
 
   /** Synthesize a media table from the documents table: content = utf-8 bytes
     * of the text (an opaque deterministic payload), meta derived from length.
+    *
+    * Null contract: a NULL-text document is an EMPTY payload (decoders see
+    * zero bytes, metadata synthesizes from length 0), not an absent row — a
+    * downstream struct encoder with non-null fields must never see a
+    * null-field meta, and dropping rows here would silently change media
+    * counts against the source table.
     */
-  def fakeMediaFromDocs(docs: DataFrame): DataFrame =
+  def fakeMediaFromDocs(docs: DataFrame): DataFrame = {
+    val len = coalesce(col("n_chars"), lit(0L))
     docs.select(
       col("doc_id").as("media_id"),
-      col("text").cast("binary").as("content"),
+      coalesce(col("text"), lit("")).cast("binary").as("content"),
       struct(
         lit("fake/raw").as("format"),
-        (col("n_chars") % 64 + 1).cast("int").as("width"),
-        (col("n_chars") % 48 + 1).cast("int").as("height"),
-        (col("n_chars") % 16 + 1).cast("int").as("n_frames")).as("meta"))
+        (len % 64 + 1).cast("int").as("width"),
+        (len % 48 + 1).cast("int").as("height"),
+        (len % 16 + 1).cast("int").as("n_frames")).as("meta"))
+  }
 
   /** Deterministic fake "decode": digest bytes into `dim` floats in [0,1).
     * Stands in for a real image/audio decoder; byte-identical across runs

@@ -66,7 +66,12 @@ object Drift {
     */
   def psiTimeline(df: DataFrame, window: Column, bucket: Column,
       eps: Double = 1e-6): DataFrame = {
+    // a row whose window or bucket expression is NULL belongs to no grid
+    // cell and is excluded — besides being the only defensible semantics,
+    // a NULL window would form a dense-grid partition whose per-window
+    // total is 0 (NULL never equi-joins back to h), dividing by zero
     val h = df.select(window.as("w"), bucket.as("bucket"))
+      .filter(col("w").isNotNull && col("bucket").isNotNull)
       .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ref = h.groupBy("bucket").agg(sum(col("n")).as("n_ref"))

@@ -74,8 +74,12 @@ object EventAnalytics {
     * one shuffle however many steps; the final report aggregates the
     * per-key step flags (map-side combined).
     */
-  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+  def funnel(df0: DataFrame, key: String, ts: String, typeCol: String,
       steps: Seq[String]): DataFrame = {
+    // entity/time null contract: a row with a NULL key or NULL timestamp
+    // belongs to no trackable entity journey — excluded, so the base count
+    // (and thus every conversion denominator) covers real entities only
+    val df = df0.filter(col(key).isNotNull && col(ts).isNotNull)
     val w = Window.partitionBy(key)
     val stepTs = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
       val cond =
@@ -109,9 +113,13 @@ object EventAnalytics {
     * frame sees the same row set regardless of tie order. One shuffle on
     * the key; the sum runs in DECIMAL so the total is order-independent.
     */
-  def rollingRange(df: DataFrame, key: String, ts: String, value: String,
+  def rollingRange(df0: DataFrame, key: String, ts: String, value: String,
       windowSec: Long): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    // entity/time null contract: a NULL key or NULL ts has no trailing
+    // window (all NULL order keys would otherwise form one degenerate
+    // RANGE peer group whose frame semantics differ across engines)
+    val df = df0.filter(col(key).isNotNull && col(ts).isNotNull)
     val w = Window.partitionBy(key).orderBy(unix_micros(col(ts)))
       .rangeBetween(-windowSec * 1000000L, 0L)
     df.withColumn("n_window", count(lit(1)).over(w))
@@ -188,9 +196,11 @@ object EventAnalytics {
     * Weeks are epoch-week longs (epoch seconds / 604800) — integer math,
     * no calendar functions to disagree across engines.
     */
-  def cohortRetention(df: DataFrame, key: String, ts: String): DataFrame = {
+  def cohortRetention(df0: DataFrame, key: String, ts: String): DataFrame = {
     val week = floorDivMicros(col(ts), 604800L * 1000000L)
     val w = Window.partitionBy(key)
+    // entity/time null contract: NULL entities/timestamps form no cohort
+    val df = df0.filter(col(key).isNotNull && col(ts).isNotNull)
     df.withColumn("week", week)
       .withColumn("cohort_week", min(col("week")).over(w))
       // (key, week) dedup rides the cohort groupBy's distinct aggregate —
@@ -243,8 +253,12 @@ object EventAnalytics {
     * cumulative prefix sum is a global ordered window over the ≤#days
     * report table — never over data rows.
     */
-  def growthCurve(df: DataFrame, key: String, ts: String): DataFrame = {
+  def growthCurve(df0: DataFrame, key: String, ts: String): DataFrame = {
     val day = floor(col(ts).cast("long") / lit(86400)).cast("long")
+    // entity/time null contract: a NULL entity is not a user and a NULL ts
+    // is not a day — counting either would inject a phantom first-seen
+    // "user" into the cumulative curve
+    val df = df0.filter(col(key).isNotNull && col(ts).isNotNull)
     val dau = df.select(day.as("day"), col(key).as("k"))
       .groupBy("day", "k").agg(count(lit(1)).as("__n"))
       .groupBy("day").agg(count(lit(1)).as("dau"))

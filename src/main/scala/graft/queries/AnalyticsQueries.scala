@@ -96,7 +96,7 @@ object AnalyticsQueries extends QueryGroup {
       .orderBy("step"),
     Some("""WITH t1 AS (SELECT user_id,
           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        FROM events GROUP BY 1),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
       t2 AS (SELECT e.user_id,
           MIN(CASE WHEN e.event_type = 'click' AND e.ts > t1.t1 THEN e.ts END) AS t2
         FROM events e JOIN t1 ON e.user_id = t1.user_id GROUP BY 1),
@@ -125,7 +125,7 @@ object AnalyticsQueries extends QueryGroup {
     (s, d) => EventAnalytics.cohortRetention(Tables.events(s, d), "user_id", "ts")
       .orderBy("cohort_week", "offset_weeks"),
     Some("""WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       c AS (SELECT user_id, week,
           MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
       SELECT cohort_week, week - cohort_week AS offset_weeks,
@@ -139,7 +139,7 @@ object AnalyticsQueries extends QueryGroup {
     "q176_growth_curve",
     (s, d) => EventAnalytics.growthCurve(Tables.events(s, d), "user_id", "ts"),
     Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
-          user_id AS k FROM events),
+          user_id AS k FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       dau AS (SELECT day, CAST(COUNT(DISTINCT k) AS BIGINT) AS dau FROM e
         GROUP BY day),
       fs AS (SELECT k, MIN(day) AS day FROM e GROUP BY k),

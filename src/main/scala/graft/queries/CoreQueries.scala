@@ -110,9 +110,12 @@ object CoreQueries extends QueryGroup {
       countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"),
       countDistinct(concat_ws("#", col("l_returnflag"), col("l_linestatus"))).as("n_flag_status")),
+    // concat_ws (both engines) SKIPS nulls rather than nulling the result,
+    // so an all-null (flag, status) pair counts as the '' combo in both —
+    // a `||` oracle would silently drop null pairs from the distinct count
     Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-      CAST(COUNT(DISTINCT l_returnflag || '#' || l_linestatus) AS BIGINT) AS n_flag_status
+      CAST(COUNT(DISTINCT concat_ws('#', l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status
       FROM lineitem"""))
 
   /** A12: target (mean) encoding learn step — groupBy(cat).avg(target). */
@@ -125,7 +128,7 @@ object CoreQueries extends QueryGroup {
     Some("""SELECT c_mktsegment,
       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(c_acctbal) AS enc,
       COUNT(*) AS n
-      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
 
   /** A13: Pearson correlation (rounded — moment stats are order-sensitive). */
   val q09Corr = QueryDef(
@@ -160,7 +163,7 @@ object CoreQueries extends QueryGroup {
       .orderBy("l_returnflag"),
     Some("""SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
       WHERE (CASE WHEN l_discount > 0.06 THEN NULL ELSE l_quantity > 25 END) IS DISTINCT FROM TRUE
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
   /** F15: ordered half-open range map (postal → province), over synthesized
     * postal codes so every range is hit. */

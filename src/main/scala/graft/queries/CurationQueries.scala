@@ -49,7 +49,7 @@ object CurationQueries extends QueryGroup {
       SELECT lang, n_docs, target_share,
         ROUND(LEAST(CAST(1.0 AS DOUBLE),
           target_share * total / n_docs), 6) AS rate
-      FROM r ORDER BY lang"""))
+      FROM r ORDER BY lang NULLS FIRST"""))
 
   /** Token- and bigram-level repetition ratios (Gopher-style repetition
     * signals) for a bounded doc range. */
@@ -94,7 +94,9 @@ object CurationQueries extends QueryGroup {
       s"""WITH f AS (SELECT
           len(words) >= 50 AS r_min_words,
           mean_len >= 2.0 AND mean_len <= 10.0 AS r_word_len,
-          len(list_filter($stop, p -> list_contains(list_distinct(words), p))) > 0 AS r_stopword,
+          CASE WHEN words IS NULL THEN NULL
+            ELSE len(list_filter($stop, p -> list_contains(list_distinct(words), p))) > 0
+          END AS r_stopword,
           (CASE WHEN len(words) <= 0 THEN 0.0
             ELSE ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
           END) <= 0.8 AS r_repetition
@@ -214,7 +216,7 @@ object CurationQueries extends QueryGroup {
         CAST(MAX(chunk_last) + 1 AS BIGINT) AS n_windows,
         CAST(SUM(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END) AS BIGINT)
           AS n_straddlers
-      FROM q GROUP BY source ORDER BY source"""))
+      FROM q GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** Packed-window MATERIALIZATION: the write side of q82 — documents cut
     * at 4096-char window boundaries and reassembled per (source, window).
@@ -286,7 +288,9 @@ object CurationQueries extends QueryGroup {
           len(regexp_extract_all(text, '(?m)^[ \t]*[-*""" + "•" + """]')) AS bl,
           len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
           len(list_filter(words, t -> regexp_matches(t, '[a-zA-Z]'))) AS aw,
-          len(list_filter(""" + stops + """, p -> list_contains(words, p))) AS sh
+          CASE WHEN words IS NULL THEN NULL
+            ELSE len(list_filter(""" + stops + """, p -> list_contains(words, p)))
+          END AS sh
         FROM w),
       f AS (SELECT source,
           (nw >= 20 AND nw <= 100000) AS g_words,
@@ -308,7 +312,7 @@ object CurationQueries extends QueryGroup {
         CAST(SUM(CASE WHEN g_words AND g_word_len AND g_symbol AND g_bullet
           AND g_ellipsis AND g_alpha AND g_stopword THEN 1 ELSE 0 END) AS BIGINT)
           AS n_keep
-      FROM f GROUP BY source ORDER BY source"""
+      FROM f GROUP BY source ORDER BY source NULLS FIRST"""
     })
 
   /** Deterministic exact-k per-group sample: md5(seed|id) ranking makes the
@@ -324,7 +328,7 @@ object CurationQueries extends QueryGroup {
         ROW_NUMBER() OVER (PARTITION BY source
           ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         FROM documents)
-      SELECT doc_id, source FROM r WHERE rk <= 3 ORDER BY source, doc_id"""))
+      SELECT doc_id, source FROM r WHERE rk <= 3 ORDER BY source NULLS FIRST, doc_id"""))
 
   /** Benchmark decontamination: training docs sharing >= 1 word 5-gram with
     * the "benchmark" slice are flagged with their hit counts — the test-set
@@ -580,7 +584,9 @@ object CurationQueries extends QueryGroup {
           (len(list_filter(range(1, n_turns), i ->
             list_transform(conv, t -> t.role)[i]
               = list_transform(conv, t -> t.role)[i + 1])) = 0) AS v_alternates,
-          (len(list_filter(conv, t -> len(t.content) = 0)) = 0) AS v_nonempty,
+          (CASE WHEN len(list_filter(conv, t -> len(t.content) = 0)) > 0 THEN FALSE
+                WHEN len(list_filter(conv, t -> t.content IS NULL)) > 0 THEN NULL
+                ELSE TRUE END) AS v_nonempty,
           (list_transform(conv, t -> t.role)[-1] = 'assistant') AS v_closes
         FROM c)
       SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs,
@@ -713,7 +719,7 @@ object CurationQueries extends QueryGroup {
                ELSE 'test' END AS split FROM a)
       SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(MIN(doc_id) AS BIGINT) AS min_id
-      FROM sp GROUP BY lang, split ORDER BY lang, split"""))
+      FROM sp GROUP BY lang, split ORDER BY lang NULLS FIRST, split"""))
 
   /** Model-based quality filtering: the fastText-style hashed linear
     * scorer with a fixture weight vector w(b) = (b%41-20)/32 — exact in
@@ -912,7 +918,7 @@ object CurationQueries extends QueryGroup {
       SELECT lang, n_docs, w_tokens, target_share,
         ROUND(LEAST(CAST(1.0 AS DOUBLE),
           target_share * total / w_tokens), 6) AS rate
-      FROM r ORDER BY lang"""))
+      FROM r ORDER BY lang NULLS FIRST"""))
 
   /** Temperature-scaled multilingual sampling (T=2): tempered shares
     * p ∝ tokens^(1/T) and the per-language up/down-sampling boost —
@@ -939,7 +945,7 @@ object CurationQueries extends QueryGroup {
       SELECT lang, w_tokens, ROUND(natural_raw, 6) AS natural_share,
         ROUND(tempered_raw, 6) AS tempered_share,
         ROUND(tempered_raw / natural_raw, 6) AS boost
-      FROM t ORDER BY lang"""))
+      FROM t ORDER BY lang NULLS FIRST"""))
 
   /** Weighted sampling without replacement (Curation.weightedSample, A-ES):
     * top-20 docs by u^(1/n_chars) priority — longer docs proportionally
@@ -996,7 +1002,7 @@ object CurationQueries extends QueryGroup {
       SELECT al.source, al.n_docs, al.n_target,
         COALESCE(kept.n_kept, 0) AS n_kept
       FROM al LEFT JOIN kept ON al.source = kept.source
-      ORDER BY al.source"""))
+      ORDER BY al.source NULLS FIRST"""))
 
   /** Token-budget waterfilling across sources (Curation.budgetWaterfill):
     * 140k chars allocated by doc-count weight, capped at each source's

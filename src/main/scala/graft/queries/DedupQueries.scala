@@ -271,13 +271,18 @@ object DedupQueries extends QueryGroup {
         max(col("doc_id")).as("max_id"),
         sum(col("doc_id")).cast("bigint").as("id_sum"))
     },
-    Some("""WITH existing AS (SELECT md5(text) AS k FROM documents WHERE doc_id < 600),
+    // k IS NOT NULL on both CTEs: the null-key contract (null text is not
+    // content), and a NULL inside a NOT IN subquery would otherwise empty
+    // the whole `fresh` set (three-valued logic)
+    Some("""WITH existing AS (SELECT md5(text) AS k FROM documents
+        WHERE doc_id < 600 AND text IS NOT NULL),
       incoming AS (
         SELECT doc_id, md5(text) AS k FROM documents
-          WHERE doc_id >= 400 AND doc_id < 1200
+          WHERE doc_id >= 400 AND doc_id < 1200 AND text IS NOT NULL
         UNION ALL
         SELECT doc_id + 100000, md5(text) FROM documents
-          WHERE doc_id >= 400 AND doc_id < 1200 AND doc_id % 7 = 0),
+          WHERE doc_id >= 400 AND doc_id < 1200 AND doc_id % 7 = 0
+            AND text IS NOT NULL),
       fresh AS (SELECT * FROM incoming WHERE k NOT IN (SELECT k FROM existing)),
       kept AS (SELECT k, MIN(doc_id) AS doc_id FROM fresh GROUP BY k)
       SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,

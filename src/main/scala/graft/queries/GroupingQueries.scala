@@ -17,13 +17,19 @@ object GroupingQueries extends QueryGroup {
     (s, d) => Tables.orders(s, d)
       .withColumn("y", year(col("o_orderdate")))
       .rollup("y", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("sum_price"))
-      .orderBy(asc_nulls_first("y"), asc_nulls_first("o_orderpriority")),
+      // gid makes the sort TOTAL: a (NULL, NULL) DATA group (rows whose
+      // date and priority are genuinely null) collides with the y=NULL
+      // subtotal and the grand total on every other sort key
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("y"), asc_nulls_first("o_orderpriority"),
+        asc("gid")),
     Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority,
+        CAST(GROUPING(y) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
         COUNT(*) AS cnt,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY ROLLUP(y, o_orderpriority)
-      ORDER BY y ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+      ORDER BY y ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid ASC"""))
 
   /** CUBE over (returnflag, linestatus) with grouping-set id. */
   val q37Cube = QueryDef(
@@ -54,7 +60,7 @@ object GroupingQueries extends QueryGroup {
     Some("""SELECT l_returnflag,
         CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END AS DECIMAL(28,2))) AS DOUBLE) AS F,
         CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END AS DECIMAL(28,2))) AS DOUBLE) AS O
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
   /** Explicit GROUPING SETS — the à-la-carte sibling of q36's ROLLUP /
     * q37's CUBE: exactly (year × status), (year) and grand total, no

@@ -52,7 +52,7 @@ object JoinQueries extends QueryGroup {
       .orderBy("c_mktsegment"),
     Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
 
   /** J2: semi join — customers with at least one high-value order. */
   val q18SemiJoin = QueryDef(
@@ -109,7 +109,7 @@ object JoinQueries extends QueryGroup {
       .orderBy("prio"),
     Some("""SELECT (CASE o_orderpriority WHEN '1-URGENT' THEN 'URGENT'
         WHEN '2-HIGH' THEN 'HIGH' ELSE o_orderpriority END) AS prio,
-      COUNT(*) AS cnt FROM orders GROUP BY prio ORDER BY prio"""))
+      COUNT(*) AS cnt FROM orders GROUP BY prio ORDER BY prio NULLS FIRST"""))
 
   /** §2.6: intersect / except / union-distinct over key sets. */
   val q24SetOps = QueryDef(
@@ -196,7 +196,7 @@ object JoinQueries extends QueryGroup {
         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
       FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
       WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
-                 AND s.c_mktsegment = '__DELETE__')
+                 AND COALESCE(s.c_mktsegment = '__DELETE__', FALSE))
       ORDER BY c_custkey"""))
 
   /** Entity resolution (ops/EntityMatch.scala): fuzzy-match a "dirty"

@@ -47,7 +47,8 @@ object MlStreamQueries extends QueryGroup {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_us"),
     Some("""WITH g AS (SELECT user_id, event_id, ts, value,
-        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       s AS (SELECT *, CAST((prev_ts IS NULL OR
         epoch_us(ts) - epoch_us(prev_ts) > 600000000) AS INT) AS new_s FROM g),
       c AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -60,7 +60,7 @@ object MonitoringQueries extends QueryGroup {
         CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 6)
           AS sum_window
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id"""))
@@ -184,7 +184,8 @@ object MonitoringQueries extends QueryGroup {
         least(floor(col("value") / 25).cast("long"), lit(10L)))
       .withColumnRenamed("w", "day"),
     Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS w,
-          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events),
+          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
       h AS (SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e
         GROUP BY w, bucket),
       r AS (SELECT bucket, SUM(n) AS n_ref FROM h GROUP BY bucket),
@@ -271,6 +272,8 @@ object MonitoringQueries extends QueryGroup {
         .select(
           floor(col("ts").cast("long") / lit(86400)).cast("long").as("w"),
           least(floor(col("value") / 25).cast("long"), lit(10L)).as("bucket"))
+        // null ts/value → no grid cell (the psiTimeline null contract)
+        .filter(col("w").isNotNull && col("bucket").isNotNull)
         .groupBy("w", "bucket").agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // read 3x: min-day, ref slice, scoring
       val minW = hist.agg(min(col("w")).as("w0"))
@@ -283,7 +286,8 @@ object MonitoringQueries extends QueryGroup {
         .withColumnRenamed("w", "day")
     },
     Some("""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS w,
-          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events),
+          LEAST(CAST(FLOOR(value / 25) AS BIGINT), 10) AS bucket FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
       h AS (SELECT w, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e
         GROUP BY w, bucket),
       r AS (SELECT bucket, CAST(n AS DOUBLE) /
@@ -439,7 +443,8 @@ object MonitoringQueries extends QueryGroup {
         period = 7)
     },
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       tr AS (SELECT t, y,
           (t - DATE '1970-01-01') % 7 AS phase,
           CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend
@@ -492,7 +497,8 @@ object MonitoringQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("y")),
       col("day"), col("y"), alpha = 0.5, beta = 0.3),
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       l AS (SELECT t, y, list(y) OVER (ORDER BY t
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs FROM daily),
       f AS (SELECT t, y, list_reduce(
@@ -573,7 +579,8 @@ object MonitoringQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("y")),
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       p AS (SELECT (b.y - a.y)
             / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS sl
         FROM daily a JOIN daily b ON a.t < b.t),
@@ -598,7 +605,8 @@ object MonitoringQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("y")),
       col("day"), col("y")),
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       sr AS (SELECT COALESCE(CAST(SUM(SIGN(b.y - a.y)) AS BIGINT), 0) AS s
         FROM daily a JOIN daily b ON a.t < b.t),
       ties AS (SELECT COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0)
@@ -636,7 +644,7 @@ object MonitoringQueries extends QueryGroup {
           CAST(COUNT(*) AS DOUBLE) AS x,
           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
             / COUNT(*), 6) AS y
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       cd AS (SELECT CAST(COALESCE(SUM(CAST(SIGN(b.x - a.x) * SIGN(b.y - a.y)
             AS BIGINT)), 0) AS BIGINT) AS c_minus_d
         FROM daily a JOIN daily b ON a.day < b.day),
@@ -883,7 +891,8 @@ object MonitoringQueries extends QueryGroup {
         .orderBy("t")
     },
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       tr AS (SELECT t, y,
           (t - DATE '1970-01-01') % 7 AS phase,
           CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend
@@ -936,7 +945,7 @@ object MonitoringQueries extends QueryGroup {
           CAST(COUNT(*) AS DOUBLE) AS x,
           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
             / COUNT(*), 6) AS y
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       m AS (SELECT
           CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mx,
           CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS my
@@ -985,7 +994,8 @@ object MonitoringQueries extends QueryGroup {
             .as("rmse"))
     },
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS t,
-          CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS y FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       l AS (SELECT t, y, list(y) OVER (ORDER BY t
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vs FROM daily),
       f AS (SELECT t, y, list_reduce(

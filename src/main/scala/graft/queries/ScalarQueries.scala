@@ -37,7 +37,7 @@ object ScalarQueries extends QueryGroup {
       .orderBy("o_orderstatus"),
     Some("""SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
       WHERE length(CAST(o_orderkey AS VARCHAR)) = 4
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"""))
 
   /** P7/F14: inclusive between + exact sums. */
   val q14BetweenFilter = QueryDef(
@@ -50,7 +50,7 @@ object ScalarQueries extends QueryGroup {
     Some("""SELECT event_type, COUNT(*) AS cnt,
       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
       FROM events WHERE value BETWEEN 10 AND 50
-      GROUP BY event_type ORDER BY event_type"""))
+      GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** F5/F6/F7: pandas capitalize (NOT initcap), title-case, paren-zip strip. */
   val q26TextFuncs = QueryDef(
@@ -67,7 +67,7 @@ object ScalarQueries extends QueryGroup {
       array_to_string(list_transform(string_split(p_name, ' '),
         w -> upper(w[1]) || lower(w[2:])), ' ') AS title_name,
       regexp_replace(p_name || ' (1234)', '\s*\(\d+\)', '', 'g') AS stripped
-      FROM part ORDER BY cap_name, title_name"""))
+      FROM part ORDER BY cap_name NULLS FIRST, title_name NULLS FIRST"""))
 
   /** F1: URL tail extraction (strip trailing slashes, last path segment). */
   val q27UrlTail = QueryDef(
@@ -83,7 +83,7 @@ object ScalarQueries extends QueryGroup {
       CAST(COUNT(DISTINCT string_split(regexp_replace(
         'https://site.be/cat/' || source || '/' || doc_id || '/', '/+$', ''), '/')[-1]) AS BIGINT) AS n_tails,
       COUNT(*) AS n_docs
-      FROM documents GROUP BY source ORDER BY source"""))
+      FROM documents GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** F4: the 8-branch EPC range bucketing when-chain. */
   val q28EpcBucket = QueryDef(
@@ -154,7 +154,7 @@ object ScalarQueries extends QueryGroup {
     Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
       COUNT(*) AS cnt,
       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
-      FROM orders GROUP BY y, m ORDER BY y, m"""))
+      FROM orders GROUP BY y, m ORDER BY y NULLS FIRST, m NULLS FIRST"""))
 
   /** F3: JSON parse + null-safe nested access (from_json ≡ json_extract). */
   val q32JsonExtract = QueryDef(
@@ -171,7 +171,7 @@ object ScalarQueries extends QueryGroup {
     Some("""SELECT event_type,
       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k, COUNT(*) AS cnt
       FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
-      GROUP BY event_type ORDER BY event_type"""))
+      GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
 
   /** §2.8: tumbling 10-minute window aggregate (batch equivalent of the
     * Structured Streaming windowed agg; win_start as epoch seconds). */
@@ -186,7 +186,8 @@ object ScalarQueries extends QueryGroup {
     Some("""SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS win_start,
       event_type, COUNT(*) AS cnt,
       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type"""))
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY win_start, event_type ORDER BY win_start, event_type"""))
 
   /** F8/F9: the 4-format address assembly cascade + normalization, as data
     * (the join side of the cascade is exercised by q25). */

@@ -408,9 +408,11 @@ object SimQueries extends QueryGroup {
     },
     // f0 = (digest[0]*256 + digest[7]) / 65536 — a power-of-two division of
     // a 16-bit int, exact in float and double alike
+    // COALESCE(text, '') mirrors fakeMediaFromDocs' null contract: a NULL
+    // document is an empty payload, so its features are the md5('') digest
     Some("""WITH f AS (SELECT
-        (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) * 256
-         + CAST('0x' || substr(md5(text), 15, 2) AS BIGINT)) / 65536.0 AS f0
+        (CAST('0x' || substr(md5(COALESCE(text, '')), 1, 2) AS BIGINT) * 256
+         + CAST('0x' || substr(md5(COALESCE(text, '')), 15, 2) AS BIGINT)) / 65536.0 AS f0
       FROM documents)
       SELECT 'fake/raw' AS format, COUNT(*) AS n,
         ROUND(AVG(f0), 6) AS avg_f0
@@ -428,7 +430,9 @@ object SimQueries extends QueryGroup {
         .groupBy("format").agg(count(lit(1)).as("n_frames"))
         .orderBy("format")
     },
-    Some("""WITH m AS (SELECT (n_chars % 16 + 1) AS nf FROM documents)
+    // COALESCE: a NULL document is an empty payload (n_frames = 1), per
+    // fakeMediaFromDocs' null contract
+    Some("""WITH m AS (SELECT (COALESCE(n_chars, 0) % 16 + 1) AS nf FROM documents)
       SELECT 'fake/raw' AS format,
         CAST(SUM((nf - 1) // 4 + 1) AS BIGINT) AS n_frames
       FROM m GROUP BY 1 ORDER BY 1"""))
@@ -636,14 +640,20 @@ object SimQueries extends QueryGroup {
     * tie-break the Scala loop applies. */
   private def mmrStepsSql(k: Int): String = {
     val steps = (1 to k).map { i =>
+      // DECIMAL score arithmetic (mirrors mmrSelect): rel/sim are already
+      // 6-decimal values, so the λ-blend is exact and rounds identically
       if (i == 1)
-        s"""s1 AS (SELECT vec_id, v, rel, ROUND(0.7 * rel, 6) AS score
+        s"""s1 AS (SELECT vec_id, v, rel,
+             CAST(ROUND(CAST(0.7 AS DECIMAL(8,6)) * CAST(rel AS DECIMAL(18,6)), 6)
+               AS DOUBLE) AS score
              FROM c ORDER BY score DESC, vec_id LIMIT 1),
            sel1 AS (SELECT vec_id, v FROM s1)"""
       else
         s"""s$i AS (SELECT vec_id, v, rel,
-             ROUND(0.7 * rel - (1 - 0.7) * (SELECT MAX(ROUND(${cosineSql("c.v", "s.v")}, 6))
-               FROM sel${i - 1} s), 6) AS score
+             CAST(ROUND(CAST(0.7 AS DECIMAL(8,6)) * CAST(rel AS DECIMAL(18,6))
+               - CAST(1 - 0.7 AS DECIMAL(8,6))
+                 * CAST((SELECT MAX(ROUND(${cosineSql("c.v", "s.v")}, 6))
+                     FROM sel${i - 1} s) AS DECIMAL(18,6)), 6) AS DOUBLE) AS score
              FROM c WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
              ORDER BY score DESC, vec_id LIMIT 1),
            sel$i AS (SELECT vec_id, v FROM sel${i - 1}

@@ -25,15 +25,18 @@ object StatsQueries extends QueryGroup {
         col("l_quantity"), col("l_extendedprice"))
       .orderBy("l_returnflag"),
     Some("""WITH a AS (SELECT l_returnflag,
-          CAST(COUNT(*) AS BIGINT) AS n,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+          CAST(COUNT(*) FILTER (l_quantity IS NOT NULL
+            AND l_extendedprice IS NOT NULL) AS BIGINT) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+            FILTER (l_extendedprice IS NOT NULL) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8)))
+            FILTER (l_quantity IS NOT NULL) AS DOUBLE) AS sy,
           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
             AS DOUBLE) AS sxy,
           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
-            AS DOUBLE) AS sxx,
+            FILTER (l_extendedprice IS NOT NULL) AS DOUBLE) AS sxx,
           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
-            AS DOUBLE) AS syy
+            FILTER (l_quantity IS NOT NULL) AS DOUBLE) AS syy
         FROM lineitem GROUP BY l_returnflag),
       b AS (SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
           CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
@@ -46,7 +49,7 @@ object StatsQueries extends QueryGroup {
           END AS intercept,
         CASE WHEN varx_n > 0 AND vary_n > 0
           THEN ROUND(cov_n * cov_n / (varx_n * vary_n), 6) END AS r2
-      FROM b ORDER BY l_returnflag"""))
+      FROM b ORDER BY l_returnflag NULLS FIRST"""))
 
   /** Chi-squared independence of order priority × order status
     * (Stats.chiSquareIndependence): contingency in one data pass, expected
@@ -211,7 +214,7 @@ object StatsQueries extends QueryGroup {
           n_chars FROM c)
       SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_items,
         CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS BIGINT) AS total_size
-      FROM b GROUP BY source, bin ORDER BY source, bin"""))
+      FROM b GROUP BY source, bin ORDER BY source NULLS FIRST, bin"""))
 
   /** Ranking eval (RankEval.ndcgAtK): per source, rank docs by length and
     * score English docs as relevant — nDCG@10 + MRR@10 with decimal-term
@@ -245,7 +248,7 @@ object StatsQueries extends QueryGroup {
       SELECT source, n_rel,
         CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
         COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
-      FROM agg ORDER BY source"""))
+      FROM agg ORDER BY source NULLS FIRST"""))
 
   /** Textbook-ideal nDCG@10 (RankEval.ndcgAtKGlobalIdeal): same stand-in
     * qrels/run pair as q163, but the ideal ranks ALL relevant docs in the
@@ -283,7 +286,7 @@ object StatsQueries extends QueryGroup {
       SELECT source, n_rel,
         CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
         COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
-      FROM agg ORDER BY source"""))
+      FROM agg ORDER BY source NULLS FIRST"""))
 
   /** Cohen's kappa (Stats.cohenKappa) between the corpus lang label and a
     * deterministic noisy re-labeler (70% copies lang, 30% answers the
@@ -689,7 +692,8 @@ object StatsQueries extends QueryGroup {
         .agg(count(lit(1)).cast("double").as("cnt")),
       col("day"), col("cnt"), maxLag = 7),
     Some("""WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-          CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1),
+          CAST(COUNT(*) AS DOUBLE) AS cnt FROM events
+        WHERE ts IS NOT NULL GROUP BY 1),
       m AS (SELECT day, cnt,
           CAST(SUM(CAST(cnt AS DECIMAL(28,8))) OVER () AS DOUBLE)
             / CAST(COUNT(*) OVER () AS DOUBLE) AS mean FROM daily),
@@ -958,7 +962,7 @@ object StatsQueries extends QueryGroup {
     Some("""WITH w AS (SELECT
           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS y
-        FROM orders GROUP BY 1)
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
       SELECT week, y, LAG(y) OVER (ORDER BY week) AS prev,
         CASE WHEN LAG(y) OVER (ORDER BY week) IS NOT NULL
             AND LAG(y) OVER (ORDER BY week) <> 0
@@ -1248,7 +1252,7 @@ object StatsQueries extends QueryGroup {
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t,
           CAST(COUNT(*) FILTER (value > 50.0) AS BIGINT) AS x,
           CAST(COUNT(*) AS BIGINT) AS n
-        FROM events GROUP BY 1),
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
       c AS (SELECT t,
           CAST(SUM(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
             AND CURRENT ROW) AS BIGINT) AS x_cum,

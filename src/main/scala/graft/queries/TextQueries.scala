@@ -27,7 +27,7 @@ object TextQueries extends QueryGroup {
       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
       CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
 
   /** Language-ID heuristic vs the labeled lang column (confusion counts). */
   val q41LangId = QueryDef(
@@ -49,7 +49,7 @@ object TextQueries extends QueryGroup {
       p AS (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted
             FROM (SELECT *, $m AS m FROM sc))
       SELECT lang, predicted, COUNT(*) AS cnt FROM p
-      GROUP BY lang, predicted ORDER BY lang, predicted"""
+      GROUP BY lang, predicted ORDER BY lang NULLS FIRST, predicted NULLS FIRST"""
     })
 
   /** Quality score (length prior + lexical diversity + stopword term),
@@ -73,7 +73,7 @@ object TextQueries extends QueryGroup {
       SELECT source,
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality,
         COUNT(*) AS n_docs
-      FROM sc GROUP BY source ORDER BY source"""))
+      FROM sc GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** 60-bit md5 document fingerprints: distinct/min/max per source. */
   val q43Fingerprint = QueryDef(
@@ -90,7 +90,7 @@ object TextQueries extends QueryGroup {
       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
       FROM (SELECT source, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
             FROM documents)
-      GROUP BY source ORDER BY source"""))
+      GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** True rolling-hash (Rabin-Karp) fingerprints via the codegen'd
     * RollingHash expression; oracle replays the recurrence with a recursive
@@ -137,7 +137,7 @@ object TextQueries extends QueryGroup {
       p AS (SELECT lang, (CASE $cases ELSE 'und' END) AS predicted
             FROM (SELECT *, $m AS m FROM sc))
       SELECT lang, predicted, COUNT(*) AS cnt FROM p
-      GROUP BY lang, predicted ORDER BY lang, predicted"""
+      GROUP BY lang, predicted ORDER BY lang NULLS FIRST, predicted NULLS FIRST"""
     })
 
   /** URL canonicalization (graft.text.UrlOps): messy synthetic crawl URLs —
@@ -372,7 +372,7 @@ object TextQueries extends QueryGroup {
         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q) AS avg_quality
-      FROM b GROUP BY source ORDER BY source"""))
+      FROM b GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** One BPE learning round as three DuckDB CTEs: adjacent-pair counts
     * weighted by word freq, the (n DESC, a, b) argmax, and the greedy
@@ -468,7 +468,10 @@ object TextQueries extends QueryGroup {
         .map(m => s"${n}_chars >= ${m}_chars").mkString(" AND ")
       s"WHEN $ge THEN '$n'"
     }.mkString(" ")
-    s"CASE WHEN $none THEN 'none' $cases END"
+    // ELSE 'none': an all-NULL count row (every text in the group NULL)
+    // falls through every NULL-valued WHEN — dominantScript's
+    // when(-best.negn > 0).otherwise("none") lands on 'none' there too
+    s"CASE WHEN $none THEN 'none' $cases ELSE 'none' END"
   }
 
   /** Writing-system detection: per-language corpus totals of characters in
@@ -499,7 +502,7 @@ object TextQueries extends QueryGroup {
       SELECT lang, n_docs,
         ${TextAnalysis.ScriptRanges.map { case (n, _) => s"${n}_chars" }.mkString(", ")},
         ${dominantSql(TextAnalysis.ScriptRanges.map(_._1))} AS dominant
-      FROM g ORDER BY lang"""))
+      FROM g ORDER BY lang NULLS FIRST"""))
 
   /** INCREMENTAL report maintenance: the corpus splits into an existing
     * partition and a new batch; each side aggregates independently to
@@ -544,7 +547,7 @@ object TextQueries extends QueryGroup {
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(nt) AS BIGINT) AS n_tokens,
         CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_quality
-      FROM sc GROUP BY source ORDER BY source"""))
+      FROM sc GROUP BY source ORDER BY source NULLS FIRST"""))
 
   /** Interpolated bigram-LM NLL (λ=0.9): the 20 most surprising documents
     * by transition likelihood. Same float contract as q89. */
@@ -988,7 +991,7 @@ object TextQueries extends QueryGroup {
         ROUND(COUNT(*) + (COUNT(*) FILTER (c = 1)
             * (COUNT(*) FILTER (c = 1) - 1))
           / (2.0 * (COUNT(*) FILTER (c = 2) + 1)), 6) AS chao1
-      FROM tf GROUP BY source ORDER BY source"""))
+      FROM tf GROUP BY source ORDER BY source NULLS FIRST"""))
 
   override val defs: Seq[QueryDef] = Seq(
     q40TokenStats, q41LangId, q42QualityScore, q43Fingerprint, q57RollingHash,

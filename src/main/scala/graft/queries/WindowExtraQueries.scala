@@ -75,7 +75,7 @@ object WindowExtraQueries extends QueryGroup {
     Some("""SELECT l_returnflag,
       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
       COUNT(*) AS cnt
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
   /** Salted join — big side salted, small side replicated saltFactor× —
     * identical result to the direct equi join (the oracle computes the

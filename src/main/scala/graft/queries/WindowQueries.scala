@@ -33,7 +33,7 @@ object WindowQueries extends QueryGroup {
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
             FROM lineitem) WHERE rn = 1
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"""))
 
   /** W4-flavored top-k per group: 3 richest customers per nation (ties broken
     * by key so the result is total-ordered). */
@@ -52,7 +52,7 @@ object WindowQueries extends QueryGroup {
       SELECT c_nationkey, c_custkey, c_acctbal,
         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
       FROM customer) WHERE rk <= 3
-      ORDER BY c_nationkey, rk"""))
+      ORDER BY c_nationkey NULLS FIRST, rk"""))
 
   /** Running (cumulative) sum per customer over order dates — exact via
     * decimal, deterministic via the (date, key) total order. */
@@ -72,7 +72,7 @@ object WindowQueries extends QueryGroup {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-      FROM orders ORDER BY o_custkey, o_orderkey"""))
+      FROM orders ORDER BY o_custkey NULLS FIRST, o_orderkey"""))
 
   override val defs: Seq[QueryDef] = Seq(q21DedupFirst, q22TopkPerGroup, q23RunningSum)
 }

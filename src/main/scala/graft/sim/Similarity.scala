@@ -126,8 +126,15 @@ object Similarity {
     for (_ <- 1 to k) {
       val selIds = selected.map(_._1)
       val pool = if (selIds.isEmpty) rel else rel.filter(!col("id").isin(selIds: _*))
+      // score arithmetic runs in DECIMAL: rel/__pen are 6-decimal-rounded,
+      // so λ·rel − (1−λ)·pen is EXACT at scale 12 and the final half-up
+      // round is deterministic — in doubles, 0.7·rel−0.3·pen can land one
+      // ulp either side of a .5·10⁻⁶ midpoint and flip the last digit
+      // between engines (q178's 0.109992/0.109993 knife edge)
+      def dec6(c: Column): Column = c.cast("decimal(18,6)")
       val scored =
-        if (selected.isEmpty) pool.withColumn("__score", round(lit(lambda) * col("rel"), 6))
+        if (selected.isEmpty)
+          pool.withColumn("__score", round(dec6(lit(lambda)) * dec6(col("rel")), 6).cast("double"))
         else {
           val selDf = selected.map(s => (s._1, s._2)).toDF("__sid", "__sv")
           val pen = pool.crossJoin(broadcast(selDf))
@@ -135,7 +142,8 @@ object Similarity {
             .groupBy("id").agg(max(col("__sim")).as("__pen"))
           pool.join(pen, "id")
             .withColumn("__score",
-              round(lit(lambda) * col("rel") - lit(penW) * col("__pen"), 6))
+              round(dec6(lit(lambda)) * dec6(col("rel"))
+                - dec6(lit(penW)) * dec6(col("__pen")), 6).cast("double"))
         }
       scored.orderBy(col("__score").desc, col("id").asc).limit(1)
         .select(col("id"), col("v"), col("rel"), col("__score"))

@@ -100,8 +100,12 @@ object EventStreams {
     * lets the oracle/batch path check the streaming logic: a session starts
     * where the gap from the previous event exceeds gapMs.
     */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def sessionizeBatch(events0: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // entity/time null contract (shared with the streaming twin): a session
+    // needs an owner and a time — the streaming path can't watermark a NULL
+    // ts or keep state for a NULL key either
+    val events = events0.filter(col("user_id").isNotNull && col("ts").isNotNull)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val withGap = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))

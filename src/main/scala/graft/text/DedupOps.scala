@@ -335,7 +335,12 @@ object DedupOps {
     */
   def incrementalExactDedup(incoming: DataFrame, existing: DataFrame,
       idCol: String, keyExpr: Column): DataFrame = {
+    // null-key contract: a NULL content key is not content — such rows are
+    // excluded from the result (a null key never equi-joins, so it can't be
+    // checked against the corpus; this also matches the Bloom variant,
+    // where a null key hashes to null and falls out of both probe halves)
     val inKeyed = incoming.withColumn("__key", keyExpr)
+      .filter(col("__key").isNotNull)
     val exKeys = existing.select(keyExpr.as("__key")).distinct()
     val newOnly = inKeyed.join(exKeys, Seq("__key"), "left_anti")
     graft.ops.Dedup.keepFirst(newOnly, Seq("__key"), Seq(idCol)).drop("__key")
