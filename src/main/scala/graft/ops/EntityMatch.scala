@@ -30,8 +30,9 @@ object EntityMatch {
       leftKey: String, leftText: String,
       rightKey: String, rightText: String,
       block: Column => Column, maxDist: Int): DataFrame = {
-    val l = left.select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
-      .withColumn("block", block(col("l_text")))
+    val l = spreadProbe(left
+      .select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
+      .withColumn("block", block(col("l_text"))), "l_key")
     val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
       .withColumn("block", block(col("r_text")))
     l.join(r, "block")
@@ -43,6 +44,23 @@ object EntityMatch {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l_key"), col("r_key"), col("dist"))
   }
+
+  /** Parallelism guard for the probe side of a blocked compare. The join
+    * typically broadcasts the (narrow, small) candidate side, so the
+    * expensive within-block scoring inherits the PROBE SCAN's partitioning
+    * — and a compact table (one parquet file under maxPartitionBytes, the
+    * sf1 customer table being the caught case) scans as ONE split,
+    * serializing minutes of DP on a single core while 31 sit idle. One
+    * cheap shuffle of the narrow (key, text, block) projection spreads the
+    * probe rows across every core BEFORE the ×|block| work amplification.
+    * Spread by (block, probe key), not block alone, so a hot block
+    * parallelizes too; if the optimizer falls back to a shuffle join it
+    * re-partitions by block anyway and this exchange just disappears into
+    * that one.
+    */
+  private def spreadProbe(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("block"), col(keyCol))
 
   /** All pairs at-or-above `minSim` Jaro–Winkler similarity whose block
     * keys match — the similarity-scored sibling of
@@ -61,8 +79,9 @@ object EntityMatch {
       leftKey: String, leftText: String,
       rightKey: String, rightText: String,
       block: Column => Column, minSim: Double): DataFrame = {
-    val l = left.select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
-      .withColumn("block", block(col("l_text")))
+    val l = spreadProbe(left
+      .select(col(leftKey).as("l_key"), col(leftText).as("l_text"))
+      .withColumn("block", block(col("l_text"))), "l_key")
     val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
       .withColumn("block", block(col("r_text")))
     l.join(r, "block")

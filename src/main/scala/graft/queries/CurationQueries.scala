@@ -1036,6 +1036,69 @@ object CurationQueries extends QueryGroup {
         ROUND(CASE WHEN saturated THEN a ELSE level * w END, 6) AS allocation
       FROM lv ORDER BY source"""))
 
+  /** CCNet line-df boilerplate strip (Curation.boilerplateStrip): line
+    * structure is synthesized deterministically onto each document — a
+    * per-source copyright header (df = every doc, stripped), the document
+    * body (df ≈ 1, kept), a newsletter plug on ids ≡0 mod 3 (df ≈ 1/3 of
+    * the source > the 25% threshold, stripped) and a low-df "sig-k" line
+    * (df 1-2, under the fraction threshold even when it passes the minDf
+    * floor, kept) — so every rule branch is exercised. Reported per
+    * source; reconstructed doc contents are pinned by an order-independent
+    * md5-int32 SUM (q91's per-shard-order pattern). Unlike q79's
+    * keep-first paragraph dedup, a flagged line vanishes from EVERY doc,
+    * first copy included.
+    */
+  val q266Boilerplate = QueryDef(
+    "q266_boilerplate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lined = concat_ws("\n",
+        concat(lit("(c) 2026 "), col("source"), lit(" media group")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+        concat(lit("sig-"), (col("doc_id") % 50).cast("string")))
+      Curation.boilerplateStrip(docs.withColumn("__lined", lined),
+          "doc_id", "source", col("__lined"), minDf = 2, maxDfFrac = 0.25)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_lines")).cast("bigint").as("n_lines"),
+          sum(col("n_removed")).cast("bigint").as("n_removed"),
+          sum(graft.text.TextAnalysis.md5Int32(col("text")))
+            .cast("bigint").as("text_hash_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT doc_id, source,
+          concat_ws(chr(10),
+            '(c) 2026 ' || source || ' media group',
+            text,
+            CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+            'sig-' || CAST(doc_id % 50 AS VARCHAR)) AS t
+        FROM documents),
+      l AS (SELECT doc_id, source, i AS pos, ls[i] AS line FROM (
+          SELECT doc_id, source, string_split(t, chr(10)) AS ls,
+            unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i FROM d)),
+      f AS (SELECT source, line, COUNT(*) AS df FROM (
+          SELECT DISTINCT source, line, doc_id FROM l) GROUP BY 1, 2),
+      n AS (SELECT source, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY 1),
+      b AS (SELECT f.source, f.line FROM f JOIN n USING (source)
+        WHERE f.df >= 2 AND f.df > n.nd * 0.25),
+      k AS (SELECT l.doc_id, l.source, l.pos, l.line,
+          (b.line IS NOT NULL) AS is_b
+        FROM l LEFT JOIN b ON l.source = b.source AND l.line = b.line),
+      r AS (SELECT doc_id, source,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          array_to_string(list(line ORDER BY pos) FILTER (NOT is_b), chr(10))
+            AS text
+        FROM k GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+        CAST(SUM(n_removed) AS BIGINT) AS n_removed,
+        CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+          AS text_hash_sum
+      FROM r GROUP BY source ORDER BY source NULLS FIRST"""))
+
   override val defs: Seq[QueryDef] = Seq(q73DomainCap, q74Repetition,
     q75C4Filter, q76PiiRedact, q80MixRates, q82ChunkPack, q83ZValue,
     q85Decontam, q87HashSample, q88PackWindows, q90GopherRules, q91ShardAssign,
@@ -1043,5 +1106,6 @@ object CurationQueries extends QueryGroup {
     q102NgramCharStats, q104DsirWeights, q105DsirResample, q109SplitAssign,
     q111LengthBuckets, q112ApproxAudit, q113UrlBlocklist, q115C4Lines,
     q116MixTokens, q118QualityClassifier, q119TemperatureMix, q128CcLuhn,
-    q151WeightedSample, q152StratifiedSample, q188BudgetWaterfill)
+    q151WeightedSample, q152StratifiedSample, q188BudgetWaterfill,
+    q266Boilerplate)
 }

@@ -665,6 +665,62 @@ object Curation {
       .orderBy("source")
   }
 
+  /** CCNet-style line-level boilerplate removal (Wenzek et al. 2020 §4.1:
+    * lines duplicated across many documents of a domain — nav bars, cookie
+    * banners, license footers — are stripped wherever they appear). Distinct
+    * from [[graft.text.DedupOps.paragraphDedup]]'s keep-FIRST semantics:
+    * a line whose per-group document frequency passes the threshold is
+    * removed from EVERY document, first copy included, because boilerplate
+    * is noise in all of them, not content that one document owns.
+    *
+    * A line is boilerplate in its group (domain/source) when
+    * `df >= minDf` AND `df > maxDfFrac * nDocs(group)` — the absolute floor
+    * keeps 2-doc micro-domains from stripping each other, the fraction
+    * scales with domain size. Documents rebuild from their surviving lines
+    * in original order; a doc whose every line is boilerplate survives as
+    * an empty string (dropping it would silently change corpus counts).
+    *
+    * Scale shape: one posexplode (no shuffle); df is distinct-on
+    * (group, line, doc) — keyed by all three, so a viral line's copies
+    * spread across reducers — then a map-side-combined count per
+    * (group, line); per-group doc totals are a ≤#groups broadcast; the
+    * boilerplate SET (distinct flagged lines, small by construction — only
+    * lines above the df threshold) broadcasts into the line-level probe, so
+    * the hot line never keys a shuffle; reconstruction groups by doc
+    * (bounded by document size). No global window anywhere.
+    *
+    * Null contract: a NULL text has no lines (posexplode drops the row), so
+    * the doc is absent from the output — the same contract as
+    * paragraphDedup; callers that must preserve null docs re-join on the id.
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, groupCol: String,
+      textCol: Column, minDf: Int = 2, maxDfFrac: Double = 0.5,
+      sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would flag every line, got $minDf")
+    val lines = df.select(col(idCol).as("__doc"), col(groupCol).as("__grp"),
+      posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val lineDf = lines.select("__grp", "__line", "__doc").distinct()
+      .groupBy("__grp", "__line").agg(count(lit(1)).as("__df"))
+    val groupN = df.groupBy(col(groupCol).as("__grp"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    val boiler = lineDf.join(broadcast(groupN), Seq("__grp"))
+      .filter(col("__df") >= minDf && col("__df") > col("__nd") * maxDfFrac)
+      .select(col("__grp"), col("__line"), lit(true).as("__b"))
+    lines.join(broadcast(boiler), Seq("__grp", "__line"), "left")
+      .groupBy(col("__doc"), col("__grp"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(
+            when(!coalesce(col("__b"), lit(false)),
+              struct(col("__pos"), col("__line"))))),
+          s => s("__line")), sep).as("text"))
+      .select(col("__doc").as(idCol), col("__grp").as(groupCol),
+        col("text"), col("n_lines"), col("n_removed"))
+  }
+
   def gumbelTopK(weights: DataFrame, idCol: String, logwCol: String,
       k: Int, seed: String = "42"): DataFrame = {
     // u in (0,1): (h + 0.5) / 2^32 can reach neither 0 nor 1, so the double

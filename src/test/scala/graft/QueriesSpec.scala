@@ -110,4 +110,63 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  /** Null-salt lint (round-8 advice): the stock generator never emits NULLs
+    * in most columns, so a query that crashes (or silently misbehaves) on
+    * null data would ship green. This pass appends rows whose id columns
+    * are fresh and every OTHER column is NULL — ids stay non-null per the
+    * dedup/join families' documented numeric-id contract; embeddings get no
+    * salt rows because a NULL vector is not a state the pipeline admits —
+    * then re-runs EVERY registered query over the salted copy. Crashes
+    * surface here at authoring time; value-level Spark-vs-oracle null
+    * asymmetry is the companion gate, tools/nullsalt_check.py (DuckDB is
+    * not on this classpath).
+    */
+  private val saltIdCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq())
+
+  private def buildSaltedDir(): String = {
+    import org.apache.spark.sql.functions._
+    val out = "target/test-nullsalt"
+    val done = new java.io.File(s"$out/_done")
+    if (done.exists()) return out
+    for ((t, ids) <- saltIdCols) {
+      val src = spark.read.parquet(s"$sf001/$t.parquet")
+      val salted =
+        if (ids.isEmpty) src
+        else {
+          val maxes = src.agg(
+            ids.head -> "max", ids.tail.map(_ -> "max"): _*).collect().head
+          val salt = spark.range(7).select(src.schema.fields.map { f =>
+            val i = ids.indexOf(f.name)
+            if (i >= 0) (lit(maxes.getAs[Number](i).longValue) + col("id") + 1)
+              .cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+          src.unionByName(salt)
+        }
+      salted.coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    out
+  }
+
+  test("null-salt lint: every registered query runs over the salted corpus") {
+    val dir = buildSaltedDir()
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(160)}")
+        }
+    }
+    assert(failures.isEmpty, s"null-salted crashes:\n${failures.mkString("\n")}")
+  }
 }

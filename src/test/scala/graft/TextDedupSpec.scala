@@ -1037,4 +1037,44 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.last <= 1.0 + 1e-9)
   }
 
+  test("boilerplateStrip: flagged lines vanish from EVERY doc (first copy " +
+      "included), low-df lines survive the minDf floor, all-boiler docs stay") {
+    import graft.text.Curation
+    // src a: 4 docs, "nav" in all 4 (df=4 > 0.5*4 -> strip), "rare" in 2
+    // (df=2 passes minDf but 2 == 0.5*4 is NOT > threshold -> keep)
+    val docs = Seq(
+      (1L, "a", "nav\nalpha\nrare"),
+      (2L, "a", "nav\nbeta\nrare"),
+      (3L, "a", "nav\ngamma"),
+      (4L, "a", "nav"), // every line boiler -> must survive as empty doc
+      // src b: 2 docs sharing "nav" (df=2 > 0.5*2? 2 > 1 yes AND df>=2 ->
+      // stripped even in a 2-doc group; the minDf floor is for df=2..k
+      // only when the fraction test fails)
+      (5L, "b", "nav\ndelta"),
+      (6L, "b", "nav\nepsilon"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateStrip(docs, "doc_id", "source", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("alpha\nrare", 3L, 1L))) // first copy of nav gone too
+    assert(out(2L) == (("beta\nrare", 3L, 1L)))
+    assert(out(3L) == (("gamma", 2L, 1L)))
+    assert(out(4L) == (("", 1L, 1L))) // fully-boiler doc preserved, empty
+    assert(out(5L) == (("delta", 2L, 1L)))
+    assert(out(6L) == (("epsilon", 2L, 1L)))
+    assert(out.size == 6)
+  }
+
+  test("boilerplateStrip: a line duplicated WITHIN one doc counts df=1 " +
+      "(doc frequency, not occurrence count) and is kept") {
+    import graft.text.Curation
+    val docs = Seq(
+      (1L, "a", "echo\necho\necho\nbody1"),
+      (2L, "a", "body2"), (3L, "a", "body3"), (4L, "a", "body4"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateStrip(docs, "doc_id", "source", col("text"))
+      .filter(col("doc_id") === 1L).collect().head
+    assert(out.getString(2) == "echo\necho\necho\nbody1" && out.getLong(4) == 0L)
+  }
+
 }
