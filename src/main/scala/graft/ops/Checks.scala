@@ -103,4 +103,66 @@ object Checks {
       max(struct(col("__n").as("n"), col("__k").as("k")))
         .getField("k").as("hottest_key"))
   }
+
+  /** k-anonymity audit over a quasi-identifier (QI) tuple (Sweeney 2002):
+    * a row is re-identifiable when its QI combination is shared by fewer
+    * than k rows, so the release gate is "no QI group smaller than k".
+    * One summary row: group counts, how many groups/rows violate, the
+    * smallest group, and the suppression fraction a k-anonymous release
+    * would pay (violating rows / total) — the number a data-governance
+    * review asks for first.
+    *
+    * Scale shape: one map-side-combined groupBy on the QI tuple (the QI
+    * space is the operator's working set — bounded by distinct QI combos,
+    * not rows), then one scalar aggregate over the group-size table. No
+    * window, no join, no second data scan. NULL QI values form their own
+    * group (SQL groupBy semantics): NULL is a visible attribute state in a
+    * release and must be size-audited like any other.
+    */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val groups = df.groupBy(qi: _*).agg(count(lit(1)).as("__n"))
+    groups.agg(
+      sum(col("__n")).cast("bigint").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).cast("bigint")
+        .as("n_violating_groups"),
+      sum(when(col("__n") < k, col("__n")).otherwise(0L)).cast("bigint")
+        .as("rows_at_risk"),
+      min(col("__n")).cast("bigint").as("min_group_size"),
+      round(sum(when(col("__n") < k, col("__n")).otherwise(0L)).cast("double")
+        / sum(col("__n")).cast("double"), 6).as("suppressed_frac"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Differentially-private count release: per-group counts + Laplace(Δ/ε)
+    * noise (Dwork et al. 2006; sensitivity Δ=1 for counting queries), with
+    * the noise drawn DETERMINISTICALLY from a seeded md5 of the group key —
+    * the release is reproducible across runs, engines and re-partitions,
+    * which is what lets the DuckDB oracle replay it bit-for-bit (the same
+    * reason every sampler here ranks on md5, not rand()). u comes from a
+    * 32-bit md5 slice shifted into (0,1) so the inverse-CDF log is always
+    * finite; noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|).
+    *
+    * Privacy note: a keyed-hash draw is standard practice for reproducible
+    * DP releases (the seed must stay secret alongside the raw data — a
+    * public seed lets anyone subtract the noise). ε accounting across
+    * repeated releases is the caller's budget to manage.
+    *
+    * Scale shape: one map-side-combined groupBy; the noise projection runs
+    * over the ≤#groups result table, never data rows.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+      seed: String = "42"): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val key = concat_ws("|", lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    val u = (graft.text.TextAnalysis.md5Int32(key) + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = (lit(-1.0 / eps) * signum(centered)
+      * log(lit(1.0) - lit(2.0) * abs(centered)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n", round(col("n") + noise, 6))
+      .withColumn("eps", lit(eps))
+  }
 }

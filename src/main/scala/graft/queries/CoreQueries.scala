@@ -300,9 +300,60 @@ object CoreQueries extends QueryGroup {
       FROM byfold WINDOW w AS (PARTITION BY category)
       ORDER BY category, fold"""))
 
+  /** k-anonymity release audit (Checks.kAnonymityAudit): customers under
+    * the QI tuple (mktsegment, nationkey, acctbal-century) — the governance
+    * gate asking "how many rows are in groups smaller than k, and what
+    * suppression rate would a k-anonymous release pay". The acctbal bucket
+    * makes the QI space wide enough that small groups actually occur. */
+  val q267KAnonymity = QueryDef(
+    "q267_k_anonymity",
+    (s, d) => graft.ops.Checks.kAnonymityAudit(Tables.customer(s, d),
+      Seq(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 100).cast("long")), k = 5),
+    Some("""WITH g AS (SELECT c_mktsegment, c_nationkey,
+          CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating_groups,
+        CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+          AS rows_at_risk,
+        CAST(MIN(n) AS BIGINT) AS min_group_size,
+        ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(n) AS DOUBLE), 6) AS suppressed_frac,
+        CAST(5 AS INT) AS k
+      FROM g"""))
+
+  /** Seeded differentially-private count release (Checks.dpNoisyCounts):
+    * per-orderpriority counts + Laplace(1/ε) noise drawn from md5(seed|key)
+    * — reproducible across engines, so even the NOISE is exactly oracled.
+    * ε=0.5 makes the perturbation visibly nonzero at any SF. */
+  val q268DpCounts = QueryDef(
+    "q268_dp_counts",
+    (s, d) => graft.ops.Checks.dpNoisyCounts(Tables.orders(s, d),
+        Seq("o_orderpriority"), eps = 0.5)
+      .orderBy("o_orderpriority"),
+    Some("""WITH c AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+      u AS (SELECT o_orderpriority, n,
+          -- concat_ws, not ||: a NULL group key must hash as '42' on both
+          -- engines (|| would null the whole key)
+          (CAST(('0x' || substr(md5(concat_ws('|', '42',
+              CAST(o_orderpriority AS VARCHAR))), 1, 8))
+            AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS cu
+        FROM c)
+      SELECT o_orderpriority, n,
+        ROUND(n + (-1.0 / 0.5) * SIGN(cu) * LN(1.0 - 2.0 * ABS(cu)), 6)
+          AS noisy_n,
+        CAST(0.5 AS DOUBLE) AS eps
+      FROM u ORDER BY o_orderpriority NULLS FIRST"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q01PricingSummary, q02NullFractions, q03ValueCountsPct, q04ModeQty,
     q05Quantiles, q06IqrOutliers, q07DistinctCounts, q08TargetEncoding,
     q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges,
-    q130QualityGate, q131SkewReport, q133HeavyHitters, q136OofEncoding)
+    q130QualityGate, q131SkewReport, q133HeavyHitters, q136OofEncoding,
+    q267KAnonymity, q268DpCounts)
 }

@@ -950,10 +950,52 @@ object SimQueries extends QueryGroup {
       SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
       FROM r WHERE rank <= 3 ORDER BY qid, rank"""
 
+  /** Cell-scoped near-dup CLUSTERS (Similarity.cellScopedNearDupPairs +
+    * connected components): q68's cluster report on the PRUNED pair rung —
+    * the answer to q68's by-design quadratic slope in BENCH_SF1.json. Same
+    * threshold (0.4) and the q92 seed-centroid quantizer; the trade is
+    * visible in the output: clusters that q68 joins across cell borders
+    * split or vanish here, and that recall delta is exactly what the
+    * shared-oracle structure (q92's assignment CTEs verbatim) pins.
+    */
+  val q269CellClusters = QueryDef(
+    "q269_cell_clusters",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      val pairs = Similarity.cellScopedNearDupPairs(
+        e, "vec_id", "embedding", cents, 0.4)
+      graft.text.DedupOps.connectedComponents(
+          pairs, e.select(col("vec_id").as("doc")))
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
+        WHERE vec_id < 8),
+      ${argmaxCosSql("asg", "ev")},
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN ev x ON x.vec_id = a.vec_id
+        JOIN ev y ON y.vec_id = b.vec_id
+        WHERE ROUND(${cosineSql("x.v", "y.v")}, 6) >= 0.4),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
-    q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved)
+    q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
+    q269CellClusters)
 }

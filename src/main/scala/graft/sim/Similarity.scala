@@ -752,6 +752,39 @@ object Similarity {
     out
   }
 
+  /** Cell-scoped near-duplicate PAIRS: the pruned-rung pair generator for
+    * embedding similarity graphs. q68-style exact clustering needs the
+    * full pair relation, but all-pairs is O(n²) (measured 109x per data
+    * decade in the sf1 spot-check, BENCH_SF1.json); scoping pairs to
+    * quantizer cells shrinks the space to Σ|cell|² — SemDeDup's trade
+    * (Abbas et al. 2023): cross-cell near-dups are forfeited, within-cell
+    * recall is exact. Shares [[semDedup]]'s deterministic `assignCells`
+    * (rounded-cosine argmax, smaller-cell ties) so an external engine can
+    * replay the pair set verbatim. Output: (cell, d1, d2, sim) with
+    * d1 < d2 and 6-rounded sim ≥ threshold.
+    *
+    * Scale shape: one broadcast centroid assignment over the data, one
+    * cell equi-join (the only shuffle of the vectors), pairs filtered
+    * before leaving the join. Eagerly checkpointed (the PRUNED pair set is
+    * small) so the cached assignment can be released immediately.
+    */
+  def cellScopedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assignCells(df, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cell"), col("id").as("d1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val r = assigned.select(col("cell"), col("id").as("d2"),
+      col("v").as("v2"), col("n").as("n2"))
+    val out = l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
+      .withColumn("sim", safeSim(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("d1"), col("d2"), col("sim"))
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
+  }
+
   private def bandedLshPairs(vecs: DataFrame, threshold: Double,
       bandBits: Int, bands: Int): DataFrame = {
     val banded = vecs.select(col("id"), col("v"), col("n"),

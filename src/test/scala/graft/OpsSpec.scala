@@ -151,4 +151,41 @@ class OpsSpec extends SparkSpec {
     // mean = 100/11; skew = 90/(100/11) = 9.9
     assert(math.abs(r.getAs[Double]("skew_factor") - 9.9) < 1e-6)
   }
+
+  test("Checks.kAnonymityAudit: counts violating groups/rows, NULL QI is " +
+      "its own auditable group") {
+    // groups: (a,1)x5 safe, (a,2)x2 at risk, (b,1)x1 at risk, (null,1)x3 at risk
+    val df = (Seq.fill(5)(("a", Some(1))) ++ Seq.fill(2)(("a", Some(2)))
+      ++ Seq(("b", Some(1))) ++ Seq.fill(3)((null: String, Some(1))))
+      .toDF("seg", "grp")
+    val r = Checks.kAnonymityAudit(df, Seq(col("seg"), col("grp")), k = 5)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 11L)
+    assert(r.getAs[Long]("n_groups") == 4L)
+    assert(r.getAs[Long]("n_violating_groups") == 3L)
+    assert(r.getAs[Long]("rows_at_risk") == 6L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(math.abs(r.getAs[Double]("suppressed_frac") - 6.0 / 11) < 1e-6)
+  }
+
+  test("Checks.dpNoisyCounts: noise is seeded-deterministic, mean-zero-ish, " +
+      "and scales as 1/eps") {
+    val df = (1 to 100).map(i => ("g" + (i % 10), i)).toDF("g", "v")
+    val a = Checks.dpNoisyCounts(df, Seq("g"), eps = 0.5).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("noisy_n")).toMap
+    val b = Checks.dpNoisyCounts(df, Seq("g"), eps = 0.5).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("noisy_n")).toMap
+    assert(a == b) // identical release on re-run — deterministic by seed
+    val tight = Checks.dpNoisyCounts(df, Seq("g"), eps = 5.0).collect()
+      .map(r => math.abs(r.getAs[Double]("noisy_n") - r.getAs[Long]("n")))
+    val loose = Checks.dpNoisyCounts(df, Seq("g"), eps = 0.5).collect()
+      .map(r => math.abs(r.getAs[Double]("noisy_n") - r.getAs[Long]("n")))
+    // same per-key uniforms, scale 1/eps: each loose residual is exactly
+    // 10x its tight twin (up to the round-6 of the released value)
+    assert(tight.zip(loose).forall { case (t, l) => math.abs(l - 10 * t) < 1e-4 })
+    // a different seed moves the release
+    val s2 = Checks.dpNoisyCounts(df, Seq("g"), eps = 0.5, seed = "43")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("noisy_n")).toMap
+    assert(s2 != a)
+  }
 }

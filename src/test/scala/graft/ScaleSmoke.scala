@@ -202,6 +202,21 @@ object ScaleSmoke {
       graft.ops.EventAnalytics.sloBurnRate(ev, col("ts"), col("err"),
         budget = 0.2).count()
     }
+    time("boilerplate-strip-1M-docs") {
+      // 1000 sources x 1000 docs; a nav line shared by the whole source
+      // (the VIRAL line the broadcast probe must survive), a ~30%-df promo
+      // line, and a unique body — ~5M exploded lines total
+      val lined = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 1000).cast("string").as("source"),
+        concat_ws("\n",
+          concat(lit("nav for source "), (col("id") % 1000).cast("string")),
+          when(col("id") % 3 === 0, lit("promo line shared across the source")),
+          concat(lit("body "), md5(col("id").cast("string"))),
+          lit("global footer carried by every page in the corpus")).as("text"))
+      graft.text.Curation.boilerplateStrip(
+        lined, "doc_id", "source", col("text"), minDf = 2, maxDfFrac = 0.25)
+        .agg(sum("n_removed")).count()
+    }
     spark.stop()
   }
 }
