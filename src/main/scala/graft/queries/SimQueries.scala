@@ -174,6 +174,87 @@ object SimQueries extends QueryGroup {
     },
     Some(ivfLloydProbeOracle))
 
+  /** RANGE search on the Lloyd IVF index (Similarity.rangeSearchIvfIndex):
+    * every probed-cell neighbor with rounded cosine ≥ 0.2 — radius
+    * semantics, no k cap, completing the FAISS-style index read API
+    * (top-k = q65, saved probe = q143, range = here). Same quantizer
+    * trajectory as q65; the oracle replays build, nProbe=2 probing and the
+    * threshold filter CTE for CTE. */
+  val q270IvfRange = QueryDef(
+    "q270_ivf_range",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      Similarity.rangeSearchIvfIndex(idx, e.filter(col("vec_id") < 6),
+        "vec_id", "embedding", minSim = 0.2, nProbe = 2)
+        .orderBy("qid", "cid")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      ${argminCellSql("asg", "c2")},
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 6),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 2)
+      SELECT pr.qid, a.vec_id AS cid, ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+      FROM pr JOIN asg a ON a.cell = pr.cell
+      JOIN ev e ON e.vec_id = a.vec_id
+      JOIN q ON q.vec_id = pr.qid
+      WHERE a.vec_id <> pr.qid
+        AND ROUND(${cosineSql("q.v", "e.v")}, 6) >= 0.2
+      ORDER BY pr.qid, cid"""))
+
+  /** Incremental index ADD (Similarity.addToIvfIndex): the quantizer
+    * trains on the EVEN half only, the odd half is added afterwards under
+    * the frozen centroids, and the probe runs over the combined cells —
+    * the daily-ingest write path where rebuilding per batch is
+    * unaffordable. The invariant the oracle pins: because add uses the
+    * same nearest-cell projection as the build's own assignment, the
+    * combined cells table equals assigning the FULL corpus against the
+    * even-trained centroids. */
+  val q271IvfAdd = QueryDef(
+    "q271_ivf_add",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndexLloyd(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      val grown = Similarity.addToIvfIndex(
+        idx, e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      Similarity.queryIvfIndex(grown, e.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      evn AS (SELECT vec_id, v FROM ev WHERE vec_id % 2 = 0),
+      pxn AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM evn)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM evn WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0", "evn", "pxn")},
+      ${lloydStepSql("a2", "c2", "c1", "evn", "pxn")},
+      ${argminCellSql("asg", "c2")},
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 6),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 2),
+      cand AS (SELECT pr.qid, a.vec_id AS cid, ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+        FROM pr JOIN asg a ON a.cell = pr.cell
+        JOIN ev e ON e.vec_id = a.vec_id
+        JOIN q ON q.vec_id = pr.qid
+        WHERE a.vec_id <> pr.qid),
+      r AS (SELECT qid, cid, sim, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS INT) AS rank FROM cand)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -997,5 +1078,5 @@ object SimQueries extends QueryGroup {
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
-    q269CellClusters)
+    q269CellClusters, q270IvfRange, q271IvfAdd)
 }

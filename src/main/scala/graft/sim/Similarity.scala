@@ -557,6 +557,88 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** RANGE search against a built index (FAISS `range_search` parity, in
+    * the library's headline cosine metric): every probed-cell corpus vector
+    * with rounded cosine ≥ `minSim` per query — no k cap, the result size
+    * is data-dependent by definition. Probe ranking and scoring carry the
+    * exact cross-engine contract of [[queryIvfIndex]] (rounded squared-L2
+    * probes, smaller-cell ties, round-6 cosine), so against a
+    * [[buildIvfIndexLloyd]] index the whole query replays in external SQL
+    * (q270's oracle).
+    *
+    * Scale shape: identical to the top-k path — broadcast probe table, cell
+    * equi join pruning candidates to ≈ nProbe/nLists of the corpus — except
+    * the output is the threshold-filtered candidate set itself rather than
+    * a bounded heap. A caller who needs bounded output per query composes
+    * this with [[queryIvfIndex]] instead; range search is for radius
+    * semantics (dedup sweeps, recall audits) where the full neighborhood is
+    * the answer.
+    */
+  def rangeSearchIvfIndex(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probeAgg = udaf(new TopKAgg(nProbe), Encoders.product[ScoredHit])
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("negd", -round(dist2(col("qv"), col("centroid")), 6))
+      .groupBy("qid").agg(probeAgg(col("cell").cast("long"), col("negd")).as("hits"))
+      .select(col("qid"), explode(col("hits.cid")).as("cell"))
+      .select(col("qid"), col("cell").cast("int").as("cell"))
+    index.cells.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", safeSim(col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("sim") >= minSim)
+      .select(col("qid"), col("cid"), col("sim"))
+  }
+
+  /** Incremental index ADD — the production write path a rebuild-per-batch
+    * deployment lacks: new vectors take their nearest EXISTING centroid
+    * (the same [[nearestCell]] projection the build used, so
+    * build-then-add ≡ build-over-union for the cells table) and append to
+    * the cells relation; centroids are untouched. Quantizer drift is the
+    * caller's maintenance trade, exactly as in FAISS `IndexIVF.add`.
+    *
+    * Scale shape: one narrow projection over the batch (centroids ride
+    * along as codegen literals — bounded nLists×dim driver collect), zero
+    * shuffles, no touch of the existing cells data.
+    */
+  def addToIvfIndex(index: IvfIndex, batch: DataFrame,
+      idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.cells.unionByName(assignToCells(index, batch, idCol, vecCol)))
+
+  /** [[addToIvfIndex]] against a SAVED index: assigns the batch with the
+    * stored quantizer and appends the new rows to the partitioned cells
+    * parquet (dynamic partition overwrite is NOT used — this is a pure
+    * append, so concurrent readers keep a consistent view of existing
+    * cells). Returns the appended row count.
+    */
+  def appendToSavedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val idx = loadIvfIndex(spark, dir)
+    val assigned = assignToCells(idx, batch, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    assigned.unpersist(blocking = false)
+    n
+  }
+
+  /** Batch → cells rows under an existing quantizer (shared by the add
+    * paths): (cid, cv, cell, cn) in the cells-table shape. */
+  private def assignToCells(index: IvfIndex, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = index.centroids.orderBy("cell").collect() // bounded: nLists rows
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+    batch.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+      .withColumn("cn", norm(col("cv")))
+  }
+
   /** Bucket id of band `l`: the packed sign bits of hyperplanes
     * [l·bandBits, (l+1)·bandBits). Bands use disjoint global plane indices,
     * so bit positions never collide across bands.

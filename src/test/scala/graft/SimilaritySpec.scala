@@ -329,6 +329,58 @@ class SimilaritySpec extends SparkSpec {
     assert(parts.length == 8, s"expected 8 cell partitions, got ${parts.length}")
   }
 
+  test("addToIvfIndex: build-on-half then add ≡ assigning the full corpus " +
+      "under the frozen quantizer; saved append answers identically") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val idx = Similarity.buildIvfIndexLloyd(even, "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    val grown = Similarity.addToIvfIndex(idx, odd, "vec_id", "embedding")
+    // the pinned invariant: add uses the build's own nearest-cell
+    // projection, so the grown cells relation equals a from-scratch
+    // assignment of the union under the same centroids
+    val fullAssign = Similarity.addToIvfIndex(
+      idx.copy(cells = idx.cells.limit(0)), emb, "vec_id", "embedding")
+    val a = grown.cells.select("cid", "cell").as[(Long, Int)].collect().toSet
+    val b = fullAssign.cells.select("cid", "cell").as[(Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+
+    // saved-index append path: save even-built, append odd, reload —
+    // queries answer exactly like the in-memory grown index
+    val queries = emb.filter($"vec_id" < 5)
+    val expect = Similarity.queryIvfIndex(grown, queries, "vec_id",
+      "embedding", k = 5).select("qid", "rank", "cid")
+      .as[(Long, Int, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf-add").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val n = Similarity.appendToSavedIvfIndex(spark, dir, odd, "vec_id", "embedding")
+    assert(n == odd.count())
+    val reloaded = Similarity.loadIvfIndex(spark, dir)
+    val got = Similarity.queryIvfIndex(reloaded, queries, "vec_id",
+      "embedding", k = 5).select("qid", "rank", "cid")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("rangeSearchIvfIndex: exactly the probed-cell neighbors at or above " +
+      "the threshold — the threshold-filtered top-k candidate set") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndexLloyd(emb, "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    // k larger than any cell: top-k over the same probes = full candidate set
+    val all = Similarity.queryIvfIndex(idx, queries, "vec_id", "embedding",
+      k = 100000, nProbe = 2)
+    val expect = all.filter($"sim" >= 0.2).select("qid", "cid", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Similarity.rangeSearchIvfIndex(idx, queries, "vec_id",
+      "embedding", minSim = 0.2, nProbe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    assert(got.forall(_._3 >= 0.2))
+  }
+
   test("int8 quantization: error bounded by scale/2, top-k recall stays high") {
     import graft.sim.Quantization
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
