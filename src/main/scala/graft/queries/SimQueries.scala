@@ -255,6 +255,95 @@ object SimQueries extends QueryGroup {
           ORDER BY sim DESC, cid) AS INT) AS rank FROM cand)
       SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Covariance/means CTE block shared by the q272 and q273 oracles —
+    * DECIMAL-exact Gram + positional sums off ONE px self-join, the
+    * textbook one-pass population covariance, rounded to 6. Positions are
+    * 1-based inside the SQL (DuckDB list indexing); the q272 SELECT
+    * shifts to the library's 0-based output. */
+  private def covSqlBlock: String =
+    s"""px AS MATERIALIZED (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ev),
+      sx AS (SELECT pos, CAST(SUM(CAST(val AS DECIMAL(38,8))) AS DOUBLE) AS s
+        FROM px GROUP BY pos),
+      g AS (SELECT a.pos AS i, b.pos AS j,
+          CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2),
+      covu AS MATERIALIZED (SELECT g.i, g.j,
+          ROUND((g.sxy - sa.s * sb.s / nn.n) / nn.n, 6) AS c
+        FROM g JOIN sx sa ON sa.pos = g.i JOIN sx sb ON sb.pos = g.j, nn)"""
+
+  /** One deterministic power-iteration step as three DuckDB CTEs:
+    * w = C·v with DECIMAL-summed products, nrm = √(DECIMAL-summed w²),
+    * v' = round6(w/nrm) — mirroring Pca.topComponent step for step.
+    * Every CTE is MATERIALIZED: w$k is referenced twice, and without the
+    * hint DuckDB's inliner expands the 12-step chain multiplicatively
+    * (measured: the un-hinted oracle did not finish in minutes; hinted it
+    * runs in milliseconds). */
+  private def powerStepSql(k: Int): String =
+    s"""w$k AS MATERIALIZED (SELECT c.i,
+          CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
+      n$k AS MATERIALIZED (SELECT SQRT(CAST(SUM(CAST(w * w AS
+          DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$k),
+      v$k AS MATERIALIZED (SELECT i, ROUND(w / nrm, 6) AS x FROM w$k, n$k)"""
+
+  /** Embedding covariance matrix (Pca.covarianceMatrix): the full 64-dim
+    * upper triangle as (i, j, cov) — the input statistic for whitening /
+    * dominant-direction removal over an anisotropic embedding space. One
+    * corpus pass (flattened per-row product array → positional DECIMAL
+    * sums); the oracle computes the same sums from a px self-join. */
+  val q272EmbedCov = QueryDef(
+    "q272_embed_cov",
+    (s, d) => graft.sim.Pca.covarianceMatrix(
+      Tables.embeddings(s, d), "embedding", dim = 64).orderBy("i", "j"),
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock
+      -- + 0.0 normalizes DuckDB ROUND's -0.0 to +0.0 (Spark's
+      -- BigDecimal-based round has no negative zero); exact for all
+      -- other doubles
+      SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+        c + 0.0 AS cov
+      FROM covu ORDER BY i, j"""))
+
+  /** Top principal component by 12 FIXED power-iteration steps
+    * (Pca.topComponent) + centered projection of the first 10 vectors
+    * (Pca.project) — "All-but-the-Top"'s dominant direction, exactly
+    * replayable: the oracle unrolls covariance, all 12 steps and the
+    * projection CTE for CTE. Convergence quality is the spec's job
+    * (Rayleigh growth); the oracle pins the trajectory. */
+  val q273PcaPower = QueryDef(
+    "q273_pca_power",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
+      val pc = graft.sim.Pca.topComponent(cov, dim = 64, iters = 12)
+      val means = graft.sim.Pca.positionMeans(e, "embedding", dim = 64)
+      graft.sim.Pca.project(e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", pc, means)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      -- v0 = round6(1/sqrt(64)) = 0.125 exactly (no rounding ambiguity)
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn)
+      -- + 0.0: normalize DuckDB ROUND's -0.0 (see q272)
+      SELECT p.vec_id,
+        ROUND(CAST(SUM(CAST(v.x * (p.val - m.m) AS DECIMAL(38,12)))
+          AS DOUBLE), 6) + 0.0 AS score
+      FROM px p JOIN v12 v ON v.i = p.pos JOIN means m ON m.pos = p.pos
+      WHERE p.vec_id < 10 GROUP BY p.vec_id ORDER BY p.vec_id"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -1078,5 +1167,5 @@ object SimQueries extends QueryGroup {
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
-    q269CellClusters, q270IvfRange, q271IvfAdd)
+    q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Pca
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-d cloud stretched along (1,1): the dominant component is the
+  // analytic (1/√2, 1/√2) up to round-6
+  private def cloud = Seq(
+    (0L, Seq(1.0f, 0.9f)), (1L, Seq(2.0f, 2.1f)), (2L, Seq(3.0f, 3.0f)),
+    (3L, Seq(-1.0f, -1.1f)), (4L, Seq(0.5f, 0.4f)), (5L, Seq(-2.0f, -1.9f)))
+    .toDF("vec_id", "embedding")
+
+  test("covarianceMatrix: matches the direct population formula; " +
+      "malformed/null vectors are excluded, not zero-averaged") {
+    val withBad = cloud.unionByName(
+      Seq((6L, Seq(9.0f)), (7L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = Pca.covarianceMatrix(withBad, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val xs = Seq(1.0, 2.0, 3.0, -1.0, 0.5, -2.0)
+    val ys = Seq(0.9, 2.1, 3.0, -1.1, 0.4, -1.9)
+    def cov(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+    }
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 1)))
+    assert(math.abs(got((0, 0)) - cov(xs, xs)) < 1e-5)
+    assert(math.abs(got((0, 1)) - cov(xs, ys)) < 1e-5)
+    assert(math.abs(got((1, 1)) - cov(ys, ys)) < 1e-5)
+  }
+
+  test("topComponent converges to the analytic dominant direction and the " +
+      "Rayleigh quotient grows; projection is centered") {
+    val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
+    val pc = Pca.topComponent(covDf, dim = 2, iters = 20)
+    val v = pc.sortBy(_._1).map(_._2)
+    // analytic eigenvector of a near-symmetric 2x2 stretched along (1,1)
+    assert(math.abs(math.abs(v(0)) - 0.7071) < 0.02 &&
+      math.abs(math.abs(v(1)) - 0.7071) < 0.02 && v(0) * v(1) > 0,
+      s"expected ~(±.707, ±.707) same-sign, got $v")
+    // Rayleigh quotient at 20 iters >= at 1 iter (power iteration ascends)
+    val c = covDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def rayleigh(u: Seq[Double]): Double =
+      (for { i <- 0 to 1; j <- 0 to 1 }
+        yield u(i) * u(j) * c(if (i <= j) (i, j) else (j, i))).sum
+    val v1 = Pca.topComponent(covDf, dim = 2, iters = 1).sortBy(_._1).map(_._2)
+    assert(rayleigh(v) >= rayleigh(v1) - 1e-9)
+
+    val means = Pca.positionMeans(cloud, "embedding", 2)
+    val scores = Pca.project(cloud, "vec_id", "embedding", pc, means)
+      .select("score").as[Double].collect()
+    assert(scores.length == 6)
+    assert(math.abs(scores.sum) < 1e-4, // centered projection sums to ~0
+      s"projection not centered: sum=${scores.sum}")
+  }
+}
