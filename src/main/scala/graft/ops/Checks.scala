@@ -135,6 +135,35 @@ object Checks {
       .withColumn("k", lit(k))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007), the companion gate
+    * to [[kAnonymityAudit]]: k-anonymity bounds group SIZE, but a large
+    * group whose sensitive attribute is constant still leaks — so the
+    * release gate is "every QI group carries ≥ l DISTINCT sensitive
+    * values". One summary row mirroring the k-audit's shape. NULL
+    * sensitive values are NOT counted as a distinct value (SQL
+    * COUNT(DISTINCT) semantics — an absent attribute discloses nothing);
+    * NULL QI values form their own group, as in the k-audit.
+    *
+    * Scale shape: one map-side-combined groupBy on (QI, distinct
+    * sensitive) — Spark plans countDistinct as a two-phase expand —
+    * then one scalar reduce over the ≤#groups table.
+    */
+  def lDiversityAudit(df: DataFrame, qi: Seq[Column], sensitive: Column,
+      l: Int): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    val groups = df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("__n"), countDistinct(sensitive).as("__d"))
+    groups.agg(
+      sum(col("__n")).cast("bigint").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__d") < l, 1L).otherwise(0L)).cast("bigint")
+        .as("n_violating_groups"),
+      sum(when(col("__d") < l, col("__n")).otherwise(0L)).cast("bigint")
+        .as("rows_at_risk"),
+      min(col("__d")).cast("bigint").as("min_diversity"))
+      .withColumn("l", lit(l))
+  }
+
   /** Differentially-private count release: per-group counts + Laplace(Δ/ε)
     * noise (Dwork et al. 2006; sensitivity Δ=1 for counting queries), with
     * the noise drawn DETERMINISTICALLY from a seeded md5 of the group key —

@@ -326,6 +326,31 @@ object CoreQueries extends QueryGroup {
         CAST(5 AS INT) AS k
       FROM g"""))
 
+  /** l-diversity release audit (Checks.lDiversityAudit), the q267
+    * companion: same QI tuple minus the balance bucket, which instead
+    * becomes the SENSITIVE attribute — a (segment, nation) group whose
+    * members all share one balance century is disclosive no matter how
+    * big it is. l=3. */
+  val q275LDiversity = QueryDef(
+    "q275_l_diversity",
+    (s, d) => graft.ops.Checks.lDiversityAudit(Tables.customer(s, d),
+      Seq(col("c_mktsegment"), col("c_nationkey")),
+      floor(col("c_acctbal") / 100).cast("long"), l = 3),
+    Some("""WITH g AS (SELECT c_mktsegment, c_nationkey,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT))
+            AS BIGINT) AS d
+        FROM customer GROUP BY 1, 2)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating_groups,
+        CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+          AS rows_at_risk,
+        CAST(MIN(d) AS BIGINT) AS min_diversity,
+        CAST(3 AS INT) AS l
+      FROM g"""))
+
   /** Seeded differentially-private count release (Checks.dpNoisyCounts):
     * per-orderpriority counts + Laplace(1/ε) noise drawn from md5(seed|key)
     * — reproducible across engines, so even the NOISE is exactly oracled.
@@ -355,5 +380,5 @@ object CoreQueries extends QueryGroup {
     q05Quantiles, q06IqrOutliers, q07DistinctCounts, q08TargetEncoding,
     q09Corr, q11SubstringFilter, q12NullSafeFilter, q15ProvinceRanges,
     q130QualityGate, q131SkewReport, q133HeavyHitters, q136OofEncoding,
-    q267KAnonymity, q268DpCounts)
+    q267KAnonymity, q268DpCounts, q275LDiversity)
 }

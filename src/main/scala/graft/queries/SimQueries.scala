@@ -344,6 +344,40 @@ object SimQueries extends QueryGroup {
       FROM px p JOIN v12 v ON v.i = p.pos JOIN means m ON m.pos = p.pos
       WHERE p.vec_id < 10 GROUP BY p.vec_id ORDER BY p.vec_id"""))
 
+  /** Isotropy audit (Pca.isotropyAudit): the share of total variance the
+    * q273 dominant component carries — the "All-but-the-Top" diagnostic
+    * that says whether cosine thresholds over this space are skewed by a
+    * common direction. λ1 is the Rayleigh quotient of the 12-step power
+    * iterate, computed as w = C·v then Σ w·v (both scale-12 DECIMAL
+    * sums); trace is the DECIMAL-summed covariance diagonal. */
+  val q274Isotropy = QueryDef(
+    "q274_isotropy",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
+      val pc = graft.sim.Pca.topComponent(cov, dim = 64, iters = 12)
+      graft.sim.Pca.isotropyAudit(cov, pc)
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      wf AS MATERIALIZED (SELECT c.i,
+          CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM cov c JOIN v12 v ON v.i = c.j GROUP BY c.i),
+      lam AS (SELECT CAST(SUM(CAST(wf.w * v.x AS DECIMAL(38,12)))
+          AS DOUBLE) AS l1
+        FROM wf JOIN v12 v ON v.i = wf.i),
+      tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS trace
+        FROM covu WHERE i = j)
+      SELECT CAST(64 AS INT) AS dim, ROUND(trace, 6) AS trace,
+        ROUND(l1, 6) AS lambda1, ROUND(l1 / trace, 6) AS explained_share
+      FROM lam, tr"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -1167,5 +1201,6 @@ object SimQueries extends QueryGroup {
     q98AnnRecall, q108HardNegatives, q117IvfLloyd, q122IncrementalSemdedup,
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
-    q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower)
+    q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
+    q274Isotropy)
 }

@@ -103,18 +103,24 @@ object Pca {
     * the [[Similarity.lloydCentroids]] iterate-and-collect shape. Returns
     * (0-based position → loading), ‖·‖ = 1 up to round-6.
     */
-  def topComponent(cov: DataFrame, dim: Int, iters: Int): Seq[(Int, Double)] = {
+  /** Upper-triangle covariance relation → full symmetric (i, j, c),
+    * driver-held (bounded dim² rows) so iterations never re-derive the
+    * covariance from data. */
+  private def mirrorFull(cov: DataFrame): DataFrame = {
     val spark = cov.sparkSession
     import spark.implicits._
-    // mirror the upper triangle once; bounded dim² rows, driver-held so
-    // the iteration never re-derives the covariance from data
-    val fullRows = cov.select(col("i").cast("int"), col("j").cast("int"),
+    cov.select(col("i").cast("int"), col("j").cast("int"),
       col("cov").cast("double")).collect()
       .flatMap { r =>
         val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
         if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
-      }.toSeq
-    val full = fullRows.toDF("i", "j", "c")
+      }.toSeq.toDF("i", "j", "c")
+  }
+
+  def topComponent(cov: DataFrame, dim: Int, iters: Int): Seq[(Int, Double)] = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val full = mirrorFull(cov)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // HALF_UP at scale 6, matching Spark's round() and DuckDB's ROUND()
@@ -145,6 +151,41 @@ object Pca {
           .sortBy(_._1).toSeq
       }
     } finally { full.unpersist(blocking = false); () }
+  }
+
+  /** Isotropy audit — the diagnostic behind "All-but-the-Top": how much of
+    * the total variance (trace) the dominant component carries. An
+    * isotropic embedding space has explained_share ≈ 1/dim; a value far
+    * above it says cosine similarities are dominated by one common
+    * direction and dedup/ANN thresholds are miscalibrated until it is
+    * removed. One row: (dim, trace, lambda1, explained_share), λ1 as the
+    * Rayleigh quotient vᵀCv of the [[topComponent]] loading, computed as
+    * w = C·v (the scale-12-exact power-step product) then Σ w·v — never a
+    * three-factor product, whose 18 exact decimal digits would not survive
+    * a double and would make the decimal casts engine-ambiguous.
+    *
+    * Bounded end to end: every input relation is dim²-sized.
+    */
+  def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame = {
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val dim = loading.length
+    val full = mirrorFull(cov)
+    val vdf = loading.toDF("j", "x")
+    val w = full.join(broadcast(vdf), Seq("j"))
+      .groupBy("i")
+      .agg(sum((col("c") * col("x")).cast("decimal(38,12)"))
+        .cast("double").as("w"))
+    val lam = w.join(broadcast(loading.toDF("i", "x")), Seq("i"))
+      .agg(sum((col("w") * col("x")).cast("decimal(38,12)"))
+        .cast("double").as("l1"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("cov").cast("decimal(38,8)")).cast("double").as("trace"))
+    lam.crossJoin(broadcast(tr))
+      .select(lit(dim).as("dim"),
+        round(col("trace"), 6).as("trace"),
+        round(col("l1"), 6).as("lambda1"),
+        round(col("l1") / col("trace"), 6).as("explained_share"))
   }
 
   /** Centered projection of each vector onto a loading: one row

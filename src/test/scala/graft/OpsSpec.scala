@@ -168,6 +168,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("suppressed_frac") - 6.0 / 11) < 1e-6)
   }
 
+  test("Checks.lDiversityAudit: flags constant-sensitive groups regardless " +
+      "of size; NULL sensitive values are not a distinct value") {
+    // (a): 5 rows, sensitive all 7 -> d=1, at risk despite size
+    // (b): 3 rows, sensitive {1,2,3} -> d=3, safe
+    // (c): 2 rows, sensitive {4, NULL} -> d=1 (NULL not counted), at risk
+    val df = (Seq.fill(5)(("a", Some(7))) ++
+      Seq(("b", Some(1)), ("b", Some(2)), ("b", Some(3))) ++
+      Seq(("c", Some(4)), ("c", None))).toDF("seg", "sens")
+    val r = Checks.lDiversityAudit(df, Seq(col("seg")), col("sens"), l = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violating_groups") == 2L)
+    assert(r.getAs[Long]("rows_at_risk") == 7L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+  }
+
   test("Checks.dpNoisyCounts: noise is seeded-deterministic, mean-zero-ish, " +
       "and scales as 1/eps") {
     val df = (1 to 100).map(i => ("g" + (i % 10), i)).toDF("g", "v")

@@ -59,4 +59,16 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(scores.sum) < 1e-4, // centered projection sums to ~0
       s"projection not centered: sum=${scores.sum}")
   }
+
+  test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
+      "dominant component; lambda1 never exceeds the trace") {
+    val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
+    val r = Pca.isotropyAudit(covDf, Pca.topComponent(covDf, 2, 20))
+      .collect().head
+    val (tr, l1, share) = (r.getAs[Double]("trace"),
+      r.getAs[Double]("lambda1"), r.getAs[Double]("explained_share"))
+    assert(r.getAs[Int]("dim") == 2)
+    assert(l1 <= tr + 1e-9 && l1 > 0)
+    assert(share > 0.99, s"rank-1-ish cloud should be ~1, got $share")
+  }
 }
