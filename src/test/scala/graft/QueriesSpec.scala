@@ -95,7 +95,11 @@ class QueriesSpec extends SparkSpec {
     "q258_cuped", // 1-row midpoint + 1-row pooled-moments frames
     "q259_kn_bigram_nll", // 1-row bigram-type total, the q103 shape
     "q260_broken_trend", // 1-row CUSUM-split frame over the ≤#days series
-    "q262_pq_recall") // q48's broadcast-query exact twin beside the ADC path
+    "q262_pq_recall", // q48's broadcast-query exact twin beside the ADC path
+    // q270/q271: the q65/q143 probe shape — each query crossJoins the
+    // broadcast ≤nLists-row centroid table to rank probes
+    "q270_ivf_range", "q271_ivf_add",
+    "q274_isotropy") // 1-row λ1 frame × 1-row trace frame
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {

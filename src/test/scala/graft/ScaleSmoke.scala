@@ -202,6 +202,26 @@ object ScaleSmoke {
       graft.ops.EventAnalytics.sloBurnRate(ev, col("ts"), col("err"),
         budget = 0.2).count()
     }
+    time("pca-cov-1M-x-64") {
+      // 1M pseudo-random 64-dim vectors (sin-of-id — codegen'd, no RNG);
+      // the cost to watch is the per-row 2 080-product flatten + the
+      // 2B-row posexplode feeding a 2 144-group map-side-combined agg —
+      // shuffle volume stays partitions x 2 144 partials
+      val vecs = spark.range(n).select(
+        transform(sequence(lit(0), lit(63)),
+          j => sin(col("id") * (j + 1))).as("embedding"))
+      graft.sim.Pca.covarianceMatrix(vecs, "embedding", 64).count()
+    }
+    time("ivf-range-search-1M-x-16") {
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          j => sin(col("id") * (j + 1))).as("embedding")).localCheckpoint(true)
+      val idx = graft.sim.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+        nLists = 32)
+      graft.sim.Similarity.rangeSearchIvfIndex(idx,
+        vecs.filter(col("vec_id") < 50), "vec_id", "embedding",
+        minSim = 0.9, nProbe = 2).count()
+    }
     time("boilerplate-strip-1M-docs") {
       // 1000 sources x 1000 docs; a nav line shared by the whole source
       // (the VIRAL line the broadcast probe must survive), a ~30%-df promo
