@@ -142,6 +142,18 @@ object BenchPins {
     "q258_cuped" -> 0.658, "q259_kn_bigram_nll" -> 2.321, "q260_broken_trend" -> 0.951, "q261_pq_adc" -> 3.635, "q262_pq_recall" -> 2.217,
     "q263_ivf_pq" -> 3.063, "q264_ivfpq_saved" -> 1.177,
     "q265_det_leaderboard" -> 5.012, "q266_boilerplate" -> 0.54,
+    // q267-q275 pinned in round 9: q267-q271/q275 from the full-registry
+    // warm-min detail run (`Bench q`, reversed re-time); q272-q274 from
+    // the post-driver-rewrite isolated warm run (the in-run numbers
+    // predate the Pca iterate-on-driver change that halved q273/q274).
+    // q272's number measures the count()-pruned plan (value columns
+    // pruned by the bench's count action); the oracle path pays the
+    // decimal sums and is gated by correctness, not this pin.
+    "q267_k_anonymity" -> 0.147, "q268_dp_counts" -> 0.247,
+    "q269_cell_clusters" -> 1.311, "q270_ivf_range" -> 0.897,
+    "q271_ivf_add" -> 1.301, "q272_embed_cov" -> 1.347,
+    "q273_pca_power" -> 6.914, "q274_isotropy" -> 6.156,
+    "q275_l_diversity" -> 0.099,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,
     "q28_epc_bucket" -> 0.219, "q29_try_cast" -> 0.125,

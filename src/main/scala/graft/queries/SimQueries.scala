@@ -319,9 +319,11 @@ object SimQueries extends QueryGroup {
     "q273_pca_power",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
+      // one corpus pass: cov + centering means off the same positional
+      // aggregate; the eigen-iteration is driver-side on the dim² matrix
+      val (cov, means) = graft.sim.Pca.covarianceWithMeans(e, "embedding",
+        dim = 64)
       val pc = graft.sim.Pca.topComponent(cov, dim = 64, iters = 12)
-      val means = graft.sim.Pca.positionMeans(e, "embedding", dim = 64)
       graft.sim.Pca.project(e.filter(col("vec_id") < 10), "vec_id",
         "embedding", pc, means)
         .withColumnRenamed("id", "vec_id")
@@ -354,9 +356,11 @@ object SimQueries extends QueryGroup {
     "q274_isotropy",
     (s, d) => {
       val e = Tables.embeddings(s, d)
+      // collect the bounded covariance ONCE; iteration + audit are
+      // driver-side off the same matrix
       val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
-      val pc = graft.sim.Pca.topComponent(cov, dim = 64, iters = 12)
-      graft.sim.Pca.isotropyAudit(cov, pc)
+      val m = graft.sim.Pca.collectCovariance(cov, dim = 64)
+      graft.sim.Pca.isotropyAudit(s, m, graft.sim.Pca.topComponent(m, iters = 12))
     },
     Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -26,8 +26,10 @@ import graft.sim.Similarity.asDouble
   * partitions · (dim(dim+1)/2 + dim) partial sums, never rows). Everything
   * after that operates on the dim×dim covariance relation — bounded,
   * driver-holdable (64-dim → 2 080 upper-triangle entries). Power
-  * iteration runs as `iters` tiny Spark jobs over that bounded relation,
-  * mirroring the Lloyd build's iterate-and-collect structure.
+  * iteration runs ON THE DRIVER over that bounded matrix, with decimal
+  * accumulation that mirrors the engine's cast semantics bit for bit
+  * (see [[dec12]]) — launching per-step Spark jobs over a dim²-row
+  * relation was measured as pure scheduler overhead.
   */
 object Pca {
 
@@ -42,22 +44,27 @@ object Pca {
     * is bounded here because embedding coordinates are O(1)-magnitude and
     * the sums are exact until the final double ops.
     */
-  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  /** The ONE data pass everything else derives from: flattened
+    * upper-triangle products (enumeration i asc, j in i..dim-1) with the
+    * raw vector appended, so one positional aggregate yields both the
+    * Gram sums (pos < dim(dim+1)/2) and the per-position sums + n. */
+  private def positionalSums(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pairCount = dim * (dim + 1) / 2
     val v = df.select(asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) === dim)
-    // flattened upper-triangle products, enumeration (i asc, j in i..dim-1),
-    // with the raw vector appended so ONE positional aggregate yields both
-    // the Gram sums (pos < pairCount) and the per-position sums + n
     val prods = flatten(transform(col("v"), (x: Column, i: Column) =>
       transform(slice(col("v"), i + 1, lit(dim) - i), (y: Column) => x * y)))
-    val agg = v.select(posexplode(concat(prods, col("v"))))
+    v.select(posexplode(concat(prods, col("v"))))
       .groupBy("pos")
       .agg(sum(col("col").cast("decimal(38,8)")).cast("double").as("s"),
         count(lit(1)).as("n"))
+  }
+
+  private def covFromSums(agg: DataFrame, dim: Int): DataFrame = {
+    val spark = agg.sparkSession
+    import spark.implicits._
+    val pairCount = dim * (dim + 1) / 2
     // pos → (i, j) for the flattened enumeration; bounded dim²/2 rows
     val idx = (for { i <- 0 until dim; j <- i until dim }
       yield (i.toLong * dim - i.toLong * (i - 1) / 2 + (j - i), i, j))
@@ -76,9 +83,31 @@ object Pca {
           .as("cov"))
   }
 
+  private def meansFromSums(agg: DataFrame, dim: Int): DataFrame = {
+    val pairCount = dim * (dim + 1) / 2
+    agg.filter(col("pos") >= pairCount)
+      .select((col("pos") - pairCount).cast("int").as("pos"),
+        round(col("s") / col("n"), 6).as("m"))
+  }
+
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    covFromSums(positionalSums(df, vecCol, dim), dim)
+
+  /** Covariance + centering means off ONE materialized data pass — what a
+    * full PCA pipeline (q273) should call instead of scanning the corpus
+    * separately per statistic. The positional aggregate (≤dim(dim+1)/2+dim
+    * rows) is materialized via localCheckpoint so both derivations read
+    * it, not the data. */
+  def covarianceWithMeans(df: DataFrame, vecCol: String,
+      dim: Int): (DataFrame, DataFrame) = {
+    val agg = positionalSums(df, vecCol, dim).localCheckpoint(true)
+    (covFromSums(agg, dim), meansFromSums(agg, dim))
+  }
+
   /** Per-position round-6 means of the vector column — the centering
     * vector [[project]] subtracts. Same exclusion rule as
-    * [[covarianceMatrix]]. */
+    * [[covarianceMatrix]]; value-identical to [[covarianceWithMeans]]._2
+    * (round6 of the DECIMAL sum / n). */
   def positionMeans(df: DataFrame, vecCol: String, dim: Int): DataFrame =
     df.select(asDouble(col(vecCol)).as("v"))
       .filter(size(col("v")) === dim)
@@ -99,58 +128,82 @@ object Pca {
     * quotient growth.
     *
     * The covariance relation is bounded (dim² ≤ a few thousand rows), so
-    * it is collected once and each step runs as one tiny local Spark job —
-    * the [[Similarity.lloydCentroids]] iterate-and-collect shape. Returns
-    * (0-based position → loading), ‖·‖ = 1 up to round-6.
+    * it is collected ONCE and the steps run on the driver with
+    * engine-identical decimal accumulation ([[dec12]]) — the
+    * [[Similarity.lloydCentroids]] bounded-state shape, minus the
+    * per-step job overhead. Returns (0-based position → loading),
+    * ‖·‖ = 1 up to round-6.
     */
-  /** Upper-triangle covariance relation → full symmetric (i, j, c),
-    * driver-held (bounded dim² rows) so iterations never re-derive the
-    * covariance from data. */
-  private def mirrorFull(cov: DataFrame): DataFrame = {
-    val spark = cov.sparkSession
-    import spark.implicits._
+  /** Collect the bounded upper-triangle covariance into a full symmetric
+    * driver matrix (dim² doubles) — the ONE data-derived barrier the
+    * driver-side eigen-iteration needs. */
+  private def collectFull(cov: DataFrame, dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
     cov.select(col("i").cast("int"), col("j").cast("int"),
-      col("cov").cast("double")).collect()
-      .flatMap { r =>
+      col("cov").cast("double")).collect() // bounded: dim(dim+1)/2 rows
+      .foreach { r =>
         val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-        if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
-      }.toSeq.toDF("i", "j", "c")
+        m(i)(j) = c; m(j)(i) = c
+      }
+    m
   }
 
-  def topComponent(cov: DataFrame, dim: Int, iters: Int): Seq[(Int, Double)] = {
-    val spark = cov.sparkSession
-    import spark.implicits._
-    val full = mirrorFull(cov)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // HALF_UP at scale 6, matching Spark's round() and DuckDB's ROUND()
-      // (all three round halves away from zero)
-      val v0Elem = new java.math.BigDecimal(1.0 / math.sqrt(dim.toDouble))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val v0: Seq[(Int, Double)] = (0 until dim).map(i => (i, v0Elem))
-      (1 to iters).foldLeft(v0) { (vk, _) =>
-        val vdf = vk.toDF("j", "x")
-        // DECIMAL(38,12), not (38,8): c and x are round-6, so their product
-        // has EXACTLY ≤12 decimal digits — at scale 12 the cast is exact on
-        // both engines, where scale 8 would cut at digit 8 and the ~1e-4
-        // per-product chance of an exact .5000 tail makes Spark (HALF_UP on
-        // the double's shortest decimal repr) and DuckDB (rounding the
-        // binary value) disagree — measured as 1e-6 drift in q273 before
-        // the widening. w·w below is a full-precision product (infinite
-        // decimal tail), where a .5 boundary at the cut digit has measure
-        // zero — the same class as every other raw-double cast in the repo.
-        val w = full.join(broadcast(vdf), Seq("j"))
-          .groupBy("i")
-          .agg(sum((col("c") * col("x")).cast("decimal(38,12)"))
-            .cast("double").as("w"))
-        val nrm = w.agg(sqrt(sum((col("w") * col("w"))
-          .cast("decimal(38,12)")).cast("double")).as("nrm"))
-        w.crossJoin(broadcast(nrm))
-          .select(col("i"), round(col("w") / col("nrm"), 6).as("x"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1)))
-          .sortBy(_._1).toSeq
+  /** Spark's `cast(double AS DECIMAL(38,s))` on the driver: BigDecimal of
+    * the double's SHORTEST decimal representation (valueOf), HALF_UP at
+    * the target scale — bit-for-bit what the Cast expression does, so
+    * driver-side sums replay identically to the engine-side decimal sums
+    * they replace. Scale 12, not 8: a product of two round-6 values has
+    * exactly ≤12 decimal digits, so the scale-12 cast is EXACT on Spark
+    * and DuckDB alike, where scale 8 cuts inside the exact digits and a
+    * ~1e-4-per-product .5000 tail rounds differently across engines
+    * (measured as 1e-6 drift in q273 before the widening). Full-precision
+    * double products (w·w) are safe too: their decimal tails pass digit
+    * 12 with binary noise only at digit ~17, so both engines see the same
+    * 12-digit value.
+    */
+  private def dec12(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Spark's `round(double, 6)` on the driver (same shortest-repr +
+    * HALF_UP semantics as [[dec12]]; DuckDB's ROUND agrees away from
+    * binary-noise boundaries, the repo-wide round-6 contract). */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** [[collectFull]] for callers composing several driver-side steps
+    * (topComponent + isotropyAudit) off one collect — see q274. */
+  def collectCovariance(cov: DataFrame, dim: Int): Array[Array[Double]] =
+    collectFull(cov, dim)
+
+  def topComponent(cov: DataFrame, dim: Int, iters: Int): Seq[(Int, Double)] =
+    topComponent(collectFull(cov, dim), iters)
+
+  def topComponent(m: Array[Array[Double]], iters: Int): Seq[(Int, Double)] = {
+    val dim = m.length
+    // the iteration itself runs ON THE DRIVER: the matrix is dim² doubles
+    // and a matvec is dim² multiply-adds — launching 2 Spark jobs per step
+    // was pure scheduler overhead (measured: 13.6 s → ~4 s for q273 at
+    // sf0.1, all of it fixed per-job cost, none of it data). Decimal
+    // accumulation mirrors the engine cast exactly (see [[dec12]]), so the
+    // q273 oracle trajectory is unchanged.
+    val v0 = round6(1.0 / math.sqrt(dim.toDouble))
+    var v = Array.fill(dim)(v0)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dim) { acc = acc.add(dec12(m(i)(j) * v(j))); j += 1 }
+        acc.doubleValue() // = cast(sum(DECIMAL(38,12)) AS DOUBLE)
       }
-    } finally { full.unpersist(blocking = false); () }
+      var nacc = java.math.BigDecimal.ZERO
+      w.foreach(x => nacc = nacc.add(dec12(x * x)))
+      val nrm = math.sqrt(nacc.doubleValue())
+      v = w.map(x => round6(x / nrm))
+      it += 1
+    }
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
   }
 
   /** Isotropy audit — the diagnostic behind "All-but-the-Top": how much of
@@ -166,26 +219,32 @@ object Pca {
     *
     * Bounded end to end: every input relation is dim²-sized.
     */
-  def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame = {
-    val spark = cov.sparkSession
+  def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame =
+    isotropyAudit(cov.sparkSession, collectFull(cov, loading.length), loading)
+
+  def isotropyAudit(spark: org.apache.spark.sql.SparkSession,
+      m: Array[Array[Double]], loading: Seq[(Int, Double)]): DataFrame = {
     import spark.implicits._
     val dim = loading.length
-    val full = mirrorFull(cov)
-    val vdf = loading.toDF("j", "x")
-    val w = full.join(broadcast(vdf), Seq("j"))
-      .groupBy("i")
-      .agg(sum((col("c") * col("x")).cast("decimal(38,12)"))
-        .cast("double").as("w"))
-    val lam = w.join(broadcast(loading.toDF("i", "x")), Seq("i"))
-      .agg(sum((col("w") * col("x")).cast("decimal(38,12)"))
-        .cast("double").as("l1"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(sum(col("cov").cast("decimal(38,8)")).cast("double").as("trace"))
-    lam.crossJoin(broadcast(tr))
-      .select(lit(dim).as("dim"),
-        round(col("trace"), 6).as("trace"),
-        round(col("l1"), 6).as("lambda1"),
-        round(col("l1") / col("trace"), 6).as("explained_share"))
+    val v = Array.ofDim[Double](dim)
+    loading.foreach { case (i, x) => v(i) = x }
+    // λ1 = vᵀ(Cv) with the same per-step decimal discipline as
+    // topComponent; trace = scale-8 sum of the round-6 diagonal (exact)
+    var lacc = java.math.BigDecimal.ZERO
+    var tacc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < dim) {
+      var wacc = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < dim) { wacc = wacc.add(dec12(m(i)(j) * v(j))); j += 1 }
+      lacc = lacc.add(dec12(wacc.doubleValue() * v(i)))
+      tacc = tacc.add(java.math.BigDecimal.valueOf(m(i)(i))
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    val (l1, trace) = (lacc.doubleValue(), tacc.doubleValue())
+    Seq((dim, round6(trace), round6(l1), round6(l1 / trace)))
+      .toDF("dim", "trace", "lambda1", "explained_share")
   }
 
   /** Centered projection of each vector onto a loading: one row

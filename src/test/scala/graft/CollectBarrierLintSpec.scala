@@ -30,7 +30,7 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "Bench.scala" -> 2,            // JVM warmup actions (1-row / limit 10)
     "Preprocessing.scala" -> 1,    // union of tiny column aggregates
     "sim/Similarity.scala" -> 4,   // centroid/cell tables (≤nLists each)
-    "sim/Pca.scala" -> 2,          // dim² covariance + per-step dim-row iterate
+    "sim/Pca.scala" -> 1,          // dim²/2 covariance upper triangle
     "sim/Pq.scala" -> 2,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub)
     "enrich/Geocode.scala" -> 1,   // geocode cache map (≤#cached addresses)
     "tools/ProfileQuery.scala" -> 1, // dev profiling main, not library path
