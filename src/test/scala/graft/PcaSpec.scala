@@ -60,6 +60,20 @@ class PcaSpec extends SparkSpec {
       s"projection not centered: sum=${scores.sum}")
   }
 
+  test("covarianceMatrixFast agrees with the exact path within the round-6 " +
+      "quantum on every entry (the scale-path contract)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = graft.sim.Pca.covarianceMatrix(emb, "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val fast = graft.sim.Pca.covarianceMatrixFast(emb, "embedding", 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == exact.keySet && exact.size == 64 * 65 / 2)
+    // exact is round-6; fast is unrounded double accumulation — they may
+    // differ by up to half the rounding quantum plus float noise
+    val worst = exact.keys.map(k => math.abs(fast(k) - exact(k))).max
+    assert(worst < 1e-6, s"fast path drifted from exact by $worst")
+  }
+
   test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
       "dominant component; lambda1 never exceeds the trace") {
     val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)

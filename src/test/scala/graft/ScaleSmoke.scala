@@ -212,6 +212,13 @@ object ScaleSmoke {
           j => sin(col("id") * (j + 1))).as("embedding"))
       graft.sim.Pca.covarianceMatrix(vecs, "embedding", 64).count()
     }
+    time("pca-cov-fast-1M-x-64") {
+      // the scale path: per-partition primitive accumulators + treeReduce
+      val vecs = spark.range(n).select(
+        transform(sequence(lit(0), lit(63)),
+          j => sin(col("id") * (j + 1))).as("embedding"))
+      graft.sim.Pca.covarianceMatrixFast(vecs, "embedding", 64).count()
+    }
     time("ivf-range-search-1M-x-16") {
       val vecs = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(15)),
