@@ -152,7 +152,9 @@ object BenchPins {
     "q267_k_anonymity" -> 0.147, "q268_dp_counts" -> 0.247,
     "q269_cell_clusters" -> 1.311, "q270_ivf_range" -> 0.897,
     "q271_ivf_add" -> 1.301, "q272_embed_cov" -> 1.347,
-    "q273_pca_power" -> 6.914, "q274_isotropy" -> 6.156,
+    // q273/q274 re-pinned after the scaled-long covariance rewrite
+    // (6.914 -> 3.227, 6.156 -> 3.807 isolated warm)
+    "q273_pca_power" -> 3.227, "q274_isotropy" -> 3.807,
     "q275_l_diversity" -> 0.099,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,

@@ -256,7 +256,7 @@ object SimQueries extends QueryGroup {
       SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** Covariance/means CTE block shared by the q272 and q273 oracles —
-    * DECIMAL-exact Gram + positional sums off ONE px self-join, the
+    * scaled-long exact Gram + positional sums off ONE px self-join, the
     * textbook one-pass population covariance, rounded to 6. Positions are
     * 1-based inside the SQL (DuckDB list indexing); the q272 SELECT
     * shifts to the library's 0-based output. */
@@ -264,10 +264,14 @@ object SimQueries extends QueryGroup {
     s"""px AS MATERIALIZED (SELECT vec_id, pos, v[pos] AS val FROM (
           SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ev),
-      sx AS (SELECT pos, CAST(SUM(CAST(val AS DECIMAL(38,8))) AS DOUBLE) AS s
+      -- scaled-long exact sums (the q194 HUGEINT pattern): round(x*1e8) per
+      -- element, integer sum, one final /1e8 — mirrors Pca.positionalSums
+      sx AS (SELECT pos,
+          SUM(CAST(ROUND(val * 100000000.0) AS BIGINT)) / 100000000.0 AS s
         FROM px GROUP BY pos),
       g AS (SELECT a.pos AS i, b.pos AS j,
-          CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+          SUM(CAST(ROUND(a.val * b.val * 100000000.0) AS BIGINT))
+            / 100000000.0 AS sxy
         FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.pos <= b.pos
         GROUP BY 1, 2),
       covu AS MATERIALIZED (SELECT g.i, g.j,
@@ -292,7 +296,7 @@ object SimQueries extends QueryGroup {
   /** Embedding covariance matrix (Pca.covarianceMatrix): the full 64-dim
     * upper triangle as (i, j, cov) — the input statistic for whitening /
     * dominant-direction removal over an anisotropic embedding space. One
-    * corpus pass (flattened per-row product array → positional DECIMAL
+    * corpus pass (flattened per-row product array → positional scaled-long
     * sums); the oracle computes the same sums from a px self-join. */
   val q272EmbedCov = QueryDef(
     "q272_embed_cov",

@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.sim.Similarity.asDouble
 
 /** Principal-component analysis for embedding columns, built for the
-  * cross-engine float contract: every data-sized reduction is a
-  * DECIMAL(38,8)-cast sum (order-independent, so shuffle layout can't move
-  * the result) and every derived statistic is rounded to 6 decimals before
-  * reuse — the same discipline as [[Similarity.lloydCentroids]], which is
-  * what lets a DuckDB oracle replay the full covariance → power-iteration →
-  * projection trajectory CTE for CTE (q272/q273).
+  * cross-engine float contract: every data-sized reduction is an
+  * order-independent EXACT sum (scaled-long integers for the hot
+  * covariance pass, DECIMAL casts elsewhere) and every derived statistic
+  * is rounded to 6 decimals before reuse — the same discipline as
+  * [[Similarity.lloydCentroids]], which is what lets a DuckDB oracle
+  * replay the full covariance → power-iteration → projection trajectory
+  * CTE for CTE (q272/q273).
   *
   * Why PCA belongs in a training-data engine: embedding spaces from real
   * encoders are anisotropic (a few directions carry most variance), which
@@ -33,17 +34,6 @@ import graft.sim.Similarity.asDouble
   */
 object Pca {
 
-  /** Population covariance matrix of a `dim`-wide vector column: one row
-    * per 0-based (i ≤ j) with `cov` rounded to 6. Rows whose vector is
-    * NULL or of the wrong width are excluded (same contract as the dedup
-    * families' non-null-id rule: a malformed vector is upstream's bug, not
-    * a zero to average in).
-    *
-    * cov_ij = (Sxy_ij − Sx_i·Sx_j / n) / n with Sxy/Sx as DECIMAL-exact
-    * sums — the one-pass textbook form; the cancellation risk it carries
-    * is bounded here because embedding coordinates are O(1)-magnitude and
-    * the sums are exact until the final double ops.
-    */
   /** The ONE data pass everything else derives from: flattened
     * upper-triangle products (enumeration i asc, j in i..dim-1) with the
     * raw vector appended, so one positional aggregate yields both the
@@ -55,9 +45,21 @@ object Pca {
       .filter(size(col("v")) === dim)
     val prods = flatten(transform(col("v"), (x: Column, i: Column) =>
       transform(slice(col("v"), i + 1, lit(dim) - i), (y: Column) => x * y)))
+    // exact-sum contract via SCALED LONGS, not DECIMAL casts: round each
+    // value to 8 decimals as round(x·1e8) and sum the resulting integers —
+    // value-wise this is the q194 `CAST(y*1e6 AS HUGEINT)` pattern, and it
+    // keeps the 2·10⁹-element hot aggregate in whole-stage-codegen long
+    // arithmetic instead of allocating a BigDecimal per element (measured
+    // 78 s → 44 s on the 1M×64 ScaleSmoke — the residual cost is the
+    // explode row volume itself, which is why the non-oracled
+    // [[covarianceMatrixFast]] at 1.6 s is the 100 TB path). Range: O(1)
+    // embedding products scale to ~1e8 per element; a LONG holds 9.2e18,
+    // so overflow needs ~10¹⁰ rows per position — far beyond a single
+    // aggregation's working set even at 100 TB (and the 100 TB path is
+    // [[covarianceMatrixFast]] anyway).
     v.select(posexplode(concat(prods, col("v"))))
       .groupBy("pos")
-      .agg(sum(col("col").cast("decimal(38,8)")).cast("double").as("s"),
+      .agg((sum(round(col("col") * 1e8, 0).cast("long")) / 1e8).as("s"),
         count(lit(1)).as("n"))
   }
 
@@ -90,6 +92,18 @@ object Pca {
         round(col("s") / col("n"), 6).as("m"))
   }
 
+  /** Population covariance matrix of a `dim`-wide vector column: one row
+    * per 0-based (i ≤ j) with `cov` rounded to 6. Rows whose vector is
+    * NULL or of the wrong width are excluded (same contract as the dedup
+    * families' non-null-id rule: a malformed vector is upstream's bug, not
+    * a zero to average in).
+    *
+    * cov_ij = (Sxy_ij − Sx_i·Sx_j / n) / n with Sxy/Sx as scaled-long
+    * exact sums (round(x·1e8) integers) — the one-pass textbook form; the
+    * cancellation risk it carries is bounded here because embedding
+    * coordinates are O(1)-magnitude and the sums are exact until the
+    * final double ops.
+    */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
     covFromSums(positionalSums(df, vecCol, dim), dim)
 
@@ -163,7 +177,7 @@ object Pca {
       .filter(size(col("v")) === dim)
       .select(posexplode(col("v")))
       .groupBy("pos")
-      .agg(round(sum(col("col").cast("decimal(38,8)")).cast("double")
+      .agg(round(sum(round(col("col") * 1e8, 0).cast("long")) / 1e8
         / count(lit(1)), 6).as("m"))
 
   /** Dominant eigenvector of an upper-triangle covariance relation via
