@@ -386,6 +386,48 @@ object SimQueries extends QueryGroup {
         ROUND(l1, 6) AS lambda1, ROUND(l1 / trace, 6) AS explained_share
       FROM lam, tr"""))
 
+  /** All-but-the-Top correction (Pca.abttAudit): the q273/q274 arc's
+    * payoff — remove the dominant direction from each centered embedding
+    * and report ‖centered‖ vs ‖corrected‖, computed algebraically from
+    * three per-id DECIMAL-summed aggregates (P = v·cent, Q = Σcent²,
+    * R = Σv²; ‖corr‖² = Q − 2P² + P²R) so the whole audit is one data
+    * pass. First 10 vectors; the oracle replays covariance, 12 power
+    * steps, means and the formula CTE for CTE. */
+  val q276AbttCorrect = QueryDef(
+    "q276_abtt_correct",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cov, means) = graft.sim.Pca.covarianceWithMeans(e, "embedding",
+        dim = 64)
+      val pc = graft.sim.Pca.topComponent(cov, dim = 64, iters = 12)
+      graft.sim.Pca.abttAudit(e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", pc, means)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn),
+      cent AS (SELECT p.vec_id, p.pos, v.x, p.val - m.m AS cent
+        FROM px p JOIN v12 v ON v.i = p.pos JOIN means m ON m.pos = p.pos
+        WHERE p.vec_id < 10),
+      aggd AS (SELECT vec_id,
+          CAST(SUM(CAST(x * cent AS DECIMAL(38,12))) AS DOUBLE) AS p,
+          CAST(SUM(CAST(cent * cent AS DECIMAL(38,12))) AS DOUBLE) AS q,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS r
+        FROM cent GROUP BY vec_id)
+      SELECT vec_id, ROUND(p, 6) + 0.0 AS score,
+        ROUND(SQRT(q), 6) AS centered_norm,
+        ROUND(SQRT(GREATEST(0.0, q - 2.0 * p * p + p * p * r)), 6)
+          AS corrected_norm
+      FROM aggd ORDER BY vec_id"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -1210,5 +1252,5 @@ object SimQueries extends QueryGroup {
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
-    q274Isotropy)
+    q274Isotropy, q276AbttCorrect)
 }

@@ -311,6 +311,49 @@ object Pca {
       .toDF("dim", "trace", "lambda1", "explained_share")
   }
 
+  /** All-but-the-Top correction audit (Mu & Viswanath 2018): per vector,
+    * remove the dominant direction from the centered embedding —
+    * c_i = (x_i − m_i) − score·v_i with score the centered projection —
+    * and report ‖centered‖ vs ‖corrected‖ (both round-6, norms via
+    * DECIMAL(38,12)-summed squares, the safe full-precision-product
+    * class). corrected_norm ≪ centered_norm is the signature of a
+    * common-direction-dominated space; together with [[isotropyAudit]]
+    * this is the before/after pair for the correction.
+    *
+    * Scale shape: one posexplode + two bounded broadcast joins (means,
+    * loading) + ONE map-side-combined per-id aggregate. The corrected norm
+    * is computed ALGEBRAICALLY from three per-id sums — with P = Σ v·cent
+    * (the unrounded score), Q = Σ cent², R = Σ v²:
+    * ‖corr‖² = Q − 2P² + P²R — so no per-id rejoin of the score against
+    * the exploded rows is needed; the contract IS this formula, replayed
+    * verbatim by the oracle (clamped at 0 against float cancellation).
+    */
+  def abttAudit(df: DataFrame, idCol: String, vecCol: String,
+      loading: Seq[(Int, Double)], means: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = loading.length
+    val ldf = loading.toDF("pos", "x")
+    def s12(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim)
+      .select(col("id"), posexplode(col("v")))
+      .join(broadcast(ldf), Seq("pos"))
+      .join(broadcast(means), Seq("pos"))
+      .withColumn("cent", col("col") - col("m"))
+      .groupBy("id")
+      .agg(
+        s12(col("x") * col("cent")).as("__p"),
+        s12(col("cent") * col("cent")).as("__q"),
+        s12(col("x") * col("x")).as("__r"))
+      .select(col("id"),
+        round(col("__p"), 6).as("score"),
+        round(sqrt(col("__q")), 6).as("centered_norm"),
+        round(sqrt(greatest(lit(0.0),
+          col("__q") - lit(2.0) * col("__p") * col("__p")
+            + col("__p") * col("__p") * col("__r"))), 6).as("corrected_norm"))
+  }
+
   /** Centered projection of each vector onto a loading: one row
     * (id, score) per input row, score = round6(Σ_i load_i·(x_i − m_i))
     * with the sum DECIMAL-cast per term. `loading`/`means` are bounded

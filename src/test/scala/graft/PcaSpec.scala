@@ -74,6 +74,29 @@ class PcaSpec extends SparkSpec {
     assert(worst < 1e-6, s"fast path drifted from exact by $worst")
   }
 
+  test("abttAudit: removing the dominant direction of a rank-~1 cloud " +
+      "collapses the corrected norms; score matches project()") {
+    val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
+    val pc = Pca.topComponent(covDf, dim = 2, iters = 20)
+    val means = Pca.positionMeans(cloud, "embedding", 2)
+    val rows = Pca.abttAudit(cloud, "vec_id", "embedding", pc, means)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("score"), r.getAs[Double]("centered_norm"),
+          r.getAs[Double]("corrected_norm"))).toMap
+    assert(rows.size == 6)
+    // rank-~1: the PC carries nearly all the centered ENERGY (per-point
+    // ratios vary — near-centroid points are mostly off-axis noise)
+    val centE = rows.values.map { case (_, cn, _) => cn * cn }.sum
+    val corrE = rows.values.map { case (_, _, rn) => rn * rn }.sum
+    assert(corrE < 0.05 * centE,
+      s"corrected energy $corrE not << centered $centE")
+    // the reported score is the same centered projection project() emits
+    val proj = Pca.project(cloud, "vec_id", "embedding", pc, means)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    rows.foreach { case (id, (s, _, _)) =>
+      assert(math.abs(s - proj(id)) < 2e-6, s"id $id: $s vs ${proj(id)}") }
+  }
+
   test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
       "dominant component; lambda1 never exceeds the trace") {
     val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
