@@ -285,13 +285,15 @@ object SimQueries extends QueryGroup {
     * hint DuckDB's inliner expands the 12-step chain multiplicatively
     * (measured: the un-hinted oracle did not finish in minutes; hinted it
     * runs in milliseconds). */
-  private def powerStepSql(k: Int): String =
-    s"""w$k AS MATERIALIZED (SELECT c.i,
+  private def powerStepSql(k: Int, cov: String = "cov",
+      p: String = "v"): String =
+    s"""${p}w$k AS MATERIALIZED (SELECT c.i,
           CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
-        FROM cov c JOIN v${k - 1} v ON v.i = c.j GROUP BY c.i),
-      n$k AS MATERIALIZED (SELECT SQRT(CAST(SUM(CAST(w * w AS
-          DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$k),
-      v$k AS MATERIALIZED (SELECT i, ROUND(w / nrm, 6) AS x FROM w$k, n$k)"""
+        FROM $cov c JOIN $p${k - 1} v ON v.i = c.j GROUP BY c.i),
+      ${p}n$k AS MATERIALIZED (SELECT SQRT(CAST(SUM(CAST(w * w AS
+          DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM ${p}w$k),
+      $p$k AS MATERIALIZED (SELECT i, ROUND(w / nrm, 6) AS x
+        FROM ${p}w$k, ${p}n$k)"""
 
   /** Embedding covariance matrix (Pca.covarianceMatrix): the full 64-dim
     * upper triangle as (i, j, cov) — the input statistic for whitening /
@@ -341,7 +343,7 @@ object SimQueries extends QueryGroup {
         UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
       -- v0 = round6(1/sqrt(64)) = 0.125 exactly (no rounding ambiguity)
       v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
-      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
       means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn)
       -- + 0.0: normalize DuckDB ROUND's -0.0 (see q272)
       SELECT p.vec_id,
@@ -373,7 +375,7 @@ object SimQueries extends QueryGroup {
       cov AS MATERIALIZED (SELECT i, j, c FROM covu
         UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
       v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
-      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
       wf AS MATERIALIZED (SELECT c.i,
           CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
         FROM cov c JOIN v12 v ON v.i = c.j GROUP BY c.i),
@@ -412,7 +414,7 @@ object SimQueries extends QueryGroup {
       cov AS MATERIALIZED (SELECT i, j, c FROM covu
         UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
       v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
-      ${(1 to 12).map(powerStepSql).mkString(",\n      ")},
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
       means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn),
       cent AS (SELECT p.vec_id, p.pos, v.x, p.val - m.m AS cent
         FROM px p JOIN v12 v ON v.i = p.pos JOIN means m ON m.pos = p.pos
@@ -427,6 +429,63 @@ object SimQueries extends QueryGroup {
         ROUND(SQRT(GREATEST(0.0, q - 2.0 * p * p + p * p * r)), 6)
           AS corrected_norm
       FROM aggd ORDER BY vec_id"""))
+
+  /** Top-2 principal components via Hotelling deflation
+    * (Pca.topTwoReport): λ1 from the q273 run, deflate
+    * m' = round6(m − round6(λ1)·v1v1ᵀ), run 12 more power steps on m' for
+    * v2, report both eigenvalues against the ORIGINAL covariance, their
+    * variance shares, and v1·v2 (the orthogonality diagnostic). The
+    * oracle replays BOTH 12-step trajectories, the deflation and the
+    * report — 24 unrolled materialized steps. */
+  val q277PcaDeflate = QueryDef(
+    "q277_pca_deflate",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
+      val m = graft.sim.Pca.collectCovariance(cov, dim = 64)
+      graft.sim.Pca.topTwoReport(s, m, iters = 12).orderBy("comp")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
+      wl1 AS MATERIALIZED (SELECT c.i,
+          CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM cov c JOIN v12 v ON v.i = c.j GROUP BY c.i),
+      l1 AS MATERIALIZED (SELECT CAST(SUM(CAST(wl1.w * v.x AS
+          DECIMAL(38,12))) AS DOUBLE) AS l
+        FROM wl1 JOIN v12 v ON v.i = wl1.i),
+      lam AS MATERIALIZED (SELECT ROUND(l, 6) AS lam FROM l1),
+      cov2 AS MATERIALIZED (SELECT c.i, c.j,
+          ROUND(c.c - lam.lam * a.x * b.x, 6) AS c
+        FROM cov c JOIN v12 a ON a.i = c.i JOIN v12 b ON b.i = c.j, lam),
+      b0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_, "cov2", "b")).mkString(",\n      ")},
+      wl2 AS MATERIALIZED (SELECT c.i,
+          CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM cov c JOIN b12 v ON v.i = c.j GROUP BY c.i),
+      l2 AS MATERIALIZED (SELECT CAST(SUM(CAST(wl2.w * v.x AS
+          DECIMAL(38,12))) AS DOUBLE) AS l
+        FROM wl2 JOIN b12 v ON v.i = wl2.i),
+      tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS trace
+        FROM covu WHERE i = j),
+      dt AS (SELECT ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12)))
+          AS DOUBLE), 6) + 0.0 AS d
+        FROM v12 a JOIN b12 b ON b.i = a.i)
+      SELECT * FROM (
+        SELECT CAST(1 AS INT) AS comp, ROUND(l, 6) + 0.0 AS lambda,
+          ROUND(l / trace, 6) + 0.0 AS var_share,
+          CAST(NULL AS DOUBLE) AS dot_prev
+        FROM l1, tr
+        UNION ALL
+        SELECT CAST(2 AS INT), ROUND(l, 6) + 0.0, ROUND(l / trace, 6) + 0.0,
+          dt.d
+        FROM l2, tr, dt)
+      ORDER BY comp"""))
 
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
@@ -1252,5 +1311,5 @@ object SimQueries extends QueryGroup {
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
-    q274Isotropy, q276AbttCorrect)
+    q274Isotropy, q276AbttCorrect, q277PcaDeflate)
 }

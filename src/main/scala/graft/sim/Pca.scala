@@ -283,6 +283,72 @@ object Pca {
     *
     * Bounded end to end: every input relation is dim²-sized.
     */
+  /** Unrounded Rayleigh quotient vᵀMv under the decimal-step contract
+    * (w = M·v with dec12 sums, then Σ dec12(w·v)). */
+  private def rayleigh(m: Array[Array[Double]], v: Array[Double]): Double = {
+    val dim = m.length
+    var lacc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < dim) {
+      var wacc = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < dim) { wacc = wacc.add(dec12(m(i)(j) * v(j))); j += 1 }
+      lacc = lacc.add(dec12(wacc.doubleValue() * v(i)))
+      i += 1
+    }
+    lacc.doubleValue()
+  }
+
+  /** Scale-8 exact sum of the round-6 diagonal. */
+  private def traceOf(m: Array[Array[Double]]): Double = {
+    var tacc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < m.length) {
+      tacc = tacc.add(java.math.BigDecimal.valueOf(m(i)(i))
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    tacc.doubleValue()
+  }
+
+  /** Hotelling deflation under the round-6 contract:
+    * m'_ij = round6(m_ij − λ·v_i·v_j) with λ the ROUND-6 Rayleigh of the
+    * first component — so the deflated matrix is itself replayable and the
+    * next [[topComponent]] run finds the second eigenvector. */
+  private def deflated(m: Array[Array[Double]], v: Array[Double],
+      lam: Double): Array[Array[Double]] = {
+    val dim = m.length
+    Array.tabulate(dim, dim)((i, j) => round6(m(i)(j) - lam * v(i) * v(j)))
+  }
+
+  /** Top-2 principal components via power iteration + one Hotelling
+    * deflation: per component, its Rayleigh eigenvalue against the
+    * ORIGINAL covariance, its variance share, and (for the second) the
+    * round-6 residual overlap with the first — the convergence/orthogonality
+    * diagnostic. Everything driver-side on the collected matrix; the q277
+    * oracle replays both 12-step runs, the deflation and the report. */
+  def topTwoReport(spark: org.apache.spark.sql.SparkSession,
+      m: Array[Array[Double]], iters: Int): DataFrame = {
+    import spark.implicits._
+    val dim = m.length
+    def toArr(l: Seq[(Int, Double)]): Array[Double] = {
+      val a = Array.ofDim[Double](dim); l.foreach { case (i, x) => a(i) = x }; a
+    }
+    val v1 = toArr(topComponent(m, iters))
+    val l1 = rayleigh(m, v1)
+    val m2 = deflated(m, v1, round6(l1))
+    val v2 = toArr(topComponent(m2, iters))
+    val l2 = rayleigh(m, v2) // eigenvalue against the ORIGINAL matrix
+    val tr = traceOf(m)
+    var dacc = java.math.BigDecimal.ZERO
+    (0 until dim).foreach(i => dacc = dacc.add(dec12(v1(i) * v2(i))))
+    val dot = round6(dacc.doubleValue())
+    Seq(
+      (1, round6(l1), round6(l1 / tr), Option.empty[Double]),
+      (2, round6(l2), round6(l2 / tr), Some(dot)))
+      .toDF("comp", "lambda", "var_share", "dot_prev")
+  }
+
   def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame =
     isotropyAudit(cov.sparkSession, collectFull(cov, loading.length), loading)
 
@@ -292,21 +358,9 @@ object Pca {
     val dim = loading.length
     val v = Array.ofDim[Double](dim)
     loading.foreach { case (i, x) => v(i) = x }
-    // λ1 = vᵀ(Cv) with the same per-step decimal discipline as
-    // topComponent; trace = scale-8 sum of the round-6 diagonal (exact)
-    var lacc = java.math.BigDecimal.ZERO
-    var tacc = java.math.BigDecimal.ZERO
-    var i = 0
-    while (i < dim) {
-      var wacc = java.math.BigDecimal.ZERO
-      var j = 0
-      while (j < dim) { wacc = wacc.add(dec12(m(i)(j) * v(j))); j += 1 }
-      lacc = lacc.add(dec12(wacc.doubleValue() * v(i)))
-      tacc = tacc.add(java.math.BigDecimal.valueOf(m(i)(i))
-        .setScale(8, java.math.RoundingMode.HALF_UP))
-      i += 1
-    }
-    val (l1, trace) = (lacc.doubleValue(), tacc.doubleValue())
+    // λ1 = vᵀ(Cv) under the same decimal discipline as topComponent;
+    // trace = scale-8 exact sum of the round-6 diagonal
+    val (l1, trace) = (rayleigh(m, v), traceOf(m))
     Seq((dim, round6(trace), round6(l1), round6(l1 / trace)))
       .toDF("dim", "trace", "lambda1", "explained_share")
   }

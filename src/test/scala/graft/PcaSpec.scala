@@ -97,6 +97,24 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(s - proj(id)) < 2e-6, s"id $id: $s vs ${proj(id)}") }
   }
 
+  test("topTwoReport: deflation finds a near-orthogonal second component, " +
+      "eigenvalues are ordered, and 2-d shares sum to ~1") {
+    val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
+    val m = Pca.collectCovariance(covDf, 2)
+    val rows = Pca.topTwoReport(spark, m, iters = 20).orderBy("comp")
+      .collect()
+    val (l1, s1) = (rows(0).getAs[Double]("lambda"),
+      rows(0).getAs[Double]("var_share"))
+    val (l2, s2) = (rows(1).getAs[Double]("lambda"),
+      rows(1).getAs[Double]("var_share"))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("dot_prev")))
+    val dot = rows(1).getAs[Double]("dot_prev")
+    assert(l1 >= l2 && l2 >= -1e-9, s"eigenvalues out of order: $l1, $l2")
+    assert(math.abs(s1 + s2 - 1.0) < 1e-3, // 2-d: the two PCs are everything
+      s"shares don't cover the 2-d trace: $s1 + $s2")
+    assert(math.abs(dot) < 1e-3, s"components not orthogonal: dot=$dot")
+  }
+
   test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
       "dominant component; lambda1 never exceeds the trace") {
     val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)
