@@ -156,7 +156,7 @@ object BenchPins {
     // (6.914 -> 3.227, 6.156 -> 3.807 isolated warm)
     "q273_pca_power" -> 3.227, "q274_isotropy" -> 3.807,
     "q275_l_diversity" -> 0.099, "q276_abtt_correct" -> 3.097,
-    "q277_pca_deflate" -> 3.19,
+    "q277_pca_deflate" -> 3.19, "q278_k_core" -> 3.874,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,
     "q28_epc_bucket" -> 0.219, "q29_try_cast" -> 0.125,

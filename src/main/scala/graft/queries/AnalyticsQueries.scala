@@ -214,6 +214,57 @@ object AnalyticsQueries extends QueryGroup {
         n_triangles
       FROM nodes, tri"""))
 
+  /** Bounded-round k-core peel (Graphs.kCorePeel) over the q198
+    * co-purchase graph: 4 fixed rounds of "drop degree<3 nodes, then
+    * orphaned edges", one (round, n_nodes, n_edges) row per round — the
+    * community-structure screen (which parts survive the 3-core?) under
+    * the same fixed-iteration determinism contract as the Lloyd and
+    * power-iteration operators; the oracle chains the rounds CTE for
+    * CTE. */
+  val q278KCore = QueryDef(
+    "q278_k_core",
+    (s, d) => {
+      val pres = Tables.lineitem(s, d)
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .distinct()
+      val edges = pres.as("x").join(pres.as("y"), Seq("b"))
+        .filter(col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("u"), col("y.i").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      graft.ops.Graphs.kCorePeel(edges, col("u"), col("v"), k = 3, rounds = 4)
+        .orderBy("round")
+    },
+    Some {
+      val peel = (1 to 4).map { r =>
+        s"""k$r AS MATERIALIZED (SELECT n FROM (SELECT u AS n FROM e${r - 1}
+              UNION ALL SELECT v FROM e${r - 1}) t
+            GROUP BY n HAVING COUNT(*) >= 3),
+          e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e
+            JOIN k$r a ON a.n = e.u JOIN k$r b2 ON b2.n = e.v)"""
+      }.mkString(",\n      ")
+      val rows = (1 to 4).map { r =>
+        s"""SELECT CAST($r AS INT),
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM k$r),
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r)"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH pres AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b,
+            l_partkey AS i FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        e0 AS MATERIALIZED (SELECT x.i AS u, y.i AS v FROM pres x
+          JOIN pres y USING (b) WHERE x.i < y.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        $peel
+        SELECT * FROM (
+          SELECT CAST(0 AS INT) AS round,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT u AS n FROM e0 UNION SELECT v FROM e0) t) AS n_nodes,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges
+        UNION ALL $rows)
+        ORDER BY round"""
+    })
+
   /** RFM segmentation of users (EventAnalytics.rfm): recency/frequency/
     * monetary with deterministic NTILE(5) quintile scores (total order
     * with id tie-break) and the concatenated segment label. */
@@ -668,7 +719,7 @@ object AnalyticsQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     q137PageRank, q138ResampleFfill, q139Funnel, q140Cohorts, q176GrowthCurve,
-    q189BasketLift, q198Triangles, q202Rfm, q203FunnelLatency,
+    q189BasketLift, q198Triangles, q278KCore, q202Rfm, q203FunnelLatency,
     q205InterArrival, q206EntropyRate, q213TransitionLatency, q214Variants,
     q223Hits, q224TopSequences, q227AudienceOverlap, q239Hhi,
     q248Stickiness, q249BotCadence, q251PunchCard, q256Skyline)

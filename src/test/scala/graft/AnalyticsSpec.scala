@@ -361,6 +361,21 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 2L))) == ((3L, 3L, 1L)))
   }
 
+  test("kCorePeel: triangle + pendant chain peels to the 2-core in two " +
+      "rounds and then holds (fixpoint visible as equal rows)") {
+    import graft.ops.Graphs
+    // A-B-C triangle, C-D pendant, D-E tail; 2-core = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = Graphs.kCorePeel(edges, $"s", $"d", k = 2, rounds = 3)
+      .orderBy("round").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 5L, 5L), // cleaned input
+      (1, 4L, 4L), // E (deg 1) dropped, D-E edge gone
+      (2, 3L, 3L), // D fell to deg 1, dropped with C-D
+      (3, 3L, 3L))) // fixpoint: the triangle is the 2-core
+  }
+
   test("vocabJaccardPairs: identical vocab -> 1, disjoint -> 0, hand " +
       "half-overlap") {
     val docs = Seq(
