@@ -1,9 +1,9 @@
 # Airflow DAG scheduling the Spark jobs — the Spark-native translation of
 # /root/reference/docker-airflow/dags/airflow_auto_model.py:23-47: same
-# four-task shape (scrape >> export >> preprocess >> model), same weekly
-# cadence with catchup, same retry policy; each BashOperator now submits a
-# Spark job instead of running a Python script. All jobs are idempotent, so
-# catchup replays are safe.
+# task shape (scrape >> export >> preprocess >> model >> publish), same
+# weekly cadence with catchup, same retry policy; each BashOperator now
+# submits a Spark job instead of running a Python script. All jobs are
+# idempotent, so catchup replays are safe.
 from datetime import datetime, timedelta
 
 from airflow import DAG
@@ -53,4 +53,19 @@ with DAG(
         + f" {DATA}/clean {DATA}/model",
     )
 
-    preflight >> scrape >> export >> preprocess >> model
+    # the reference's 4th task commits the refreshed artifacts (model
+    # binary, encoding map, cleaned CSVs) back to the repo after modeling
+    # (airflow_auto_model.py:40-47: git add/commit/push). Same publish
+    # step here, pointed at the artifact checkout; `|| true` on commit so
+    # a no-change replay (idempotent catchup) doesn't fail the DAG the
+    # way the reference's unguarded `git commit` would.
+    publish = BashOperator(
+        task_id="git_push",
+        bash_command=(
+            f"cd {DATA}/artifacts-repo && git add . "
+            '&& (git commit -m "Auto commit: weekly artifact refresh" || true) '
+            "&& git push origin main"
+        ),
+    )
+
+    preflight >> scrape >> export >> preprocess >> model >> publish

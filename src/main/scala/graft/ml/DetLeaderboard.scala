@@ -147,9 +147,16 @@ object DetLeaderboard {
       (f.name, f.b0, f.bs.head._2,
         if (f.bs.size > 1) Some(f.bs(1)._2) else None)
     }.toDF("model", "b0", "b1", "b2")
-    // bounded global window: M = |zoo| rows (the leaderboard itself)
-    val w = Window.orderBy(col("rmse"), col("model"))
-    scored.join(broadcast(meta), Seq("model"))
+    // bounded global window: M = |zoo| rows (the leaderboard itself).
+    // meta LEFT-joins scored (not inner): with an empty test split the
+    // scored aggregate has no rows, and an inner join would return an
+    // empty leaderboard even though models WERE fitted — the caller
+    // couldn't tell "no data" from "no models". Unscored fits surface
+    // with n_test=0 and null rmse, ranked after every scored model
+    // (nulls last, name tie-break).
+    val w = Window.orderBy(col("rmse").asc_nulls_last, col("model"))
+    meta.join(broadcast(scored), Seq("model"), "left")
+      .withColumn("n_test", coalesce(col("n_test"), lit(0L)))
       .withColumn("n_train", lit(nd.toLong))
       .withColumn("rank", row_number().over(w))
       .withColumn("is_winner", col("rank") === 1)

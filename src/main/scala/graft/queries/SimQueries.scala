@@ -49,7 +49,12 @@ object SimQueries extends QueryGroup {
         FROM scored)
       SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.3). */
+  /** Embedding-cosine near-duplicate pairs (threshold 0.3). At this low
+    * threshold auto-dispatch takes the blocked-EXACT rung — quadratic by
+    * necessity, so it runs under the plan-embedded pair budget
+    * (maxPairs = 2e9 ≈ 63k vectors; Similarity.cosineNearDupPairs): past
+    * the budget the plan raises and points at cellScopedNearDupPairs
+    * (q269) / strategy="lsh" instead of silently scanning n²/2 pairs. */
   val q49CosineNearDup = QueryDef(
     "q49_cosine_neardup",
     (s, d) => Similarity.cosineNearDupPairs(
@@ -623,7 +628,9 @@ object SimQueries extends QueryGroup {
     * pairs→clusters→keep-decision shape q55 exercises for text, here over
     * the embedding space. Auto strategy at threshold 0.4 dispatches to the
     * blocked-exact plan, so the DuckDB recursive-CTE oracle sees identical
-    * edges.
+    * edges. Like q49, the exact rung runs under the maxPairs=2e9 budget
+    * guard — a corpus past ~63k vectors raises with a pointer to the
+    * sub-quadratic rungs rather than going quadratic unannounced.
     */
   val q68EmbedClusters = QueryDef(
     "q68_embed_clusters",

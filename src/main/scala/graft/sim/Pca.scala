@@ -57,10 +57,24 @@ object Pca {
     // so overflow needs ~10¹⁰ rows per position — far beyond a single
     // aggregation's working set even at 100 TB (and the 100 TB path is
     // [[covarianceMatrixFast]] anyway).
+    // overflow guard (plan-embedded, holtSmooth pattern): the long sum
+    // wraps silently iff n·max|x|·1e8 can exceed Long.MaxValue≈9.22e18,
+    // i.e. n·max|x| > ~9.2e10. max|x| rides in the same aggregate (no
+    // extra pass); out-of-contract input raises instead of returning a
+    // silently wrong covariance, in-bounds sums are untouched.
     v.select(posexplode(concat(prods, col("v"))))
       .groupBy("pos")
-      .agg((sum(round(col("col") * 1e8, 0).cast("long")) / 1e8).as("s"),
-        count(lit(1)).as("n"))
+      .agg(sum(round(col("col") * 1e8, 0).cast("long")).as("__sl"),
+        count(lit(1)).as("n"), max(abs(col("col"))).as("__mx"))
+      .select(col("pos"),
+        when(col("n").cast("double") * col("__mx") > 9.0e10,
+          raise_error(lit("covarianceMatrix: input magnitude breaks the " +
+            "scaled-long exact-sum contract (n * max|element-or-product| " +
+            "> 9e10 would overflow the 1e8-scaled long sum) — normalize " +
+            "the embedding column or use covarianceMatrixFast"))
+            .cast("double"))
+          .otherwise(col("__sl") / 1e8).as("s"),
+        col("n"))
   }
 
   private def covFromSums(agg: DataFrame, dim: Int): DataFrame = {
@@ -103,6 +117,14 @@ object Pca {
     * cancellation risk it carries is bounded here because embedding
     * coordinates are O(1)-magnitude and the sums are exact until the
     * final double ops.
+    *
+    * '''Input-magnitude contract''': elements must be O(1)-magnitude
+    * (normalized-embedding scale). The scaled-long sum is exact while
+    * n · max|element-or-product| ≤ ~9·10¹⁰ — ~10¹⁰ rows for unit-scale
+    * vectors; a runtime guard in the aggregate raises past that bound
+    * instead of wrapping silently. Un-normalized feature columns with
+    * large magnitudes belong on [[covarianceMatrixFast]] (plain double
+    * accumulation, no scaling).
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame =
     covFromSums(positionalSums(df, vecCol, dim), dim)

@@ -218,6 +218,14 @@ object Pq {
   }
 
   def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    // the degenerate index buildIvfPqIndex returns for an empty/failed
+    // build (coarse=Nil, codes=emptyDataFrame) would otherwise die inside
+    // partitionBy("cell") on a zero-column frame with an opaque
+    // AnalysisException — fail at the API boundary with the real reason
+    require(index.coarse.nonEmpty && index.books.nonEmpty,
+      "saveIvfPqIndex: refusing to persist an empty IVF-PQ index " +
+        "(build produced no coarse centroids/codebooks — empty or " +
+        "degenerate training corpus?)")
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.coarse.toDF("cell", "centroid")

@@ -684,11 +684,24 @@ object Similarity {
     * bands·2^−bandBits ≤ 0.25), "lsh", or "blocked". `bands` = 0 means
     * [[bandingFor]] (threshold, bandBits, recallTarget). Either plan emits
     * identical (d1 < d2, sim) rows when LSH recall reaches 1.
+    *
+    * '''Pair budget (the holtSmooth discipline for quadratic plans)''':
+    * the blocked-exact rung compares n·(n−1)/2 pairs BY DESIGN — correct
+    * and evenly spread, but quadratic. When the implied pair count
+    * exceeds `maxPairs` (default 2·10⁹ ≈ a 63k-vector corpus, ~10× the
+    * measured sf1 load) the plan raises at execution time instead of
+    * silently burning a cluster-month: a 100 TB caller below the LSH
+    * dispatch threshold must choose an explicitly sub-quadratic rung —
+    * [[cellScopedNearDupPairs]] (cell-local exact, documented recall
+    * contract) or `strategy="lsh"` (recallTarget-governed banding). The
+    * in-budget path's rows are untouched; the LSH rung is sub-quadratic
+    * and never guarded.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bandBits: Int = 8, bands: Int = 0,
       recallTarget: Double = 0.999, nBlocks: Int = 16,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      maxPairs: Long = 2000000000L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
     val nBands = if (bands > 0) bands else bandingFor(threshold, bandBits, recallTarget)
@@ -701,7 +714,7 @@ object Similarity {
     log.info(f"cosineNearDupPairs: strategy=${if (useLsh) "banded-lsh" else "blocked-exact"}%s " +
       f"threshold=$threshold bandBits=$bandBits bands=$nBands bgCollisions=$bgFraction%.3f")
     if (useLsh) bandedLshPairs(vecs, threshold, bandBits, nBands)
-    else blockedExactPairs(vecs, threshold, nBlocks)
+    else blockedExactPairs(vecs, threshold, nBlocks, maxPairs)
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the
@@ -887,10 +900,27 @@ object Similarity {
     * orientation; intra-block pairs filtered to id-order). dot/× are
     * orientation-symmetric bit-for-bit, so the emitted sim matches the
     * id-ordered form regardless of which side a row lands on.
+    *
+    * The `maxPairs` budget guard is plan-embedded (no extra job beyond a
+    * pruned-column count): the 1-row corpus count broadcasts onto every
+    * row and the raise rides the vector column, so column pruning can't
+    * drop it and in-budget values are bit-identical to the unguarded plan.
     */
   private def blockedExactPairs(vecs: DataFrame, threshold: Double,
-      nBlocks: Int): DataFrame = {
-    val withB = vecs.withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+      nBlocks: Int, maxPairs: Long): DataFrame = {
+    val budget = vecs.select(count(lit(1)).as("__nv"))
+    val guarded = vecs.crossJoin(broadcast(budget))
+      .withColumn("v",
+        when(col("__nv") * (col("__nv") - lit(1L)) / 2 > maxPairs,
+          raise_error(concat(
+            lit("cosineNearDupPairs[blocked-exact]: corpus of "), col("__nv"),
+            lit(s" vectors implies more than maxPairs=$maxPairs exact " +
+              "comparisons — use cellScopedNearDupPairs or strategy=\"lsh\" " +
+              "for corpora this size, or raise maxPairs deliberately")))
+            .cast("array<double>"))
+          .otherwise(col("v")))
+      .drop("__nv")
+    val withB = guarded.withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
     val l = withB.select(col("id").as("xid"), col("v").as("xv"),
       col("n").as("xn"), col("blk").as("xb"),
       explode(transform(sequence(col("blk"), lit(nBlocks - 1)),

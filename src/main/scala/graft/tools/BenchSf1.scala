@@ -1,105 +1,111 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
 import graft.SparkEntry
 
-/** sf≈1 scale spot-check (dev tool): the sf0.1 bench can't see a
-  * superlinear cliff that only opens at 10× the data, so this main
-  * materializes a 10×-replicated copy of sf0.1 (ids shifted per replica so
-  * keys stay unique and joins keep their selectivity; text/vector payloads
-  * repeat verbatim — which deliberately stresses the dedup families' hot-
-  * bucket caps) and times the most expensive queries against it.
+import org.apache.spark.sql.SparkSession
+
+/** sf≈1 scale-slope sweep (dev tool): the sf0.1 bench can't see a
+  * superlinear cliff that only opens at 10× the data (round 9's q134 read
+  * fine at sf0.1 and stalled 431 s at sf1), so this main times registry
+  * queries against an sf1-shaped corpus and reports each query's
+  * '''slope''' = t_sf1 / pin_sf0.1. A healthy slope is ≈ the replica count
+  * (linear in data at fixed cores); ≫ that flags a cliff worth profiling.
   *
-  * The driver ships no sf1 testdata, so this is synthesized FROM the
-  * driver's own sf0.1 parquet — a bench corpus, not an oracle input (the
-  * correctness gate stays on the driver's data).
+  * Data comes from `tools/make_sf1.py` — the ONE synthesizer (this tool
+  * previously carried its own Scala replication pass, but its per-COLUMN
+  * max+1 offsets misaligned cross-table FKs: o_custkey shifted by
+  * max(o_custkey)+1 while c_custkey shifted by max(c_custkey)+1, so
+  * replicated orders could dangle or point into other replicas, subtly
+  * changing join selectivity in the very slopes being measured. make_sf1.py
+  * shifts every column of a key SPACE by that space's shared width, salts
+  * documents.text per replica, and nudges embeddings so dedup/ANN keep
+  * their duplicate RATE; duplicating that logic here invited exactly the
+  * drift it had). The tool refuses to run without the synthesized dir:
   *
-  * Output: one JSON line {"metric":"sf1_total", "queries":{name:sec},
-  * "slope":{name:sec_sf1/pin_sf0.1}} plus a BENCH_SF1.json sidecar. A
-  * healthy slope is ≈10 (linear in data) — 32 partitions of 10× data with
-  * fixed cores; >>10 flags a cliff worth profiling.
+  * {{{
+  * python3 tools/make_sf1.py /root/testdata/sf0.1 target/sf1 10
+  * SPARK_GRAFT_SF1_DIR=target/sf1 sbt "runMain graft.tools.BenchSf1"
+  * }}}
+  *
+  * Args = query-name prefixes to run (default: the ENTIRE registry —
+  * VERDICT r9 item 1: 260 of 275 queries had never executed at sf1).
+  * Timing is the Bench warm-min method: two passes, the retime pass in
+  * reverse order, min kept. Output: one JSON line plus a BENCH_SF1.json
+  * sidecar carrying the full per-query slope table and the
+  * `flagged_over_12x` list (slope > 12 on a 10-replica corpus = real
+  * superlinearity, not partition-count noise).
   */
 object BenchSf1 {
 
-  /** Per-table id columns shifted by replica (key + FKs shift together, so
-    * each replica is a self-consistent TPC-H universe — join fan-outs stay
-    * identical to sf0.1's, only 10× as many). */
-  private val shiftCols: Map[String, Seq[String]] = Map(
-    "region" -> Seq("r_regionkey"),
-    "nation" -> Seq("n_nationkey", "n_regionkey"),
-    "customer" -> Seq("c_custkey", "c_nationkey"),
-    "supplier" -> Seq("s_suppkey", "s_nationkey"),
-    "part" -> Seq("p_partkey"),
-    "orders" -> Seq("o_orderkey", "o_custkey"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "events" -> Seq("event_id", "user_id"),
-    "documents" -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
-
-  /** The round-8 top-10 most expensive queries (VERDICT r8 plan audit). */
-  private val headline = Seq(
-    "q137_pagerank", "q134_fuzzy_match", "q60_immo_pipeline",
-    "q61_link_lifecycle", "q103_bigram_nll", "q68_embed_clusters",
-    "q126_shared_spans", "q64_ml_leaderboard", "q104_dsir_weights",
-    "q49_cosine_neardup")
-
   def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/bench_sf1")
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SF1_REPLICAS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(new java.io.File(s"$dataDir/lineitem.parquet").exists(),
+      s"no sf1 corpus at $dataDir — synthesize it first: " +
+        s"python3 tools/make_sf1.py /root/testdata/sf0.1 $dataDir $replicas")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    shiftCols.foreach { case (t, ids) =>
-      val dst = s"$outDir/$t.parquet"
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_SUCCESS"))) {
-        val src = spark.read.parquet(s"$srcDir/$t.parquet")
-        // shift base = max+1 per id column (1-row bounded barrier)
-        val maxes = src.agg(ids.map(c => max(col(c)).as(c)).head,
-          ids.map(c => max(col(c)).as(c)).tail: _*).head()
-        val bases = ids.map(c => c -> (maxes.getAs[Number](c).longValue + 1L)).toMap
-        val all = (0 until replicas).map { r =>
-          ids.foldLeft(src) { case (d, c) =>
-            d.withColumn(c, (col(c) + lit(r * bases(c))).cast(src.schema(c).dataType))
-          }
-        }.reduce(_ unionByName _)
-        all.write.mode("overwrite").parquet(dst)
-      }
+    val wanted = args.toSeq
+    val selected =
+      (if (wanted.isEmpty) SparkEntry.queries.toSeq
+       else SparkEntry.queries.toSeq.filter { case (n, _) =>
+         wanted.exists(n.startsWith)
+       }).sortBy(_._1)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, dataDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[sf1] $name failed: ${e.getMessage}"); -1.0 }
     }
+    val firstPass = selected.map { case (name, fn) =>
+      System.err.println(s"[sf1] running $name")
+      (name, fn, time(fn, name))
+    }
+    val results = firstPass.reverse.map { case (name, fn, t1) =>
+      name -> (if (t1 < 0) t1 else {
+        val t2 = time(fn, name)
+        if (t2 < 0) t1 else math.min(t1, t2)
+      })
+    }.sortBy(_._1)
 
     def r3(v: Double): String = f"$v%.3f"
     val pins = graft.BenchPins.values
-    // warmup
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    val qmap = SparkEntry.queries
-    val times = headline.filter(qmap.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { qmap(name)(spark, outDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[sf1] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val slopes = results.collect { case (k, v) if v > 0 && pins.contains(k) =>
+      (k, v / pins(k))
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val slopes = times.collect { case (k, v) if v > 0 && pins.contains(k) =>
-      "\"" + k + "\":" + r3(v / pins(k))
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"sf1_total","value":${r3(times.map(_._2).filter(_ > 0).sum)},"unit":"sec","replicas":$replicas,"queries":$qs,"slope_vs_sf01_pin":$slopes}"""
+    val flagged = slopes.filter(_._2 > 12.0).sortBy(-_._2)
+    def jmap(kv: Seq[(String, Double)], indent: String = ""): String =
+      kv.map { case (k, v) => s"""$indent"$k":${r3(v)}""" }
+        .mkString(if (indent.isEmpty) "{" else "{\n",
+          if (indent.isEmpty) "," else ",\n",
+          if (indent.isEmpty) "}" else "\n}")
+    val sidecar =
+      s"""{
+ "what": "full-registry sf1 scale-slope sweep (VERDICT r9 item 1): every registered query at ${replicas}x the sf0.1 data, synthesized by tools/make_sf1.py (per-key-SPACE id offsets keep FKs intact within each replica; documents.text replica-salted, embeddings nudged, so dedup/ANN keep their duplicate RATE).",
+ "method": "warm-min of 2 passes, retime pass in reverse order, local[$cpus]; slope = t_sf1 / pin_sf0.1, linear scaling = $replicas.0; flagged = slope > 12 (superlinear beyond partition noise)",
+ "n_queries": ${results.size},
+ "errors": ${results.count(_._2 < 0)},
+ "failed": [${results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString(",")}],
+ "sf1_seconds": ${jmap(results.filter(_._2 > 0), "  ")},
+ "slopes_x_per_decade": ${jmap(slopes, "  ")},
+ "flagged_over_12x": ${jmap(flagged, "  ")}
+}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SF1.json"), line.getBytes("UTF-8"))
+      java.nio.file.Paths.get("BENCH_SF1.json"), sidecar.getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    val line = s"""{"metric":"sf1_total","value":${r3(results.map(_._2).filter(_ > 0).sum)},"unit":"sec","replicas":$replicas,"n_queries":${results.size},"errors":${results.count(_._2 < 0)},"flagged_over_12x":${jmap(flagged)}}"""
     println(line)
     spark.stop()
   }

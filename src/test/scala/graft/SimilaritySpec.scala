@@ -109,6 +109,29 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"lsh: missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("cosineNearDupPairs: the blocked-exact rung enforces its pair " +
+      "budget (raises past maxPairs, pointing at the sub-quadratic rungs; " +
+      "in-budget plans are untouched)") {
+    val e = Tables.embeddings(spark, sf001) // 500 vectors -> 124 750 pairs
+    val err = intercept[Exception] {
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.3,
+        strategy = "blocked", maxPairs = 1000L).count()
+    }
+    assert(err.getMessage.contains("maxPairs"), err.getMessage)
+    assert(err.getMessage.contains("cellScopedNearDupPairs"), err.getMessage)
+    // a budget exactly at n(n-1)/2 passes, and results match the default
+    val inBudget = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        0.3, strategy = "blocked", maxPairs = 500L * 499 / 2)
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
+    val default = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        0.3, strategy = "blocked")
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(inBudget == default)
+    // the LSH rung never consults the budget
+    assert(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.9,
+      strategy = "lsh", maxPairs = 1L).count() >= 0L)
+  }
+
   test("ivfTopK: probed-cell search returns k ranked rows per query and " +
       "overlaps the exact top-k") {
     val e = Tables.embeddings(spark, sf001)
