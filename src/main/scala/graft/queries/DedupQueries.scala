@@ -410,6 +410,36 @@ object DedupQueries extends QueryGroup {
         len_grams + 10 AS approx_chars
       FROM runs WHERE len_grams >= 6 ORDER BY d1, d2, start1, start2"""))
 
+  /** EXACT substring dedup spans (DedupOps.exactSubstrSpans, Lee et al.
+    * 2022 ExactSubstr): every maximal doc region covered by 24-char
+    * substrings occurring ≥ 2 times corpus-wide — the exact counterpart
+    * of q126's fingerprint-sampled spans. The engine prunes by window
+    * hash then VERIFIES on the real gram text, so the oracle replays only
+    * the text-level semantics: hash choice cannot change the answer. */
+  val q279ExactSubstr = QueryDef(
+    "q279_exact_substr",
+    (s, d) => DedupOps.exactSubstrSpans(
+      Tables.documents(s, d), "doc_id", col("text"), sub = 24)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "start_pos"),
+    Some("""WITH t AS (SELECT doc_id, text, len(text) - 23 AS ng FROM documents
+               WHERE text IS NOT NULL AND len(text) >= 24),
+      g AS (SELECT doc_id, unnest(range(1, ng + 1)) AS pos, text FROM t),
+      s AS (SELECT doc_id, pos, substr(text, pos, 24) AS g FROM g),
+      dup AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) >= 2),
+      m AS (SELECT doc_id, pos FROM s JOIN dup USING (g)),
+      nw AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+            THEN 0 ELSE 1 END AS nw FROM m),
+      i2 AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM nw),
+      runs AS (SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 23 AS ep,
+          CAST(COUNT(*) AS BIGINT) AS n_grams FROM i2 GROUP BY doc_id, isl)
+      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
+        CAST(ep AS BIGINT) AS end_pos,
+        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
+      FROM runs ORDER BY doc_id, start_pos"""))
+
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
     * pairs: a near-dup pair whose members land in DIFFERENT splits means
@@ -662,5 +692,5 @@ object DedupQueries extends QueryGroup {
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
-    q236DupRateCard, q245DupSizeHist, q246PrefixJaccard)
+    q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr)
 }

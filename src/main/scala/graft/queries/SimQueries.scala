@@ -492,6 +492,137 @@ object SimQueries extends QueryGroup {
         FROM l2, tr, dt)
       ORDER BY comp"""))
 
+  /** Rayleigh quotient vᵀ·$cov·v of an unrolled power iterate as two
+    * materialized CTEs ($wName = $cov·v with DECIMAL-summed products,
+    * $lName = Σ w·v) — the q277 inline pattern, shared by the q281/q282
+    * deflation-loop oracles. */
+  private def rayleighSql(wName: String, lName: String, cov: String,
+      v: String): String =
+    s"""$wName AS MATERIALIZED (SELECT c.i,
+          CAST(SUM(CAST(c.c * v.x AS DECIMAL(38,12))) AS DOUBLE) AS w
+        FROM $cov c JOIN $v v ON v.i = c.j GROUP BY c.i),
+      $lName AS MATERIALIZED (SELECT CAST(SUM(CAST($wName.w * v.x AS
+          DECIMAL(38,12))) AS DOUBLE) AS l
+        FROM $wName JOIN $v v ON v.i = $wName.i)"""
+
+  /** One Hotelling deflation round: $newCov = round6($cov − lam·v vᵀ),
+    * with $lam a 1-row (lam) CTE. Mirrors Pca.deflated. */
+  private def deflateSql(newCov: String, cov: String, vfinal: String,
+      lam: String): String =
+    s"""$newCov AS MATERIALIZED (SELECT c.i, c.j,
+          ROUND(c.c - $lam.lam * a.x * b.x, 6) AS c
+        FROM $cov c JOIN $vfinal a ON a.i = c.i
+          JOIN $vfinal b ON b.i = c.j, $lam)"""
+
+  /** Round-6 dot of two unrolled iterates (orthogonality diagnostic). */
+  private def dotSql(name: String, a: String, b: String): String =
+    s"""$name AS (SELECT ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12)))
+          AS DOUBLE), 6) + 0.0 AS d
+        FROM $a a JOIN $b b ON b.i = a.i)"""
+
+  /** Top-K principal components (Pca.topKComponents/topKReport, k=3):
+    * q277's Hotelling deflation generalized to a LOOP — component c is
+    * the 12-step power iterate of the (c−1)-times-deflated matrix, each
+    * deflation subtracting round6(λ^defl)·v vᵀ with λ^defl the Rayleigh
+    * against the matrix the component was extracted FROM; reported λs are
+    * against the ORIGINAL covariance. The oracle unrolls all 36 power
+    * steps, both deflations, three Rayleighs and the two adjacent dots. */
+  val q281PcaTopK = QueryDef(
+    "q281_pca_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cov = graft.sim.Pca.covarianceMatrix(e, "embedding", dim = 64)
+      val m = graft.sim.Pca.collectCovariance(cov, dim = 64)
+      graft.sim.Pca.topKReport(s, m, kComps = 3, iters = 12).orderBy("comp")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
+      ${rayleighSql("wd1", "ld1", "cov", "v12")},
+      lam1 AS MATERIALIZED (SELECT ROUND(l, 6) AS lam FROM ld1),
+      ${deflateSql("cov2", "cov", "v12", "lam1")},
+      b0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_, "cov2", "b")).mkString(",\n      ")},
+      ${rayleighSql("wo2", "lo2", "cov", "b12")},
+      ${rayleighSql("wd2", "ld2", "cov2", "b12")},
+      lam2 AS MATERIALIZED (SELECT ROUND(l, 6) AS lam FROM ld2),
+      ${deflateSql("cov3", "cov2", "b12", "lam2")},
+      u0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_, "cov3", "u")).mkString(",\n      ")},
+      ${rayleighSql("wo3", "lo3", "cov", "u12")},
+      tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS trace
+        FROM covu WHERE i = j),
+      ${dotSql("d12", "v12", "b12")},
+      ${dotSql("d23", "b12", "u12")}
+      SELECT * FROM (
+        SELECT CAST(1 AS INT) AS comp, ROUND(l, 6) + 0.0 AS lambda,
+          ROUND(l / trace, 6) + 0.0 AS var_share,
+          CAST(NULL AS DOUBLE) AS dot_prev
+        FROM ld1, tr
+        UNION ALL
+        SELECT CAST(2 AS INT), ROUND(l, 6) + 0.0, ROUND(l / trace, 6) + 0.0,
+          d12.d
+        FROM lo2, tr, d12
+        UNION ALL
+        SELECT CAST(3 AS INT), ROUND(l, 6) + 0.0, ROUND(l / trace, 6) + 0.0,
+          d23.d
+        FROM lo3, tr, d23)
+      ORDER BY comp"""))
+
+  /** PCA WHITENING over the top-2 subspace (Pca.whitenedProjections) —
+    * the transform completing All-but-the-Top: per (vector, component)
+    * the round-6 centered projection and its unit-variance rescaling
+    * white = round6(score / √round6(λ)), λ against the ORIGINAL
+    * covariance. One data pass for both components (loadings flattened
+    * into one broadcast (comp, pos, x) table); the oracle replays the 24
+    * power steps, the deflation, both Rayleighs, means and the rescale. */
+  val q282PcaWhiten = QueryDef(
+    "q282_pca_whiten",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cov, means) = graft.sim.Pca.covarianceWithMeans(e, "embedding",
+        dim = 64)
+      val m = graft.sim.Pca.collectCovariance(cov, dim = 64)
+      val comps = graft.sim.Pca.topKComponents(m, kComps = 2, iters = 12)
+      graft.sim.Pca.whitenedProjections(e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", comps, means)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "comp")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
+      ${rayleighSql("wd1", "ld1", "cov", "v12")},
+      lam1 AS MATERIALIZED (SELECT ROUND(l, 6) AS lam FROM ld1),
+      ${deflateSql("cov2", "cov", "v12", "lam1")},
+      b0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_, "cov2", "b")).mkString(",\n      ")},
+      ${rayleighSql("wo2", "lo2", "cov", "b12")},
+      lams AS (SELECT 1 AS comp, lam FROM lam1
+        UNION ALL SELECT 2, ROUND(l, 6) FROM lo2),
+      lds AS (SELECT 1 AS comp, i, x FROM v12
+        UNION ALL SELECT 2, i, x FROM b12),
+      means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn),
+      sc AS (SELECT p.vec_id, l.comp,
+          ROUND(CAST(SUM(CAST(l.x * (p.val - mm.m) AS DECIMAL(38,12)))
+            AS DOUBLE), 6) + 0.0 AS score
+        FROM px p JOIN lds l ON l.i = p.pos JOIN means mm ON mm.pos = p.pos
+        WHERE p.vec_id < 10 GROUP BY p.vec_id, l.comp)
+      SELECT sc.vec_id, CAST(sc.comp AS INT) AS comp, sc.score,
+        ROUND(sc.score / SQRT(la.lam), 6) + 0.0 AS white
+      FROM sc JOIN lams la ON la.comp = sc.comp
+      ORDER BY vec_id, comp"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -1215,6 +1346,91 @@ object SimQueries extends QueryGroup {
     },
     Some(ivfPqOracle))
 
+  /** Incremental IVF-PQ ADD (Pq.addToIvfPqIndex): the compressed-rung
+    * counterpart of q271 — coarse quantizer AND residual sub-codebooks
+    * train on the EVEN half only, the odd half is residual-encoded under
+    * the frozen quantizer and appended, and the probe runs over the
+    * combined codes. The oracle pins the add invariant: because the add
+    * uses the build's own assignment + encoding projections, the combined
+    * codes table equals residual-encoding the FULL corpus against the
+    * even-trained coarse centroids and sub-codebooks. */
+  val q280IvfPqAdd = QueryDef(
+    "q280_ivfpq_add",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.sim.Pq.buildIvfPqIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        dim = 64, nLists = 8, m = 4, ksub = 8, iters = 1)
+      val grown = graft.sim.Pq.addToIvfPqIndex(
+        idx, e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      graft.sim.Pq.queryIvfPqIndex(grown,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3,
+        nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      evn AS (SELECT vec_id, v FROM ev WHERE vec_id % 2 = 0),
+      pxn AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos
+          FROM evn)),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM evn
+        WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0", "evn", "pxn")},
+      ${argminCellSql("asg", "c1")},
+      -- rv/rvn MATERIALIZED: rv is consumed through TWO levels (rvn → 4
+      -- subspace slice CTEs, plus 4 full-encode slices) and DuckDB's
+      -- inliner otherwise expands the assignment-join chain
+      -- multiplicatively (the powerStepSql lesson — unhinted, this oracle
+      -- does not finish)
+      rv AS MATERIALIZED (SELECT e.vec_id, list_transform(
+          generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS v
+        FROM ev e JOIN asg a USING (vec_id) JOIN c1 c ON c.cell = a.cell),
+      rvn AS MATERIALIZED (SELECT vec_id, v FROM rv WHERE vec_id % 2 = 0),
+      ${(0 until 4).map(j => pqSubspaceSql(j, j * 16 + 1, j * 16 + 16, 8,
+        src = "rvn")).mkString(",\n      ")},
+      ${(0 until 4).map { j =>
+        val (lo, hi) = (j * 16 + 1, j * 16 + 16)
+        s"""rvf$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM rv),
+      ${argminCellSql(s"fasg$j", s"c1_$j", s"rvf$j")}"""
+      }.mkString(",\n      ")},
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c1 c) WHERE rn <= 2),
+      qr AS (SELECT p.qid, p.cell, list_transform(
+          generate_series(1, len(q.v)), i -> q.v[i] - c.cv[i]) AS v
+        FROM pr p JOIN q ON q.vec_id = p.qid JOIN c1 c ON c.cell = p.cell),
+      ${(0 until 4).map { j =>
+        val (lo, hi) = (j * 16 + 1, j * 16 + 16)
+        s"""pdt$j AS (SELECT qr.qid, qr.cell, sc.cell AS scell,
+          ROUND(${d2Sql(s"qr.v[$lo:$hi]", "sc.cv")}, 6) AS d2v
+        FROM qr, c1_$j sc)"""
+      }.mkString(",\n      ")},
+      adc AS (SELECT p.qid, a.vec_id AS cid,
+          ROUND(p0.d2v + p1.d2v + p2.d2v + p3.d2v, 6) AS adc
+        FROM pr p JOIN asg a ON a.cell = p.cell
+          JOIN fasg0 e0 ON e0.vec_id = a.vec_id
+          JOIN fasg1 e1 ON e1.vec_id = a.vec_id
+          JOIN fasg2 e2 ON e2.vec_id = a.vec_id
+          JOIN fasg3 e3 ON e3.vec_id = a.vec_id
+          JOIN pdt0 p0 ON p0.qid = p.qid AND p0.cell = p.cell
+            AND p0.scell = e0.cell
+          JOIN pdt1 p1 ON p1.qid = p.qid AND p1.cell = p.cell
+            AND p1.scell = e1.cell
+          JOIN pdt2 p2 ON p2.qid = p.qid AND p2.cell = p.cell
+            AND p2.scell = e2.cell
+          JOIN pdt3 p3 ON p3.qid = p.qid AND p3.cell = p.cell
+            AND p3.scell = e3.cell
+        WHERE a.vec_id <> p.qid),
+      r AS (SELECT qid, cid, adc, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY adc, cid) AS INT) AS rank FROM adc)
+      SELECT qid, rank, CAST(cid AS BIGINT) AS cid, adc AS adc_d2
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+
   /** Shared by q263 (inline build+probe) and q264 (saved-index probe):
     * both must reproduce exactly this trajectory — seeded coarse Lloyd,
     * residual sub-codebooks, nProbe=2 probing, ADC ranking. */
@@ -1318,5 +1534,6 @@ object SimQueries extends QueryGroup {
     q124HammingTopk, q125Matryoshka, q143IvfProbeSaved, q178MmrRerank,
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
-    q274Isotropy, q276AbttCorrect, q277PcaDeflate)
+    q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
+    q281PcaTopK, q282PcaWhiten)
 }

@@ -371,6 +371,109 @@ object Pca {
       .toDF("comp", "lambda", "var_share", "dot_prev")
   }
 
+  /** One extracted principal component: the unit round-6 loading, its
+    * Rayleigh eigenvalue against the ORIGINAL covariance (the reported /
+    * whitening λ) and against the matrix it was extracted FROM (the
+    * deflation λ — what the next Hotelling round subtracts). Both
+    * unrounded; consumers round per the report contract. */
+  final case class PcaComponent(loading: Seq[(Int, Double)],
+      lambda: Double, lambdaDeflate: Double)
+
+  /** Top-k principal components via the [[topTwoReport]] discipline
+    * generalized to a deflation LOOP: component c is the 12-step (or
+    * `iters`-step) power iterate of the (c−1)-times-deflated matrix,
+    * m_c = round6(m_{c−1} − round6(λ^defl_{c−1})·v v ᵀ) — every
+    * deflation uses the component's Rayleigh against the matrix it was
+    * extracted from, so the trajectory is replayable round for round
+    * (the q281 oracle unrolls k·iters power steps and k−1 deflations).
+    * For k = 2 this IS topTwoReport's trajectory. Driver-side on the
+    * bounded dim² matrix, like [[topComponent]].
+    */
+  def topKComponents(m: Array[Array[Double]], kComps: Int,
+      iters: Int): Seq[PcaComponent] = {
+    require(kComps >= 1 && kComps <= m.length,
+      s"topKComponents needs 1 <= k <= dim (got $kComps, dim ${m.length})")
+    val dim = m.length
+    def toArr(l: Seq[(Int, Double)]): Array[Double] = {
+      val a = Array.ofDim[Double](dim); l.foreach { case (i, x) => a(i) = x }; a
+    }
+    val out = Seq.newBuilder[PcaComponent]
+    var cur = m
+    var c = 0
+    while (c < kComps) {
+      val l = topComponent(cur, iters)
+      val v = toArr(l)
+      val lamD = rayleigh(cur, v)
+      out += PcaComponent(l, rayleigh(m, v), lamD)
+      c += 1
+      if (c < kComps) cur = deflated(cur, v, round6(lamD))
+    }
+    out.result()
+  }
+
+  /** [[topTwoReport]] generalized to k components: per component its
+    * round-6 eigenvalue against the ORIGINAL covariance, variance share,
+    * and round-6 dot with the PREVIOUS component (orthogonality
+    * diagnostic; null for the first). (comp, lambda, var_share,
+    * dot_prev), comp 1-based. */
+  def topKReport(spark: org.apache.spark.sql.SparkSession,
+      m: Array[Array[Double]], kComps: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val dim = m.length
+    val comps = topKComponents(m, kComps, iters)
+    val tr = traceOf(m)
+    def toArr(l: Seq[(Int, Double)]): Array[Double] = {
+      val a = Array.ofDim[Double](dim); l.foreach { case (i, x) => a(i) = x }; a
+    }
+    val rows = comps.zipWithIndex.map { case (pc, i) =>
+      val dot = if (i == 0) Option.empty[Double] else {
+        val (a, b) = (toArr(comps(i - 1).loading), toArr(pc.loading))
+        var acc = java.math.BigDecimal.ZERO
+        (0 until dim).foreach(j => acc = acc.add(dec12(a(j) * b(j))))
+        Some(round6(acc.doubleValue()))
+      }
+      (i + 1, round6(pc.lambda), round6(pc.lambda / tr), dot)
+    }
+    rows.toDF("comp", "lambda", "var_share", "dot_prev")
+  }
+
+  /** PCA WHITENING of the top-k subspace — the transform that completes
+    * All-but-the-Top: each vector's centered projection onto component c,
+    * rescaled to unit variance, white = round6(score / √round6(λ_c))
+    * with λ_c the component's eigenvalue against the ORIGINAL covariance
+    * (score itself round-6, per [[project]]'s contract). Output one row
+    * per (id, comp): (id, comp, score, white).
+    *
+    * Scale shape: the k loadings flatten to ONE bounded (comp, pos, x)
+    * broadcast table, so all k projections ride a single posexplode +
+    * map-side-combined (id, comp) aggregate — one data pass regardless
+    * of k; λs join back per comp, broadcast.
+    */
+  def whitenedProjections(df: DataFrame, idCol: String, vecCol: String,
+      comps: Seq[PcaComponent], means: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(comps.nonEmpty, "whitenedProjections needs >= 1 component")
+    val dim = comps.head.loading.size
+    val ldf = comps.zipWithIndex
+      .flatMap { case (pc, i) => pc.loading.map { case (p, x) => (i + 1, p, x) } }
+      .toDF("comp", "pos", "x")
+    val lams = comps.zipWithIndex
+      .map { case (pc, i) => (i + 1, round6(pc.lambda)) }
+      .toDF("comp", "__lam")
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim)
+      .select(col("id"), posexplode(col("v")))
+      .join(broadcast(ldf), Seq("pos"))
+      .join(broadcast(means), Seq("pos"))
+      .groupBy("id", "comp")
+      .agg(round(sum((col("x") * (col("col") - col("m")))
+        .cast("decimal(38,12)")).cast("double"), 6).as("score"))
+      .join(broadcast(lams), Seq("comp"))
+      .select(col("id"), col("comp"), col("score"),
+        round(col("score") / sqrt(col("__lam")), 6).as("white"))
+  }
+
   def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame =
     isotropyAudit(cov.sparkSession, collectFull(cov, loading.length), loading)
 

@@ -209,12 +209,92 @@ object Pq {
         else r0.localCheckpoint(eager = true)
       }
     // slices hoisted before the nearest-cell trees — see [[pqEncode]]
-    val codes = encSrc
+    val codes = codesProjection(encSrc, books, sub)
+    IvfPqIndex(coarse, books, codes)
+  }
+
+  /** (cid, cell, __r) → (cid, cell, code_0 … code_{m-1}): the residual
+    * sub-encoding projection shared by the build and the add paths (ONE
+    * definition, so build-then-add ≡ build-over-union for the codes
+    * relation). Slices hoisted before the nearest-cell trees — see
+    * [[pqEncode]]. */
+  private def codesProjection(src: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], sub: Int): DataFrame = {
+    val m = books.size
+    src
       .select(col("cid") +: col("cell") +: (0 until m).map(j =>
         slice(col("__r"), j * sub + 1, sub).as(s"__s$j")): _*)
       .select(col("cid") +: col("cell") +: (0 until m).map(j =>
         nearestCell(col(s"__s$j"), books(j)).as(s"code_$j")): _*)
-    IvfPqIndex(coarse, books, codes)
+  }
+
+  /** Batch → codes rows under a FROZEN quantizer (shared by the add
+    * paths): nearest EXISTING coarse cell, residual against that cell's
+    * centroid, sub-encoding against the FROZEN books — the exact
+    * projections the build's own assignment uses, so the appended rows
+    * are indistinguishable from a full rebuild's under the same
+    * quantizer. The residual zip_with is materialized before the m·ksub
+    * encoder consultations (see the build-path note). */
+  private def encodeUnder(coarse: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]], batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val dim = coarse.head._2.size
+    val sub = dim / books.size
+    val spark = batch.sparkSession
+    val centMap = typedlit(coarse.map { case (c, v) => c -> v }.toMap)
+    val r0 = batch
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell", nearestCell(col("__v"), coarse))
+      .withColumn("__r", Similarity.vecSub(col("__v"),
+        element_at(centMap, col("cell"))))
+      .select("cid", "cell", "__r")
+    val rs =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        r0.checkpoint(eager = true)
+      else r0.localCheckpoint(eager = true)
+    codesProjection(rs, books, sub)
+  }
+
+  /** Incremental IVF-PQ index ADD — parity with
+    * [[Similarity.addToIvfIndex]] on the compressed rung: new vectors are
+    * residual-encoded under the FROZEN coarse centroids + sub-codebooks
+    * and appended to the codes relation; no training state changes.
+    * Because the add uses the same assignment/encoding projections as the
+    * build, build-then-add equals encoding the union corpus against the
+    * same quantizer (the q280 oracle invariant). Quantizer drift under a
+    * shifting distribution is the caller's maintenance trade, exactly as
+    * in FAISS `IndexIVFPQ.add`.
+    *
+    * Scale shape: one narrow batch projection (coarse + books ride along
+    * as bounded codegen literals), zero shuffles, existing codes
+    * untouched.
+    */
+  def addToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex = {
+    require(index.coarse.nonEmpty && index.books.nonEmpty,
+      "addToIvfPqIndex: cannot add to an empty IVF-PQ index " +
+        "(no coarse centroids/codebooks to encode against)")
+    IvfPqIndex(index.coarse, index.books,
+      index.codes.unionByName(
+        encodeUnder(index.coarse, index.books, batch, idCol, vecCol)))
+  }
+
+  /** [[addToIvfPqIndex]] against a SAVED index: encodes the batch with
+    * the stored quantizer and appends to the cell-partitioned codes
+    * parquet (pure append, never dynamic partition overwrite — concurrent
+    * readers keep a consistent view of existing cells). Returns the
+    * appended row count. */
+  def appendToSavedIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val idx = loadIvfPqIndex(spark, dir)
+    require(idx.coarse.nonEmpty && idx.books.nonEmpty,
+      s"appendToSavedIvfPqIndex: no usable index at $dir")
+    val enc = encodeUnder(idx.coarse, idx.books, batch, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = enc.count()
+    enc.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    enc.unpersist(blocking = false)
+    n
   }
 
   def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {

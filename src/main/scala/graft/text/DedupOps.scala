@@ -585,6 +585,77 @@ object DedupOps {
         (col("len_grams") + (w + k - 2)).as("approx_chars"))
   }
 
+  /** EXACT substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", the ExactSubstr criterion): every
+    * maximal region of a document covered by length-`sub` substrings that
+    * occur ≥ 2 times in the whole corpus (cross-document OR repeated
+    * within one document — self-repetition is duplication too). Unlike
+    * [[sharedSpans]] (winnowing fingerprints — SAMPLED positions, so spans
+    * are fingerprint-granular and can miss short overlaps), this marks
+    * every duplicated `sub`-gram position and is exact at that window
+    * size: a span appears iff its text genuinely recurs.
+    *
+    * The reference family builds a corpus-wide suffix array on dedicated
+    * big-memory machines; the distributed re-expression is
+    * hash-prune-then-verify: (1) one explode to (doc, pos, h) window
+    * hashes; (2) hashes with ≥ 2 occurrences survive a map-side-combined
+    * count + LEFT SEMI probe (the only corpus-sized shuffle carries 12-ish
+    * bytes/row, not the gram text); (3) candidates join back to their doc
+    * row (keyed by doc) and re-extract the REAL `sub`-char gram, and a
+    * second count ≥ 2 over the gram text verifies exactly — a hash
+    * collision cannot produce a span, and equal text always shares a
+    * hash, so there are no false negatives either. The oracle therefore
+    * replays only the text-level semantics (no hash replication needed).
+    * (4) verified positions merge gaps-and-islands per doc: two
+    * duplicated windows belong to one span when their char ranges overlap
+    * or touch (gap ≤ sub), via the running-sum-of-new-island-flags form
+    * (handles variable gaps, which the `pos − row_number` trick cannot).
+    *
+    * Scale shape: linear in corpus characters (the suffix-array family's
+    * cost class); every stage is a keyed aggregate/join, the islands
+    * window partitions BY DOC. Output: (doc, start_pos, end_pos,
+    * span_chars, n_grams) per maximal duplicated span, positions 1-based
+    * inclusive.
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: Column,
+      sub: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sub >= 2, s"exactSubstrSpans needs sub >= 2 (got $sub)")
+    val docs = df.filter(textCol.isNotNull && length(textCol) >= sub)
+      .select(col(idCol).as("doc"), textCol.as("__t"))
+    val hashes = docs.select(col("doc"),
+        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
+          i => struct(i.as("pos"),
+            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
+      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupHash = hashes.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    // candidate (doc, pos) → re-extract the true gram from the doc row;
+    // only the (rare) candidate set carries text through this join
+    val cand = hashes.join(dupHash, Seq("h"), "left_semi")
+      .join(docs, Seq("doc"))
+      .select(col("doc"), col("pos"),
+        col("__t").substr(col("pos"), lit(sub)).as("g"))
+    val dupGram = cand.groupBy("g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("g")
+    val marked = cand.join(dupGram, Seq("g"), "left_semi")
+      .select(col("doc"), col("pos"))
+    val w = Window.partitionBy("doc").orderBy("pos")
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= sub, 0).otherwise(1))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy("doc", "__isl")
+      .agg(min("pos").as("__sp"), max("pos").as("__mp"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc"),
+        col("__sp").cast("long").as("start_pos"),
+        (col("__mp") + (sub - 1)).cast("long").as("end_pos"),
+        (col("__mp") + (sub - 1) - col("__sp") + 1).cast("long")
+          .as("span_chars"),
+        col("n_grams"))
+  }
+
   /** Exact set-similarity join by PREFIX FILTERING (the PPJoin candidate
     * rule): doc pairs with token-set Jaccard ≥ `threshold`, with NO false
     * negatives and candidates generated only from each doc's

@@ -115,6 +115,75 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-3, s"components not orthogonal: dot=$dot")
   }
 
+  // 4-d cloud with three planted variance scales (≈9 : 4 : 1) plus a tiny
+  // 4th axis — deterministic, no RNG (sin/cos of the index)
+  private def cloud3 = (0 until 40).map { i =>
+    (i.toLong, Seq(
+      (3.0 * math.sin(i * 1.7)).toFloat,
+      (2.0 * math.cos(i * 2.3)).toFloat,
+      (1.0 * math.sin(i * 3.1 + 1.0)).toFloat,
+      (0.05 * math.cos(i * 0.9)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("topKComponents: k=2 reproduces the topTwoReport trajectory exactly; " +
+      "k=3 report orders eigenvalues with near-orthogonal adjacent loadings") {
+    val covDf = Pca.covarianceMatrix(cloud3, "embedding", 4)
+    val m = Pca.collectCovariance(covDf, 4)
+    // k=2 == topTwoReport (same deflation discipline, shared contract)
+    val two = Pca.topTwoReport(spark, m, iters = 20).orderBy("comp").collect()
+    val rep = Pca.topKReport(spark, m, kComps = 2, iters = 20)
+      .orderBy("comp").collect()
+    (0 to 1).foreach { i =>
+      assert(rep(i).getAs[Double]("lambda") == two(i).getAs[Double]("lambda"))
+      assert(rep(i).getAs[Double]("var_share") == two(i).getAs[Double]("var_share"))
+    }
+    assert(rep(1).getAs[Double]("dot_prev") == two(1).getAs[Double]("dot_prev"))
+    // k=3: descending eigenvalues, shares bounded, adjacent dots ~0
+    val three = Pca.topKReport(spark, m, kComps = 3, iters = 20)
+      .orderBy("comp").collect()
+    val ls = three.map(_.getAs[Double]("lambda"))
+    assert(ls(0) >= ls(1) && ls(1) >= ls(2) && ls(2) > 0,
+      s"eigenvalues out of order: ${ls.toSeq}")
+    val shares = three.map(_.getAs[Double]("var_share"))
+    assert(shares.forall(s => s > 0 && s <= 1) && shares.sum <= 1 + 1e-6)
+    assert(three(0).isNullAt(three(0).fieldIndex("dot_prev")))
+    (1 to 2).foreach { i =>
+      val d = three(i).getAs[Double]("dot_prev")
+      assert(math.abs(d) < 1e-3, s"comp ${i + 1} not orthogonal: dot=$d")
+    }
+  }
+
+  test("whitenedProjections: each component's whitened coordinates have " +
+      "~unit population variance, and white = round6(score/sqrt(round6(l)))") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val (covDf, means) = Pca.covarianceWithMeans(emb, "embedding", 64)
+    val m = Pca.collectCovariance(covDf, 64)
+    val comps = Pca.topKComponents(m, kComps = 2, iters = 12)
+    val rows = Pca.whitenedProjections(emb, "vec_id", "embedding", comps,
+      means).collect()
+    val n = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) === 64).count()
+    assert(rows.length == 2 * n)
+    comps.zipWithIndex.foreach { case (pc, i) =>
+      val ws = rows.filter(_.getAs[Int]("comp") == i + 1)
+        .map(_.getAs[Double]("white"))
+      // var(score) = v'Cv = the Rayleigh lambda by construction, so the
+      // rescaled coordinates are unit-variance regardless of convergence
+      val v = ws.map(w => w * w).sum / n
+      assert(math.abs(v - 1.0) < 0.01,
+        s"comp ${i + 1} whitened variance $v not ~1")
+      // the rescale contract, spot-checked row for row
+      val lam = rows.filter(_.getAs[Int]("comp") == i + 1)
+      lam.foreach { r =>
+        val expect = BigDecimal(r.getAs[Double]("score") /
+          math.sqrt(BigDecimal(pc.lambda).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("white") == expect)
+      }
+    }
+  }
+
   test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
       "dominant component; lambda1 never exceeds the trace") {
     val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)

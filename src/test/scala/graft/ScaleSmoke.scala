@@ -35,6 +35,12 @@ object ScaleSmoke {
         docs.filter(col("doc_id") >= 800000L), docs.filter(col("doc_id") < 800000L),
         "doc_id", md5(col("text")), expectedKeys = 1000000L).count()
     }
+    time("exact-substr-spans") {
+      // chars-linear: hash-count prune + exact verify + per-doc islands
+      // (the q279 rung; template docs share long verbatim spans)
+      graft.text.DedupOps.exactSubstrSpans(docs, "doc_id", col("text"),
+        sub = 24).count()
+    }
     time("minhash-lsh-pairs") {
       val sig = graft.text.DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
       graft.text.DedupOps.lshCandidatePairs(sig, "doc_id", maxBucket = 20).count()

@@ -638,4 +638,47 @@ class SimilaritySpec extends SparkSpec {
       s"saved-index probe $viaIndex != inline $inline")
   }
 
+  test("addToIvfPqIndex: build-on-even + add-odd equals a full-corpus " +
+      "encode under the even-trained quantizer; saved append agrees") {
+    import spark.implicits._
+    import graft.sim.Pq
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, (0 until 8).map(p =>
+        ((i * 31 + p * 7) % 13).toDouble - 6.0).toArray)
+    }.toDF("vec_id", "embedding")
+    val even = vecs.filter($"vec_id" % 2 === 0)
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+    val built = Pq.buildIvfPqIndex(even, "vec_id", "embedding",
+      dim = 8, nLists = 4, m = 2, ksub = 4, iters = 1)
+    val grown = Pq.addToIvfPqIndex(built, odd, "vec_id", "embedding")
+    assert(grown.coarse == built.coarse && grown.books == built.books,
+      "add must not touch training state")
+    // the add invariant: same projections as the build's own assignment,
+    // so grown.codes == encoding the UNION corpus under the frozen
+    // quantizer (buildIvfPqIndex with trainOn = the even half)
+    val full = Pq.buildIvfPqIndex(vecs, "vec_id", "embedding",
+      dim = 8, nLists = 4, m = 2, ksub = 4, iters = 1, trainOn = Some(even))
+    assert(full.coarse == built.coarse && full.books == built.books,
+      "trainOn must reproduce the even-half quantizer")
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "cell", "code_0", "code_1")
+        .as[(Long, Int, Int, Int)].collect().toSeq.sorted
+    assert(codeSet(grown.codes) == codeSet(full.codes),
+      "build-then-add != build-over-union")
+    // saved append: same rows land in the cell-partitioned parquet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqadd").toString
+    Pq.saveIvfPqIndex(built, dir)
+    val n = Pq.appendToSavedIvfPqIndex(spark, dir, odd, "vec_id", "embedding")
+    assert(n == odd.count(), s"appended $n rows, expected ${odd.count()}")
+    val loaded = Pq.loadIvfPqIndex(spark, dir)
+    assert(codeSet(loaded.codes) == codeSet(grown.codes),
+      "saved append diverged from the in-memory add")
+    // an empty index refuses the add with the real reason
+    val e = intercept[IllegalArgumentException] {
+      Pq.addToIvfPqIndex(Pq.IvfPqIndex(Nil, Nil, vecs.limit(0)), odd,
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("empty IVF-PQ index"))
+  }
+
 }

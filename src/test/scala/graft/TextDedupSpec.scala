@@ -1077,4 +1077,65 @@ class TextDedupSpec extends SparkSpec {
     assert(out.getString(2) == "echo\necho\necho\nbody1" && out.getLong(4) == 0L)
   }
 
+  test("exactSubstrSpans: equals a brute-force gram-count + interval-merge " +
+      "reference (cross-doc, within-doc, unique and too-short fixtures)") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val rep = "repeated-block-of-text-long-enough-to-span "
+    val texts = Map(
+      1L -> s"first document unique opening $shared tail one ends here",
+      2L -> s"second doc opens differently!! $shared closing words differ",
+      3L -> "entirely unique content with no twenty-four char overlaps at all",
+      4L -> s"prefix $rep$rep suffix",
+      5L -> "tiny")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val L = 24
+    val got = DedupOps.exactSubstrSpans(docs, "doc_id", col("text"), sub = L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force: count every L-gram corpus-wide, mark positions whose
+    // gram occurs >= 2 times, merge marked positions with gap <= L
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    texts.values.foreach { t =>
+      if (t.length >= L)
+        (0 to t.length - L).foreach(p => counts(t.substring(p, p + L)) += 1)
+    }
+    val expected = texts.flatMap { case (id, t) =>
+      val marked =
+        if (t.length < L) Seq.empty[Int]
+        else (0 to t.length - L).filter(p => counts(t.substring(p, p + L)) >= 2)
+      val islands = marked.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+        acc.lastOption match {
+          case Some(run) if p - run.last <= L => acc.init :+ (run :+ p)
+          case _ => acc :+ Vector(p)
+        }
+      }
+      islands.map { run =>
+        val (s0, e0) = (run.head + 1, run.last + L) // 1-based inclusive chars
+        (id, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong, run.size.toLong)
+      }
+    }.toSet
+    assert(expected.exists(_._1 == 1L) && expected.exists(_._1 == 4L),
+      "fixture must plant cross-doc and within-doc duplication")
+    assert(!expected.exists(r => r._1 == 3L || r._1 == 5L),
+      "fixture docs 3/5 must be clean")
+    assert(got == expected, s"got $got\nexpected $expected")
+    // a doc-1 span covers the whole planted shared text (it may extend a
+    // char on each side — the flanking spaces are shared with doc 2 too)
+    val i1 = texts(1L).indexOf(shared)
+    assert(got.exists { case (id, s, e, _, _) =>
+      id == 1L && s <= i1 + 1 && e >= i1 + shared.length },
+      s"no doc-1 span covers [${i1 + 1}, ${i1 + shared.length}]: $got")
+    // consistency with the fingerprint-sampled q126 rung: every winnowing
+    // shared span between docs 1 and 2 overlaps an exact span char range
+    val winn = DedupOps.sharedSpans(docs, "doc_id", col("text"))
+      .filter(col("d1") === 1L && col("d2") === 2L)
+      .select("start1", "approx_chars").as[(Long, Long)].collect()
+    assert(winn.nonEmpty, "winnowing must also see the planted span")
+    val exact1 = got.filter(_._1 == 1L).map(r => (r._2, r._3))
+    winn.foreach { case (s, len) =>
+      assert(exact1.exists { case (es, ee) => s <= ee && s + len - 1 >= es },
+        s"winnowing span at $s len $len outside every exact span $exact1")
+    }
+  }
+
 }
