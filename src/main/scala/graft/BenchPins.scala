@@ -157,6 +157,12 @@ object BenchPins {
     "q273_pca_power" -> 3.227, "q274_isotropy" -> 3.807,
     "q275_l_diversity" -> 0.099, "q276_abtt_correct" -> 3.097,
     "q277_pca_deflate" -> 3.19, "q278_k_core" -> 3.874,
+    // round-10 additions, pinned from a clean warm-min prefix run
+    // (SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.Bench q279 …)
+    "q279_exact_substr" -> 7.891, "q280_ivfpq_add" -> 3.134,
+    "q281_pca_topk" -> 3.387, "q282_pca_whiten" -> 3.538,
+    "q283_exact_dup_card" -> 0.289, "q284_exact_substr_cut" -> 0.283,
+    "q285_abtt_topk" -> 3.531,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,
     "q28_epc_bucket" -> 0.219, "q29_try_cast" -> 0.125,

@@ -422,7 +422,17 @@ object DedupQueries extends QueryGroup {
       Tables.documents(s, d), "doc_id", col("text"), sub = 24)
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id", "start_pos"),
-    Some("""WITH t AS (SELECT doc_id, text, len(text) - 23 AS ng FROM documents
+    Some(s"""WITH $exactSubstrRunsCtes
+      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
+        CAST(ep AS BIGINT) AS end_pos,
+        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
+      FROM runs ORDER BY doc_id, start_pos"""))
+
+  /** The q279 span pipeline's CTE chain up to `runs` (doc_id, sp, ep,
+    * n_grams) — shared verbatim by the card (q283) and cut (q284)
+    * oracles so the three stay one trajectory. */
+  private def exactSubstrRunsCtes: String =
+    """t AS (SELECT doc_id, text, len(text) - 23 AS ng FROM documents
                WHERE text IS NOT NULL AND len(text) >= 24),
       g AS (SELECT doc_id, unnest(range(1, ng + 1)) AS pos, text FROM t),
       s AS (SELECT doc_id, pos, substr(text, pos, 24) AS g FROM g),
@@ -433,12 +443,66 @@ object DedupQueries extends QueryGroup {
             THEN 0 ELSE 1 END AS nw FROM m),
       i2 AS (SELECT doc_id, pos,
           SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM nw),
-      runs AS (SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 23 AS ep,
-          CAST(COUNT(*) AS BIGINT) AS n_grams FROM i2 GROUP BY doc_id, isl)
-      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
-        CAST(ep AS BIGINT) AS end_pos,
-        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
-      FROM runs ORDER BY doc_id, start_pos"""))
+      runs AS MATERIALIZED (SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 23 AS ep,
+          CAST(COUNT(*) AS BIGINT) AS n_grams FROM i2 GROUP BY doc_id, isl)"""
+
+  /** Per-doc exact-duplication CARD (DedupOps.exactSubstrCard): the
+    * keep/drop layer over q279 — span count, duplicated chars, round-6
+    * duplicated fraction, keep = dup_frac < 0.2. Docs with no spans
+    * (incl. shorter than the 24-char window) surface with zeros via the
+    * left join — a keep, not a missing row. */
+  val q283ExactDupCard = QueryDef(
+    "q283_exact_dup_card",
+    (s, d) => DedupOps.exactSubstrCard(
+      Tables.documents(s, d), "doc_id", col("text"), sub = 24,
+      maxDupFrac = 0.2)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id"),
+    Some(s"""WITH $exactSubstrRunsCtes,
+      card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_chars
+        FROM runs GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        COALESCE(c.n_spans, 0) AS n_spans,
+        COALESCE(c.dup_chars, 0) AS dup_chars,
+        ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6) + 0.0
+          AS dup_frac,
+        (ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6)
+          < 0.2) AS keep
+      FROM documents d LEFT JOIN card c USING (doc_id)
+      WHERE d.text IS NOT NULL
+      ORDER BY doc_id"""))
+
+  /** Exact-substring CUT (DedupOps.exactSubstrCut): the Lee et al.
+    * removal action — every q279 span excised, complement segments
+    * concatenated in order; span-free docs pass through verbatim. The
+    * oracle rebuilds the complement with a LAG window over the runs plus
+    * a per-doc tail segment and an ordered STRING_AGG. */
+  val q284ExactSubstrCut = QueryDef(
+    "q284_exact_substr_cut",
+    (s, d) => DedupOps.exactSubstrCut(
+      Tables.documents(s, d), "doc_id", col("text"), sub = 24)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id"),
+    Some(s"""WITH $exactSubstrRunsCtes,
+      seg AS (
+        SELECT doc_id,
+          COALESCE(LAG(ep) OVER (PARTITION BY doc_id ORDER BY sp), 0) + 1
+            AS ks,
+          sp - 1 AS ke
+        FROM runs
+        UNION ALL
+        SELECT r.doc_id, MAX(r.ep) + 1 AS ks, MAX(len(t.text)) AS ke
+        FROM runs r JOIN t USING (doc_id) GROUP BY r.doc_id),
+      clean AS (SELECT s.doc_id,
+          STRING_AGG(substr(t.text, CAST(s.ks AS INT),
+            CAST(GREATEST(0, s.ke - s.ks + 1) AS INT)), '' ORDER BY s.ks)
+            AS ct
+        FROM seg s JOIN t USING (doc_id) GROUP BY s.doc_id)
+      SELECT d.doc_id, COALESCE(c.ct, d.text) AS clean_text
+      FROM documents d LEFT JOIN clean c USING (doc_id)
+      WHERE d.text IS NOT NULL
+      ORDER BY doc_id"""))
 
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
@@ -692,5 +756,6 @@ object DedupQueries extends QueryGroup {
     q71DedupKeep, q72SimhashPairs, q77IncrementalDedup, q78BloomDedup,
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
-    q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr)
+    q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr,
+    q283ExactDupCard, q284ExactSubstrCut)
 }

@@ -623,6 +623,65 @@ object SimQueries extends QueryGroup {
       FROM sc JOIN lams la ON la.comp = sc.comp
       ORDER BY vec_id, comp"""))
 
+  /** Top-K All-but-the-Top correction (Pca.abttAuditK, k=2): q276's
+    * removal generalized to the top-2 subspace — ‖corr‖² = Q − 2·ΣP_c² +
+    * Σ coeff·P_c·P_d·R_cd with the k×k loading Gram R driver-computed
+    * under the dec12 discipline (round-6 loadings are not exactly
+    * orthonormal, so cross terms matter). Still ONE data pass; the
+    * oracle replays 24 power steps, the deflation, the per-id P/Q sums,
+    * the three Gram entries and the exact term parenthesization. */
+  val q285AbttTopk = QueryDef(
+    "q285_abtt_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (cov, means) = graft.sim.Pca.covarianceWithMeans(e, "embedding",
+        dim = 64)
+      val m = graft.sim.Pca.collectCovariance(cov, dim = 64)
+      val comps = graft.sim.Pca.topKComponents(m, kComps = 2, iters = 12)
+      graft.sim.Pca.abttAuditK(e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", comps, means)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      $covSqlBlock,
+      cov AS MATERIALIZED (SELECT i, j, c FROM covu
+        UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+      v0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_)).mkString(",\n      ")},
+      ${rayleighSql("wd1", "ld1", "cov", "v12")},
+      lam1 AS MATERIALIZED (SELECT ROUND(l, 6) AS lam FROM ld1),
+      ${deflateSql("cov2", "cov", "v12", "lam1")},
+      b0 AS MATERIALIZED (SELECT DISTINCT pos AS i, 0.125 AS x FROM px),
+      ${(1 to 12).map(powerStepSql(_, "cov2", "b")).mkString(",\n      ")},
+      means AS (SELECT pos, ROUND(s / nn.n, 6) AS m FROM sx, nn),
+      centd AS MATERIALIZED (SELECT p.vec_id, p.pos, p.val - m.m AS cent
+        FROM px p JOIN means m ON m.pos = p.pos WHERE p.vec_id < 10),
+      qq AS (SELECT vec_id, CAST(SUM(CAST(cent * cent AS DECIMAL(38,12)))
+          AS DOUBLE) AS q FROM centd GROUP BY vec_id),
+      p1 AS (SELECT c.vec_id, CAST(SUM(CAST(v.x * c.cent AS DECIMAL(38,12)))
+          AS DOUBLE) AS p
+        FROM centd c JOIN v12 v ON v.i = c.pos GROUP BY c.vec_id),
+      p2 AS (SELECT c.vec_id, CAST(SUM(CAST(v.x * c.cent AS DECIMAL(38,12)))
+          AS DOUBLE) AS p
+        FROM centd c JOIN b12 v ON v.i = c.pos GROUP BY c.vec_id),
+      r11 AS (SELECT CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,12))) AS DOUBLE)
+          AS r FROM v12 a),
+      r12 AS (SELECT CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE)
+          AS r FROM v12 a JOIN b12 b ON b.i = a.i),
+      r22 AS (SELECT CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,12))) AS DOUBLE)
+          AS r FROM b12 a)
+      SELECT qq.vec_id, ROUND(SQRT(qq.q), 6) AS centered_norm,
+        ROUND(SQRT(GREATEST(0.0,
+          qq.q - 2 * (p1.p * p1.p + p2.p * p2.p)
+            + (p1.p * p1.p * r11.r + 2 * p1.p * p2.p * r12.r
+              + p2.p * p2.p * r22.r))), 6) AS corrected_norm
+      FROM qq JOIN p1 ON p1.vec_id = qq.vec_id
+        JOIN p2 ON p2.vec_id = qq.vec_id, r11, r12, r22
+      ORDER BY qq.vec_id"""))
+
   /** Shared by q65 (inline build+probe) and q143 (saved-index probe): both
     * must reproduce exactly this trajectory — seeded init, two unrolled
     * round-6 Lloyd steps, nProbe=3 probe ranking, in-cell exact cosine
@@ -1535,5 +1594,5 @@ object SimQueries extends QueryGroup {
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
     q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
-    q281PcaTopK, q282PcaWhiten)
+    q281PcaTopK, q282PcaWhiten, q285AbttTopk)
 }

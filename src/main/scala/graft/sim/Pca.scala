@@ -474,6 +474,67 @@ object Pca {
         round(col("score") / sqrt(col("__lam")), 6).as("white"))
   }
 
+  /** [[abttAudit]] generalized to a top-K subspace: remove ALL k dominant
+    * directions from each centered embedding and report ‖centered‖ vs
+    * ‖corrected‖. With P_c = v_c·cent (per-id DECIMAL-summed), Q = Σcent²
+    * and the bounded k×k loading Gram R_cd = Σ v_c·v_d (driver-computed
+    * under the same dec12 discipline as the deflation dots — the
+    * loadings are NOT exactly orthonormal after round-6, so the cross
+    * terms matter):
+    *
+    *   ‖corr‖² = Q − 2·ΣP_c² + Σ_{c≤d} coeff·P_c·P_d·R_cd   (coeff 1/2)
+    *
+    * — one data pass: ONE posexplode, the flattened (comp, pos, x)
+    * broadcast, ONE per-id aggregate carrying Q and the k projections;
+    * all k² cross terms are scalar arithmetic on the aggregate row. Term
+    * order is pinned left-to-right per group (the q285 oracle replays the
+    * identical parenthesization — full-precision double products are the
+    * safe class, but ASSOCIATION must still match bit for bit). */
+  def abttAuditK(df: DataFrame, idCol: String, vecCol: String,
+      comps: Seq[PcaComponent], means: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(comps.nonEmpty, "abttAuditK needs >= 1 component")
+    val k = comps.size
+    val dim = comps.head.loading.size
+    def toArr(l: Seq[(Int, Double)]): Array[Double] = {
+      val a = Array.ofDim[Double](dim); l.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vs = comps.map(c => toArr(c.loading))
+    def gram(a: Array[Double], b: Array[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      (0 until dim).foreach(i => acc = acc.add(dec12(a(i) * b(i))))
+      acc.doubleValue()
+    }
+    val ldf = comps.zipWithIndex
+      .flatMap { case (pc, i) => pc.loading.map { case (p, x) => (i + 1, p, x) } }
+      .toDF("comp", "pos", "x")
+    def s12(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
+    val pExprs = (1 to k).map(c =>
+      s12(when(col("comp") === c, col("x") * col("cent"))).as(s"__p$c"))
+    val aggd = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim)
+      .select(col("id"), posexplode(col("v")))
+      .join(broadcast(ldf), Seq("pos"))
+      .join(broadcast(means), Seq("pos"))
+      .withColumn("cent", col("col") - col("m"))
+      .groupBy("id")
+      // Q gated on comp=1: the ldf join fans each position out k times
+      .agg(s12(when(col("comp") === 1, col("cent") * col("cent"))).as("__q"),
+        pExprs: _*)
+    val sumP2 = (1 to k).map(c => col(s"__p$c") * col(s"__p$c"))
+      .reduce(_ + _)
+    val cross = (for { c <- 1 to k; d <- c to k } yield {
+      val r = gram(vs(c - 1), vs(d - 1))
+      if (c == d) col(s"__p$c") * col(s"__p$c") * lit(r)
+      else lit(2.0) * col(s"__p$c") * col(s"__p$d") * lit(r)
+    }).reduce(_ + _)
+    aggd.select(col("id"),
+      round(sqrt(col("__q")), 6).as("centered_norm"),
+      round(sqrt(greatest(lit(0.0),
+        col("__q") - lit(2.0) * sumP2 + cross)), 6).as("corrected_norm"))
+  }
+
   def isotropyAudit(cov: DataFrame, loading: Seq[(Int, Double)]): DataFrame =
     isotropyAudit(cov.sparkSession, collectFull(cov, loading.length), loading)
 

@@ -656,6 +656,77 @@ object DedupOps {
         col("n_grams"))
   }
 
+  /** Per-doc duplication CARD over [[exactSubstrSpans]] — the keep/drop
+    * decision layer (Lee et al. drop documents whose duplicated fraction
+    * crosses a budget): (doc, n_chars, n_spans, dup_chars, dup_frac,
+    * keep). Spans are maximal and disjoint by construction, so dup_chars
+    * is a plain sum; docs with NO spans (including those shorter than
+    * `sub`) surface with zeros via the left join — absence of evidence is
+    * a keep, not a missing row. dup_frac is round-6 of dup_chars /
+    * n_chars; keep = dup_frac < maxDupFrac (strict, so a budget of 1.0
+    * keeps even fully-duplicated docs out only when they are 100% dup).
+    *
+    * Scale shape: the spans pipeline plus one per-doc aggregate and one
+    * keyed left join — nothing new beyond [[exactSubstrSpans]]'s
+    * chars-linear cost.
+    */
+  def exactSubstrCard(df: DataFrame, idCol: String, textCol: Column,
+      sub: Int = 24, maxDupFrac: Double = 0.2): DataFrame = {
+    val agg = exactSubstrSpans(df, idCol, textCol, sub)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"), sum("span_chars").as("dup_chars"))
+    df.filter(textCol.isNotNull)
+      .select(col(idCol).as("doc"), length(textCol).cast("long").as("n_chars"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 6)
+          .as("dup_frac"))
+      .withColumn("keep", col("dup_frac") < maxDupFrac)
+  }
+
+  /** Exact-substring CUT — the removal transform [[exactSubstrSpans]]
+    * feeds (the Lee et al. ExactSubstr action: excise every duplicated
+    * region, keep the rest): (doc, clean_text), where clean_text is the
+    * concatenation of the complement segments between the doc's maximal
+    * disjoint spans, in order. Docs with no spans pass through verbatim;
+    * a fully-duplicated doc yields the empty string (the caller's filter
+    * decides whether to drop it — this operator never loses the row).
+    *
+    * Scale shape: spans collect per doc into a bounded array (spans are
+    * disjoint, so ≤ n_chars/sub of them) and one `aggregate` HOF walks
+    * it left to right emitting the gaps — per-doc work linear in its own
+    * text, no window over the corpus, no driver barrier.
+    */
+  def exactSubstrCut(df: DataFrame, idCol: String, textCol: Column,
+      sub: Int = 24): DataFrame = {
+    val spans = exactSubstrSpans(df, idCol, textCol, sub)
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(
+        col("start_pos").as("sp"), col("end_pos").as("ep")))).as("__spans"))
+    df.filter(textCol.isNotNull)
+      .select(col(idCol).as("doc"), textCol.as("__t"))
+      .join(spans, Seq("doc"), "left")
+      .select(col("doc"),
+        when(col("__spans").isNull, col("__t")).otherwise(
+          aggregate(col("__spans"),
+            struct(lit(0L).as("pos"), lit("").as("s")),
+            (acc, x) => struct(
+              x.getField("ep").as("pos"),
+              concat(acc.getField("s"),
+                col("__t").substr(
+                  (acc.getField("pos") + 1).cast("int"),
+                  greatest(lit(0),
+                    (x.getField("sp") - acc.getField("pos") - 1).cast("int"))))
+                .as("s")),
+            acc => concat(acc.getField("s"),
+              col("__t").substr((acc.getField("pos") + 1).cast("int"),
+                greatest(lit(0),
+                  (length(col("__t")) - acc.getField("pos")).cast("int"))))))
+          .as("clean_text"))
+  }
+
   /** Exact set-similarity join by PREFIX FILTERING (the PPJoin candidate
     * rule): doc pairs with token-set Jaccard ≥ `threshold`, with NO false
     * negatives and candidates generated only from each doc's

@@ -184,6 +184,47 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("abttAuditK: k=1 agrees with abttAudit within the round-6 quantum; " +
+      "removing the top-2 subspace leaves no more energy than top-1") {
+    val covDf = Pca.covarianceMatrix(cloud3, "embedding", 4)
+    val m = Pca.collectCovariance(covDf, 4)
+    val means = Pca.positionMeans(cloud3, "embedding", 4)
+    val comps = Pca.topKComponents(m, kComps = 2, iters = 20)
+    val k1 = Pca.abttAuditK(cloud3, "vec_id", "embedding", comps.take(1),
+      means).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("centered_norm"), r.getAs[Double]("corrected_norm")))
+      .toMap
+    val ref = Pca.abttAudit(cloud3, "vec_id", "embedding",
+      comps.head.loading, means).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("centered_norm"), r.getAs[Double]("corrected_norm")))
+      .toMap
+    assert(k1.keySet == ref.keySet && k1.nonEmpty)
+    k1.foreach { case (id, (cn, rn)) =>
+      // abttAudit's R term sums v^2 over DATA rows; abttAuditK's Gram is
+      // the driver dec12 sum — identical values, different sum path, so
+      // allow the rounding quantum
+      assert(math.abs(cn - ref(id)._1) < 2e-6 &&
+        math.abs(rn - ref(id)._2) < 2e-6, s"id $id: ($cn,$rn) vs ${ref(id)}")
+    }
+    val k2 = Pca.abttAuditK(cloud3, "vec_id", "embedding", comps, means)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("centered_norm"), r.getAs[Double]("corrected_norm")))
+      .toMap
+    // removing a LARGER (near-orthogonal) subspace cannot add energy
+    k2.foreach { case (id, (cn, rn)) =>
+      assert(rn <= k1(id)._2 + 2e-5,
+        s"id $id: top-2 corrected $rn > top-1 ${k1(id)._2}")
+      assert(rn <= cn + 1e-9)
+    }
+    // and the planted 2-strong-axes cloud loses MOST energy to top-2
+    val centE = k2.values.map { case (cn, _) => cn * cn }.sum
+    val corrE = k2.values.map { case (_, rn) => rn * rn }.sum
+    assert(corrE < 0.35 * centE, s"top-2 removal left $corrE of $centE")
+  }
+
   test("isotropyAudit: a rank-~1 cloud puts nearly all variance on the " +
       "dominant component; lambda1 never exceeds the trace") {
     val covDf = Pca.covarianceMatrix(cloud, "embedding", 2)

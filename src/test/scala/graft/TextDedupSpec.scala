@@ -1138,4 +1138,62 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrCard + exactSubstrCut: card fractions agree with the " +
+      "span sum, clean docs keep verbatim, dup spans splice out exactly") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val rep = "repeated-block-of-text-long-enough-to-span "
+    val texts = Map(
+      1L -> s"first document unique opening $shared tail one ends here",
+      2L -> s"second doc opens differently!! $shared closing words differ",
+      3L -> "entirely unique content with no twenty-four char overlaps at all",
+      4L -> s"prefix $rep$rep suffix",
+      5L -> "tiny",
+      6L -> "identical twin documents with fully duplicated text bodies!",
+      7L -> "identical twin documents with fully duplicated text bodies!")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val L = 24
+    val spans = DedupOps.exactSubstrSpans(docs, "doc_id", col("text"),
+        sub = L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sorted).toMap
+
+    val card = DedupOps.exactSubstrCard(docs, "doc_id", col("text"),
+        sub = L, maxDupFrac = 0.2)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_chars"), r.getAs[Double]("dup_frac"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(card.keySet == texts.keySet, "every doc gets a card row")
+    texts.foreach { case (id, t) =>
+      val ss = spans.getOrElse(id, Array.empty[(Long, Long)])
+      val (nc, ns, dc, frac, keep) = card(id)
+      assert(nc == t.length)
+      assert(ns == ss.length && dc == ss.map { case (s, e) => e - s + 1 }.sum)
+      assert(math.abs(frac - dc.toDouble / nc) < 1e-6)
+      assert(keep == (frac < 0.2), s"doc $id keep mismatch")
+    }
+    // planted expectations: clean/short docs keep, the self-repeating and
+    // fully-duplicated docs drop
+    assert(card(3L)._5 && card(5L)._5 && !card(4L)._5 && !card(6L)._5)
+    assert(card(6L)._4 == 1.0, "identical twin should be 100% duplicated")
+
+    val clean = DedupOps.exactSubstrCut(docs, "doc_id", col("text"),
+        sub = L)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(clean.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val ss = spans.getOrElse(id, Array.empty[(Long, Long)])
+      // independent splice: drop 1-based inclusive [s, e] ranges
+      val drop = ss.flatMap { case (s, e) => (s.toInt to e.toInt) }.toSet
+      val expect = t.zipWithIndex
+        .collect { case (ch, i) if !drop.contains(i + 1) => ch }.mkString
+      assert(clean(id) == expect, s"doc $id spliced wrong: " +
+        s"'${clean(id)}' vs '$expect'")
+    }
+    assert(clean(3L) == texts(3L) && clean(5L) == texts(5L))
+    assert(clean(6L).isEmpty && clean(7L).isEmpty,
+      "fully-duplicated docs must cut to empty, not vanish")
+  }
+
 }

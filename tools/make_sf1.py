@@ -11,10 +11,27 @@ cardinality 10x — the shape a real sf1 would have, which is what slope
 measurement needs (pure row duplication would instead deepen per-key groups
 and quietly change window/dedup complexity).
 
-documents.text is salted with the replica index (prefix token) so
-exact/near-dup pipelines keep their duplicate RATE instead of gaining 10
-exact copies of every doc; embeddings get a tiny deterministic per-replica
-vector nudge for the same reason.
+Three per-replica transforms keep DERIVED content consistent with the
+shifted keys — each one closed a real slope-measurement artifact:
+ - customer/supplier NAME strings are regenerated from the shifted key
+   ("Customer#%09d"): byte-identical names across replicas made every
+   prefix-blocked entity-match block 10x deep, a 100x pair blowup that
+   read as a 24x/decade slope (round-10 q134/q192 flags) when a real
+   sf1's names are distinct;
+ - documents.text gets the replica token INTERLEAVED every 3rd token
+   (not one prefix token, which left cross-replica copies ~0.97 Jaccard
+   near-dups — a quadratic pair inflation that read as 14-17x/decade on
+   q55/q182/q246): interleaving breaks most cross-replica shingles and
+   24-char grams while preserving within-replica similarity exactly
+   (every doc in a replica gets the same insertions), so the corpus
+   keeps its duplicate RATE instead of gaining 10 near-copies per doc;
+ - embeddings are multiplied by a replica-specific deterministic +-1
+   SIGN PATTERN: norms and all within-replica cosines are preserved
+   bit-for-bit (cos(Dx, Dy) = cos(x, y) for diagonal +-1 D) while
+   cross-replica cosines collapse toward 0 — the additive 1e-3 nudge it
+   replaces left cross-replica cosine at ~1, so every vector had 9
+   near-identical copies.
+Replica 0 is always the untouched base data.
 
 Usage: python3 tools/make_sf1.py [srcDir] [dstDir] [replicas]
 """
@@ -71,20 +88,62 @@ def main():
                 col = rep.column(cname)
                 shifted = pc.add(col, r * width[space]).cast(col.type)
                 rep = rep.set_column(idx, cname, shifted)
+            # key-derived NAME strings must follow their key, or replicas
+            # carry byte-identical names (see module docstring)
+            if tname == "customer":
+                names = pa.array(["Customer#%09d" % k for k in
+                                  rep.column("c_custkey").to_pylist()])
+                rep = rep.set_column(
+                    rep.schema.get_field_index("c_name"), "c_name", names)
+            if tname == "supplier":
+                names = pa.array(["Supplier#%09d" % k for k in
+                                  rep.column("s_suppkey").to_pylist()])
+                rep = rep.set_column(
+                    rep.schema.get_field_index("s_name"), "s_name", names)
             if tname == "documents" and r > 0:
+                # interleave the replica token every 3rd token: breaks
+                # cross-replica shingles/grams, preserves within-replica
+                # similarity (identical insertions for every doc)
                 idx = rep.schema.get_field_index("text")
-                txt = pc.binary_join_element_wise(
-                    f"v{r}", rep.column("text"), " ")
+                salt = f"v{r}"
+
+                def interleave(s):
+                    if s is None:
+                        return None
+                    toks = s.split(" ")
+                    out = []
+                    for i, tok in enumerate(toks):
+                        if i % 3 == 0:
+                            out.append(salt)
+                        out.append(tok)
+                    return " ".join(out)
+
+                txt = pa.array([interleave(s)
+                                for s in rep.column("text").to_pylist()])
                 rep = rep.set_column(idx, "text", txt)
             if tname == "embeddings" and r > 0:
-                # nudge: add r*1e-3 to the first component, preserving norms
-                # closely enough that cosine/cluster structure survives
+                # replica-specific deterministic +-1 sign pattern: norms
+                # and within-replica cosines preserved exactly, cross-
+                # replica cosines collapse toward 0 (see module docstring)
                 emb = rep.column("embedding").combine_chunks()
                 flat = emb.values
                 dim = len(emb[0])
                 import numpy as np
                 vals = flat.to_numpy(zero_copy_only=False).copy()
-                vals[::dim] += r * 1e-3
+                n = len(vals) // dim
+                # deterministic pattern: sign = +1 iff bit-parity of
+                # (r * 2654435761 + i * 40503) is even — no RNG state
+                idxs = np.arange(dim, dtype=np.uint64)
+                mix = (np.uint64(r) * np.uint64(2654435761)
+                       + idxs * np.uint64(40503)) & np.uint64(0xFFFFFFFF)
+                bits = mix ^ (mix >> np.uint64(16))
+                bits = bits ^ (bits >> np.uint64(8))
+                bits = bits ^ (bits >> np.uint64(4))
+                bits = bits ^ (bits >> np.uint64(2))
+                bits = bits ^ (bits >> np.uint64(1))
+                signs = np.where((bits & np.uint64(1)).astype(bool),
+                                 -1.0, 1.0).astype(vals.dtype)
+                vals = (vals.reshape(n, dim) * signs).reshape(-1)
                 nudged = pa.ListArray.from_arrays(emb.offsets,
                                                  pa.array(vals, type=flat.type))
                 rep = rep.set_column(rep.schema.get_field_index("embedding"),
