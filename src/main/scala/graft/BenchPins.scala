@@ -162,7 +162,8 @@ object BenchPins {
     "q279_exact_substr" -> 7.891, "q280_ivfpq_add" -> 3.134,
     "q281_pca_topk" -> 3.387, "q282_pca_whiten" -> 3.538,
     "q283_exact_dup_card" -> 0.289, "q284_exact_substr_cut" -> 0.283,
-    "q285_abtt_topk" -> 3.531,
+    "q285_abtt_topk" -> 3.531, "q286_contam_spans" -> 4.357,
+    "q287_contam_card" -> 0.261,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,
     "q28_epc_bucket" -> 0.219, "q29_try_cast" -> 0.125,

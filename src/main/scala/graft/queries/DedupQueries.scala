@@ -146,7 +146,9 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
-      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      // closure-equivalent chain edges, NOT bucket cliques: identical
+      // clusters (the shared oracle pins it), linear edge volume
+      val pairs = DedupOps.lshClusterEdges(sig, "doc_id")
       val comps = DedupOps.connectedComponents(
         pairs, docs.select(col("doc_id").as("doc")))
       comps.groupBy("cluster").agg(count(lit(1)).as("size"))
@@ -504,6 +506,81 @@ object DedupQueries extends QueryGroup {
       WHERE d.text IS NOT NULL
       ORDER BY doc_id"""))
 
+  /** The q286/q287 shared chain: eval = doc_id % 10 = 0, train = the
+    * rest; `cruns` = contamination runs (doc_id, sp, ep, n_grams) of
+    * 24-char eval grams occurring anywhere in train. */
+  private def contamRunsCtes: String =
+    """ev AS (SELECT doc_id, text, len(text) - 23 AS ng FROM documents
+        WHERE text IS NOT NULL AND len(text) >= 24 AND doc_id % 10 = 0),
+      tr AS (SELECT doc_id, text, len(text) - 23 AS ng FROM documents
+        WHERE text IS NOT NULL AND len(text) >= 24 AND doc_id % 10 <> 0),
+      eg AS (SELECT doc_id, pos, substr(text, pos, 24) AS g FROM (
+        SELECT doc_id, unnest(range(1, ng + 1)) AS pos, text FROM ev)),
+      tg AS (SELECT DISTINCT substr(text, pos, 24) AS g FROM (
+        SELECT unnest(range(1, ng + 1)) AS pos, text FROM tr)),
+      cm AS (SELECT doc_id, pos FROM eg WHERE g IN (SELECT g FROM tg)),
+      cnw AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 24
+            THEN 0 ELSE 1 END AS nw FROM cm),
+      ci2 AS (SELECT doc_id, pos,
+          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM cnw),
+      cruns AS MATERIALIZED (SELECT doc_id, MIN(pos) AS sp,
+          MAX(pos) + 23 AS ep, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM ci2 GROUP BY doc_id, isl)"""
+
+  /** Cross-corpus EXACT-substring contamination spans
+    * (DedupOps.exactSubstrContamSpans): the verbatim-span decontamination
+    * criterion (GPT-3 appendix C / Lee et al.) — every maximal region of
+    * an eval doc (doc_id % 10 = 0) covered by 24-char grams appearing
+    * anywhere in the train split. Hash-pruned, text-verified, so the
+    * oracle replays text-level semantics only. */
+  val q286ContamSpans = QueryDef(
+    "q286_contam_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.exactSubstrContamSpans(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", col("text"), sub = 24)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "start_pos")
+    },
+    Some(s"""WITH $contamRunsCtes
+      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
+        CAST(ep AS BIGINT) AS end_pos,
+        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
+      FROM cruns ORDER BY doc_id, start_pos"""))
+
+  /** Per-eval-doc contamination CARD (DedupOps.exactSubstrContamCard):
+    * contaminated char budget + round-6 fraction + clean = frac < 0.05;
+    * zeros via left join for uncontaminated (and shorter-than-window)
+    * eval docs. */
+  val q287ContamCard = QueryDef(
+    "q287_contam_card",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.exactSubstrContamCard(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", col("text"), sub = 24, maxContamFrac = 0.05)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $contamRunsCtes,
+      card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(ep - sp + 1) AS BIGINT) AS contam_chars
+        FROM cruns GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        COALESCE(c.n_spans, 0) AS n_spans,
+        COALESCE(c.contam_chars, 0) AS contam_chars,
+        ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
+          + 0.0 AS contam_frac,
+        (ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
+          < 0.05) AS clean
+      FROM documents d LEFT JOIN card c USING (doc_id)
+      WHERE d.text IS NOT NULL AND d.doc_id % 10 = 0
+      ORDER BY doc_id"""))
+
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
     * pairs: a near-dup pair whose members land in DIFFERENT splits means
@@ -597,7 +674,8 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
-      val pairs = DedupOps.lshCandidatePairs(sig, "doc_id")
+      // chain edges (see q55): same components, linear edge volume
+      val pairs = DedupOps.lshClusterEdges(sig, "doc_id")
       val comps = DedupOps.connectedComponents(
         pairs, docs.select(col("doc_id").as("doc")))
       comps.join(docs, comps("doc") === docs("doc_id"))
@@ -757,5 +835,5 @@ object DedupQueries extends QueryGroup {
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
     q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr,
-    q283ExactDupCard, q284ExactSubstrCut)
+    q283ExactDupCard, q284ExactSubstrCut, q286ContamSpans, q287ContamCard)
 }

@@ -133,6 +133,24 @@ object DedupOps {
     exhaustive.unionByName(chained).distinct()
   }
 
+  /** Band-bucket CONNECTIVITY edges — [[lshCandidatePairs]] for consumers
+    * that only need the TRANSITIVE CLOSURE (connected-components
+    * clustering, q55/q182): every bucket contributes its id-ordered
+    * rank-successor CHAIN (m−1 edges) instead of its clique (m²/2
+    * pairs). A chain connects exactly the same vertex set as the clique,
+    * so components — and every cluster-level result downstream — are
+    * IDENTICAL, while edge volume is linear in bucket size instead of
+    * quadratic. On a templated corpus whose min-hashes collide into deep
+    * buckets this is the difference between Σm and Σm² (measured: the
+    * q55 sf1 clustering dropped ~10×), and the smaller edge list keeps
+    * [[connectedComponents]] under its driver union-find bound far
+    * longer. Pair-LISTING consumers (LSH verify/recall paths) must keep
+    * [[lshCandidatePairs]] — a chain is not the pair set.
+    */
+  def lshClusterEdges(sig: DataFrame, idCol: String,
+      bandsOf: Int = 2): DataFrame =
+    lshCandidatePairs(sig, idCol, bandsOf, maxBucket = 1)
+
   /** Exact n-gram Jaccard similarity for all pairs above `threshold` within
     * `df` — via shingle-equi-join (pairs that share no shingle never meet).
     *
@@ -656,6 +674,91 @@ object DedupOps {
         col("n_grams"))
   }
 
+  /** Cross-corpus EXACT-substring contamination spans — the verbatim-span
+    * form of eval decontamination (the GPT-3 appendix-C / Lee et al.
+    * n-gram criterion): every maximal region of an EVAL doc covered by
+    * `sub`-char grams that also appear ANYWHERE in the TRAIN corpus.
+    * Complements [[graft.text.Curation]]'s shingle-probe decontamination
+    * (set-overlap, doc-level flag) with position-level spans — the
+    * evidence needed to excise rather than drop, and immune to the
+    * shingle path's whole-doc granularity.
+    *
+    * Same hash-prune-then-verify shape as [[exactSubstrSpans]], keyed
+    * across the two corpora: train gram hashes dedupe to one row per
+    * distinct hash (bounded by train chars), eval positions LEFT SEMI
+    * probe them, and only the surviving candidates on EACH side extract
+    * their real gram text for the exact equality semi join — a hash
+    * collision cannot contaminate, equal text cannot escape. Islands
+    * merge on the eval side exactly as in the single-corpus operator.
+    * Output: (doc, start_pos, end_pos, span_chars, n_grams), positions
+    * 1-based inclusive in the EVAL doc.
+    */
+  def exactSubstrContamSpans(evalDf: DataFrame, trainDf: DataFrame,
+      idCol: String, textCol: Column, sub: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sub >= 2, s"exactSubstrContamSpans needs sub >= 2 (got $sub)")
+    def prep(df: DataFrame): DataFrame =
+      df.filter(textCol.isNotNull && length(textCol) >= sub)
+        .select(col(idCol).as("doc"), textCol.as("__t"))
+    def hashes(docs: DataFrame): DataFrame = docs.select(col("doc"),
+        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
+          i => struct(i.as("pos"),
+            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
+      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val (ev, tr) = (prep(evalDf), prep(trainDf))
+    val (evH, trH) = (hashes(ev), hashes(tr))
+    val trHashSet = trH.select("h").distinct()
+    val evCand = evH.join(trHashSet, Seq("h"), "left_semi")
+    // only train positions whose hash occurs in eval extract text — the
+    // train side never shuffles its grams wholesale
+    val evHashSet = evH.select("h").distinct()
+    val trGrams = trH.join(evHashSet, Seq("h"), "left_semi")
+      .join(tr, Seq("doc"))
+      .select(col("__t").substr(col("pos"), lit(sub)).as("g"))
+      .distinct()
+    val marked = evCand.join(ev, Seq("doc"))
+      .select(col("doc"), col("pos"),
+        col("__t").substr(col("pos"), lit(sub)).as("g"))
+      .join(trGrams, Seq("g"), "left_semi")
+      .select(col("doc"), col("pos"))
+    val w = Window.partitionBy("doc").orderBy("pos")
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= sub, 0).otherwise(1))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy("doc", "__isl")
+      .agg(min("pos").as("__sp"), max("pos").as("__mp"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc"),
+        col("__sp").cast("long").as("start_pos"),
+        (col("__mp") + (sub - 1)).cast("long").as("end_pos"),
+        (col("__mp") + (sub - 1) - col("__sp") + 1).cast("long")
+          .as("span_chars"),
+        col("n_grams"))
+  }
+
+  /** Per-eval-doc contamination CARD over [[exactSubstrContamSpans]] —
+    * (doc, n_chars, n_spans, contam_chars, contam_frac, clean); same
+    * contract as [[exactSubstrCard]] (zeros via left join, round-6
+    * fraction, strict threshold). */
+  def exactSubstrContamCard(evalDf: DataFrame, trainDf: DataFrame,
+      idCol: String, textCol: Column, sub: Int = 24,
+      maxContamFrac: Double = 0.05): DataFrame = {
+    val agg = exactSubstrContamSpans(evalDf, trainDf, idCol, textCol, sub)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_chars").as("contam_chars"))
+    evalDf.filter(textCol.isNotNull)
+      .select(col(idCol).as("doc"), length(textCol).cast("long").as("n_chars"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        round(coalesce(col("contam_chars"), lit(0L)) / col("n_chars"), 6)
+          .as("contam_frac"))
+      .withColumn("clean", col("contam_frac") < maxContamFrac)
+  }
+
   /** Per-doc duplication CARD over [[exactSubstrSpans]] — the keep/drop
     * decision layer (Lee et al. drop documents whose duplicated fraction
     * crosses a budget): (doc, n_chars, n_spans, dup_chars, dup_frac,
@@ -727,11 +830,14 @@ object DedupOps {
           .as("clean_text"))
   }
 
-  /** Exact set-similarity join by PREFIX FILTERING (the PPJoin candidate
-    * rule): doc pairs with token-set Jaccard ≥ `threshold`, with NO false
-    * negatives and candidates generated only from each doc's
+  /** Exact set-similarity join by PPJoin candidate generation (prefix +
+    * length + positional filters, all lossless — Xiao et al. 2008): doc
+    * pairs with token-set Jaccard ≥ `threshold`, with NO false negatives
+    * and candidates generated only from each doc's
     * p = |s| − ⌈t·|s|⌉ + 1 RAREST tokens under one global (df, token)
-    * order. The principled scale path where q45's every-shared-shingle
+    * order, then pruned by the length ratio and the positional overlap
+    * bound BEFORE the distinct/verify stages — the defense that matters
+    * on dense templated corpora where even rare tokens carry high df. The principled scale path where q45's every-shared-shingle
     * join melts on hot tokens: a stopword shared by half the corpus never
     * generates candidates because it sorts to the END of every prefix
     * order. If J(x,y) ≥ t, the two prefixes must share a token (else
@@ -775,10 +881,31 @@ object DedupOps {
       .withColumn("__pos", row_number().over(w))
       .filter(col("__pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("tk", "id")
-    val cand = prefix.withColumnRenamed("id", "a")
-      .join(prefix.withColumnRenamed("id", "b"), Seq("tk"))
+      .select("tk", "id", "__pos", "sz")
+    // PPJoin's two LOSSLESS candidate prunes on top of prefix filtering
+    // (Xiao et al. 2008) — essential when a dense/templated corpus keeps
+    // even "rare" tokens at high df (measured: 39M -> far fewer candidate
+    // pairs on a 50k-doc fixed-vocabulary corpus):
+    //  - LENGTH: J >= t  =>  min(|x|,|y|) >= t*max(|x|,|y|);
+    //  - POSITIONAL: overlap <= 1 + min(|x|-i, |y|-j) for a common prefix
+    //    token at sorted positions (i, j), which must reach
+    //    alpha = ceil(t/(1+t)*(|x|+|y|)). A pair survives if ANY shared
+    //    occurrence passes — the max of the bound is at the FIRST shared
+    //    token, so this equals ppjoin's rule, candidate-complete.
+    // The 1e-9 slack keeps float roundoff from ever pruning an exact-
+    // boundary pair (bounds compare against integers).
+    val pa = prefix.select(col("tk"), col("id").as("a"),
+      col("__pos").as("__pa"), col("sz").as("__sza"))
+    val pb = prefix.select(col("tk"), col("id").as("b"),
+      col("__pos").as("__pb"), col("sz").as("__szb"))
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("__sza") + col("__szb")) - lit(1e-9))
+    val cand = pa.join(pb, Seq("tk"))
       .filter(col("a") < col("b"))
+      .filter(col("__szb") >= lit(threshold) * col("__sza") - lit(1e-9) &&
+        col("__sza") >= lit(threshold) * col("__szb") - lit(1e-9))
+      .filter(lit(1) + least(col("__sza") - col("__pa"),
+        col("__szb") - col("__pb")) >= alpha)
       .select("a", "b").distinct()
     val ja = col("i").cast("double") /
       (size(col("__aa")) + size(col("__ab")) - col("i"))

@@ -1196,4 +1196,80 @@ class TextDedupSpec extends SparkSpec {
       "fully-duplicated docs must cut to empty, not vanish")
   }
 
+  test("lshClusterEdges: transitive closure identical to the clique pairs " +
+      "(same clusters), with linear edge volume") {
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("doc_id") < 400)
+    val sig = DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
+    val clique = DedupOps.lshCandidatePairs(sig, "doc_id")
+    val chain = DedupOps.lshClusterEdges(sig, "doc_id")
+    val (nClique, nChain) = (clique.count(), chain.count())
+    assert(nChain <= nClique, s"chain $nChain > clique $nClique")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(pairs,
+          docs.select(col("doc_id").as("doc")))
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(comps(chain) == comps(clique),
+      "chain edges must yield identical connected components")
+  }
+
+  test("exactSubstrContamSpans/Card: brute-force equality on a planted " +
+      "train/eval fixture; eval-internal duplication alone never flags") {
+    val trainShared =
+      "this exact training sentence appears verbatim in evaluation data"
+    val rep = "eval-only-repeated-segment-long-enough-for-detection "
+    val train = Map(
+      10L -> s"train document one carries $trainShared inside its body",
+      11L -> "train document two with its own unrelated content entirely")
+    val ev = Map(
+      20L -> s"eval doc leading text $trainShared trailing text here",
+      21L -> s"prefix $rep$rep suffix unrelated to training corpus data",
+      22L -> "wholly original evaluation content with zero overlap anywhere")
+    val trainDf = train.toSeq.toDF("doc_id", "text")
+    val evalDf = ev.toSeq.toDF("doc_id", "text")
+    val L = 24
+    val got = DedupOps.exactSubstrContamSpans(evalDf, trainDf, "doc_id",
+        col("text"), sub = L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // brute force: eval positions whose 24-gram appears ANYWHERE in train
+    val trainGrams = train.values.flatMap(t =>
+      if (t.length < L) Nil
+      else (0 to t.length - L).map(p => t.substring(p, p + L))).toSet
+    val expected = ev.flatMap { case (id, t) =>
+      val marked =
+        if (t.length < L) Seq.empty[Int]
+        else (0 to t.length - L)
+          .filter(p => trainGrams.contains(t.substring(p, p + L)))
+      val islands = marked.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+        acc.lastOption match {
+          case Some(run) if p - run.last <= L => acc.init :+ (run :+ p)
+          case _ => acc :+ Vector(p)
+        }
+      }
+      islands.map { run =>
+        val (s0, e0) = (run.head + 1, run.last + L)
+        (id, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong, run.size.toLong)
+      }
+    }.toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(_._1 == 20L), "planted train overlap must be found")
+    assert(!got.exists(r => r._1 == 21L || r._1 == 22L),
+      "eval-internal repetition / clean docs must not flag")
+    // the flagged span covers the planted shared sentence
+    val i20 = ev(20L).indexOf(trainShared)
+    assert(got.exists { case (id, s, e, _, _) =>
+      id == 20L && s <= i20 + 1 && e >= i20 + trainShared.length })
+
+    val card = DedupOps.exactSubstrContamCard(evalDf, trainDf, "doc_id",
+        col("text"), sub = L, maxContamFrac = 0.05)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("contam_chars"), r.getAs[Double]("contam_frac"),
+          r.getAs[Boolean]("clean"))).toMap
+    assert(card.keySet == ev.keySet)
+    assert(!card(20L)._5 && card(20L)._3 >= trainShared.length)
+    assert(card(21L) == (ev(21L).length.toLong, 0L, 0L, 0.0, true))
+    assert(card(22L) == (ev(22L).length.toLong, 0L, 0L, 0.0, true))
+  }
+
 }

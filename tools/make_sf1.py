@@ -18,13 +18,18 @@ shifted keys — each one closed a real slope-measurement artifact:
    prefix-blocked entity-match block 10x deep, a 100x pair blowup that
    read as a 24x/decade slope (round-10 q134/q192 flags) when a real
    sf1's names are distinct;
- - documents.text gets the replica token INTERLEAVED every 3rd token
-   (not one prefix token, which left cross-replica copies ~0.97 Jaccard
-   near-dups — a quadratic pair inflation that read as 14-17x/decade on
-   q55/q182/q246): interleaving breaks most cross-replica shingles and
-   24-char grams while preserving within-replica similarity exactly
-   (every doc in a replica gets the same insertions), so the corpus
-   keeps its duplicate RATE instead of gaining 10 near-copies per doc;
+ - documents.text gets every 3rd token TAGGED with the replica index
+   ("tok" -> "v3.tok"): every cross-replica 3-token shingle and ~every
+   24-char gram crosses a tagged position, so cross-replica similarity
+   collapses, while within-replica similarity is preserved EXACTLY (the
+   transform is a position-keyed token bijection — two docs agree on a
+   tagged position after tagging iff they agreed before). The two
+   rejected designs both distorted slopes: one prefix salt token left
+   cross-replica copies ~0.97 Jaccard near-dups (quadratic pair
+   inflation reading 14-17x/decade on q55/q182/q246), and REPLACING the
+   token with bare salt made template-sharing docs within a replica MORE
+   similar (killing 1/3 of their distinguishing tokens pushed many over
+   LSH thresholds — q55 read 60x/decade). Char volume stays ~flat;
  - embeddings are multiplied by a replica-specific deterministic +-1
    SIGN PATTERN: norms and all within-replica cosines are preserved
    bit-for-bit (cos(Dx, Dy) = cos(x, y) for diagonal +-1 D) while
@@ -101,24 +106,21 @@ def main():
                 rep = rep.set_column(
                     rep.schema.get_field_index("s_name"), "s_name", names)
             if tname == "documents" and r > 0:
-                # interleave the replica token every 3rd token: breaks
-                # cross-replica shingles/grams, preserves within-replica
-                # similarity (identical insertions for every doc)
+                # TAG every 3rd token with the replica index (see the
+                # module docstring: a position-keyed token bijection —
+                # cross-replica shingles/grams break, within-replica
+                # similarity is preserved exactly, char volume ~flat).
                 idx = rep.schema.get_field_index("text")
-                salt = f"v{r}"
+                tag = f"v{r}."
 
-                def interleave(s):
+                def resalt(s):
                     if s is None:
                         return None
                     toks = s.split(" ")
-                    out = []
-                    for i, tok in enumerate(toks):
-                        if i % 3 == 0:
-                            out.append(salt)
-                        out.append(tok)
-                    return " ".join(out)
+                    return " ".join(tag + tok if i % 3 == 2 else tok
+                                    for i, tok in enumerate(toks))
 
-                txt = pa.array([interleave(s)
+                txt = pa.array([resalt(s)
                                 for s in rep.column("text").to_pylist()])
                 rep = rep.set_column(idx, "text", txt)
             if tname == "embeddings" and r > 0:
