@@ -117,7 +117,11 @@ def main():
                     if s is None:
                         return None
                     toks = s.split(" ")
-                    return " ".join(tag + tok if i % 3 == 2 else tok
+                    # tag positions 0,3,6,… — starting at the FIRST token
+                    # so prefix-blocked operators (q221's text-prefix
+                    # block) see replica-distinct prefixes, as a real
+                    # corpus' diverse openings would
+                    return " ".join(tag + tok if i % 3 == 0 else tok
                                     for i, tok in enumerate(toks))
 
                 txt = pa.array([resalt(s)
