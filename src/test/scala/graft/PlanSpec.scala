@@ -61,10 +61,19 @@ class PlanSpec extends SparkSpec {
       "expected a typed top-k aggregate")
   }
 
-  test("q49: near-dup candidates come from bucketed joins, never all-pairs") {
+  test("q49: near-dup candidates come from bucketed joins, never all-pairs " +
+      "(the only BNLJ is the 1-row maxPairs budget broadcast)") {
     val p = planOf(SimQueries.q49CosineNearDup.fn(spark, sf001))
     assert(!p.contains("CartesianProduct"), "all-pairs cartesian product in plan")
-    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs broadcast NLJ in plan")
+    // the pair join must be the bucketed equi join on bp — an all-pairs
+    // vector join would surface as a BNLJ carrying the vector columns
+    assert(p.contains("BroadcastHashJoin [bp"),
+      "candidate pair join is not the bucketed bp hash join")
+    // the guard subtree re-expands under BOTH sides of the pair join, so
+    // up to two 1-row budget BNLJs; anything more is a real cross join
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nBnlj <= 2 && p.contains("raise_error"),
+      s"expected only the guard's 1-row budget BNLJ(s), found $nBnlj")
   }
 
   test("q67: as-of join is one keyed shuffle + window — no range cross join") {

@@ -99,7 +99,11 @@ class QueriesSpec extends SparkSpec {
     // q270/q271: the q65/q143 probe shape — each query crossJoins the
     // broadcast ≤nLists-row centroid table to rank probes
     "q270_ivf_range", "q271_ivf_add",
-    "q274_isotropy") // 1-row λ1 frame × 1-row trace frame
+    "q274_isotropy", // 1-row λ1 frame × 1-row trace frame
+    // the maxPairs budget guard crossJoins ONE broadcast count row to
+    // embed its plan-level raise_error; the candidate join itself stays
+    // the bp hash join (PlanSpec pins that exact shape)
+    "q49_cosine_neardup")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
