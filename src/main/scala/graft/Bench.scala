@@ -125,7 +125,13 @@ object Bench {
     }
     val pinFields = if (ratios.nonEmpty) {
       val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-      val (worstQ, worstR) = ratios.maxBy(_._2)
+      // vs_pinned_max applies the SAME absolute floor as the offender list
+      // (round-10 verdict: a sub-quarter-second delta on a 0.12 s pin was
+      // headlining 2.3x next to an offender list that rightly excluded it).
+      // Empty map = no query's regression clears the floor — one story.
+      val floored = ratios.filter { case (k, r) => (r - 1.0) * Pinned(k) > 0.25 }
+      val worst = floored.sortBy(-_._2).headOption
+        .map { case (k, r) => "\"" + k + "\":" + r3(r) }.getOrElse("")
       // top-10, not top-3: round 8's band regression had 10 queries >2x
       // but only 3 surfaced in the primary artifact (~30 chars/entry
       // against the ~2000-char line budget — 10 entries is still fine)
@@ -139,7 +145,7 @@ object Bench {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PINS_REPORT.json"),
           detail.getBytes("UTF-8"))
       } catch { case _: Throwable => () } // sidecar is best-effort
-      s""","vs_pinned_geomean":${r3(geo)},"vs_pinned_max":{"$worstQ":${r3(worstR)}},"over_pinned_1_5x":$over"""
+      s""","vs_pinned_geomean":${r3(geo)},"vs_pinned_max":{$worst},"over_pinned_1_5x":$over"""
     } else ""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$pinFields,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

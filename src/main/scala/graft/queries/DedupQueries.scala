@@ -467,10 +467,12 @@ object DedupQueries extends QueryGroup {
       SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
         COALESCE(c.n_spans, 0) AS n_spans,
         COALESCE(c.dup_chars, 0) AS dup_chars,
-        ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6) + 0.0
-          AS dup_frac,
-        (ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6)
-          < 0.2) AS keep
+        CASE WHEN len(d.text) = 0 THEN 0.0 ELSE
+          ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6) + 0.0
+          END AS dup_frac,
+        CASE WHEN len(d.text) = 0 THEN TRUE ELSE
+          (ROUND(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / len(d.text), 6)
+          < 0.2) END AS keep
       FROM documents d LEFT JOIN card c USING (doc_id)
       WHERE d.text IS NOT NULL
       ORDER BY doc_id"""))
@@ -573,10 +575,12 @@ object DedupQueries extends QueryGroup {
       SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
         COALESCE(c.n_spans, 0) AS n_spans,
         COALESCE(c.contam_chars, 0) AS contam_chars,
-        ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
-          + 0.0 AS contam_frac,
-        (ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
-          < 0.05) AS clean
+        CASE WHEN len(d.text) = 0 THEN 0.0 ELSE
+          ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
+          + 0.0 END AS contam_frac,
+        CASE WHEN len(d.text) = 0 THEN TRUE ELSE
+          (ROUND(CAST(COALESCE(c.contam_chars, 0) AS DOUBLE) / len(d.text), 6)
+          < 0.05) END AS clean
       FROM documents d LEFT JOIN card c USING (doc_id)
       WHERE d.text IS NOT NULL AND d.doc_id % 10 = 0
       ORDER BY doc_id"""))

@@ -455,6 +455,18 @@ object Pca {
     import spark.implicits._
     require(comps.nonEmpty, "whitenedProjections needs >= 1 component")
     val dim = comps.head.loading.size
+    // loadings must be DENSE over all dim positions: the broadcast (comp,
+    // pos, x) table inner-joins each position, so a sparse/short loading
+    // would silently undercount scores instead of erroring
+    require(comps.forall(_.loading.size == dim),
+      s"whitenedProjections: every loading must be dense over $dim " +
+        s"positions (got sizes ${comps.map(_.loading.size).distinct.mkString(",")})")
+    // whitening divides by sqrt(round6(lambda)) — a zero/negative round-6
+    // eigenvalue (degenerate covariance direction) would yield NaN/null
+    // 'white' values silently; callers must filter degenerate components
+    require(comps.forall(c => round6(c.lambda) > 0),
+      "whitenedProjections: non-positive round-6 eigenvalue — filter " +
+        "degenerate components before whitening")
     val ldf = comps.zipWithIndex
       .flatMap { case (pc, i) => pc.loading.map { case (p, x) => (i + 1, p, x) } }
       .toDF("comp", "pos", "x")
@@ -497,6 +509,12 @@ object Pca {
     require(comps.nonEmpty, "abttAuditK needs >= 1 component")
     val k = comps.size
     val dim = comps.head.loading.size
+    // same density contract as whitenedProjections: the Q column is gated
+    // on comp=1 and the ldf join is inner, so a sparse loading undercounts
+    // norms rather than erroring — reject it at the API boundary
+    require(comps.forall(_.loading.size == dim),
+      s"abttAuditK: every loading must be dense over $dim positions " +
+        s"(got sizes ${comps.map(_.loading.size).distinct.mkString(",")})")
     def toArr(l: Seq[(Int, Double)]): Array[Double] = {
       val a = Array.ofDim[Double](dim); l.foreach { case (i, x) => a(i) = x }; a
     }

@@ -289,7 +289,24 @@ object Pq {
     val idx = loadIvfPqIndex(spark, dir)
     require(idx.coarse.nonEmpty && idx.books.nonEmpty,
       s"appendToSavedIvfPqIndex: no usable index at $dir")
-    val enc = encodeUnder(idx.coarse, idx.books, batch, idCol, vecCol)
+    val dim = idx.coarse.head._2.size
+    // plan-embedded dimension guard (the blockedExactPairs raise pattern):
+    // a batch vector of the wrong size would residual-encode garbage and
+    // only surface at probe time; the raise rides the vector column so
+    // column pruning cannot drop it, and matching rows are untouched
+    val dimGuarded = batch.withColumn(vecCol,
+      when(col(vecCol).isNotNull && size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit("appendToSavedIvfPqIndex: batch vector dimension must equal " +
+            s"the saved index dim $dim (got "),
+          coalesce(size(col(vecCol)).cast("string"), lit("null")),
+          lit(")"))).cast(batch.schema(vecCol).dataType)))
+    // align the batch id type with the saved codes relation — appending a
+    // mismatched cid type writes parquet files whose schemas disagree and
+    // fails (or silently coerces) only at load/query time
+    val cidType = idx.codes.schema("cid").dataType
+    val enc = encodeUnder(idx.coarse, idx.books, dimGuarded, idCol, vecCol)
+      .withColumn("cid", col("cid").cast(cidType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = enc.count()
     enc.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")

@@ -754,7 +754,13 @@ object DedupOps {
       .select(col("doc"), col("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
-        round(coalesce(col("contam_chars"), lit(0L)) / col("n_chars"), 6)
+        // n_chars = 0 guard: an empty (non-null) doc cannot contain a span;
+        // 0/0 would be a null fraction and a null 'clean' flag that
+        // downstream boolean filters drop silently — absence of evidence
+        // is a clean, not a missing row
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(
+            round(coalesce(col("contam_chars"), lit(0L)) / col("n_chars"), 6))
           .as("contam_frac"))
       .withColumn("clean", col("contam_frac") < maxContamFrac)
   }
@@ -784,7 +790,12 @@ object DedupOps {
       .select(col("doc"), col("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 6)
+        // n_chars = 0 guard: an empty (non-null) doc has no spans; 0/0
+        // would be a null dup_frac and a null keep flag that downstream
+        // boolean filters drop silently — absence of evidence is a keep
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(
+            round(coalesce(col("dup_chars"), lit(0L)) / col("n_chars"), 6))
           .as("dup_frac"))
       .withColumn("keep", col("dup_frac") < maxDupFrac)
   }
