@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{DedupOps, TextAnalysis}
+import graft.text.{DedupOps, ExactSubstrIndex, LshBandIndex, TextAnalysis}
 
 /** Deduplication operators over the documents table: exact, n-gram Jaccard,
   * MinHash+LSH banding, SimHash. Signatures are md5-derived so the DuckDB
@@ -89,7 +89,9 @@ object DedupQueries extends QueryGroup {
     * q46/q55/q120/q142 oracles cannot drift apart. Yields CTEs `w, sh, h,
     * sig, bands, pairs`; prepend WITH (or WITH RECURSIVE) and compose.
     * `where` optionally restricts the document universe. */
-  private def minhashPairCtes(where: String): String = {
+  /** The MinHash signature + banding replay chain (w/sh/h/sig/bands) —
+    * shared by the pair oracles and the q290 saved-index probe oracle. */
+  private def minhashBandCtes(where: String): String = {
     val sigExprs = DedupOps.MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       s"min((hv * $a + $b) % ${DedupOps.MinhashP}) AS sig_$i"
     }.mkString(", ")
@@ -103,11 +105,14 @@ object DedupQueries extends QueryGroup {
              FROM w),
       h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh),
       sig AS (SELECT doc_id, $sigExprs FROM h GROUP BY doc_id),
-      bands AS ($bandSelects),
+      bands AS ($bandSelects)"""
+  }
+
+  private def minhashPairCtes(where: String): String =
+    s"""${minhashBandCtes(where)},
       pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"""
-  }
 
   /** MinHash signatures + LSH banding: candidate pairs sharing ≥1 band. */
   val q46MinhashLsh = QueryDef(
@@ -585,6 +590,111 @@ object DedupQueries extends QueryGroup {
       WHERE d.text IS NOT NULL AND d.doc_id % 10 = 0
       ORDER BY doc_id"""))
 
+  /** PERSISTABLE decontamination index, probe path
+    * (ExactSubstrIndex.build/probeSpans): the build-once/probe-many form
+    * of q286 — the train split's distinct 24-char gram relation is built
+    * and saved ONCE per scale dir (content-fingerprint cached, the q143
+    * pattern), then every execution only probes it with the eval split:
+    * eval-side explode, hash-prune semi join against the index's `h`
+    * column, text verify against (h, g). Probe cost is linear in EVAL
+    * chars — the train corpus is never re-exploded. Identical semantics
+    * to q286, so the SAME oracle applies; the timing difference between
+    * q286 and this query IS the amortized train-side cost. */
+  val q288ContamProbeSaved = QueryDef(
+    "q288_contam_probe_saved",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
+        IndexCache.tagFor("graft_xsub_v1_", d), "meta/_SUCCESS") { tmpDir =>
+        ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+          col("text"), tmpDir, sub = 24, buckets = 64)
+      }
+      ExactSubstrIndex.probeSpans(s, idxDir,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", col("text"))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "start_pos")
+    },
+    Some(s"""WITH $contamRunsCtes
+      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
+        CAST(ep AS BIGINT) AS end_pos,
+        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
+      FROM cruns ORDER BY doc_id, start_pos"""))
+
+  /** Incremental index ADD parity (ExactSubstrIndex.add): build the gram
+    * index from HALF the train corpus (doc_id % 10 in 1-5), batch-add the
+    * other half (% 10 in 6-9 — only genuinely new grams append, one keyed
+    * anti join), then probe the eval split. Because the stored relation
+    * is the DISTINCT gram set, build(A) + add(B) == build(A ∪ B) exactly,
+    * so the probe must match q286/q288's full-train answer — the q280
+    * build-then-add invariant on the dedup ladder. Runs in a throwaway
+    * temp dir (the ADD path is the operator under test; caching would
+    * skip it), result checkpointed so the dir can be deleted eagerly. */
+  val q289ContamIndexAdd = QueryDef(
+    "q289_contam_index_add",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = sys.props("java.io.tmpdir") + "/graft_xsub_add_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val m10 = col("doc_id") % 10
+      ExactSubstrIndex.build(docs.filter(m10 >= 1 && m10 <= 5),
+        col("text"), tmp, sub = 24, buckets = 64)
+      ExactSubstrIndex.add(s, tmp, docs.filter(m10 >= 6), col("text"))
+      val out = ExactSubstrIndex.probeSpans(s, tmp,
+        docs.filter(m10 === 0), "doc_id", col("text"))
+        .withColumnRenamed("doc", "doc_id")
+        .localCheckpoint(true)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out.orderBy("doc_id", "start_pos")
+    },
+    Some(s"""WITH $contamRunsCtes
+      SELECT doc_id, CAST(sp AS BIGINT) AS start_pos,
+        CAST(ep AS BIGINT) AS end_pos,
+        CAST(ep - sp + 1 AS BIGINT) AS span_chars, n_grams
+      FROM cruns ORDER BY doc_id, start_pos"""))
+
+  /** PERSISTABLE MinHash/LSH band index (LshBandIndex.build/add/
+    * probePairs): the fuzzy-dedup incremental story — build the band
+    * relation from HALF the corpus (doc_id % 4 in 1-2), batch-ADD the
+    * next quarter (% 4 = 3; signature-project + pure parquet append),
+    * then probe the remaining quarter (% 4 = 0) for cross-corpus
+    * candidate pairs. Because the stored relation is a per-doc
+    * projection, build + add == build-on-union exactly, so the oracle
+    * replays signatures over the WHOLE corpus and joins the index split
+    * against the probe split — including the probe's deterministic
+    * `maxBucket` smallest-ids cap. Throwaway temp dir (the add path is
+    * the operator under test), result checkpointed, dir deleted. */
+  val q290LshIndexProbe = QueryDef(
+    "q290_lsh_index_probe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = sys.props("java.io.tmpdir") + "/graft_lshidx_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val m4 = col("doc_id") % 4
+      LshBandIndex.build(docs.filter(m4 === 1 || m4 === 2), "doc_id",
+        col("text"), tmp, n = 2, bandsOf = 2, buckets = 16)
+      LshBandIndex.add(s, tmp, docs.filter(m4 === 3), "doc_id", col("text"))
+      val out = LshBandIndex.probePairs(s, tmp, docs.filter(m4 === 0),
+        "doc_id", col("text"), maxBucket = 4096)
+        .localCheckpoint(true)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(tmp), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out.orderBy("idx_doc", "probe_doc")
+    },
+    Some(s"""WITH ${minhashBandCtes("")},
+      idxc AS (SELECT doc_id, band_id, band_val FROM (
+          SELECT doc_id, band_id, band_val,
+            ROW_NUMBER() OVER (PARTITION BY band_id, band_val
+              ORDER BY doc_id) AS rn
+          FROM bands WHERE doc_id % 4 IN (1, 2, 3)) WHERE rn <= 4096),
+      pb AS (SELECT doc_id, band_id, band_val FROM bands
+        WHERE doc_id % 4 = 0)
+      SELECT DISTINCT a.doc_id AS idx_doc, b.doc_id AS probe_doc
+      FROM idxc a JOIN pb b USING (band_id, band_val)
+      ORDER BY idx_doc, probe_doc"""))
+
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
     * pairs: a near-dup pair whose members land in DIFFERENT splits means
@@ -839,5 +949,6 @@ object DedupQueries extends QueryGroup {
     q79ParagraphDedup, q58Winnowing, q120SplitLeakage, q121Containment,
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
     q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr,
-    q283ExactDupCard, q284ExactSubstrCut, q286ContamSpans, q287ContamCard)
+    q283ExactDupCard, q284ExactSubstrCut, q286ContamSpans, q287ContamCard,
+    q288ContamProbeSaved, q289ContamIndexAdd, q290LshIndexProbe)
 }

@@ -130,46 +130,14 @@ object SimQueries extends QueryGroup {
   val q143IvfProbeSaved = QueryDef(
     "q143_ivf_probe_saved",
     (s, d) => {
-      // Key the cached index by a CONTENT fingerprint of the source table
-      // (data-file name+length+mtime), not just the path: regenerated data
-      // at the same scale dir gets a fresh index instead of a silently
-      // stale one, and the old fingerprint's dir is garbage-collected.
-      val hconf = s.sparkContext.hadoopConfiguration
-      val srcPath = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val srcFs = srcPath.getFileSystem(hconf)
-      val fp = {
-        val parts = srcFs.listStatus(srcPath).filter(_.isFile)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .sorted.mkString("|")
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(parts.getBytes("UTF-8"))
-          .take(8).map(b => f"$b%02x").mkString
-      }
-      val idxBase = sys.props("java.io.tmpdir") +
-        "/graft_ivf_v2_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val idxDir = s"${idxBase}_$fp"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(idxDir), hconf)
-      // _SUCCESS gates completeness: a half-written index (crashed build)
-      // rebuilds rather than serving partial cells
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/cells/_SUCCESS"))) {
-        // Build under a unique temp dir, then a single atomic rename
-        // publishes it — two concurrent first runs each build their own
-        // temp and the loser just discards (no torn shared dir).
-        val tmpDir = s"${idxDir}__build_${java.util.UUID.randomUUID().toString.take(8)}"
+      // Content-fingerprint build-once cache — see [[IndexCache]] (this
+      // query's original inline logic, now shared by every saved-index
+      // query: q288's gram index, q290's LSH band index).
+      val idxDir = IndexCache.cachedDir(s, s"$d/embeddings.parquet",
+        IndexCache.tagFor("graft_ivf_v2_", d), "cells/_SUCCESS") { tmpDir =>
         val idx = Similarity.buildIvfIndexLloyd(Tables.embeddings(s, d),
           "vec_id", "embedding", nLists = 8, iters = 2)
         Similarity.saveIvfIndex(idx, tmpDir)
-        if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
-              new org.apache.hadoop.fs.Path(idxDir)))
-          fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true) // lost the race: winner's index is complete
-        // drop stale indexes of the same source path (older fingerprints)
-        val parent = new org.apache.hadoop.fs.Path(idxDir).getParent
-        val base = new org.apache.hadoop.fs.Path(idxBase).getName
-        fs.globStatus(new org.apache.hadoop.fs.Path(parent, base + "_*"))
-          .filter(st => st.getPath.getName != s"${base}_$fp" &&
-            !st.getPath.getName.contains("__build_"))
-          .foreach(st => fs.delete(st.getPath, true))
       }
       val idx = Similarity.loadIvfIndex(s, idxDir)
       Similarity.queryIvfIndex(idx,

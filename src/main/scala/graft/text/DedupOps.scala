@@ -101,15 +101,7 @@ object DedupOps {
   def lshCandidatePairs(sig: DataFrame, idCol: String, bandsOf: Int = 2,
       maxBucket: Int = 4096): DataFrame = {
     log.info(s"lshCandidatePairs: chaining band buckets larger than $maxBucket")
-    val k = MinhashSeeds.size
-    val nBands = k / bandsOf
-    val bandVals = (0 until nBands).map { j =>
-      struct(lit(j).as("band_id"),
-        concat_ws(",", (0 until bandsOf).map(o => col(s"sig_${j * bandsOf + o}")): _*)
-          .as("band_val"))
-    }
-    val bands = sig.select(col(idCol), explode(array(bandVals: _*)).as("b"))
-      .select(col(idCol), col("b.band_id"), col("b.band_val"))
+    val bands = bandRows(sig, idCol, bandsOf)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band_id"), col("band_val"))
     // size via an ORDER-FREE window (no per-bucket sort; partitioning is the
@@ -131,6 +123,24 @@ object DedupOps {
         (col("__rk") - 1).as("__rk")), Seq("band_id", "band_val", "__rk"))
       .select("d1", "d2")
     exhaustive.unionByName(chained).distinct()
+  }
+
+  /** The banding projection shared by the pair join, the cluster-edge
+    * variant and the persistable band index ([[LshBandIndex]]): one row
+    * per (doc, band), band_val = the band's signature slots joined with
+    * ",". A pure per-row projection — no shuffle.
+    */
+  private[graft] def bandRows(sig: DataFrame, idCol: String,
+      bandsOf: Int): DataFrame = {
+    val k = MinhashSeeds.size
+    val nBands = k / bandsOf
+    val bandVals = (0 until nBands).map { j =>
+      struct(lit(j).as("band_id"),
+        concat_ws(",", (0 until bandsOf).map(o => col(s"sig_${j * bandsOf + o}")): _*)
+          .as("band_val"))
+    }
+    sig.select(col(idCol), explode(array(bandVals: _*)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_val"))
   }
 
   /** Band-bucket CONNECTIVITY edges — [[lshCandidatePairs]] for consumers
@@ -658,6 +668,19 @@ object DedupOps {
       .filter(col("__n") >= 2).select("g")
     val marked = cand.join(dupGram, Seq("g"), "left_semi")
       .select(col("doc"), col("pos"))
+    mergeIslandSpans(marked, sub)
+  }
+
+  /** Shared tail of the exact-substring family: merge marked duplicated
+    * window positions (doc, pos) into maximal spans — two windows belong
+    * to one span when their char ranges overlap or touch (gap ≤ sub), via
+    * the running-sum-of-new-island-flags form (handles variable gaps,
+    * which the `pos − row_number` trick cannot). The window partitions BY
+    * DOC — keyed, never global. Output: (doc, start_pos, end_pos,
+    * span_chars, n_grams), positions 1-based inclusive.
+    */
+  private[graft] def mergeIslandSpans(marked: DataFrame, sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc").orderBy("pos")
     marked
       .withColumn("__new",
@@ -721,20 +744,7 @@ object DedupOps {
         col("__t").substr(col("pos"), lit(sub)).as("g"))
       .join(trGrams, Seq("g"), "left_semi")
       .select(col("doc"), col("pos"))
-    val w = Window.partitionBy("doc").orderBy("pos")
-    marked
-      .withColumn("__new",
-        when(col("pos") - lag("pos", 1).over(w) <= sub, 0).otherwise(1))
-      .withColumn("__isl", sum("__new").over(w))
-      .groupBy("doc", "__isl")
-      .agg(min("pos").as("__sp"), max("pos").as("__mp"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc"),
-        col("__sp").cast("long").as("start_pos"),
-        (col("__mp") + (sub - 1)).cast("long").as("end_pos"),
-        (col("__mp") + (sub - 1) - col("__sp") + 1).cast("long")
-          .as("span_chars"),
-        col("n_grams"))
+    mergeIslandSpans(marked, sub)
   }
 
   /** Per-eval-doc contamination CARD over [[exactSubstrContamSpans]] —

@@ -1,0 +1,224 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTABLE exact-substring decontamination index — the build-once /
+  * probe-many form of [[DedupOps.exactSubstrContamSpans]].
+  *
+  * The recompute operator re-explodes the ENTIRE train corpus on every
+  * decontamination run; the real 100 TB use case is the opposite shape — a
+  * fixed train corpus probed repeatedly by eval sets and incoming batches.
+  * This index materializes the train side ONCE: the distinct set of
+  * `sub`-char grams (each with its 32-bit window hash), parquet-partitioned
+  * by a bounded hash bucket exactly like the BM25 inverted index
+  * ([[Retrieval.buildInvertedIndex]]) and the saved IVF cells. A probe then
+  * pays only eval-side work: explode the eval docs, hash-prune against the
+  * index's `h` column (a 12-byte-per-row semi join — parquet column pruning
+  * means the gram text is never read for this phase), re-extract the real
+  * gram text for the surviving candidates only, and verify by exact text
+  * equality against the index — identical two-phase
+  * hash-prune-then-verify semantics as the recompute operator, so
+  * probe(saved) == recompute bit for bit, and a hash collision can never
+  * contaminate.
+  *
+  * Index contents are the DISTINCT gram relation of the train corpus (not
+  * per-occurrence postings): decontamination only asks "does this gram occur
+  * ANYWHERE in train", so multiplicity is dropped at build time — the index
+  * is bounded by train chars and typically far smaller.
+  *
+  * Incremental add keeps the invariant `index == distinct grams of the
+  * union corpus`: a batch's grams are anti-joined against the stored
+  * relation and only the genuinely new rows append (pure parquet append to
+  * their hash-bucket partitions, never dynamic partition overwrite —
+  * concurrent probes keep a consistent view). build(A) then add(B) is
+  * therefore EXACTLY build(A ∪ B), which is the q289 oracle invariant.
+  */
+object ExactSubstrIndex {
+
+  import TextAnalysis.md5Int32
+
+  final case class Meta(sub: Int, buckets: Int)
+
+  /** The distinct `sub`-char gram relation of a corpus: (h, g, bucket).
+    * One explode + one distinct — both keyed, linear in corpus chars.
+    * Distinct runs on `g` alone (the semantic key); h/bucket are derived
+    * afterwards so the aggregate carries the minimal row.
+    */
+  def gramRelation(docs: DataFrame, textCol: Column, sub: Int,
+      buckets: Int): DataFrame = {
+    require(sub >= 2, s"ExactSubstrIndex needs sub >= 2 (got $sub)")
+    require(buckets >= 1, s"ExactSubstrIndex needs buckets >= 1 (got $buckets)")
+    docs.filter(textCol.isNotNull && length(textCol) >= sub)
+      .select(explode(transform(
+        sequence(lit(1), length(textCol) - (sub - 1)),
+        i => textCol.substr(i, lit(sub)))).as("g"))
+      .distinct()
+      .select(md5Int32(col("g")).as("h"), col("g"),
+        pmod(md5Int32(col("g")), lit(buckets)).as("bucket"))
+  }
+
+  /** Build and persist the index: `dir/meta` records (sub, buckets),
+    * `dir/grams` holds the distinct gram relation partitioned by hash
+    * bucket (bounded directory count; file-level pruning for bucket-scoped
+    * maintenance reads).
+    */
+  def build(train: DataFrame, textCol: Column, dir: String,
+      sub: Int = 24, buckets: Int = 64): Unit = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    gramRelation(train, textCol, sub, buckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
+    Seq((sub, buckets)).toDF("sub", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getAs[Int]("sub"), r.getAs[Int]("buckets"))
+  }
+
+  /** The stored gram relation. Column-prune-friendly: phase-1 probes that
+    * select only `h` never read the gram text pages. */
+  def loadGrams(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/grams")
+
+  /** Incremental ADD: compute the batch's distinct gram relation, keep only
+    * grams NOT already indexed (one keyed anti join against the stored
+    * relation), append them to their bucket partitions. Returns the number
+    * of appended grams. After the add the stored relation equals
+    * `gramRelation(original ∪ batch)` exactly — multiplicity was never
+    * stored, so no count maintenance is needed.
+    */
+  def add(spark: SparkSession, dir: String, batch: DataFrame,
+      textCol: Column): Long = {
+    val meta = loadMeta(spark, dir)
+    val existing = loadGrams(spark, dir)
+    val fresh = gramRelation(batch, textCol, meta.sub, meta.buckets)
+      .join(existing.select("g"), Seq("g"), "left_anti")
+      .select("h", "g", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = fresh.count()
+    // pure append: existing bucket files are immutable, so a concurrent
+    // probe reads either the pre- or post-add relation, never a torn one
+    fresh.write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
+    fresh.unpersist(blocking = false)
+    n
+  }
+
+  /** Probe a saved index with an eval corpus: maximal contamination spans
+    * per eval doc, IDENTICAL semantics (and output schema) to
+    * [[DedupOps.exactSubstrContamSpans]] with the index's train corpus —
+    * (doc, start_pos, end_pos, span_chars, n_grams), positions 1-based
+    * inclusive.
+    *
+    * Scale shape — this is the point of the index: total probe cost is
+    * linear in EVAL chars. Phase 1 explodes only the eval side to
+    * (doc, pos, h) and semi-joins the index's `h` column (the index scan
+    * reads one int column); phase 2 re-extracts gram text only for the
+    * surviving candidates and verifies by (h, g) equality — the train
+    * corpus is never touched, and the heavy train-side explode was paid
+    * once at build time.
+    */
+  def probeSpans(spark: SparkSession, dir: String, evalDf: DataFrame,
+      idCol: String, textCol: Column,
+      maxBroadcastHashes: Long = 4000000L): DataFrame = {
+    val meta = loadMeta(spark, dir)
+    val sub = meta.sub
+    val idx = loadGrams(spark, dir)
+    val ev = evalDf.filter(textCol.isNotNull && length(textCol) >= sub)
+      .select(col(idCol).as("doc"), textCol.as("__t"))
+    val evH = ev.select(col("doc"),
+        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
+          i => struct(i.as("pos"),
+            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
+      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+    // ADAPTIVE probe direction. The decontamination-shaped case — eval set
+    // ≪ train corpus — broadcasts the eval's distinct window hashes ONTO
+    // the index scan, so the (train-sized) index is read map-side only and
+    // NEVER shuffles: `hits` = index rows whose hash occurs in eval, a
+    // relation bounded by the eval hash count, and both probe phases then
+    // semi-join small broadcast tables. A large eval batch falls back to
+    // the keyed semi-join plan, which shuffles 12-byte rows — both paths
+    // are the same two scans of the index (h column; h+g for the verify),
+    // same exact semantics. The decision metric is the eval POSITION
+    // count (one cheap length aggregate, no explode/shuffle) — an upper
+    // bound on the distinct hash count, compared against
+    // `maxBroadcastHashes`.
+    val nEvalPositions = {
+      val r = ev
+        .agg(sum(greatest(length(col("__t")) - (sub - 1), lit(0)).cast("long")))
+        .head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null sum = empty eval side
+    }
+    val marked = if (nEvalPositions <= maxBroadcastHashes) {
+      val evHashSet = evH.select("h").distinct()
+      val hits = idx.select("h", "g").join(broadcast(evHashSet), Seq("h"))
+      val evCand = evH.join(broadcast(hits.select("h").distinct()),
+        Seq("h"), "left_semi")
+      evCand.join(ev, Seq("doc"))
+        .select(col("doc"), col("pos"), col("h"),
+          col("__t").substr(col("pos"), lit(sub)).as("g"))
+        .join(broadcast(hits), Seq("h", "g"), "left_semi")
+        .select(col("doc"), col("pos"))
+    } else {
+      val evCand = evH.join(idx.select("h"), Seq("h"), "left_semi")
+      evCand.join(ev, Seq("doc"))
+        .select(col("doc"), col("pos"), col("h"),
+          col("__t").substr(col("pos"), lit(sub)).as("g"))
+        .join(idx.select("h", "g"), Seq("h", "g"), "left_semi")
+        .select(col("doc"), col("pos"))
+    }
+    DedupOps.mergeIslandSpans(marked, sub)
+  }
+
+  /** Per-eval-doc contamination CARD over [[probeSpans]] — same contract
+    * as [[DedupOps.exactSubstrContamCard]] (zeros via left join, empty-doc
+    * guard, round-6 fraction, strict threshold): (doc, n_chars, n_spans,
+    * contam_chars, contam_frac, clean). */
+  def probeCard(spark: SparkSession, dir: String, evalDf: DataFrame,
+      idCol: String, textCol: Column,
+      maxContamFrac: Double = 0.05): DataFrame = {
+    val agg = probeSpans(spark, dir, evalDf, idCol, textCol)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_chars").as("contam_chars"))
+    evalDf.filter(textCol.isNotNull)
+      .select(col(idCol).as("doc"), length(textCol).cast("long").as("n_chars"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("contam_chars"), lit(0L)) / col("n_chars"), 6))
+          .as("contam_frac"))
+      .withColumn("clean", col("contam_frac") < maxContamFrac)
+  }
+
+  /** Streaming decontamination twin: exploded (doc, pos) CONTAMINATION
+    * MATCHES of a streaming doc source against a STATIC gram relation —
+    * the per-micro-batch form of [[probeSpans]]'s phase 1+2 (the island
+    * merge is per-doc downstream work a batch consumer replays; the
+    * stream emits the verified positions, which is the exact evidence
+    * set). Stream-static semi joins are STATELESS in Structured Streaming
+    * (the static side is re-broadcast/scanned per micro-batch), so this
+    * composes in Append mode with no watermark and replays identically in
+    * a batch run — the parity contract StreamingDecontamSpec pins.
+    */
+  def contamMatches(docs: DataFrame, idxGrams: DataFrame, idCol: String,
+      textCol: Column, sub: Int): DataFrame = {
+    val ev = docs.filter(textCol.isNotNull && length(textCol) >= sub)
+      .select(col(idCol).as("doc"), textCol.as("__t"))
+    // carry the gram text with the hash: a stream cannot re-join itself to
+    // recover the doc row, so each exploded row is self-contained
+    ev.select(col("doc"),
+        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
+          i => struct(i.as("pos"), col("__t").substr(i, lit(sub)).as("g"))))
+          .as("w"))
+      .select(col("doc"), col("w.pos").as("pos"), col("w.g").as("g"),
+        md5Int32(col("w.g")).as("h"))
+      .join(idxGrams.select("h", "g"), Seq("h", "g"), "left_semi")
+      .select(col("doc"), col("pos"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTABLE MinHash/LSH band index with incremental add — the fuzzy
+  * sibling of [[DedupOps.incrementalExactDedup]] (exact keys) and the
+  * IVF-PQ add path ([[graft.sim.Pq.appendToSavedIvfPqIndex]]) on the dedup
+  * ladder: near-duplicate candidate generation against a GROWING corpus
+  * without ever re-signaturing it.
+  *
+  * Stored relation: one row per (doc, band) — (doc, band_id, band_val),
+  * parquet-partitioned by (band_id, hash-bucket-of-band_val). Per-doc band
+  * rows are a pure projection of the doc's MinHash signature, so
+  *   - ADD is signature-project + pure parquet append (no shuffle, no
+  *     existing-file rewrite — concurrent probes keep a consistent view),
+  *     and build(A) then add(B) equals build(A ∪ B) EXACTLY (the stored
+  *     relation is a per-doc projection; grouping never matters);
+  *   - PROBE is one equi join of the batch's band rows against the stored
+  *     relation on (band_id, band_val) — candidates only ever come from
+  *     shared buckets, never all pairs.
+  *
+  * Hot-bucket posture (the q246/q55 lesson at corpus scale): a viral
+  * band_val — near-identical boilerplate minhashing into one bucket —
+  * would fan every probe doc out against the whole bucket. The probe
+  * considers only the `maxBucket` SMALLEST doc ids per stored bucket
+  * (deterministic, so an oracle replays it): a newcomer matching viral
+  * boilerplate still pairs with a bounded, stable sample of it, which is
+  * all a dedup decision needs. Buckets at or under the cap are exhaustive,
+  * so with no oversized bucket the probe is exactly the uncapped join.
+  */
+object LshBandIndex {
+
+  final case class Meta(n: Int, bandsOf: Int, buckets: Int)
+
+  /** The band relation of a corpus: (doc, band_id, band_val, bucket).
+    * One explode + one groupBy (the signature aggregate) + one projection.
+    */
+  def bandRelation(docs: DataFrame, idCol: String, textCol: Column,
+      n: Int, bandsOf: Int, buckets: Int): DataFrame = {
+    require(bandsOf >= 1 && DedupOps.MinhashSeeds.size % bandsOf == 0,
+      s"LshBandIndex: bandsOf must divide ${DedupOps.MinhashSeeds.size}")
+    require(buckets >= 1, s"LshBandIndex needs buckets >= 1 (got $buckets)")
+    val sig = DedupOps.minhashSignatures(docs, idCol, textCol, n)
+    DedupOps.bandRows(sig, idCol, bandsOf)
+      .select(col(idCol).as("doc"), col("band_id"), col("band_val"),
+        pmod(hash(col("band_val")), lit(buckets)).as("bucket"))
+  }
+
+  /** Build and persist: `dir/meta` records (n, bandsOf, buckets),
+    * `dir/bands` holds the band relation partitioned by (band_id, bucket)
+    * — bounded directory count (nBands × buckets), file-level parallelism
+    * for probes and bucket-scoped maintenance reads. */
+  def build(docs: DataFrame, idCol: String, textCol: Column, dir: String,
+      n: Int = 2, bandsOf: Int = 2, buckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandRelation(docs, idCol, textCol, n, bandsOf, buckets)
+      .write.mode("overwrite").partitionBy("band_id", "bucket")
+      .parquet(s"$dir/bands")
+    Seq((n, bandsOf, buckets)).toDF("n", "bandsOf", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getAs[Int]("n"), r.getAs[Int]("bandsOf"), r.getAs[Int]("buckets"))
+  }
+
+  def loadBands(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+
+  /** Incremental ADD: signature-project the batch and append its band rows
+    * to their (band_id, bucket) partitions. Pure append — the caller's
+    * contract is that batch doc ids are NEW (a re-added doc would carry
+    * duplicate band rows; probes stay correct because candidate pairs are
+    * DISTINCT, but the relation would no longer equal a from-scratch
+    * build). Returns the number of appended band rows. */
+  def add(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: Column): Long = {
+    val meta = loadMeta(spark, dir)
+    val rows = bandRelation(batch, idCol, textCol,
+      meta.n, meta.bandsOf, meta.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = rows.count()
+    rows.write.mode("append").partitionBy("band_id", "bucket")
+      .parquet(s"$dir/bands")
+    rows.unpersist(blocking = false)
+    cnt
+  }
+
+  /** Probe a saved index with a NEW batch: distinct candidate pairs
+    * (idx_doc, probe_doc) sharing at least one band, the stored side
+    * capped at the `maxBucket` smallest doc ids per (band_id, band_val)
+    * bucket (see the class doc). The join is EQUI on (band_id, band_val)
+    * — hash-partitioned, proportional to shared-bucket volume, never
+    * |index| × |batch|. Intra-batch duplication is the batch operators'
+    * job ([[DedupOps.lshCandidatePairs]] on the batch alone). */
+  def probePairs(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: Column, maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = loadMeta(spark, dir)
+    val stored = loadBands(spark, dir)
+    val capped = stored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("band_id", "band_val").orderBy(col("doc"))))
+      .filter(col("__rn") <= maxBucket)
+      .select(col("doc").as("idx_doc"), col("band_id"), col("band_val"))
+    val probe = bandRelation(batch, idCol, textCol,
+      meta.n, meta.bandsOf, meta.buckets)
+      .select(col("doc").as("probe_doc"), col("band_id"), col("band_val"))
+    capped.join(probe, Seq("band_id", "band_val"))
+      .select("idx_doc", "probe_doc")
+      .distinct()
+  }
+}

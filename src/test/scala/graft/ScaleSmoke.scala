@@ -41,6 +41,32 @@ object ScaleSmoke {
       graft.text.DedupOps.exactSubstrSpans(docs, "doc_id", col("text"),
         sub = 24).count()
     }
+    // Persistable decontamination index: the point is that probe cost
+    // tracks EVAL size, not train size — run with arg prefix "xsub" to get
+    // build + both probe sizes in order (probes need the build's dir).
+    // Every eval doc carries one train-template sentence (> 24 chars), so
+    // every probe row flags — worst-case verify volume.
+    val xsubDir = sys.props("java.io.tmpdir") + "/graft_scale_xsub"
+    def xsubEval(m: Long) = spark.range(m)
+      .select((col("id") + 5000000L).as("doc_id"),
+        concat_ws(" ",
+          lit("eval probe doc opens with novel words"),
+          md5(concat(lit("e"), col("id").cast("string"))),
+          lit("middle filler section common to the corpus for span tests"),
+          md5(concat(lit("z"), col("id").cast("string")))).as("text"))
+    time("xsub-build-1M-train") {
+      graft.text.ExactSubstrIndex.build(docs, col("text"), xsubDir,
+        sub = 24, buckets = 64)
+      graft.text.ExactSubstrIndex.loadGrams(spark, xsubDir).count()
+    }
+    time("xsub-probe-10k-eval") {
+      graft.text.ExactSubstrIndex.probeSpans(spark, xsubDir,
+        xsubEval(10000L), "doc_id", col("text")).count()
+    }
+    time("xsub-probe-100k-eval") {
+      graft.text.ExactSubstrIndex.probeSpans(spark, xsubDir,
+        xsubEval(100000L), "doc_id", col("text")).count()
+    }
     time("minhash-lsh-pairs") {
       val sig = graft.text.DedupOps.minhashSignatures(docs, "doc_id", col("text"), 2)
       graft.text.DedupOps.lshCandidatePairs(sig, "doc_id", maxBucket = 20).count()
