@@ -1381,6 +1381,99 @@ object SimQueries extends QueryGroup {
     * uses the build's own assignment + encoding projections, the combined
     * codes table equals residual-encoding the FULL corpus against the
     * even-trained coarse centroids and sub-codebooks. */
+  /** IVF cell-BALANCE AUDIT (Similarity.cellBalanceAudit): per-cell member
+    * counts, corpus share, and the oversized flag (> 2× the mean cell
+    * size) over the deterministic Lloyd index — the q134 hot-partition
+    * lesson surfaced as a maintenance query: a skewed corpus makes one
+    * cell a straggler on EVERY probe, and this is the signal that feeds
+    * [[q294IvfCellSplit]]. The oracle replays the q117 build trajectory
+    * and counts assignments per surviving centroid. */
+  val q293IvfCellAudit = QueryDef(
+    "q293_ivf_cell_audit",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      Similarity.cellBalanceAudit(idx, oversizeFactor = 2.0)
+        .orderBy("cell")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      ${argminCellSql("asg", "c2")},
+      cnt AS (SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+        FROM c2 c LEFT JOIN asg a ON a.cell = c.cell GROUP BY c.cell),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+          CAST(COUNT(*) AS BIGINT) AS n_cells FROM cnt)
+      SELECT cell, n_vecs,
+        ROUND(CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) + 0.0
+          AS share,
+        CAST(n_vecs AS DOUBLE) >
+          2.0 * CAST(n_total AS DOUBLE) / CAST(n_cells AS DOUBLE) AS oversized
+      FROM cnt, tot ORDER BY cell"""))
+
+  /** Oversized-cell SPLIT (Similarity.splitCell): re-Lloyd within the
+    * index's largest cell (max count, smaller-cell tie), children seeded
+    * from the two smallest member ids and taking ids maxCell+1/+2, parent
+    * retired. Output = the child centroids element by element with their
+    * reassigned member counts. FULLY ORACLED: the split is the same
+    * round-6 Lloyd contract as the build, so DuckDB replays build → pick
+    * parent → scoped 2-means → final reassignment CTE for CTE. The
+    * probe-parity recall gate lives in SimilaritySpec (q262 pattern). */
+  val q294IvfCellSplit = QueryDef(
+    "q294_ivf_cell_split",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+        nLists = 8, iters = 2)
+      val parent = Similarity.cellBalanceAudit(idx)
+        .orderBy(col("n_vecs").desc, col("cell")).head().getInt(0)
+      val maxOld = idx.centroids.agg(max("cell")).head().getInt(0)
+      val after = Similarity.splitCell(idx, parent, iters = 2)
+      val childCounts = after.cells.filter(col("cell") > maxOld)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      after.centroids.filter(col("cell") > maxOld)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "val")))
+        .select(col("cell"), (col("pos") + 1).cast("int").as("pos"), col("val"))
+        .join(childCounts, Seq("cell"), "left")
+        .select(col("cell"), col("pos"), col("val"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+        .orderBy("cell", "pos")
+    },
+    Some(s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      ${argminCellSql("asg", "c2")},
+      cnt AS (SELECT c.cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n FROM c2 c
+        LEFT JOIN asg a ON a.cell = c.cell GROUP BY c.cell),
+      par AS (SELECT cell FROM cnt ORDER BY n DESC, cell LIMIT 1),
+      mem AS MATERIALIZED (SELECT e.vec_id, e.v FROM ev e
+        JOIN asg a USING (vec_id) JOIN par p ON a.cell = p.cell),
+      mpx AS MATERIALIZED (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM mem)),
+      s0 AS (SELECT CAST(x.m + r.rn AS INT) AS cell, r.v AS cv
+        FROM (SELECT MAX(cell) AS m FROM c2) x,
+          (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+           FROM mem ORDER BY vec_id LIMIT 2) r),
+      ${lloydStepSql("sa1", "sc1", "s0", "mem", "mpx")},
+      ${lloydStepSql("sa2", "sc2", "sc1", "mem", "mpx")},
+      ${argminCellSql("sasg", "sc2", "mem")},
+      fcnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM sasg GROUP BY cell)
+      SELECT c.cell, CAST(t.pos AS INT) AS pos, c.cv[t.pos] + 0.0 AS val,
+        COALESCE(f.n_vecs, 0) AS n_vecs
+      FROM sc2 c LEFT JOIN fcnt f USING (cell),
+        UNNEST(generate_series(1, len(c.cv))) AS t(pos)
+      ORDER BY cell, pos"""))
+
   val q280IvfPqAdd = QueryDef(
     "q280_ivfpq_add",
     (s, d) => {
@@ -1562,5 +1655,6 @@ object SimQueries extends QueryGroup {
     q231LabelNoise, q261PqAdc, q262PqRecall, q263IvfPq, q264IvfPqSaved,
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
     q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
-    q281PcaTopK, q282PcaWhiten, q285AbttTopk)
+    q281PcaTopK, q282PcaWhiten, q285AbttTopk, q293IvfCellAudit,
+    q294IvfCellSplit)
 }

@@ -454,6 +454,167 @@ object TextQueries extends QueryGroup {
       FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
       LEFT JOIN flat f USING (doc_id) ORDER BY a.doc_id"""))
 
+  /** Viterbi DP chain SQL for the unigram-tokenizer oracles: forward CTEs
+    * <tag>f0..<tag>fW (state = bests/backs lists, one list_append per
+    * position; candidates = the ≤ maxPieceLen pieces ending at the
+    * position, each ROUND-6 of bests[i] + map score, argmax ties broken
+    * LONGEST-FIRST via the CASE order) over word table `wordsCte` with
+    * the single-row score-map CTE `mapCte`; then backtrack CTEs
+    * <tag>b0..<tag>bW, ending at <tag>seg (w, freq, pieces) — char-split
+    * rows for words beyond maxWordLen unioned in, matching
+    * Unigram.segmentWordColumn's fallback. Every step is MATERIALIZED:
+    * each references its predecessor's columns several times and the
+    * inliner would otherwise expand the chain multiplicatively (the q280
+    * lesson). Cells past a word's length are harmless garbage both here
+    * and in the engine — the backtrack starts at len(w) and only ever
+    * moves left, so they are never read. */
+  private def unigramDpSql(tag: String, wordsCte: String, mapCte: String,
+      maxPieceLen: Int, maxWordLen: Int): String = {
+    val fwd = (1 to maxWordLen).map { j =>
+      val pls = 1 to math.min(maxPieceLen, j)
+      val candDefs = pls.map { pl =>
+        val lo = j - pl + 1
+        s"""CASE WHEN len(m[w[$lo:$j]]) > 0
+            THEN ROUND(bests[$lo] + m[w[$lo:$j]][1], 6) END AS c$pl"""
+      }.mkString(", ")
+      val cs = pls.map(p => s"c$p").mkString(", ")
+      val bj = if (pls.size == 1) "c1" else s"greatest($cs)"
+      val bk = pls.reverse.map(pl => s"WHEN c$pl = bj THEN $pl").mkString(" ")
+      s"""${tag}f$j AS MATERIALIZED (SELECT w, freq,
+          list_append(bests, bj) AS bests,
+          list_append(backs, CASE $bk END) AS backs
+        FROM (SELECT w, freq, bests, backs, $bj AS bj, $cs FROM (
+          SELECT w, freq, bests, backs, $candDefs
+          FROM ${tag}f${j - 1}, $mapCte)))"""
+    }.mkString(",\n      ")
+    val back = (1 to maxWordLen).map { k =>
+      s"""${tag}b$k AS MATERIALIZED (SELECT w, freq, backs,
+          CASE WHEN pos > 0 THEN pos - backs[pos + 1] ELSE pos END AS pos,
+          CASE WHEN pos > 0
+            THEN list_prepend(w[pos - backs[pos + 1] + 1:pos], pieces)
+            ELSE pieces END AS pieces
+        FROM ${tag}b${k - 1})"""
+    }.mkString(",\n      ")
+    s"""${tag}f0 AS (SELECT w, freq, [CAST(0 AS DOUBLE)] AS bests,
+        [0] AS backs FROM $wordsCte WHERE len(w) <= $maxWordLen),
+      $fwd,
+      ${tag}b0 AS (SELECT w, freq, backs, len(w) AS pos,
+        CAST([] AS VARCHAR[]) AS pieces FROM ${tag}f$maxWordLen),
+      $back,
+      ${tag}seg AS (SELECT w, freq, pieces FROM ${tag}b$maxWordLen
+        UNION ALL
+        SELECT w, freq,
+          list_transform(range(1, len(w) + 1), i -> w[i:i]) AS pieces
+        FROM $wordsCte WHERE len(w) > $maxWordLen)"""
+  }
+
+  /** Full unigram hard-EM learn replay (Unigram.learn semantics, CTE for
+    * CTE): word table, weighted substring seed + top-seedSize ∪ chars cut,
+    * round-6 seed scores, then `rounds` EM rounds — score map, Viterbi DP
+    * chain, usage aggregate, zero-usage prune (chars immune), char-floor
+    * adj, round-6 rescore — ending at `ufin` (p, usage, adj): the
+    * top-vocabSize ∪ chars final cut awaiting renormalization. */
+  private def unigramLearnCtes(maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, rounds: Int, maxWordLen: Int): String = {
+    val adj = "usage + CASE WHEN len(p) = 1 THEN 1 ELSE 0 END"
+    val roundsSql = (1 to rounds).map { r =>
+      val pv = s"v${r - 1}"
+      s"""um$r AS (SELECT map(list(p ORDER BY p), list(s ORDER BY p)) AS m
+          FROM $pv),
+        ${unigramDpSql(s"u${r}d", "wt", s"um$r", maxPieceLen, maxWordLen)},
+        uu$r AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS usage FROM
+          (SELECT freq, unnest(pieces) AS p FROM u${r}dseg) GROUP BY p),
+        uk$r AS (SELECT $pv.p, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
+          FROM $pv LEFT JOIN uu$r u USING (p)
+          WHERE COALESCE(u.usage, 0) > 0 OR len($pv.p) = 1),
+        v$r AS MATERIALIZED (SELECT p, ROUND(ln(CAST($adj AS DOUBLE) /
+            CAST((SELECT SUM($adj) FROM uk$r) AS DOUBLE)), 6) AS s, usage
+          FROM uk$r)"""
+    }.mkString(",\n      ")
+    s"""wt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
+        (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      sc AS MATERIALIZED (SELECT p, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+        (SELECT freq, unnest(flatten(list_transform(range(1, len(w) + 1),
+          i -> list_transform(range(1, least($maxPieceLen, len(w) - i + 1) + 1),
+            l -> w[i:i+l-1])))) AS p FROM wt) GROUP BY p),
+      ks AS MATERIALIZED (
+        SELECT p, cnt FROM
+          (SELECT p, cnt FROM sc ORDER BY cnt DESC, p LIMIT $seedSize)
+        UNION
+        SELECT p, cnt FROM sc WHERE len(p) = 1),
+      v0 AS MATERIALIZED (SELECT p, ROUND(ln(CAST(cnt AS DOUBLE) /
+          CAST((SELECT SUM(cnt) FROM ks) AS DOUBLE)), 6) AS s,
+        CAST(0 AS BIGINT) AS usage FROM ks),
+      $roundsSql,
+      ufin AS MATERIALIZED (SELECT p, usage, adj FROM (
+        SELECT p, usage, $adj AS adj,
+          ROW_NUMBER() OVER (ORDER BY ($adj) DESC, p) AS rn
+        FROM v$rounds) WHERE rn <= $vocabSize OR len(p) = 1)"""
+  }
+
+  /** Unigram-LM tokenizer LEARN (text.Unigram.learn, the SentencePiece
+    * family via deterministic hard EM): seed substring counts → 2
+    * Viterbi-EM rounds → final vocab with raw usage and renormalized
+    * round-6 log-probs. FULLY ORACLED: the DuckDB side unrolls the seed
+    * cut, both EM rounds (score maps, the per-word Viterbi DP position by
+    * position, usage counts, the char-floor rescore) and the final
+    * top-vocabSize ∪ chars cut CTE for CTE — the q95 discipline applied
+    * to a dynamic-programming tokenizer. The hand-computed trajectory is
+    * additionally pinned in UnigramSpec. */
+  val q291UnigramLearn = QueryDef(
+    "q291_unigram_learn",
+    (s, d) => {
+      import s.implicits._
+      graft.text.Unigram.learn(Tables.documents(s, d), col("text"),
+        maxPieceLen = 4, seedSize = 200, vocabSize = 48, rounds = 2,
+        maxWordLen = 16)
+        .toDF("piece", "usage", "logp")
+        .orderBy("piece")
+    },
+    Some(s"""WITH ${unigramLearnCtes(4, 200, 48, 2, 16)}
+      SELECT p AS piece, usage, ROUND(ln(CAST(adj AS DOUBLE) /
+          CAST((SELECT SUM(adj) FROM ufin) AS DOUBLE)), 6) + 0.0 AS logp
+      FROM ufin ORDER BY piece"""))
+
+  /** Unigram-LM tokenizer ENCODE (text.Unigram.encode): Viterbi-best
+    * segmentation of every document under the q291-learned vocabulary,
+    * through the UDF-free native Column DP (one aggregate HOF per word —
+    * whole-stage codegen; the mapPartitions twin for production-size
+    * vocabs is spec-pinned identical). The oracle re-learns with the same
+    * unrolled CTEs, builds the final score map, and replays the encode DP
+    * over the word table — documents then reassemble by position exactly
+    * as in q127. */
+  val q292UnigramEncode = QueryDef(
+    "q292_unigram_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.text.Unigram.learn(docs, col("text"),
+        maxPieceLen = 4, seedSize = 200, vocabSize = 48, rounds = 2,
+        maxWordLen = 16)
+      graft.text.Unigram.encode(docs.filter(col("doc_id") < 50),
+        col("text"), vocab, maxPieceLen = 4, maxWordLen = 16)
+        .select(col("doc_id"), col("n_unigram_tokens"),
+          md5(concat_ws("|", col("unigram_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${unigramLearnCtes(4, 200, 48, 2, 16)},
+      emap AS (SELECT map(list(p ORDER BY p), list(lp ORDER BY p)) AS m
+        FROM (SELECT p, ROUND(ln(CAST(adj AS DOUBLE) /
+          CAST((SELECT SUM(adj) FROM ufin) AS DOUBLE)), 6) AS lp FROM ufin)),
+      ${unigramDpSql("e", "wt", "emap", 4, 16)},
+      dw AS (SELECT doc_id, i, string_split(text, ' ')[i] AS w
+        FROM documents, UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+        WHERE doc_id < 50),
+      flat AS (SELECT d.doc_id, flatten(list(es.pieces ORDER BY d.i)) AS toks
+        FROM dw d JOIN eseg es ON es.w = d.w
+        WHERE len(d.w) > 0 GROUP BY d.doc_id)
+      SELECT a.doc_id,
+        CAST(COALESCE(len(f.toks), 0) AS INT) AS n_unigram_tokens,
+        md5(COALESCE(array_to_string(f.toks, '|'), '')) AS tokens_md5
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
+      LEFT JOIN flat f USING (doc_id) ORDER BY a.doc_id"""))
+
   /** Alphabetical-scan argmax over per-script char counts as nested SQL
     * CASE: the alphabetically first name whose count is >= all others
     * wins — identical to dominantScript's least-struct tie-break toward
@@ -999,6 +1160,7 @@ object TextQueries extends QueryGroup {
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
+    q291UnigramLearn, q292UnigramEncode,
     q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity,
     q222DocKeywords, q226VocabRichness, q259KnBigramNll)
 }

@@ -449,16 +449,25 @@ object Similarity {
     */
   def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val e = corpus.select(asDouble(col(vecCol)).as("cv"))
+    val init = seedCentroids(corpus, idCol, vecCol, nLists)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+    // an id filter can leave the corpus non-empty but the SEED set empty
+    // (no ids < nLists); there is nothing to refine — degenerate, not a crash
+    if (init.isEmpty) return Seq.empty
+    lloydRefine(corpus.select(asDouble(col(vecCol)).as("cv")), init, iters)
+  }
+
+  /** The Lloyd iteration loop under the cross-engine float contract,
+    * factored out of [[lloydCentroids]] so maintenance ops ([[splitCell]])
+    * can refine an EXPLICIT init over a scoped vector set. `vecs` must
+    * expose a single `cv` array<double> column. */
+  private[graft] def lloydRefine(vecs: DataFrame,
+      init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] = {
+    val e = vecs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val init = seedCentroids(corpus, idCol, vecCol, nLists)
-        .orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
-        .toSeq
-      // an id filter can leave the corpus non-empty but the SEED set empty
-      // (no ids < nLists); there is nothing to refine — degenerate, not a crash
-      if (init.isEmpty) return Seq.empty
       (1 to iters).foldLeft(init) { (cents, _) =>
         // the assignment MUST evaluate once per input row, in its own
         // stage: projected next to a generator, the nLists-way
@@ -479,6 +488,74 @@ object Similarity {
           .toSeq
       }
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Per-cell BALANCE AUDIT of an IVF index — the q134 lesson applied to
+    * ANN maintenance: at corpus scale a skewed embedding distribution
+    * makes one cell a straggler on every probe (its partition carries a
+    * disproportionate share of every probed query's candidates), and
+    * nothing in the write path surfaces that. One keyed count + a 1-row
+    * totals broadcast: (cell, n_vecs, share, oversized) for every
+    * centroid — EMPTY cells included via the left join (a cell that lost
+    * all members is maintenance signal too), oversized =
+    * n_vecs > oversizeFactor × (n_total / n_cells).
+    */
+  def cellBalanceAudit(index: IvfIndex,
+      oversizeFactor: Double = 2.0): DataFrame = {
+    val counts = index.cells.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+    val perCell = index.centroids.select("cell")
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val totals = perCell.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    perCell.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        (col("n_vecs").cast("double") >
+          lit(oversizeFactor) * col("n_total").cast("double") /
+            col("n_cells").cast("double")).as("oversized"))
+  }
+
+  /** SPLIT one oversized cell — the maintenance op [[cellBalanceAudit]]
+    * feeds: re-Lloyd WITHIN the fat cell (2-means, the same round-6 /
+    * smaller-cell-tie float contract as the build, so the whole op
+    * replays in external SQL — q294's oracle), children take the ids
+    * (maxCell+1, maxCell+2), the parent id is RETIRED (its centroid row
+    * and cell rows are gone, so stale probes can never hit a half-moved
+    * cell). Seeding is deterministic: the two smallest member ids.
+    *
+    * Scale shape: everything is scoped to the one cell's members — one
+    * bounded 2-row seed collect, `iters` keyed mean aggregates over the
+    * members, one narrow reassignment projection. The rest of the index
+    * is untouched (and with a saved index, untouched PARTITIONS).
+    */
+  def splitCell(index: IvfIndex, cell: Int, iters: Int = 2): IvfIndex = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    val members = index.cells.filter(col("cell") === cell)
+      .select(col("cid"), col("cv"), col("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxCell = index.centroids.agg(max("cell")).head().getInt(0)
+      val seeds = members.orderBy("cid").limit(2).collect()
+      require(seeds.length == 2,
+        s"splitCell: cell $cell has ${seeds.length} members — nothing to split")
+      val init = seeds.zipWithIndex.map { case (r, i) =>
+        (maxCell + 1 + i,
+          r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]])
+      }.toSeq
+      val refined = lloydRefine(members.select(col("cv")), init, iters)
+      val reassigned = members
+        .withColumn("cell", nearestCell(col("cv"), refined))
+        .select(index.cells.columns.map(col): _*)
+        .localCheckpoint(true)
+      val newCents = index.centroids.filter(col("cell") =!= cell)
+        .unionByName(refined.toDF("cell", "centroid"))
+      IvfIndex(newCents,
+        index.cells.filter(col("cell") =!= cell).unionByName(reassigned))
+    } finally members.unpersist(blocking = false)
   }
 
   /** IVF top-k over the [[lloydCentroids]] quantizer, exact-oracle
