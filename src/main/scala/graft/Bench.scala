@@ -176,7 +176,8 @@ object Bench {
     "q115_c4_lines", "q117_ivf_lloyd", "q118_quality_classifier",
     "q122_incremental_semdedup", "q124_hamming_topk", "q125_matryoshka",
     "q126_shared_spans", "q127_bpe_encode", "q128_cc_luhn",
-    "q129_script_shares", "q143_ivf_probe_saved")
+    "q129_script_shares", "q143_ivf_probe_saved",
+    "q288_contam_probe_saved", "q291_unigram_learn")
 
   /** Full-registry pins — see [[BenchPins]] for provenance and the
     * adjudication log. */

@@ -46,6 +46,13 @@ package graft
   * query and applies a 0.25 s absolute-delta floor before reporting it
   * (see the adjudication comment there) — pins themselves unchanged.
   *
+  * Round-11 new-query pins (q288-q296) from a clean warm-min prefix run
+  * (`SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.Bench q288 …
+  * q296`). q288's pin is the steady-state CACHED-index probe (pass 2
+  * loads what pass 1 built — the q264 convention); q289 rebuilds its
+  * throwaway index every run by design (the add path under test), hence
+  * the large pin.
+  *
   * Round-11 re-pin of the noise-floor trio (round-10 verdict "What's
   * wrong" #2): q01/q02/q06 sat at 1.65-2.31x their sub-half-second pins
   * across rounds 8-10 purely on 0.16-0.35 s absolute deltas — the
@@ -172,6 +179,11 @@ object BenchPins {
     "q283_exact_dup_card" -> 0.289, "q284_exact_substr_cut" -> 0.283,
     "q285_abtt_topk" -> 3.531, "q286_contam_spans" -> 4.357,
     "q287_contam_card" -> 0.261,
+    "q288_contam_probe_saved" -> 2.788, "q289_contam_index_add" -> 19.568,
+    "q290_lsh_index_probe" -> 8.374, "q291_unigram_learn" -> 2.451,
+    "q292_unigram_encode" -> 2.706, "q293_ivf_cell_audit" -> 0.955,
+    "q294_ivf_cell_split" -> 2.438, "q295_opq_rotation" -> 3.518,
+    "q296_contam_matches" -> 1.318,
     "q25_cache_lookup" -> 0.221,
     "q26_text_funcs" -> 0.254, "q27_url_tail" -> 0.195,
     "q28_epc_bucket" -> 0.219, "q29_try_cast" -> 0.125,

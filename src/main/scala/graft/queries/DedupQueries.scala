@@ -695,6 +695,34 @@ object DedupQueries extends QueryGroup {
       FROM idxc a JOIN pb b USING (band_id, band_val)
       ORDER BY idx_doc, probe_doc"""))
 
+  /** BATCH TWIN of the STREAMING decontamination flag
+    * (ExactSubstrIndex.contamMatches — the stream-static semi join
+    * DedupStreams-style consumers run per micro-batch): the verified
+    * contaminated (doc, pos) evidence set against the SAVED gram index,
+    * i.e. exactly the `cm` stage of the q286 criterion before island
+    * merging (which is per-doc downstream work — the spec pins that
+    * merging these positions reproduces q286's spans). Registered so the
+    * streaming operator's semantics carry a driver-gated oracle, not just
+    * the batch-replay parity spec. */
+  val q296ContamMatches = QueryDef(
+    "q296_contam_matches",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
+        IndexCache.tagFor("graft_xsub_v1_", d), "meta/_SUCCESS") { tmpDir =>
+        ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+          col("text"), tmpDir, sub = 24, buckets = 64)
+      }
+      ExactSubstrIndex.contamMatches(docs.filter(col("doc_id") % 10 === 0),
+        ExactSubstrIndex.loadGrams(s, idxDir), "doc_id", col("text"),
+        sub = 24)
+        .select(col("doc").as("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy("doc_id", "pos")
+    },
+    Some(s"""WITH $contamRunsCtes
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM cm
+      ORDER BY doc_id, pos"""))
+
   /** Train/test split LEAKAGE audit — the eval-integrity composition of
     * [[graft.text.Curation.splitAssign]] and the MinHash-LSH candidate
     * pairs: a near-dup pair whose members land in DIFFERENT splits means
@@ -950,5 +978,6 @@ object DedupQueries extends QueryGroup {
     q126SharedSpans, q142LshRecall, q182DedupKeepBest, q221EditDistPairs,
     q236DupRateCard, q245DupSizeHist, q246PrefixJaccard, q279ExactSubstr,
     q283ExactDupCard, q284ExactSubstrCut, q286ContamSpans, q287ContamCard,
-    q288ContamProbeSaved, q289ContamIndexAdd, q290LshIndexProbe)
+    q288ContamProbeSaved, q289ContamIndexAdd, q290LshIndexProbe,
+    q296ContamMatches)
 }

@@ -46,12 +46,20 @@ object BenchSf1 {
         s"python3 tools/make_sf1.py /root/testdata/sf0.1 $dataDir $replicas")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SF1_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // second-decade (sf10) runs push single stages past the default
+      // heartbeat budget under GC pressure; in local mode the executor
+      // then kills the shared JVM ("unable to send heartbeats to driver
+      // more than 60 times"). Generous in-process timeouts change no
+      // measured work.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -102,8 +110,11 @@ object BenchSf1 {
  "slopes_x_per_decade": ${jmap(slopes, "  ")},
  "flagged_over_12x": ${jmap(flagged, "  ")}
 }"""
+    // second-decade runs (sf10, replicas=100) write their own artifact so
+    // the canonical sf1 sweep is never clobbered
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT", "BENCH_SF1.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SF1.json"), sidecar.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outFile), sidecar.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val line = s"""{"metric":"sf1_total","value":${r3(results.map(_._2).filter(_ > 0).sum)},"unit":"sec","replicas":$replicas,"n_queries":${results.size},"errors":${results.count(_._2 < 0)},"flagged_over_12x":${jmap(flagged)}}"""
     println(line)

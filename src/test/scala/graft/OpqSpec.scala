@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Opq, Pca, Pq, Similarity}
+
+/** OPQ pre-rotation: recall gate vs unrotated PQ on an anisotropic
+  * fixture (the q262 pattern), save/load/add composition, and rotation
+  * determinism.
+  */
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Strongly anisotropic deterministic corpus: 64 observed dims are a
+    * fixed linear mix of 8 latent factors (hash-driven, no RNG), so the
+    * raw coordinate split feeds PQ highly correlated subspaces while the
+    * PCA basis concentrates variance in 8 directions. */
+  private def aniso(n: Long) = {
+    val latent = (0 until 8).map(f =>
+      (((col("id") * (2654435761L + f * 40503L) + f * 97L) % 997L)
+        .cast("double") - 498.0) / 100.0)
+    val mixed = (0 until 64).map { d =>
+      latent.zipWithIndex.map { case (z, f) =>
+        z * math.cos(0.37 * (d + 1) * (f + 1))
+      }.reduce(_ + _).as(s"x$d")
+    }
+    spark.range(n).select(col("id").as("vec_id"),
+      array(mixed: _*).as("embedding"))
+      .localCheckpoint(true)
+  }
+
+  private def learnRot(corpus: org.apache.spark.sql.DataFrame) = {
+    val cov = Pca.covarianceMatrix(corpus, "embedding", 64)
+    Opq.learnPcaRotation(Pca.collectCovariance(cov, 64), kOut = 8, m = 4)
+  }
+
+  test("recall gate: rotated PQ >= raw PQ against exact L2 truth") {
+    val corpus = aniso(2000L)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceL2TopK(queries, corpus,
+      "vec_id", "embedding", k = 5)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, "qid", "cid")
+        .agg(avg("recall")).head().getDouble(0)
+    val raw = Pq.pqAdcTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, dim = 64, m = 4, ksub = 16, iters = 2)
+    val rot = learnRot(corpus)
+    val idx = Opq.buildRotatedIvfPqIndex(corpus, "vec_id", "embedding",
+      rot, nLists = 1, ksub = 16, iters = 2)
+    val rotated = Opq.queryRotatedIndex(idx, rot, queries,
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    val (rRaw, rRot) = (recall(raw), recall(rotated))
+    // nLists=1/nProbe=1 makes the rotated path pure PQ (no coarse pruning),
+    // so this isolates the rotation's effect on codebook quality.
+    // Measured on this fixture: raw 0.23, rotated 0.68 — the gate demands
+    // a real lift, not mere non-regression
+    assert(rRot >= rRaw + 0.2,
+      s"rotation must LIFT recall on anisotropic data: raw=$rRaw rot=$rRot")
+    assert(rRot > 0.6, s"absolute recall floor: $rRot")
+  }
+
+  test("save/load/add composition: build+add == build-on-union, via disk") {
+    val corpus = aniso(400L)
+    val a = corpus.filter(col("vec_id") % 2 === 0)
+    val b = corpus.filter(col("vec_id") % 2 === 1)
+    val rot = learnRot(corpus)
+    val dir = {
+      val f = java.nio.file.Files.createTempDirectory("opq").toFile
+      f.delete(); f.getAbsolutePath
+    }
+    val idxA = Opq.buildRotatedIvfPqIndex(a, "vec_id", "embedding", rot,
+      nLists = 4, ksub = 8, iters = 1)
+    Opq.saveRotatedIndex(spark, rot, idxA, dir)
+    val added = Opq.appendToSavedRotatedIndex(spark, dir, b,
+      "vec_id", "embedding")
+    assert(added == b.count())
+    val (rotLoaded, grown) = Opq.loadRotatedIndex(spark, dir)
+    assert(rotLoaded == rot) // rotation round-trips exactly
+    // the grown index's codes equal encoding the union under A's quantizer
+    val union = Pq.addToIvfPqIndex(idxA, b.withColumn("__rv",
+      Opq.rotate(col("embedding"), rot)), "vec_id", "__rv")
+    val gotCodes = grown.codes.orderBy("cid").collect().toSeq
+    val expCodes = union.codes
+      .select(grown.codes.columns.map(col): _*).orderBy("cid").collect().toSeq
+    assert(gotCodes == expCodes)
+    // probe parity through the loaded index
+    val q = corpus.filter(col("vec_id") < 5)
+    val viaDisk = Opq.queryRotatedIndex(grown, rotLoaded, q,
+      "vec_id", "embedding", k = 3).orderBy("qid", "rank").collect().toSeq
+    val viaMem = Opq.queryRotatedIndex(union, rot, q,
+      "vec_id", "embedding", k = 3).orderBy("qid", "rank").collect().toSeq
+    assert(viaDisk == viaMem)
+  }
+
+  test("rotation is deterministic and subspace-major round-robin") {
+    val corpus = aniso(500L)
+    val r1 = learnRot(corpus)
+    val r2 = learnRot(corpus)
+    assert(r1 == r2)
+    assert(r1.rows.size == 8 && r1.m == 4)
+    // subspace-major: row 0 is component 0 (largest eigenvalue), row 1 is
+    // component 4 (same subspace), row 2 is component 1, ...
+    val comps = Pca.topKComponents(
+      Pca.collectCovariance(
+        Pca.covarianceMatrix(corpus, "embedding", 64), 64), 8, 12)
+    def dense(l: Seq[(Int, Double)]) = {
+      val a = Array.ofDim[Double](64); l.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    assert(r1.rows(0) == dense(comps(0).loading))
+    assert(r1.rows(1) == dense(comps(4).loading))
+    assert(r1.rows(2) == dense(comps(1).loading))
+  }
+}

@@ -103,7 +103,8 @@ class QueriesSpec extends SparkSpec {
     // the maxPairs budget guard crossJoins ONE broadcast count row to
     // embed its plan-level raise_error; the candidate join itself stays
     // the bp hash join (PlanSpec pins that exact shape)
-    "q49_cosine_neardup")
+    "q49_cosine_neardup",
+    "q293_ivf_cell_audit") // 1-row (n_total, n_cells) totals frame on per-cell counts
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001 with rows and a scale-shaped plan") {
