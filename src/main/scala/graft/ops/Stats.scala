@@ -310,8 +310,13 @@ object Stats {
       b: Int = 40, seed: String = "42",
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val x = value.cast("double")
-    val stacked = df.filter(value.isNotNull)
-      .select(col(idCol).cast("string").as("__id"), x.as("__x"),
+    // spread an under-partitioned scan before the b-way resample explode
+    // and its per-row md5 draws (see [[graft.ops.Spread.forAmplification]])
+    val stacked = graft.ops.Spread.forAmplification(
+        df.filter(value.isNotNull)
+          .select(col(idCol).cast("string").as("__id"), x.as("__x")),
+        col("__id"))
+      .select(col("__id"), col("__x"),
         explode(sequence(lit(0), lit(b - 1))).as("__b"))
     val u = (conv(substring(md5(concat_ws("|", lit(seed),
       col("__b").cast("string"), col("__id"))), 1, 15), 16, 10)
@@ -406,9 +411,14 @@ object Stats {
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val x = value.cast("double")
     def nz(c: Column): Column = when(c =!= 0.0, c)
-    val stacked = df.filter(value.isNotNull && side.isNotNull)
-      .select(col(idCol).cast("string").as("__id"), side.as("__side"),
-        x.as("__x"), explode(sequence(lit(0), lit(b - 1))).as("__b"))
+    // spread an under-partitioned scan before the b-way resample explode
+    // and its per-row md5 draws (see [[graft.ops.Spread.forAmplification]])
+    val stacked = graft.ops.Spread.forAmplification(
+        df.filter(value.isNotNull && side.isNotNull)
+          .select(col(idCol).cast("string").as("__id"), side.as("__side"),
+            x.as("__x")), col("__id"))
+      .select(col("__id"), col("__side"), col("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
     val u = (conv(substring(md5(concat_ws("|", lit(seed),
       col("__b").cast("string"), col("__id"))), 1, 15), 16, 10)
       .cast("double") + 1.0) / lit(1.152921504606846976e18)

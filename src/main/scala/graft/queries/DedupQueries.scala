@@ -605,7 +605,7 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_xsub_v1_", d), "meta/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_xsub_v2_", d), "meta/_SUCCESS") { tmpDir =>
         ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
           col("text"), tmpDir, sub = 24, buckets = 64)
       }
@@ -709,7 +709,7 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_xsub_v1_", d), "meta/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_xsub_v2_", d), "meta/_SUCCESS") { tmpDir =>
         ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
           col("text"), tmpDir, sub = 24, buckets = 64)
       }

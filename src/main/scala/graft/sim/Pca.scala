@@ -34,6 +34,19 @@ import graft.sim.Similarity.asDouble
   */
 object Pca {
 
+  /** Shared (id, pos, col) prelude of the projection-family operators:
+    * narrow (id, vector) projection → dim-arity filter →
+    * under-partitioned-scan guard ([[graft.ops.Spread.forAmplification]];
+    * the posexplode amplifies dim×, so a compact single-file embeddings
+    * scan would otherwise serialize the whole pass on one core) →
+    * posexplode. */
+  private def explodedById(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    graft.ops.Spread.forAmplification(
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .filter(size(col("v")) === dim), col("id"))
+      .select(col("id"), posexplode(col("v")))
+
   /** The ONE data pass everything else derives from: flattened
     * upper-triangle products (enumeration i asc, j in i..dim-1) with the
     * raw vector appended, so one positional aggregate yields both the
@@ -41,8 +54,13 @@ object Pca {
   private def positionalSums(df: DataFrame, vecCol: String,
       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val v = df.select(asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
+    // the products explode is ~dim²/2 per row — the heaviest amplification
+    // in the repo; spread an under-partitioned scan first (hash by the
+    // vector itself: deterministic, and identical vectors are rare enough
+    // that the explode stays balanced)
+    val v = graft.ops.Spread.forAmplification(
+      df.select(asDouble(col(vecCol)).as("v"))
+        .filter(size(col("v")) === dim), col("v"))
     val prods = flatten(transform(col("v"), (x: Column, i: Column) =>
       transform(slice(col("v"), i + 1, lit(dim) - i), (y: Column) => x * y)))
     // exact-sum contract via SCALED LONGS, not DECIMAL casts: round each
@@ -146,8 +164,11 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val pairCount = dim * (dim + 1) / 2
-    val vecs = df.select(asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim).as[Seq[Double]]
+    // ~dim²/2 FLOPs per row: spread an under-partitioned scan so the
+    // accumulator pass parallelizes (and yields one partial per core)
+    val vecs = graft.ops.Spread.forAmplification(
+      df.select(asDouble(col(vecCol)).as("v"))
+        .filter(size(col("v")) === dim), col("v")).as[Seq[Double]]
     val partials = vecs.rdd.mapPartitions { it =>
       val acc = new Array[Double](pairCount + dim + 1)
       it.foreach { v =>
@@ -195,8 +216,9 @@ object Pca {
     * [[covarianceMatrix]]; value-identical to [[covarianceWithMeans]]._2
     * (round6 of the DECIMAL sum / n). */
   def positionMeans(df: DataFrame, vecCol: String, dim: Int): DataFrame =
-    df.select(asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
+    graft.ops.Spread.forAmplification(
+        df.select(asDouble(col(vecCol)).as("v"))
+          .filter(size(col("v")) === dim), col("v"))
       .select(posexplode(col("v")))
       .groupBy("pos")
       .agg(round(sum(round(col("col") * 1e8, 0).cast("long")) / 1e8
@@ -473,9 +495,7 @@ object Pca {
     val lams = comps.zipWithIndex
       .map { case (pc, i) => (i + 1, round6(pc.lambda)) }
       .toDF("comp", "__lam")
-    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
-      .select(col("id"), posexplode(col("v")))
+    explodedById(df, idCol, vecCol, dim)
       .join(broadcast(ldf), Seq("pos"))
       .join(broadcast(means), Seq("pos"))
       .groupBy("id", "comp")
@@ -530,9 +550,7 @@ object Pca {
     def s12(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
     val pExprs = (1 to k).map(c =>
       s12(when(col("comp") === c, col("x") * col("cent"))).as(s"__p$c"))
-    val aggd = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
-      .select(col("id"), posexplode(col("v")))
+    val aggd = explodedById(df, idCol, vecCol, dim)
       .join(broadcast(ldf), Seq("pos"))
       .join(broadcast(means), Seq("pos"))
       .withColumn("cent", col("col") - col("m"))
@@ -593,9 +611,7 @@ object Pca {
     val dim = loading.length
     val ldf = loading.toDF("pos", "x")
     def s12(c: Column): Column = sum(c.cast("decimal(38,12)")).cast("double")
-    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
-      .select(col("id"), posexplode(col("v")))
+    explodedById(df, idCol, vecCol, dim)
       .join(broadcast(ldf), Seq("pos"))
       .join(broadcast(means), Seq("pos"))
       .withColumn("cent", col("col") - col("m"))
@@ -624,9 +640,7 @@ object Pca {
     import spark.implicits._
     val dim = loading.length
     val ldf = loading.toDF("pos", "x")
-    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
-      .select(col("id"), posexplode(col("v")))
+    explodedById(df, idCol, vecCol, dim)
       .join(broadcast(ldf), Seq("pos"))
       .join(broadcast(means), Seq("pos"))
       .groupBy("id")

@@ -1033,10 +1033,14 @@ object Similarity {
   def labelNoiseScreen(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 20): DataFrame = {
     def nz(c: Column): Column = when(c =!= 0.0, c)
-    val x = emb
-      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    // spread an under-partitioned scan before the D-way posexplode (the
+    // sf10 lesson — see [[graft.ops.Spread.forAmplification]])
+    val x = graft.ops.Spread.forAmplification(
+        emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+          .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+            asDouble(col(vecCol)).as("__v")), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("__v")).as(Seq("pos", "v")))
     val cents = x.groupBy(col("label").as("lc"), col("pos"))
       .agg((sum(col("v").cast("decimal(38,8)")).cast("double")
         / count(lit(1))).as("cv"))

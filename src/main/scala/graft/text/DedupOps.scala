@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
   * all-pairs comparison never materializes; exact Jaccard runs only on the
   * candidate set.
   *
-  * Hashes are md5-derived (TextAnalysis.md5Int32) so an external engine can
-  * reproduce every signature bit-for-bit.
+  * SIGNATURE hashes (minhash, simhash, shingle ids, winnowing
+  * fingerprints) are md5-derived (TextAnalysis.md5Int32) so an external
+  * engine can reproduce every signature bit-for-bit — they ARE the
+  * semantics. The exact-substring family's window hashes are the
+  * opposite contract: prune-only (candidates re-verify on gram text, so
+  * the oracle never sees them), which frees them to be the O(1)-per-
+  * position ~60-bit rolling hash ([[graft.functions.WindowHashes]]) that
+  * still prunes at 1e14 positions where 32 bits collapse.
   */
 object DedupOps {
 
@@ -649,13 +655,20 @@ object DedupOps {
       sub: Int = 24): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sub >= 2, s"exactSubstrSpans needs sub >= 2 (got $sub)")
-    val docs = df.filter(textCol.isNotNull && length(textCol) >= sub)
-      .select(col(idCol).as("doc"), textCol.as("__t"))
+    // spread an under-partitioned scan BEFORE the ~|text|-way explode
+    // (the sf10 lesson: one compact parquet file = one split = the whole
+    // corpus' gram explode on one core); no-op on well-split inputs
+    val docs = graft.ops.Spread.forAmplification(
+      df.filter(textCol.isNotNull && length(textCol) >= sub)
+        .select(col(idCol).as("doc"), textCol.as("__t")), col("doc"))
+    // windowHashes64: one O(|text|) rolling pass (vs md5-per-position's
+    // O(|text|·sub) + per-window digest), and a ~60-bit space so the
+    // "count >= 2" prune still prunes at 1e14 positions — 32 bits would
+    // put ~23k occupants on every value at 100 TB and keep everything
     val hashes = docs.select(col("doc"),
-        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
-          i => struct(i.as("pos"),
-            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
-      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+        posexplode(TextAnalysis.windowHashes64(col("__t"), sub))
+          .as(Seq("__p0", "h")))
+      .select(col("doc"), (col("__p0") + 1).as("pos"), col("h"))
     val dupHash = hashes.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("h")
     // candidate (doc, pos) → re-extract the true gram from the doc row;
@@ -720,14 +733,16 @@ object DedupOps {
       idCol: String, textCol: Column, sub: Int = 24): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sub >= 2, s"exactSubstrContamSpans needs sub >= 2 (got $sub)")
-    def prep(df: DataFrame): DataFrame =
+    // both corpora feed ~|text|-way gram explodes: spread under-partitioned
+    // scans first (see [[graft.ops.Spread.forAmplification]])
+    def prep(df: DataFrame): DataFrame = graft.ops.Spread.forAmplification(
       df.filter(textCol.isNotNull && length(textCol) >= sub)
-        .select(col(idCol).as("doc"), textCol.as("__t"))
+        .select(col(idCol).as("doc"), textCol.as("__t")), col("doc"))
+    // same O(n)/60-bit prune hash as [[exactSubstrSpans]] (see there)
     def hashes(docs: DataFrame): DataFrame = docs.select(col("doc"),
-        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
-          i => struct(i.as("pos"),
-            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
-      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+        posexplode(TextAnalysis.windowHashes64(col("__t"), sub))
+          .as(Seq("__p0", "h")))
+      .select(col("doc"), (col("__p0") + 1).as("pos"), col("h"))
     val (ev, tr) = (prep(evalDf), prep(trainDf))
     val (evH, trH) = (hashes(ev), hashes(tr))
     val trHashSet = trH.select("h").distinct()

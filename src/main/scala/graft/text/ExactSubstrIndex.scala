@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * decontamination run; the real 100 TB use case is the opposite shape — a
   * fixed train corpus probed repeatedly by eval sets and incoming batches.
   * This index materializes the train side ONCE: the distinct set of
-  * `sub`-char grams (each with its 32-bit window hash), parquet-partitioned
+  * `sub`-char grams (each with its ~60-bit rolling window hash —
+  * [[graft.functions.WindowHashes]]), parquet-partitioned
   * by a bounded hash bucket exactly like the BM25 inverted index
   * ([[Retrieval.buildInvertedIndex]]) and the saved IVF cells. A probe then
   * pays only eval-side work: explode the eval docs, hash-prune against the
@@ -36,9 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstrIndex {
 
-  import TextAnalysis.md5Int32
+  import TextAnalysis.gramHash64
 
-  final case class Meta(sub: Int, buckets: Int)
+  /** Hash-format version stamped into `meta` at build time and REQUIRED
+    * at load time: the stored `h` column and a probe's window hashes must
+    * come from the same function, or every semi join silently returns
+    * empty — an index that "works" but decontaminates nothing. A version
+    * bump (md5-32 → the rolling two-mod rk64) therefore fails loud with a
+    * rebuild pointer instead. */
+  final val HashVer = "rk64-1"
+
+  final case class Meta(sub: Int, buckets: Int, hashVer: String)
 
   /** The distinct `sub`-char gram relation of a corpus: (h, g, bucket).
     * One explode + one distinct — both keyed, linear in corpus chars.
@@ -49,13 +58,17 @@ object ExactSubstrIndex {
       buckets: Int): DataFrame = {
     require(sub >= 2, s"ExactSubstrIndex needs sub >= 2 (got $sub)")
     require(buckets >= 1, s"ExactSubstrIndex needs buckets >= 1 (got $buckets)")
-    docs.filter(textCol.isNotNull && length(textCol) >= sub)
+    // spread an under-partitioned scan before the ~|text|-way explode
+    // (see [[graft.ops.Spread.forAmplification]]); no-op on split inputs
+    graft.ops.Spread.forAmplification(
+        docs.filter(textCol.isNotNull && length(textCol) >= sub)
+          .select(textCol.as("__t")))
       .select(explode(transform(
-        sequence(lit(1), length(textCol) - (sub - 1)),
-        i => textCol.substr(i, lit(sub)))).as("g"))
+        sequence(lit(1), length(col("__t")) - (sub - 1)),
+        i => col("__t").substr(i, lit(sub)))).as("g"))
       .distinct()
-      .select(md5Int32(col("g")).as("h"), col("g"),
-        pmod(md5Int32(col("g")), lit(buckets)).as("bucket"))
+      .select(gramHash64(col("g")).as("h"), col("g"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets)).cast("int"))
   }
 
   /** Build and persist the index: `dir/meta` records (sub, buckets),
@@ -69,13 +82,22 @@ object ExactSubstrIndex {
     import spark.implicits._
     gramRelation(train, textCol, sub, buckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
-    Seq((sub, buckets)).toDF("sub", "buckets")
+    Seq((sub, buckets, HashVer)).toDF("sub", "buckets", "hash")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def loadMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    Meta(r.getAs[Int]("sub"), r.getAs[Int]("buckets"))
+    val df = spark.read.parquet(s"$dir/meta")
+    val r = df.head()
+    // pre-versioning indexes (md5-32 era) carry no `hash` column
+    val ver = if (df.columns.contains("hash")) r.getAs[String]("hash")
+              else "md5-32-legacy"
+    require(ver == HashVer,
+      s"ExactSubstrIndex at $dir was built with hash format '$ver' but " +
+        s"this build probes with '$HashVer' — a mismatched probe would " +
+        s"silently match nothing; rebuild the index (ExactSubstrIndex" +
+        s".build) or probe with the matching build")
+    Meta(r.getAs[Int]("sub"), r.getAs[Int]("buckets"), ver)
   }
 
   /** The stored gram relation. Column-prune-friendly: phase-1 probes that
@@ -126,13 +148,17 @@ object ExactSubstrIndex {
     val meta = loadMeta(spark, dir)
     val sub = meta.sub
     val idx = loadGrams(spark, dir)
-    val ev = evalDf.filter(textCol.isNotNull && length(textCol) >= sub)
+    val evRaw = evalDf.filter(textCol.isNotNull && length(textCol) >= sub)
       .select(col(idCol).as("doc"), textCol.as("__t"))
+    // spread an under-partitioned eval scan before its gram explode
+    // (see [[graft.ops.Spread.forAmplification]]); no-op on split inputs
+    val ev = graft.ops.Spread.forAmplification(evRaw, col("doc"))
+    // same O(n)/60-bit prune hash as the recompute operators; equals
+    // gramHash64 of the window's text, which is what the index stores
     val evH = ev.select(col("doc"),
-        explode(transform(sequence(lit(1), length(col("__t")) - (sub - 1)),
-          i => struct(i.as("pos"),
-            md5Int32(col("__t").substr(i, lit(sub))).as("h")))).as("g"))
-      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+        posexplode(TextAnalysis.windowHashes64(col("__t"), sub))
+          .as(Seq("__p0", "h")))
+      .select(col("doc"), (col("__p0") + 1).as("pos"), col("h"))
     // ADAPTIVE probe direction. The decontamination-shaped case — eval set
     // ≪ train corpus — broadcasts the eval's distinct window hashes ONTO
     // the index scan, so the (train-sized) index is read map-side only and
@@ -146,7 +172,7 @@ object ExactSubstrIndex {
     // bound on the distinct hash count, compared against
     // `maxBroadcastHashes`.
     val nEvalPositions = {
-      val r = ev
+      val r = evRaw // pre-spread frame: the length aggregate needs no shuffle
         .agg(sum(greatest(length(col("__t")) - (sub - 1), lit(0)).cast("long")))
         .head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // null sum = empty eval side
@@ -217,7 +243,7 @@ object ExactSubstrIndex {
           i => struct(i.as("pos"), col("__t").substr(i, lit(sub)).as("g"))))
           .as("w"))
       .select(col("doc"), col("w.pos").as("pos"), col("w.g").as("g"),
-        md5Int32(col("w.g")).as("h"))
+        gramHash64(col("w.g")).as("h"))
       .join(idxGrams.select("h", "g"), Seq("h", "g"), "left_semi")
       .select(col("doc"), col("pos"))
   }

@@ -102,6 +102,29 @@ object TextAnalysis {
     ColumnBridge.column(graft.functions.Md5Long(ColumnBridge.expression(c)))
   }
 
+  /** All `sub`-codepoint sliding-window hashes (array<long>, ~60-bit
+    * two-mod Rabin-Karp) in one O(n) pass — the PRUNE-ONLY hash of the
+    * exact-substring family, where the hash never reaches the oracle
+    * surface (candidates re-verify on gram text). Unlike [[md5Int32]] it
+    * does not need DuckDB replayability — it needs O(1) per position and
+    * a collision space that still prunes at 1e14 positions (32 bits do
+    * not: ~23k expected occupants per value at 100 TB collapse the
+    * "count >= 2" prune). See [[graft.functions.WindowHashes]]. */
+  def windowHashes64(c: Column, sub: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WindowHashes(ColumnBridge.expression(c), sub))
+  }
+
+  /** Whole-string form of [[windowHashes64]]'s recurrence: hashing a
+    * gram's text yields exactly the value its source window produced —
+    * the build/probe agreement the exact-substring index relies on. */
+  def gramHash64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.GramHash(ColumnBridge.expression(c)))
+  }
+
   /** Jaro–Winkler similarity in [0,1] — the fuzzy-name complement to
     * `levenshtein` in entity matching (prefix-boosted, transposition-
     * tolerant). Backed by the codegen'd JaroWinkler expression; semantics

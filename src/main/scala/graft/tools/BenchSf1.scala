@@ -93,7 +93,13 @@ object BenchSf1 {
     val slopes = results.collect { case (k, v) if v > 0 && pins.contains(k) =>
       (k, v / pins(k))
     }
-    val flagged = slopes.filter(_._2 > 12.0).sortBy(-_._2)
+    // the slope is measured against the sf0.1 pin, so a replicas=100 run
+    // spans TWO decades: linear = replicas, and the 12×-per-decade flag
+    // line compounds the same way (12^decades — 12 at replicas=10, 144 at
+    // replicas=100)
+    val decades = math.log10(replicas.toDouble)
+    val flagLine = math.pow(12.0, decades)
+    val flagged = slopes.filter(_._2 > flagLine).sortBy(-_._2)
     def jmap(kv: Seq[(String, Double)], indent: String = ""): String =
       kv.map { case (k, v) => s"""$indent"$k":${r3(v)}""" }
         .mkString(if (indent.isEmpty) "{" else "{\n",
@@ -101,8 +107,8 @@ object BenchSf1 {
           if (indent.isEmpty) "}" else "\n}")
     val sidecar =
       s"""{
- "what": "full-registry sf1 scale-slope sweep (VERDICT r9 item 1): every registered query at ${replicas}x the sf0.1 data, synthesized by tools/make_sf1.py (per-key-SPACE id offsets keep FKs intact within each replica; documents.text replica-salted, embeddings nudged, so dedup/ANN keep their duplicate RATE).",
- "method": "warm-min of 2 passes, retime pass in reverse order, local[$cpus]; slope = t_sf1 / pin_sf0.1, linear scaling = $replicas.0; flagged = slope > 12 (superlinear beyond partition noise)",
+ "what": "${if (wanted.isEmpty) "full-registry" else wanted.mkString("[", " ", "]-prefixed")} scale-slope sweep at ${replicas}x the sf0.1 data, synthesized by tools/make_sf1.py (per-key-SPACE id offsets keep FKs intact within each replica; documents.text replica-salted, embeddings nudged, so dedup/ANN keep their duplicate RATE).",
+ "method": "warm-min of 2 passes, retime pass in reverse order, local[$cpus]; slope = t / pin_sf0.1 over ${f"$decades%.0f"} decade(s), linear scaling = $replicas.0; flagged = slope > ${f"$flagLine%.0f"} (12x-per-decade compounded)",
  "n_queries": ${results.size},
  "errors": ${results.count(_._2 < 0)},
  "failed": [${results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString(",")}],

@@ -130,4 +130,33 @@ class ExactSubstrIndexSpec extends SparkSpec {
     assert(ExactSubstrIndex.probeSpans(spark, dir, shorty,
       "doc_id", col("text")).count() == 0L)
   }
+
+  test("hash-format mismatch fails LOUD at load, never a silent empty probe") {
+    // a saved index whose stored h column came from a different hash
+    // function would semi-join to nothing — the failure mode that
+    // surfaced as q288/q296 returning zero rows against a stale
+    // md5-32-era cache. The meta hash stamp turns it into a raise.
+    val dir = tmpDir("hashver")
+    ExactSubstrIndex.build(trainDocs, col("text"), dir, sub = 24, buckets = 8)
+    // legacy index: meta without a `hash` column (md5-32 era)
+    Seq((24, 8)).toDF("sub", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val legacy = intercept[IllegalArgumentException] {
+      ExactSubstrIndex.loadMeta(spark, dir)
+    }
+    assert(legacy.getMessage.contains("md5-32-legacy"))
+    assert(legacy.getMessage.contains("rebuild"))
+    // foreign version string
+    Seq((24, 8, "someother-9")).toDF("sub", "buckets", "hash")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val foreign = intercept[IllegalArgumentException] {
+      ExactSubstrIndex.probeSpans(spark, dir, trainDocs, "doc_id",
+        col("text")).count()
+    }
+    assert(foreign.getMessage.contains("someother-9"))
+    // matching version loads fine
+    Seq((24, 8, ExactSubstrIndex.HashVer)).toDF("sub", "buckets", "hash")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    assert(ExactSubstrIndex.loadMeta(spark, dir).sub == 24)
+  }
 }
