@@ -35,10 +35,39 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Spread {
 
-  def forAmplification(df: DataFrame, by: Column*): DataFrame = {
+  /** Engagement floor for CHEAP explodes (tokens, shingles, split lines,
+    * hashed n-gram features: a handful of derived rows per input byte,
+    * each through codegen'd string ops). Below this the whole serialized
+    * map stage is sub-second and the added exchange + 32-way task
+    * scheduling costs MORE than it saves — measured: guarding the token
+    * ops unconditionally made the 26 text queries 25.2 s → 29.8 s at
+    * sf0.1 (584 KB documents), while the same guard at sf10 (69 MB) is
+    * the difference between 1 core and 32. */
+  final val DefaultMinBytes: Long = 8L << 20
+
+  /** Engagement floor for HEAVY amplification (per-position window
+    * hashing ~sub× per char, PCA's dim²/2 products per row, b-way
+    * bootstrap resamples with an md5 per derived row): per-input-byte
+    * work is 1-2 orders above the token ops, so serialization hurts from
+    * a few hundred KB up — q279 at the 6.9 MB sf1 documents file was
+    * 84.5 s serialized vs 9.4 s spread. */
+  final val HeavyMinBytes: Long = 128L << 10
+
+  def forAmplification(df: DataFrame, by: Column*): DataFrame =
+    forAmplification(df, DefaultMinBytes, by: _*)
+
+  def forHeavyAmplification(df: DataFrame, by: Column*): DataFrame =
+    forAmplification(df, HeavyMinBytes, by: _*)
+
+  def forAmplification(df: DataFrame, minBytes: Long,
+      by: Column*): DataFrame = {
     // a streaming frame cannot be inspected via .rdd and inherits its
     // micro-batch partitioning from the source; pass through untouched
     if (df.isStreaming) return df
+    // size gate first: the estimate needs only logical optimization,
+    // while the partition probe below pays physical planning
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes)
+      return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df
     else if (by.isEmpty) df.repartition(p)

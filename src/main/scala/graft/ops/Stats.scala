@@ -312,7 +312,7 @@ object Stats {
     val x = value.cast("double")
     // spread an under-partitioned scan before the b-way resample explode
     // and its per-row md5 draws (see [[graft.ops.Spread.forAmplification]])
-    val stacked = graft.ops.Spread.forAmplification(
+    val stacked = graft.ops.Spread.forHeavyAmplification(
         df.filter(value.isNotNull)
           .select(col(idCol).cast("string").as("__id"), x.as("__x")),
         col("__id"))
@@ -413,7 +413,7 @@ object Stats {
     def nz(c: Column): Column = when(c =!= 0.0, c)
     // spread an under-partitioned scan before the b-way resample explode
     // and its per-row md5 draws (see [[graft.ops.Spread.forAmplification]])
-    val stacked = graft.ops.Spread.forAmplification(
+    val stacked = graft.ops.Spread.forHeavyAmplification(
         df.filter(value.isNotNull && side.isNotNull)
           .select(col(idCol).cast("string").as("__id"), side.as("__side"),
             x.as("__x")), col("__id"))

@@ -42,7 +42,7 @@ object Pca {
     * posexplode. */
   private def explodedById(df: DataFrame, idCol: String, vecCol: String,
       dim: Int): DataFrame =
-    graft.ops.Spread.forAmplification(
+    graft.ops.Spread.forHeavyAmplification(
         df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
           .filter(size(col("v")) === dim), col("id"))
       .select(col("id"), posexplode(col("v")))
@@ -58,7 +58,7 @@ object Pca {
     // in the repo; spread an under-partitioned scan first (hash by the
     // vector itself: deterministic, and identical vectors are rare enough
     // that the explode stays balanced)
-    val v = graft.ops.Spread.forAmplification(
+    val v = graft.ops.Spread.forHeavyAmplification(
       df.select(asDouble(col(vecCol)).as("v"))
         .filter(size(col("v")) === dim), col("v"))
     val prods = flatten(transform(col("v"), (x: Column, i: Column) =>
@@ -166,7 +166,7 @@ object Pca {
     val pairCount = dim * (dim + 1) / 2
     // ~dim²/2 FLOPs per row: spread an under-partitioned scan so the
     // accumulator pass parallelizes (and yields one partial per core)
-    val vecs = graft.ops.Spread.forAmplification(
+    val vecs = graft.ops.Spread.forHeavyAmplification(
       df.select(asDouble(col(vecCol)).as("v"))
         .filter(size(col("v")) === dim), col("v")).as[Seq[Double]]
     val partials = vecs.rdd.mapPartitions { it =>
@@ -216,7 +216,7 @@ object Pca {
     * [[covarianceMatrix]]; value-identical to [[covarianceWithMeans]]._2
     * (round6 of the DECIMAL sum / n). */
   def positionMeans(df: DataFrame, vecCol: String, dim: Int): DataFrame =
-    graft.ops.Spread.forAmplification(
+    graft.ops.Spread.forHeavyAmplification(
         df.select(asDouble(col(vecCol)).as("v"))
           .filter(size(col("v")) === dim), col("v"))
       .select(posexplode(col("v")))

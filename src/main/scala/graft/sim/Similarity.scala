@@ -1035,7 +1035,7 @@ object Similarity {
     def nz(c: Column): Column = when(c =!= 0.0, c)
     // spread an under-partitioned scan before the D-way posexplode (the
     // sf10 lesson — see [[graft.ops.Spread.forAmplification]])
-    val x = graft.ops.Spread.forAmplification(
+    val x = graft.ops.Spread.forHeavyAmplification(
         emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
           .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
             asDouble(col(vecCol)).as("__v")), col("vec_id"))

@@ -79,7 +79,8 @@ object Bpe {
   def learnMerges(df: DataFrame, textCol: Column, nMerges: Int): Seq[(String, String, Long)] = {
     val spark = df.sparkSession
     // corpus → (word, freq): the one document-scale pass
-    var words = df.select(explode(TextAnalysis.tokens(textCol)).as("w"))
+    var words = graft.ops.Spread.forAmplification(df)
+      .select(explode(TextAnalysis.tokens(textCol)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),

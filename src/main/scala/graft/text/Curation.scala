@@ -166,8 +166,9 @@ object Curation {
   def decontaminationFlags(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: Column, n: Int, minHits: Long = 1L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val trainSh = train.select(col(idCol),
-      explode(DedupOps.shingles(textCol, n)).as("__sh"))
+    val trainSh = graft.ops.Spread.forAmplification(train, col(idCol))
+      .select(col(idCol),
+        explode(DedupOps.shingles(textCol, n)).as("__sh"))
     val benchSh = bench.select(explode(DedupOps.shingles(textCol, n)).as("__sh"))
       .distinct()
     trainSh.join(broadcast(benchSh), Seq("__sh"))
@@ -189,9 +190,11 @@ object Curation {
     */
   def noveltyScore(docs: DataFrame, reference: DataFrame,
       idCol: String, textCol: Column, n: Int): DataFrame = {
-    val docSh = docs.select(col(idCol),
-      explode(DedupOps.shingles(textCol, n)).as("__sh"))
-    val refSh = reference.select(explode(DedupOps.shingles(textCol, n)).as("__sh"))
+    val docSh = graft.ops.Spread.forAmplification(docs, col(idCol))
+      .select(col(idCol),
+        explode(DedupOps.shingles(textCol, n)).as("__sh"))
+    val refSh = graft.ops.Spread.forAmplification(reference)
+      .select(explode(DedupOps.shingles(textCol, n)).as("__sh"))
       .distinct().withColumn("__seen", lit(true))
     docSh.join(refSh, Seq("__sh"), "left")
       .groupBy(col(idCol))
@@ -221,7 +224,7 @@ object Curation {
     */
   def ngramCharStats(df: DataFrame, idCol: String, textCol: Column,
       n: Int): DataFrame = {
-    val exploded = df
+    val exploded = graft.ops.Spread.forAmplification(df, col(idCol))
       .select(col(idCol), length(textCol).as("__len"),
         explode(TextAnalysis.wordNgrams(textCol, n)).as("gram"))
     exploded
@@ -489,7 +492,8 @@ object Curation {
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: Column, buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
     def bucketed(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ explode(hashedNgramFeatures(textCol)).as("__f"): _*)
+      graft.ops.Spread.forAmplification(df)
+        .select(keep :+ explode(hashedNgramFeatures(textCol)).as("__f"): _*)
         .withColumn("b", TextAnalysis.md5Int32(col("__f")) % buckets)
         .drop("__f")
     val rawDoc = bucketed(raw, Seq(col(idCol)))
@@ -544,7 +548,8 @@ object Curation {
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: Column,
       weightOf: Column => Column, buckets: Int = 4096,
       threshold: Double = 0.5): DataFrame =
-    df.select(col(idCol), explode(hashedNgramFeatures(textCol)).as("__f"))
+    graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol), explode(hashedNgramFeatures(textCol)).as("__f"))
       .withColumn("__b", TextAnalysis.md5Int32(col("__f")) % buckets)
       .groupBy(col(idCol))
       .agg(sum(coalesce(weightOf(col("__b")), lit(0.0))).as("__z"),
@@ -697,9 +702,10 @@ object Curation {
       textCol: Column, minDf: Int = 2, maxDfFrac: Double = 0.5,
       sep: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would flag every line, got $minDf")
-    val lines = df.select(col(idCol).as("__doc"), col(groupCol).as("__grp"),
-      posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__line")))
+    val lines = graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol).as("__doc"), col(groupCol).as("__grp"),
+        posexplode(split(textCol, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
     val lineDf = lines.select("__grp", "__line", "__doc").distinct()
       .groupBy("__grp", "__line").agg(count(lit(1)).as("__df"))
     val groupN = df.groupBy(col(groupCol).as("__grp"))

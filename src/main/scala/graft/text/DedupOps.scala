@@ -61,7 +61,8 @@ object DedupOps {
     * interpreted, losing to this whole-stage-codegen'd explode+groupBy.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(textCol, n)).as("sh"))
+    val sh = graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol), explode(shingles(textCol, n)).as("sh"))
       .withColumn("h", md5Int32(col("sh")))
     val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"sig_$i")
@@ -220,7 +221,8 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: Column, n: Int,
       maxShingleDf: Int): DataFrame = {
     log.info(s"shingleIntersections: stop-shingle cap document-frequency > $maxShingleDf")
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
+    val sh = graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol).as("doc"), explode(shingles(textCol, n)).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     // shingles are distinct per doc, so count(*) per shingle = document freq;
     // the stop list is tiny by construction -> broadcast anti join
@@ -482,7 +484,8 @@ object DedupOps {
   def paragraphDedup(df: DataFrame, idCol: String, textCol: Column,
       sep: String = ". "): DataFrame = {
     val parts = split(textCol, java.util.regex.Pattern.quote(sep))
-    val paras = df.select(col(idCol).as("__doc"),
+    val paras = graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol).as("__doc"),
         posexplode(parts).as(Seq("__pos", "__para")))
     val firsts = paras.groupBy("__para")
       .agg(min(struct(col("__doc"), col("__pos"))).as("__first"))
@@ -560,7 +563,7 @@ object DedupOps {
     val grams = transform(
       sequence(lit(1), nGrams),
       i => struct(i.as("pos"), md5Int32(textCol.substr(i, lit(k))).as("h")))
-    val exploded = df
+    val exploded = graft.ops.Spread.forHeavyAmplification(df, col(idCol))
       .filter(length(textCol) >= k + w - 1)
       .select(col(idCol), lit(null).as("__dummy"),
         explode(when(nGrams >= 1, grams).otherwise(array())).as("g"),
@@ -658,7 +661,7 @@ object DedupOps {
     // spread an under-partitioned scan BEFORE the ~|text|-way explode
     // (the sf10 lesson: one compact parquet file = one split = the whole
     // corpus' gram explode on one core); no-op on well-split inputs
-    val docs = graft.ops.Spread.forAmplification(
+    val docs = graft.ops.Spread.forHeavyAmplification(
       df.filter(textCol.isNotNull && length(textCol) >= sub)
         .select(col(idCol).as("doc"), textCol.as("__t")), col("doc"))
     // windowHashes64: one O(|text|) rolling pass (vs md5-per-position's
@@ -735,7 +738,7 @@ object DedupOps {
     require(sub >= 2, s"exactSubstrContamSpans needs sub >= 2 (got $sub)")
     // both corpora feed ~|text|-way gram explodes: spread under-partitioned
     // scans first (see [[graft.ops.Spread.forAmplification]])
-    def prep(df: DataFrame): DataFrame = graft.ops.Spread.forAmplification(
+    def prep(df: DataFrame): DataFrame = graft.ops.Spread.forHeavyAmplification(
       df.filter(textCol.isNotNull && length(textCol) >= sub)
         .select(col(idCol).as("doc"), textCol.as("__t")), col("doc"))
     // same O(n)/60-bit prune hash as [[exactSubstrSpans]] (see there)
@@ -1010,7 +1013,8 @@ object DedupOps {
     * signed sum of token-hash bit b is positive.
     */
   def simhash(df: DataFrame, idCol: String, textCol: Column, bits: Int = 16): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(textCol)).as("t"))
+    val tok = graft.ops.Spread.forAmplification(df, col(idCol))
+      .select(col(idCol), explode(tokens(textCol)).as("t"))
       .withColumn("h", md5Int32(col("t")))
     val sums = (0 until bits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s_$b")

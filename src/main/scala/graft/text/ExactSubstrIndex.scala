@@ -60,7 +60,7 @@ object ExactSubstrIndex {
     require(buckets >= 1, s"ExactSubstrIndex needs buckets >= 1 (got $buckets)")
     // spread an under-partitioned scan before the ~|text|-way explode
     // (see [[graft.ops.Spread.forAmplification]]); no-op on split inputs
-    graft.ops.Spread.forAmplification(
+    graft.ops.Spread.forHeavyAmplification(
         docs.filter(textCol.isNotNull && length(textCol) >= sub)
           .select(textCol.as("__t")))
       .select(explode(transform(
@@ -152,7 +152,7 @@ object ExactSubstrIndex {
       .select(col(idCol).as("doc"), textCol.as("__t"))
     // spread an under-partitioned eval scan before its gram explode
     // (see [[graft.ops.Spread.forAmplification]]); no-op on split inputs
-    val ev = graft.ops.Spread.forAmplification(evRaw, col("doc"))
+    val ev = graft.ops.Spread.forHeavyAmplification(evRaw, col("doc"))
     // same O(n)/60-bit prune hash as the recompute operators; equals
     // gramHash64 of the window's text, which is what the index stores
     val evH = ev.select(col("doc"),

@@ -25,8 +25,8 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val withLen = docs.select(col(idCol),
-      TextAnalysis.tokens(textCol).as("__toks"))
+    val withLen = graft.ops.Spread.forAmplification(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(textCol).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
     // per-(doc, term) term frequency — only rows matching query terms shuffle
     val tf = withLen
@@ -92,7 +92,8 @@ object Retrieval {
     */
   def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: Column,
       path: String, buckets: Int = 64): Unit =
-    docs.select(col(idCol), explode(TextAnalysis.tokens(textCol)).as("term"))
+    graft.ops.Spread.forAmplification(docs, col(idCol))
+      .select(col(idCol), explode(TextAnalysis.tokens(textCol)).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)

@@ -337,7 +337,7 @@ object TextAnalysis {
     // materialized once: four derived tables (bi→u1/u2/total) and the final
     // join all read docBi — uncached, the document explode+aggregate would
     // replay per consumer (measured 18 jobs / 3× the work at sf0.1)
-    val docBi = df
+    val docBi = graft.ops.Spread.forAmplification(df, col(idCol))
       .select(col(idCol), explode(pairs).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
@@ -394,7 +394,7 @@ object TextAnalysis {
     val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(zip_with(slice(toks, lit(1), cnt), slice(toks, lit(2), cnt),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
-    val docBi = df
+    val docBi = graft.ops.Spread.forAmplification(df, col(idCol))
       .select(col(idCol), explode(pairs).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
@@ -446,7 +446,8 @@ object TextAnalysis {
     val pairs = when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(zip_with(slice(toks, lit(1), cnt), slice(toks, lit(2), cnt),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
-    val bi = df.select(explode(pairs).as("p"))
+    val bi = graft.ops.Spread.forAmplification(df)
+      .select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true) // read by both marginals + the total + scoring
@@ -466,7 +467,7 @@ object TextAnalysis {
   def unigramNll(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     // materialized once: tf, total, and the scoring join all read docTok —
     // uncached, the document explode+aggregate would replay per consumer
-    val docTok = df
+    val docTok = graft.ops.Spread.forAmplification(df, col(idCol))
       .select(col(idCol), explode(tokens(textCol)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
@@ -498,7 +499,7 @@ object TextAnalysis {
     */
   def lexicalDiversity(docs: org.apache.spark.sql.DataFrame, group: Column,
       text: Column): org.apache.spark.sql.DataFrame = {
-    val tf = docs
+    val tf = graft.ops.Spread.forAmplification(docs)
       .select(group.as("g"), explode(tokens(text)).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy("g", "t").agg(count(lit(1)).as("tf"))

@@ -52,7 +52,8 @@ object Unigram {
 
   /** Corpus → (w, freq): the one document-scale pass. */
   def wordTable(df: DataFrame, textCol: Column): DataFrame =
-    df.select(explode(TextAnalysis.tokens(textCol)).as("w"))
+    graft.ops.Spread.forAmplification(df)
+      .select(explode(TextAnalysis.tokens(textCol)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 /** [[graft.ops.Spread.forAmplification]] — the under-partitioned-scan
   * guard in front of explode-amplifying stages (q279/q286/q231/q232's
   * sf10 lesson). The contract under test: (1) an input with fewer
-  * partitions than defaultParallelism comes back repartitioned to exactly
-  * defaultParallelism; (2) an input already at-or-above parallelism is
-  * returned UNTOUCHED (same plan object — no gratuitous exchange on a
-  * well-split 100 TB read); (3) rows are preserved bit-for-bit either
-  * way; (4) the explicit partition count survives AQE (the coalescer must
-  * not shrink a pinned exchange back to the serialized shape the guard
-  * exists to break).
+  * partitions than defaultParallelism (and above the size floor) comes
+  * back repartitioned to exactly defaultParallelism; (2) an input
+  * already at-or-above parallelism is returned UNTOUCHED (same plan
+  * object — no gratuitous exchange on a well-split 100 TB read); (3) an
+  * input BELOW the engagement floor is returned untouched — at small
+  * sizes the exchange costs more than the serialized map stage it would
+  * parallelize (measured: +4.6 s over 26 sf0.1 text queries when the
+  * cheap token explodes engaged unconditionally); (4) rows are preserved
+  * bit-for-bit either way; (5) the explicit partition count survives AQE
+  * (the coalescer must not shrink a pinned exchange back to the
+  * serialized shape the guard exists to break).
   */
 class SpreadSpec extends SparkSpec {
 
@@ -22,28 +26,38 @@ class SpreadSpec extends SparkSpec {
     (1 to n).map(i => (i.toLong, s"doc $i text")).toDF("id", "t")
   }
 
-  test("under-partitioned input spreads to defaultParallelism") {
+  test("under-partitioned input above the floor spreads to defaultParallelism") {
     val p = spark.sparkContext.defaultParallelism
     val one = ids(64).coalesce(1)
     assert(one.rdd.getNumPartitions === 1)
-    val spread = Spread.forAmplification(one, col("id"))
+    val spread = Spread.forAmplification(one, 0L, col("id"))
     assert(spread.rdd.getNumPartitions === p)
     // rows unchanged
     assert(spread.orderBy("id").collect().toSeq ===
       one.orderBy("id").collect().toSeq)
   }
 
+  test("input below the engagement floor passes through untouched") {
+    // a 64-row frame is far below both floors: the guard must not pay an
+    // exchange to parallelize sub-second work
+    val one = ids(64).coalesce(1)
+    assert(Spread.forAmplification(one, col("id")) eq one)
+    assert(Spread.forHeavyAmplification(one, col("id")) eq one)
+    // and the heavy floor is deliberately ~64x lower than the default
+    assert(Spread.HeavyMinBytes * 64 === Spread.DefaultMinBytes)
+  }
+
   test("well-partitioned input passes through untouched") {
     val p = spark.sparkContext.defaultParallelism
     val wide = ids(64).repartition(p + 2, col("id"))
-    val out = Spread.forAmplification(wide, col("id"))
+    val out = Spread.forAmplification(wide, 0L, col("id"))
     // reference equality: the guard must not insert an exchange
     assert(out eq wide)
   }
 
   test("no-key form spreads too") {
     val one = ids(16).coalesce(1)
-    val out = Spread.forAmplification(one)
+    val out = Spread.forAmplification(one, 0L)
     assert(out.rdd.getNumPartitions ===
       spark.sparkContext.defaultParallelism)
     assert(out.count() === 16)
@@ -58,7 +72,7 @@ class SpreadSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try {
       val p = spark.sparkContext.defaultParallelism
-      val spread = Spread.forAmplification(ids(64).coalesce(1), col("id"))
+      val spread = Spread.forAmplification(ids(64).coalesce(1), 0L, col("id"))
       // explode-amplify then aggregate, mirroring the guarded operators
       val out = spread
         .select(col("id"), explode(sequence(lit(1), lit(50))).as("k"))
