@@ -37,11 +37,22 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => wanted.exists(n.startsWith) }
     var errors = 0
+    // Timing action. `count` is the series-stable default; `noop` (the
+    // noop datasource sink) CONSUMES EVERY OUTPUT COLUMN, which `count`
+    // does not: counting lets Catalyst drop an unreferenced left-join
+    // side entirely (q283's whole spans pipeline optimized to a bare
+    // scan+filter — the published number measured nothing) and prune
+    // expensive final projections (q284's splice HOF). Dev runs diff the
+    // two; the artifact records which action produced it.
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      if (action == "noop") df.write.mode("overwrite").format("noop").save()
+      else df.count()
     // returns (seconds, succeeded); the caller decides whether a failure
     // counts toward `errors` so the re-time pass can't double-count one
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { consume(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = selected.sortBy(_._1).map { case (name, fn) =>
