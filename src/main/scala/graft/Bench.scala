@@ -37,14 +37,18 @@ object Bench {
       if (wanted.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.toSeq.filter { case (n, _) => wanted.exists(n.startsWith) }
     var errors = 0
-    // Timing action. `count` is the series-stable default; `noop` (the
-    // noop datasource sink) CONSUMES EVERY OUTPUT COLUMN, which `count`
-    // does not: counting lets Catalyst drop an unreferenced left-join
-    // side entirely (q283's whole spans pipeline optimized to a bare
+    // Timing action. `noop` (the noop datasource sink) is the default
+    // since round 12: it CONSUMES EVERY OUTPUT COLUMN, which `count` does
+    // not — counting lets Catalyst drop an unreferenced left-join side
+    // entirely (q283's whole spans pipeline optimized to a bare
     // scan+filter — the published number measured nothing) and prune
-    // expensive final projections (q284's splice HOF). Dev runs diff the
-    // two; the artifact records which action produced it.
-    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    // expensive final projections (q284's splice HOF); the round-11 audit
+    // (BENCH_ACTION_AUDIT.json) measured 81/293 queries >1.5x higher
+    // under noop. The pins in [[BenchPins]] are a NOOP series from the
+    // round-12 re-baseline; `count` remains available for cross-series
+    // comparisons against pre-round-12 artifacts. The artifact records
+    // which action produced it (the "action" field below).
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       if (action == "noop") df.write.mode("overwrite").format("noop").save()
       else df.count()
@@ -151,14 +155,17 @@ object Bench {
         .sortBy(-_._2).take(10)
         .map { case (k, r) => "\"" + k + "\":" + r3(r) }.mkString("{", ",", "}")
       try {
+        // the sidecar records its timing action too (a noop series and a
+        // count series must never be compared ratio-for-ratio)
         val detail = ratios.sortBy(_._1)
-          .map { case (k, r) => "  \"" + k + "\":" + r3(r) }.mkString("{\n", ",\n", "\n}")
+          .map { case (k, r) => "  \"" + k + "\":" + r3(r) }
+          .mkString("{\n  \"__action\":\"" + action + "\",\n", ",\n", "\n}")
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PINS_REPORT.json"),
           detail.getBytes("UTF-8"))
       } catch { case _: Throwable => () } // sidecar is best-effort
       s""","vs_pinned_geomean":${r3(geo)},"vs_pinned_max":{$worst},"over_pinned_1_5x":$over"""
     } else ""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$pinFields,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"action":"$action"$pinFields,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

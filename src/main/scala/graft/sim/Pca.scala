@@ -55,12 +55,16 @@ object Pca {
       dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     // the products explode is ~dim²/2 per row — the heaviest amplification
-    // in the repo; spread an under-partitioned scan first (hash by the
-    // vector itself: deterministic, and identical vectors are rare enough
-    // that the explode stays balanced)
+    // in the repo; spread an under-partitioned scan first. KEYLESS
+    // round-robin, not hash-by-vector: this path has no row id, and
+    // hashing the vector itself sends all duplicates of a repeated vector
+    // (zero/padding embeddings are realistic) to ONE partition —
+    // re-serializing exactly the explode the guard exists to parallelize.
+    // Round-robin is safe here because every downstream is a positional
+    // sum/count/max — partition-layout independent by construction.
     val v = graft.ops.Spread.forHeavyAmplification(
       df.select(asDouble(col(vecCol)).as("v"))
-        .filter(size(col("v")) === dim), col("v"))
+        .filter(size(col("v")) === dim))
     val prods = flatten(transform(col("v"), (x: Column, i: Column) =>
       transform(slice(col("v"), i + 1, lit(dim) - i), (y: Column) => x * y)))
     // exact-sum contract via SCALED LONGS, not DECIMAL casts: round each
@@ -165,10 +169,12 @@ object Pca {
     import spark.implicits._
     val pairCount = dim * (dim + 1) / 2
     // ~dim²/2 FLOPs per row: spread an under-partitioned scan so the
-    // accumulator pass parallelizes (and yields one partial per core)
+    // accumulator pass parallelizes (and yields one partial per core).
+    // Keyless round-robin — no row id here, and hash-by-vector would pile
+    // duplicate vectors onto one partition (see positionalSums)
     val vecs = graft.ops.Spread.forHeavyAmplification(
       df.select(asDouble(col(vecCol)).as("v"))
-        .filter(size(col("v")) === dim), col("v")).as[Seq[Double]]
+        .filter(size(col("v")) === dim)).as[Seq[Double]]
     val partials = vecs.rdd.mapPartitions { it =>
       val acc = new Array[Double](pairCount + dim + 1)
       it.foreach { v =>
@@ -216,9 +222,11 @@ object Pca {
     * [[covarianceMatrix]]; value-identical to [[covarianceWithMeans]]._2
     * (round6 of the DECIMAL sum / n). */
   def positionMeans(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    // keyless round-robin: id-less path, duplicate vectors must not
+    // collapse onto one partition (see positionalSums)
     graft.ops.Spread.forHeavyAmplification(
         df.select(asDouble(col(vecCol)).as("v"))
-          .filter(size(col("v")) === dim), col("v"))
+          .filter(size(col("v")) === dim))
       .select(posexplode(col("v")))
       .groupBy("pos")
       .agg(round(sum(round(col("col") * 1e8, 0).cast("long")) / 1e8

@@ -877,6 +877,67 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Plan-embedded Σ|cell|·(|cell|−1)/2 budget guard for the within-cell
+    * pair rungs — the [[blockedExactPairs]] maxPairs pattern applied to
+    * the quantizer-cell pair space. The 1-row estimate aggregates the
+    * CACHED assignment (cheap: one keyed count over in-memory rows),
+    * broadcasts onto every left-side row, and the raise rides the vector
+    * column so column pruning cannot drop it; in-budget values are
+    * bit-identical to the unguarded plan. Why this exists: with the
+    * quantizer's k fixed, 100× corpus = 100× cell size = ~10⁴× pair work
+    * (measured 47-62×/decade at sf10 before the guard) — the production
+    * posture is k∝n plus the q293 cell audit / q294 oversized-cell
+    * split, and the raise message points there instead of silently
+    * burning n²/k.
+    */
+  private def guardCellPairs(assigned: DataFrame, maxCellPairs: Long,
+      op: String): DataFrame = {
+    val budget = assigned.groupBy("cell").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") * (col("__c") - lit(1L)) / lit(2L)),
+        lit(0L)).as("__cellPairs"))
+    assigned.crossJoin(broadcast(budget))
+      .withColumn("v",
+        when(col("__cellPairs") > maxCellPairs,
+          raise_error(concat(
+            lit(s"$op: within-cell pair space of "), col("__cellPairs"),
+            lit(s" comparisons exceeds maxCellPairs=$maxCellPairs — " +
+              "audit cell balance (ivfCellBalance/q293) and split " +
+              "oversized cells (splitOversizedCells/q294) or rebuild " +
+              "the quantizer with more centroids (k should grow with " +
+              "the corpus), or raise maxCellPairs deliberately")))
+            .cast("array<double>"))
+          .otherwise(col("v")))
+      .drop("__cellPairs")
+  }
+
+  /** The guarded within-cell pair frame shared by [[semDedup]] and
+    * [[cellScopedNearDupPairs]]: (cell, d1, d2, sim) with d1 < d2 and
+    * round-6 sim ≥ threshold, the pair space budgeted by
+    * [[guardCellPairs]]. The self-join is a keyed equi-join on cell —
+    * never a CartesianProduct (PlanSpec-pinned via [[cellPairsPlanProbe]]).
+    */
+  private def cellPairs(assigned: DataFrame, threshold: Double,
+      maxCellPairs: Long, op: String): DataFrame = {
+    val l = guardCellPairs(assigned, maxCellPairs, op)
+      .select(col("cell"), col("id").as("d1"),
+        col("v").as("v1"), col("n").as("n1"))
+    val r = assigned.select(col("cell"), col("id").as("d2"),
+      col("v").as("v2"), col("n").as("n2"))
+    l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
+      .withColumn("sim", safeSim(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("cell"), col("d1"), col("d2"), col("sim"))
+  }
+
+  /** UN-checkpointed guarded pair plan — exposed only so PlanSpec can pin
+    * the guard shape (the public operators eagerly localCheckpoint, which
+    * truncates the lineage a plan assertion needs). */
+  private[graft] def cellPairsPlanProbe(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame =
+    cellPairs(assignCells(df, idCol, vecCol, centroids), threshold,
+      maxCellPairs, "cellScopedNearDupPairs")
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     * scoped to quantizer cells. Each vector joins its nearest centroid
     * (broadcast k-row table; rounded cosine with smaller-cell tie-break, so
@@ -888,25 +949,23 @@ object Similarity {
     *
     * Scale shape: the O(n²) global pair space shrinks to Σ|cell|² — with a
     * real quantizer cells are ~n/k, so comparisons drop by ~k. The within-
-    * cell self-join is a keyed equi-join on cell (no CartesianProduct); a
-    * pathologically hot cell at corpus scale gets the same cap treatment as
-    * LSH band buckets (chain, or re-quantize the cell with more centroids).
+    * cell self-join is a keyed equi-join on cell (no CartesianProduct), and
+    * the pair space is BUDGETED: past `maxCellPairs` the plan raises with a
+    * pointer to the q293/q294 cell-maintenance rungs ([[guardCellPairs]]),
+    * the same in-plan defense [[blockedExactPairs]] and LshBandIndex's
+    * probe cap carry.
     *
     * Returns one row per input vector: (id, cell, cluster, keep).
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+      centroids: DataFrame, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignCells(df, idCol, vecCol, centroids)
-      // three consumers below (pairs ×2 sides, keep-join); one shuffle in
+      // four consumers below (budget, pairs ×2 sides, keep-join); one
+      // shuffle in
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = assigned.select(col("cell"), col("id").as("d1"),
-      col("v").as("v1"), col("n").as("n1"))
-    val r = assigned.select(col("cell"), col("id").as("d2"),
-      col("v").as("v2"), col("n").as("n2"))
-    val pairs = l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
-      .withColumn("sim", safeSim(col("v1"), col("v2"), col("n1"), col("n2")))
-      .filter(col("sim") >= threshold)
+    val pairs = cellPairs(assigned, threshold, maxCellPairs, "semDedup")
       .select("d1", "d2")
     val labels = graft.text.DedupOps.connectedComponents(
       pairs, assigned.select(col("id").as("doc")))
@@ -937,21 +996,18 @@ object Similarity {
     *
     * Scale shape: one broadcast centroid assignment over the data, one
     * cell equi-join (the only shuffle of the vectors), pairs filtered
-    * before leaving the join. Eagerly checkpointed (the PRUNED pair set is
-    * small) so the cached assignment can be released immediately.
+    * before leaving the join, and the Σ|cell|² pair space budgeted by
+    * [[guardCellPairs]] (raises past `maxCellPairs`, pointing at the
+    * q293/q294 maintenance rungs). Eagerly checkpointed (the PRUNED pair
+    * set is small) so the cached assignment can be released immediately.
     */
   def cellScopedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, threshold: Double): DataFrame = {
+      centroids: DataFrame, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame = {
     val assigned = assignCells(df, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = assigned.select(col("cell"), col("id").as("d1"),
-      col("v").as("v1"), col("n").as("n1"))
-    val r = assigned.select(col("cell"), col("id").as("d2"),
-      col("v").as("v2"), col("n").as("n2"))
-    val out = l.join(r, Seq("cell")).filter(col("d1") < col("d2"))
-      .withColumn("sim", safeSim(col("v1"), col("v2"), col("n1"), col("n2")))
-      .filter(col("sim") >= threshold)
-      .select(col("cell"), col("d1"), col("d2"), col("sim"))
+    val out = cellPairs(assigned, threshold, maxCellPairs,
+        "cellScopedNearDupPairs")
       .localCheckpoint(true)
     assigned.unpersist(blocking = false)
     out

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * Stored relation: one row per (doc, band) — (doc, band_id, band_val),
   * parquet-partitioned by (band_id, hash-bucket-of-band_val). Per-doc band
   * rows are a pure projection of the doc's MinHash signature, so
-  *   - ADD is signature-project + pure parquet append (no shuffle, no
-  *     existing-file rewrite — concurrent probes keep a consistent view),
-  *     and build(A) then add(B) equals build(A ∪ B) EXACTLY (the stored
-  *     relation is a per-doc projection; grouping never matters);
+  *   - ADD is signature-project + a (doc, band_id) anti join against the
+  *     stored relation + parquet append (no existing-file rewrite —
+  *     concurrent probes keep a consistent view). The anti join makes add
+  *     IDEMPOTENT, so build(A) then add(B) equals build(A ∪ B) EXACTLY
+  *     even when B overlaps A (the stored relation is a per-doc
+  *     projection; grouping never matters);
   *   - PROBE is one equi join of the batch's band rows against the stored
   *     relation on (band_id, band_val) — candidates only ever come from
   *     shared buckets, never all pairs.
@@ -71,16 +73,22 @@ object LshBandIndex {
     spark.read.parquet(s"$dir/bands")
 
   /** Incremental ADD: signature-project the batch and append its band rows
-    * to their (band_id, bucket) partitions. Pure append — the caller's
-    * contract is that batch doc ids are NEW (a re-added doc would carry
-    * duplicate band rows; probes stay correct because candidate pairs are
-    * DISTINCT, but the relation would no longer equal a from-scratch
-    * build). Returns the number of appended band rows. */
+    * to their (band_id, bucket) partitions. IDEMPOTENT — the batch's band
+    * rows anti-join the stored relation on (doc, band_id) (the
+    * [[ExactSubstrIndex.add]] keyed-anti-join discipline), so re-adding a
+    * doc appends nothing and the relation ALWAYS equals a from-scratch
+    * build of the union: add(A); add(A) == add(A). The anti join reads only
+    * the stored relation's (doc, band_id) int columns (column-pruned
+    * scan); genuinely-new batches pay one extra pruned scan for the
+    * crash-retry safety (a re-driven batch after a failed job no longer
+    * duplicates rows). Returns the number of appended band rows. */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: Column): Long = {
     val meta = loadMeta(spark, dir)
     val rows = bandRelation(batch, idCol, textCol,
       meta.n, meta.bandsOf, meta.buckets)
+      .join(loadBands(spark, dir).select("doc", "band_id"),
+        Seq("doc", "band_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = rows.count()
     rows.write.mode("append").partitionBy("band_id", "bucket")

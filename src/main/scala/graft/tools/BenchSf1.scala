@@ -107,9 +107,13 @@ object BenchSf1 {
     // the slope is measured against the sf0.1 pin, so a replicas=100 run
     // spans TWO decades: linear = replicas, and the 12×-per-decade flag
     // line compounds the same way (12^decades — 12 at replicas=10, 144 at
-    // replicas=100)
+    // replicas=100). Floor at 12: dev runs with replicas < 10 would
+    // otherwise degenerate (replicas=1 → 12^0 = 1, flagging every query
+    // whose warm time merely exceeds its pin) and non-power-of-10 replica
+    // counts would yield fractional decades nobody can interpret — below
+    // one full decade the flag keeps the single-decade meaning.
     val decades = math.log10(replicas.toDouble)
-    val flagLine = math.pow(12.0, decades)
+    val flagLine = math.max(12.0, math.pow(12.0, decades))
     val flagged = slopes.filter(_._2 > flagLine).sortBy(-_._2)
     def jmap(kv: Seq[(String, Double)], indent: String = ""): String =
       kv.map { case (k, v) => s"""$indent"$k":${r3(v)}""" }

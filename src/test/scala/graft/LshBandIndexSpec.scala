@@ -42,6 +42,29 @@ class LshBandIndexSpec extends SparkSpec {
     assert(rel(incDir) == rel(fullDir))
   }
 
+  test("add is idempotent: re-adding docs (whole or overlapping batches) " +
+      "appends nothing and the relation still equals a from-scratch build") {
+    val a = corpus.filter(col("doc_id") <= 3)
+    val b = corpus.filter(col("doc_id") > 3)
+    val incDir = tmpDir("idem")
+    val fullDir = tmpDir("idemfull")
+    LshBandIndex.build(a, "doc_id", col("text"), incDir, buckets = 4)
+    // re-adding the already-indexed half is a no-op
+    assert(LshBandIndex.add(spark, incDir, a, "doc_id", col("text")) == 0L)
+    // an overlapping batch (one old doc, three new) appends only the new
+    val overlap = corpus.filter(col("doc_id") >= 3) // doc 3 already indexed
+    assert(LshBandIndex.add(spark, incDir, overlap, "doc_id",
+      col("text")) == 3 * 3)
+    // a crash-retry of the same batch appends nothing
+    assert(LshBandIndex.add(spark, incDir, b, "doc_id", col("text")) == 0L)
+    LshBandIndex.build(corpus, "doc_id", col("text"), fullDir, buckets = 4)
+    def rel(dir: String) = LshBandIndex.loadBands(spark, dir)
+      .select("doc", "band_id", "band_val", "bucket").collect().toSet
+    def cnt(dir: String) = LshBandIndex.loadBands(spark, dir).count()
+    assert(rel(incDir) == rel(fullDir))
+    assert(cnt(incDir) == cnt(fullDir)) // no duplicate band rows either
+  }
+
   test("probePairs returns exactly the cross-corpus band matches") {
     val dir = tmpDir("probe")
     val indexed = corpus.filter(col("doc_id") <= 4)

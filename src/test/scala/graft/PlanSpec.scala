@@ -76,6 +76,21 @@ class PlanSpec extends SparkSpec {
       s"expected only the guard's 1-row budget BNLJ(s), found $nBnlj")
   }
 
+  test("q92/q269 pair rung: within-cell pairs come from the cell equi " +
+      "join, never all-pairs, and carry the 1-row maxCellPairs budget " +
+      "guard (the q49 pattern on the quantizer-cell rung)") {
+    val e = Tables.embeddings(spark, sf001)
+    val cents = graft.sim.Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+    val p = planOf(graft.sim.Similarity.cellPairsPlanProbe(
+      e, "vec_id", "embedding", cents, 0.4))
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian in plan")
+    // the pair join must be keyed on cell; assignment's centroid cross
+    // join and the guard's 1-row budget broadcast are the only BNLJs
+    assert(p.contains("raise_error"), "maxCellPairs budget guard not in plan")
+    assert("Join.*\\[cell".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [cell"), s"pair join not keyed on cell:\n$p")
+  }
+
   test("q67: as-of join is one keyed shuffle + window — no range cross join") {
     val p = planOf(graft.queries.MlStreamQueries.q67AsofJoin.fn(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -132,6 +132,43 @@ class SimilaritySpec extends SparkSpec {
       strategy = "lsh", maxPairs = 1L).count() >= 0L)
   }
 
+  test("semDedup / cellScopedNearDupPairs enforce the within-cell pair " +
+      "budget (raise past maxCellPairs pointing at the q293/q294 " +
+      "maintenance rungs; in-budget results are untouched)") {
+    val e = Tables.embeddings(spark, sf001) // 500 vectors over 8 seed cells
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+    val errSem = intercept[Exception] {
+      Similarity.semDedup(e, "vec_id", "embedding", cents, 0.4,
+        maxCellPairs = 10L).count()
+    }
+    assert(errSem.getMessage.contains("maxCellPairs"), errSem.getMessage)
+    assert(errSem.getMessage.contains("splitOversizedCells"), errSem.getMessage)
+    val errPairs = intercept[Exception] {
+      Similarity.cellScopedNearDupPairs(e, "vec_id", "embedding", cents,
+        0.4, maxCellPairs = 10L).count()
+    }
+    assert(errPairs.getMessage.contains("maxCellPairs"), errPairs.getMessage)
+    // a budget exactly at Sigma |cell|(|cell|-1)/2 passes, and results match
+    // the default budget bit for bit (cell sizes read off semDedup's own
+    // per-vector output — the same assignment the guard aggregates)
+    val cellPairSpace = Similarity.semDedup(e, "vec_id", "embedding",
+        cents, 0.4)
+      .groupBy("cell").count().as[(Int, Long)].collect()
+      .map { case (_, c) => c * (c - 1) / 2 }.sum
+    def semdedupRows(budget: Long) =
+      Similarity.semDedup(e, "vec_id", "embedding", cents, 0.4,
+          maxCellPairs = budget)
+        .as[(Long, Int, Long, Boolean)].collect().toSet
+    assert(semdedupRows(cellPairSpace) == semdedupRows(2000000000L))
+    def pairRows(budget: Long) =
+      Similarity.cellScopedNearDupPairs(e, "vec_id", "embedding", cents,
+          0.4, maxCellPairs = budget)
+        .as[(Int, Long, Long, Double)].collect().toSet
+    val exact = pairRows(cellPairSpace)
+    assert(exact.nonEmpty, "fixture has no within-cell pairs over threshold")
+    assert(exact == pairRows(2000000000L))
+  }
+
   test("ivfTopK: probed-cell search returns k ranked rows per query and " +
       "overlaps the exact top-k") {
     val e = Tables.embeddings(spark, sf001)
