@@ -124,7 +124,12 @@ object Multimodal {
     * sampling indices first.
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media
+    // narrow projection FIRST (the binary payload must not ride the
+    // spread exchange), then the under-partitioned-scan guard: the frame
+    // explode amplifies by n_frames/stride per row — hundreds for real
+    // video — so a compact media scan must not serialize it on one core
+    graft.ops.Spread.forAmplification(
+        media.select(col("media_id"), col("meta")), col("media_id"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("meta.format").as("format"))

@@ -385,7 +385,9 @@ object Drift {
   def vocabJaccardPairs(docs: DataFrame, group: Column,
       text: Column): DataFrame = {
     val spark = docs.sparkSession
-    val vocabRaw = docs
+    // under-partitioned-scan guard before the per-char token explode
+    // (size-floored; see graft.ops.Spread)
+    val vocabRaw = graft.ops.Spread.forAmplification(docs)
       .select(group.cast("string").as("g"),
         explode(graft.text.TextAnalysis.tokens(text)).as("t"))
       .filter(length(col("t")) > 0)
@@ -557,7 +559,7 @@ object Drift {
     * O(vocab × pairs), never O(corpus × pairs).
     */
   def jsdPairs(docs: DataFrame, group: Column, text: Column): DataFrame = {
-    val tf = docs
+    val tf = graft.ops.Spread.forAmplification(docs)
       .select(group.as("g"), explode(graft.text.TextAnalysis.tokens(text)).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy("g", "t").agg(count(lit(1)).as("c"))

@@ -399,7 +399,7 @@ object StatsQueries extends QueryGroup {
   val q170ZipfSlope = QueryDef(
     "q170_zipf_slope",
     (s, d) => {
-      val tf = Tables.documents(s, d)
+      val tf = graft.ops.Spread.forAmplification(Tables.documents(s, d))
         .select(col("source"),
           explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
         .filter(length(col("t")) > 0)

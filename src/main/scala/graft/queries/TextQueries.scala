@@ -615,6 +615,58 @@ object TextQueries extends QueryGroup {
       FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
       LEFT JOIN flat f USING (doc_id) ORDER BY a.doc_id"""))
 
+  /** BPE ENCODE FROM A SAVED ARTIFACT (Bpe.saveMerges/loadMerges +
+    * IndexCache): the build-once/encode-many form of q127, completing the
+    * build-once discipline for the tokenizer family — the merge table is
+    * learned and persisted ONCE per scale dir (content-fingerprint cached,
+    * crash-safe atomic publish — the q143/q288 pattern), then every
+    * execution only loads the tiny ordered artifact and encodes. Identical
+    * semantics to q127, so the SAME oracle applies; the timing difference
+    * between q127 and this query IS the amortized learning cost (encode
+    * cost tracks the INPUT batch, not the training corpus). */
+  val q298BpeEncodeSaved = QueryDef(
+    "q298_bpe_encode_saved",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val artDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
+        IndexCache.tagFor("graft_bpe_v1_", d), "merges/_SUCCESS") { tmpDir =>
+        graft.text.Bpe.saveMerges(s,
+          graft.text.Bpe.learnMerges(docs, col("text"), 8), s"$tmpDir/merges")
+      }
+      val merges = graft.text.Bpe.loadMerges(s, s"$artDir/merges")
+      graft.text.Bpe.encode(docs.filter(col("doc_id") < 50), col("text"),
+          merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          md5(concat_ws("|", col("bpe_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    },
+    q127BpeEncode.oracle)
+
+  /** Unigram ENCODE FROM A SAVED ARTIFACT (Unigram.save/load +
+    * IndexCache): q292's build-once twin — the learned vocabulary
+    * (piece, usage, logp) persists once per scale dir and every execution
+    * only loads it and runs the Viterbi encode. Same semantics as q292,
+    * same oracle; the q298 convention on the unigram rung. */
+  val q299UnigramEncodeSaved = QueryDef(
+    "q299_unigram_encode_saved",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val artDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
+        IndexCache.tagFor("graft_unigram_v1_", d), "vocab/_SUCCESS") { tmpDir =>
+        graft.text.Unigram.save(s,
+          graft.text.Unigram.learn(docs, col("text"), maxPieceLen = 4,
+            seedSize = 200, vocabSize = 48, rounds = 2, maxWordLen = 16),
+          s"$tmpDir/vocab")
+      }
+      val vocab = graft.text.Unigram.load(s, s"$artDir/vocab")
+      graft.text.Unigram.encode(docs.filter(col("doc_id") < 50),
+          col("text"), vocab, maxPieceLen = 4, maxWordLen = 16)
+        .select(col("doc_id"), col("n_unigram_tokens"),
+          md5(concat_ws("|", col("unigram_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    },
+    q292UnigramEncode.oracle)
+
   /** Alphabetical-scan argmax over per-script char counts as nested SQL
     * CASE: the alphabetically first name whose count is >= all others
     * wins — identical to dominantScript's least-struct tie-break toward
@@ -858,7 +910,7 @@ object TextQueries extends QueryGroup {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       // materialized once: the corpus total and the top-k both read tf
-      val tf = Tables.documents(s, d)
+      val tf = graft.ops.Spread.forAmplification(Tables.documents(s, d))
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -959,7 +1011,7 @@ object TextQueries extends QueryGroup {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       // materialized once: source-df and the scoring join both read tf
-      val tf = docs
+      val tf = graft.ops.Spread.forAmplification(docs)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("source", "term").agg(count(lit(1)).as("tf"))
@@ -1076,7 +1128,7 @@ object TextQueries extends QueryGroup {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tf = docs
+      val tf = graft.ops.Spread.forAmplification(docs)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -1121,7 +1173,7 @@ object TextQueries extends QueryGroup {
   val q226VocabRichness = QueryDef(
     "q226_vocab_richness",
     (s, d) => {
-      val tf = Tables.documents(s, d)
+      val tf = graft.ops.Spread.forAmplification(Tables.documents(s, d))
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("source", "term").agg(count(lit(1)).as("c"))
@@ -1160,7 +1212,8 @@ object TextQueries extends QueryGroup {
     q94CorpusReport, q95BpeMerges, q99IncrementalReport, q103BigramNll,
     q106PplBuckets, q107VocabCoverage, q110RrfFusion, q114SourceTerms,
     q123TextNormalize, q127BpeEncode, q129ScriptShares, q150CharEntropy,
-    q291UnigramLearn, q292UnigramEncode,
+    q291UnigramLearn, q292UnigramEncode, q298BpeEncodeSaved,
+    q299UnigramEncodeSaved,
     q171PmiCollocations, q191JaroWinkler, q207LexicalDiversity,
     q222DocKeywords, q226VocabRichness, q259KnBigramNll)
 }

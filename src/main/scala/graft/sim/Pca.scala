@@ -283,7 +283,7 @@ object Pca {
   /** Spark's `round(double, 6)` on the driver (same shortest-repr +
     * HALF_UP semantics as [[dec12]]; DuckDB's ROUND agrees away from
     * binary-noise boundaries, the repo-wide round-6 contract). */
-  private def round6(d: Double): Double =
+  private[sim] def round6(d: Double): Double =
     java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 

@@ -1013,6 +1013,46 @@ object Similarity {
     out
   }
 
+  /** SCALE-POSTURE variant of [[cellScopedNearDupPairs]] — the k∝n
+    * quantizer posture the fixed-k rung's budget guard points at, made an
+    * operator: cells are assigned by the codegen'd L2 argmin over
+    * DRIVER-HELD centroids ([[nearestCell]] / graft.functions
+    * .NearestCentroid — one narrow projection per row, round-6 d² with
+    * the smaller-cell tie-break), so assignment is O(n·k) FLOPs inside
+    * whole-stage codegen with NO n×k row materialization and no per-id
+    * window — the [[buildIvfIndexLloyd]] assignment path. With k grown
+    * ∝ corpus size, per-cell population stays ~constant and the
+    * within-cell pair volume stays LINEAR in n (vs the fixed-k rung's
+    * n²/k), which is exactly the trade q293/q294 maintain in production.
+    * Pair semantics within a cell are identical to
+    * [[cellScopedNearDupPairs]] (round-6 cosine ≥ threshold, d1 < d2),
+    * and the same [[guardCellPairs]] budget raise applies.
+    */
+  def cellScopedNearDupPairsL2(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame = {
+    val assigned = df
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .withColumn("n", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cellPairs(assigned, threshold, maxCellPairs,
+        "cellScopedNearDupPairsL2")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-held seed centroids (the [[seedCentroids]] table collected in
+    * cell order) for the [[nearestCell]] assignment path — bounded by k. */
+  def seedCentroidsDriver(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Seq[Double])] =
+    seedCentroids(df, idCol, vecCol, k)
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+
   private def bandedLshPairs(vecs: DataFrame, threshold: Double,
       bandBits: Int, bands: Int): DataFrame = {
     val banded = vecs.select(col("id"), col("v"), col("n"),

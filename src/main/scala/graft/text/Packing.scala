@@ -87,7 +87,12 @@ object Packing {
     val n = length(col("__text"))
     val nChunks = when(n <= size, lit(1L)).otherwise(
       ceil((n - size).cast("double") / stride).cast("long") + 1L)
-    df.select(col(idCol), textCol.as("__text"))
+    // under-partitioned-scan guard: the chunk explode amplifies by
+    // ~len/stride per doc straight off the scan (contrast packWindows,
+    // whose explode runs AFTER the per-stream window shuffle and inherits
+    // its partitioning)
+    graft.ops.Spread.forAmplification(
+        df.select(col(idCol), textCol.as("__text")), col(idCol))
       .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
       .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
         col("__text").substr(

@@ -193,6 +193,27 @@ object Unigram {
     }.sortBy(_.piece)
   }
 
+  /** Persist a learned vocabulary as a tiny parquet artifact — learn once
+    * on the corpus, encode many batches/streams later without retraining
+    * (the [[Bpe.saveMerges]] tokenizer-release shape; production
+    * tokenizers are build-once artifacts like the IVF/BM25/gram indexes).
+    * Pieces are row-identified by the piece string itself (unique by
+    * construction), so no ordering column is needed. */
+  def save(spark: org.apache.spark.sql.SparkSession, vocab: Seq[Piece],
+      path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "usage", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Piece] =
+    spark.read.parquet(path).orderBy("piece")
+      .collect()
+      .map(r => Piece(r.getAs[String]("piece"), r.getAs[Long]("usage"),
+        r.getAs[Double]("logp")))
+      .toSeq
+
   /** Distributed encode with a learned vocabulary: bounded vocabs (the
     * analytic case) run the pure-Column Viterbi — whole-stage codegen, no
     * UDF; production-size vocabs (32k+) would carry an oversized map

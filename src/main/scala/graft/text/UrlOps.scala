@@ -93,9 +93,13 @@ object UrlOps {
   def blocklistFlags(df: DataFrame, idCol: String, urlCol: Column,
       blocklist: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val hits = df
+    // suffix explode ≈ one derived row per ~15 input bytes — the token-ops
+    // amplification class; spread an under-partitioned scan first
+    // (size-floored, narrow id+url projection)
+    val hits = graft.ops.Spread.forAmplification(
+        df.select(col(idCol), urlCol.as("__url")), col(idCol))
       .select(col(idCol),
-        explode(hostSuffixes(urlHost(urlCol))).as("__suffix"))
+        explode(hostSuffixes(urlHost(col("__url")))).as("__suffix"))
       .join(broadcast(blocklist.select(col(blocklist.columns.head).as("__suffix"))),
         Seq("__suffix"))
       .select(col(idCol)).distinct()

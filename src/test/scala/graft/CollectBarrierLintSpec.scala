@@ -29,9 +29,9 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "text/DedupOps.scala" -> 1,    // adaptive CC edges, HARD-capped ≤200k
     "Bench.scala" -> 2,            // JVM warmup actions (1-row / limit 10)
     "Preprocessing.scala" -> 1,    // union of tiny column aggregates
-    "sim/Similarity.scala" -> 5,   // centroid/cell tables (≤nLists each); splitCell's 2-row seed
+    "sim/Similarity.scala" -> 6,   // centroid/cell tables (≤nLists each); splitCell's 2-row seed; seedCentroidsDriver (≤k rows)
     "sim/Opq.scala" -> 1,          // loadRotation (≤kOut rows)
-    "text/Unigram.scala" -> 3,     // seed top/chars + per-round usage (all ≤seedSize+alphabet)
+    "text/Unigram.scala" -> 4,     // seed top/chars + per-round usage + load (all ≤seedSize+alphabet / vocab-bounded)
     "sim/Pca.scala" -> 1,          // dim²/2 covariance upper triangle
     "sim/Pq.scala" -> 2,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub)
     "enrich/Geocode.scala" -> 1,   // geocode cache map (≤#cached addresses)
