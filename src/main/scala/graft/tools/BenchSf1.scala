@@ -70,9 +70,11 @@ object BenchSf1 {
        else SparkEntry.queries.toSeq.filter { case (n, _) =>
          wanted.exists(n.startsWith)
        }).sortBy(_._1)
-    // same optional full-consumption action as graft.Bench (see there):
-    // `noop` defeats count()'s join-elimination/column-pruning blind spot
-    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    // same full-consumption default action as graft.Bench (see there):
+    // `noop` defeats count()'s join-elimination/column-pruning blind spot;
+    // round-12 flipped the default so scale slopes measure the same plans
+    // the sf0.1 noop pins do
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "noop")
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       if (action == "noop") df.write.mode("overwrite").format("noop").save()
       else df.count()
