@@ -143,7 +143,11 @@ object BenchPins {
     "q290_lsh_index_probe" -> 7.263, "q291_unigram_learn" -> 1.705,
     "q292_unigram_encode" -> 4.144, "q293_ivf_cell_audit" -> 0.787,
     "q294_ivf_cell_split" -> 1.574, "q295_opq_rotation" -> 2.035,
-    "q296_contam_matches" -> 1.917, "q297_cell_clusters_scalek" -> 1.010,
+    // q297 re-pinned after its quantizer posture moved from k=n/100 to
+    // k=ceil(sqrt(n)) (sf10 measured the n/100 assignment stage going
+    // quadratic at 152x over two decades; sqrt-k is 54x): warm-min of two
+    // isolated noop runs, 1.271/1.302 s
+    "q296_contam_matches" -> 1.917, "q297_cell_clusters_scalek" -> 1.271,
     "q298_bpe_encode_saved" -> 0.555, "q299_unigram_encode_saved" -> 2.583,
     "q29_try_cast" -> 0.156, "q30_winsorize" -> 0.603,
     "q31_date_agg" -> 0.329, "q32_json_extract" -> 0.411,

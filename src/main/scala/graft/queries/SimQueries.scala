@@ -1710,22 +1710,26 @@ object SimQueries extends QueryGroup {
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
   /** Scale-k posture twin of q269 (Similarity.cellScopedNearDupPairsL2):
-    * the quantizer GROWS with the corpus — k = max(8, ceil(n/100)) seed
-    * centroids, round-6 L2-argmin assignment via the codegen'd
-    * NearestCentroid loop (driver-held centroids: no n×k row
-    * materialization, no per-id window — the q117 assignment path), then
-    * within-cell round-6 cosine pairs + connected components. This makes
-    * the round-11 adjudication of q269's fixed-k quadratic characteristic
-    * ("production posture is k∝n") a MEASURABLE operator: per-cell
-    * population stays ~100 at every scale, so the pair stage is linear in
-    * n — the sf1/sf10 isolated retimes record the slope the fixed-k rung
-    * cannot have. */
+    * the quantizer GROWS with the corpus — k = max(8, ceil(√n)) seed
+    * centroids (the FAISS IVF convention), round-6 L2-argmin assignment
+    * via the codegen'd NearestCentroid loop (driver-held centroids: no
+    * n×k row materialization, no per-id window — the q117 assignment
+    * path), then within-cell round-6 cosine pairs + connected components.
+    * This makes the round-11 adjudication of q269's fixed-k quadratic
+    * characteristic ("production posture is k growing with n") a
+    * MEASURABLE operator. k∝√n is the BALANCED choice, not k∝n: the
+    * brute assignment stage costs O(n·k) and the within-cell pair space
+    * O(n²/k), so √n equalizes both at n^1.5 — ~5.6×/decade. (A k∝n/100
+    * first cut measured 152× over two sf10 decades — the assignment
+    * stage itself had become the quadratic.) The sf1/sf10 isolated
+    * retimes record the slope the fixed-k rung cannot have. */
   val q297CellClustersScaleK = QueryDef(
     "q297_cell_clusters_scalek",
     (s, d) => {
       val e = Tables.embeddings(s, d)
       // bounded driver barrier: one count to size the quantizer
-      val k = math.max(8L, (e.count() + 99L) / 100L).toInt
+      val k = math.max(8L, math.ceil(math.sqrt(e.count().toDouble)).toLong)
+        .toInt
       val cents = Similarity.seedCentroidsDriver(e, "vec_id", "embedding", k)
       val pairs = Similarity.cellScopedNearDupPairsL2(
         e, "vec_id", "embedding", cents, 0.4)
@@ -1739,7 +1743,7 @@ object SimQueries extends QueryGroup {
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       cent AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev
         WHERE vec_id < (SELECT greatest(8,
-          CAST(ceil(COUNT(*) / 100.0) AS BIGINT)) FROM ev)),
+          CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM ev)),
       asg AS (SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
