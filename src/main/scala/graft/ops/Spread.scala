@@ -69,7 +69,12 @@ object Spread {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes)
       return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df
+    // queryExecution.toRdd, not df.rdd: both pay one physical-planning
+    // pass for the probe (the caller's own action plans again either
+    // way), but toRdd skips wrapping the lineage in a row deserializer —
+    // the probe never computes the RDD, it only reads the partition count
+    // from the planned scan splits
+    if (df.queryExecution.toRdd.getNumPartitions >= p) df
     else if (by.isEmpty) df.repartition(p)
     else df.repartition(p, by: _*)
   }
