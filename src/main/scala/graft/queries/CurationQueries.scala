@@ -781,14 +781,24 @@ object CurationQueries extends QueryGroup {
     "q112_approx_audit",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      li.agg(
-        countDistinct(col("l_partkey")).as("n_parts_exact"),
+      // Aggregate SHAPE matters here (measured at sf0.1/noop: 4.8 s as one
+      // agg vs 0.7 s split): two DISTINCT aggregates plus buffer-based
+      // percentiles in ONE Aggregate force an Expand that triples the
+      // corpus and push the whole stage out of partial aggregation, while
+      // separate 1-row aggregates each get a column-pruned scan with
+      // map-side partials — and three cheap scans beat one 3x-expanded
+      // pass at any scale. The 1-row cross joins are broadcast no-ops.
+      val parts = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("n_parts_exact"))
+      val supps = li.select(col("l_suppkey")).distinct()
+        .agg(count(lit(1)).as("n_supps_exact"))
+      val rest = li.agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__parts_apx"),
-        countDistinct(col("l_suppkey")).as("n_supps_exact"),
         approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("__supps_apx"),
         percentile(col("l_quantity").cast("double"), lit(0.5)).as("qty_p50_exact"),
         percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000))
           .as("__qty_p50_apx"))
+      parts.crossJoin(supps).crossJoin(rest)
       .select(
         col("n_parts_exact"),
         (abs(col("__parts_apx") - col("n_parts_exact")).cast("double")

@@ -104,6 +104,9 @@ class QueriesSpec extends SparkSpec {
     // embed its plan-level raise_error; the candidate join itself stays
     // the bp hash join (PlanSpec pins that exact shape)
     "q49_cosine_neardup",
+    // three 1-row aggregate frames cross-joined (the split-scan shape that
+    // replaced the corpus-tripling mixed-DISTINCT Expand; see the QueryDef)
+    "q112_approx_audit",
     "q293_ivf_cell_audit") // 1-row (n_total, n_cells) totals frame on per-cell counts
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
