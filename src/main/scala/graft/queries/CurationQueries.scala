@@ -788,9 +788,15 @@ object CurationQueries extends QueryGroup {
       // separate 1-row aggregates each get a column-pruned scan with
       // map-side partials — and three cheap scans beat one 3x-expanded
       // pass at any scale. The 1-row cross joins are broadcast no-ops.
-      val parts = li.select(col("l_partkey")).distinct()
+      // isNotNull before distinct(): COUNT(DISTINCT x) excludes NULLs, but
+      // distinct()+count(1) would count a NULL key as one value — a latent
+      // off-by-one if this split-aggregate pattern is reused on a nullable
+      // column (TPC-H keys happen to be non-null; don't rely on it).
+      val parts = li.filter(col("l_partkey").isNotNull)
+        .select(col("l_partkey")).distinct()
         .agg(count(lit(1)).as("n_parts_exact"))
-      val supps = li.select(col("l_suppkey")).distinct()
+      val supps = li.filter(col("l_suppkey").isNotNull)
+        .select(col("l_suppkey")).distinct()
         .agg(count(lit(1)).as("n_supps_exact"))
       val rest = li.agg(
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__parts_apx"),

@@ -73,28 +73,46 @@ object LshBandIndex {
     spark.read.parquet(s"$dir/bands")
 
   /** Incremental ADD: signature-project the batch and append its band rows
-    * to their (band_id, bucket) partitions. IDEMPOTENT — the batch's band
-    * rows anti-join the stored relation on (doc, band_id) (the
-    * [[ExactSubstrIndex.add]] keyed-anti-join discipline), so re-adding a
-    * doc appends nothing and the relation ALWAYS equals a from-scratch
-    * build of the union: add(A); add(A) == add(A). The anti join reads only
-    * the stored relation's (doc, band_id) int columns (column-pruned
-    * scan); genuinely-new batches pay one extra pruned scan for the
-    * crash-retry safety (a re-driven batch after a failed job no longer
-    * duplicates rows). Returns the number of appended band rows. */
+    * to their (band_id, bucket) partitions. IDEMPOTENT for
+    * content-identical re-adds — the batch's band rows left-join the
+    * stored relation on (doc, band_id) (the [[ExactSubstrIndex.add]]
+    * keyed-join discipline), and only unmatched rows append, so re-adding
+    * an unchanged doc appends nothing and the relation equals a
+    * from-scratch build of the union: add(A); add(A) == add(A). This is
+    * idempotency, NOT upsert: a re-added doc whose TEXT changed would
+    * leave the stale band rows in place, so a matched (doc, band_id) with
+    * a DIFFERENT band_val fails loudly instead of silently keeping the
+    * old signature — an LSH index covers immutable documents; mutate by
+    * rebuild, not by add. The join reads only the stored relation's
+    * (doc, band_id, band_val) columns (column-pruned scan);
+    * genuinely-new batches pay one extra pruned scan for the crash-retry
+    * safety (a re-driven batch after a failed job no longer duplicates
+    * rows). Returns the number of appended band rows. */
   def add(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: Column): Long = {
     val meta = loadMeta(spark, dir)
-    val rows = bandRelation(batch, idCol, textCol,
+    val joined = bandRelation(batch, idCol, textCol,
       meta.n, meta.bandsOf, meta.buckets)
-      .join(loadBands(spark, dir).select("doc", "band_id"),
-        Seq("doc", "band_id"), "left_anti")
+      .join(loadBands(spark, dir)
+          .select(col("doc"), col("band_id"),
+            col("band_val").as("__stored_val")),
+        Seq("doc", "band_id"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = rows.count()
-    rows.write.mode("append").partitionBy("band_id", "bucket")
-      .parquet(s"$dir/bands")
-    rows.unpersist(blocking = false)
-    cnt
+    try {
+      val changed = joined.filter(col("__stored_val").isNotNull &&
+        col("__stored_val") =!= col("band_val")).count()
+      if (changed > 0) throw new IllegalStateException(
+        s"LshBandIndex.add: $changed band rows of re-added docs differ " +
+          "from the stored signature — add is idempotent for " +
+          "content-identical docs only (not an upsert); rebuild the " +
+          "index to change a document's text")
+      val rows = joined.filter(col("__stored_val").isNull)
+        .drop("__stored_val")
+      val cnt = rows.count()
+      rows.write.mode("append").partitionBy("band_id", "bucket")
+        .parquet(s"$dir/bands")
+      cnt
+    } finally joined.unpersist(blocking = false)
   }
 
   /** Probe a saved index with a NEW batch: distinct candidate pairs

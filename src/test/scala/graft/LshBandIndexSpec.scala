@@ -65,6 +65,25 @@ class LshBandIndexSpec extends SparkSpec {
     assert(cnt(incDir) == cnt(fullDir)) // no duplicate band rows either
   }
 
+  test("add of a CONTENT-CHANGED doc fails loudly (idempotent, not upsert)") {
+    val dir = tmpDir("mut")
+    LshBandIndex.build(corpus, "doc_id", col("text"), dir, buckets = 4)
+    // doc 1 re-added with different text: stale band rows would otherwise
+    // silently survive the (doc, band_id) dedup — must raise instead
+    val mutated = Seq((1L, "completely rewritten body for document one"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalStateException] {
+      LshBandIndex.add(spark, dir, mutated, "doc_id", col("text"))
+    }
+    assert(err.getMessage.contains("rebuild"), err.getMessage)
+    // and the stored relation is untouched by the failed add
+    val full = tmpDir("mutfull")
+    LshBandIndex.build(corpus, "doc_id", col("text"), full, buckets = 4)
+    def rel(d: String) = LshBandIndex.loadBands(spark, d)
+      .select("doc", "band_id", "band_val", "bucket").collect().toSet
+    assert(rel(dir) == rel(full))
+  }
+
   test("probePairs returns exactly the cross-corpus band matches") {
     val dir = tmpDir("probe")
     val indexed = corpus.filter(col("doc_id") <= 4)

@@ -15,16 +15,32 @@ import sys
 def main() -> None:
     pins: dict[str, float] = {}
     actions = set()
+    counts: dict[str, int] = {}
     for path in sys.argv[1:]:
         with open(path) as f:
             txt = f.read()
-        line = next(l for l in txt.splitlines() if l.startswith('{"metric"'))
+        line = next(
+            (l for l in txt.splitlines() if l.startswith('{"metric"')), None)
+        if line is None:
+            sys.exit(f"{path}: no Bench JSON line found (truncated or "
+                     "error-only run?) — refusing to regenerate pins")
         d = json.loads(line)
         actions.add(d.get("action", "count"))
+        counts[path] = len(d["queries"])
         for k, v in d["queries"].items():
             pins[k] = min(pins.get(k, float("inf")), float(v))
     if len(actions) != 1:
         sys.exit(f"refusing to merge runs with mixed actions: {actions}")
+    # A driver-mode (no-arg) run carries only headline queries; merging one
+    # would silently shrink the pin set to the intersection's superset and
+    # under-represent most of the registry. Require every input to carry
+    # the full union of queries seen across inputs.
+    full = len(pins)
+    short = {p: c for p, c in counts.items() if c < full}
+    if short:
+        sys.exit("refusing headline-only / partial run(s) — each input "
+                 f"must carry all {full} queries: " +
+                 ", ".join(f"{p} has {c}" for p, c in short.items()))
     print(f"// regenerated from {len(sys.argv) - 1} run(s), "
           f"action={actions.pop()}, {len(pins)} queries")
     items = sorted(pins.items())
