@@ -153,6 +153,11 @@ object BenchPins {
     // isolated noop runs, 1.271/1.302 s
     "q296_contam_matches" -> 1.917, "q297_cell_clusters_scalek" -> 1.271,
     "q298_bpe_encode_saved" -> 0.555, "q299_unigram_encode_saved" -> 2.583,
+    // q300 pinned at creation (round 13): warm-min of two isolated noop
+    // dev runs, 2.026/2.511 s. Slower than q297 at sf0.1 BY DESIGN — the
+    // two-level quantizer pays two argmin stages + a g-key join at small
+    // n to buy the sub-n^1.5 slope (its value is at sf10, not here)
+    "q300_hier_cell_clusters" -> 2.026,
     "q29_try_cast" -> 0.156, "q30_winsorize" -> 0.603,
     "q31_date_agg" -> 0.329, "q32_json_extract" -> 0.411,
     "q33_tumbling_window" -> 0.468, "q34_window_suite" -> 0.216,

@@ -1766,6 +1766,79 @@ object SimQueries extends QueryGroup {
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
+  /** Hierarchical two-level quantizer rung (Similarity.hierCellNearDupPairs)
+    * — the sub-n^1.5 assignment path q297's flat posture cannot reach.
+    * k = max(8, ceil(n/64)) grows ∝ n (constant ~64 per-cell population →
+    * LINEAR pair volume), but assignment is two O(√k) argmin loops instead
+    * of one O(k): g=⌈√k⌉ driver-held super centroids (codegen
+    * NearestCentroid), then the per-super child array via the codegen
+    * NearestChildCell equi-join — O(n·2√k) FLOPs, driver state O(√k),
+    * distributed child relation (the q143 saved-IVF layout made inline).
+    * q297 balances at n^1.5 because k∝n would make its ONE flat argmin
+    * quadratic; the tree removes that constraint, so this rung keeps both
+    * legs sub-n^1.5 and is where the q92/q269 budget raise now points.
+    * Exactly oracled: both argmin stages (round-6 d², smaller-cell
+    * tie-break), the first-k child pool, and the childless-super fallback
+    * replay in SQL with k and g computed from COUNT(*). */
+  val q300HierCellClusters = QueryDef(
+    "q300_hier_cell_clusters",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      // bounded driver barrier: one count to size the quantizer
+      val k = math.max(8L, math.ceil(e.count().toDouble / 64.0).toLong).toInt
+      val pairs = Similarity.hierCellNearDupPairs(
+        e, "vec_id", "embedding", k, 0.4)
+      graft.text.DedupOps.connectedComponents(
+          pairs, e.select(col("vec_id").as("doc")))
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      par AS (SELECT k, greatest(1,
+            CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS g
+        FROM (SELECT greatest(8, CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) AS k
+          FROM ev)),
+      supc AS (SELECT CAST(vec_id AS INT) AS s, v AS sv FROM ev
+        WHERE vec_id < (SELECT g FROM par)),
+      sasg AS (SELECT vec_id, s FROM (
+          SELECT e.vec_id, c.s,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_dot_product(e.v, e.v)
+                - 2 * list_dot_product(e.v, c.sv)
+                + list_dot_product(c.sv, c.sv), 6) ASC, c.s) AS rn
+          FROM ev e, supc c) WHERE rn = 1),
+      pool AS (SELECT a.s, e.vec_id AS ccell, e.v AS cv
+        FROM ev e JOIN sasg a ON a.vec_id = e.vec_id
+        WHERE e.vec_id < (SELECT k FROM par)),
+      chasg AS (SELECT vec_id, cell FROM (
+          SELECT e2.vec_id, p.ccell AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
+              ROUND(list_dot_product(e2.v, e2.v)
+                - 2 * list_dot_product(e2.v, p.cv)
+                + list_dot_product(p.cv, p.cv), 6) ASC, p.ccell) AS rn
+          FROM ev e2 JOIN sasg a2 ON a2.vec_id = e2.vec_id
+          JOIN pool p ON p.s = a2.s) WHERE rn = 1),
+      casg AS (SELECT e.vec_id,
+          COALESCE(ch.cell, CAST(-1 - a.s AS BIGINT)) AS cell
+        FROM ev e JOIN sasg a ON a.vec_id = e.vec_id
+        LEFT JOIN chasg ch ON ch.vec_id = e.vec_id),
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN ev x ON x.vec_id = a.vec_id
+        JOIN ev y ON y.vec_id = b.vec_id
+        WHERE ROUND(${cosineSql("x.v", "y.v")}, 6) >= 0.4),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
@@ -1775,5 +1848,6 @@ object SimQueries extends QueryGroup {
     q269CellClusters, q270IvfRange, q271IvfAdd, q272EmbedCov, q273PcaPower,
     q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
     q281PcaTopK, q282PcaWhiten, q285AbttTopk, q293IvfCellAudit,
-    q294IvfCellSplit, q295OpqRotation, q297CellClustersScaleK)
+    q294IvfCellSplit, q295OpqRotation, q297CellClustersScaleK,
+    q300HierCellClusters)
 }

@@ -892,9 +892,14 @@ object Similarity {
     */
   private def guardCellPairs(assigned: DataFrame, maxCellPairs: Long,
       op: String): DataFrame = {
+    // Budget math in DOUBLE, not long: a cell past ~3.04e9 rows wraps
+    // c*(c-1) negative in non-ANSI long arithmetic and the > check would
+    // silently pass — defeating the guard in exactly the huge-cell regime
+    // it defends. An approximate (double) pair count is fine for a budget.
     val budget = assigned.groupBy("cell").agg(count(lit(1)).as("__c"))
-      .agg(coalesce(sum(col("__c") * (col("__c") - lit(1L)) / lit(2L)),
-        lit(0L)).as("__cellPairs"))
+      .agg(coalesce(sum(col("__c").cast("double")
+          * (col("__c") - lit(1L)).cast("double") / lit(2.0)),
+        lit(0.0)).as("__cellPairs"))
     assigned.crossJoin(broadcast(budget))
       .withColumn("v",
         when(col("__cellPairs") > maxCellPairs,
@@ -902,9 +907,11 @@ object Similarity {
             lit(s"$op: within-cell pair space of "), col("__cellPairs"),
             lit(s" comparisons exceeds maxCellPairs=$maxCellPairs — " +
               "audit cell balance (ivfCellBalance/q293) and split " +
-              "oversized cells (splitOversizedCells/q294) or rebuild " +
-              "the quantizer with more centroids (k should grow with " +
-              "the corpus), or raise maxCellPairs deliberately")))
+              "oversized cells (splitOversizedCells/q294), move to a " +
+              "quantizer that grows with the corpus " +
+              "(cellScopedNearDupPairsL2/q297, or hierCellNearDupPairs/" +
+              "q300 for sub-n^1.5 assignment), or raise maxCellPairs " +
+              "deliberately")))
             .cast("array<double>"))
           .otherwise(col("v")))
       .drop("__cellPairs")
@@ -1041,6 +1048,82 @@ object Similarity {
       .localCheckpoint(true)
     assigned.unpersist(blocking = false)
     out
+  }
+
+  /** HIERARCHICAL (two-level) scale rung of [[cellScopedNearDupPairs]] —
+    * the sub-n^1.5 assignment path the flat rungs cannot have. The flat
+    * k-grows-with-n posture ([[cellScopedNearDupPairsL2]]/q297) balances
+    * its O(n·k) brute assignment against the O(n²/k) pair space at
+    * k=√n → n^1.5 on both legs. Here the quantizer is a TREE: g=⌈√k⌉
+    * driver-held SUPER centroids assign every row in one codegen'd
+    * [[nearestCell]] loop; the k CHILD centroids stay a distributed
+    * relation grouped into one sorted struct array per super-cell
+    * (g rows) that equi-joins onto the rows of its super-cell (AQE
+    * broadcasts it while √k·d fits; past that it's a plain shuffle join
+    * on g keys), where the codegen'd [[graft.functions.NearestChildCell]]
+    * loop picks the final cell. Assignment is O(n·2√k) FLOPs with driver
+    * state O(√k) — so k can grow ∝ n (constant per-cell population,
+    * LINEAR pair volume) while assignment grows n·√n/√c with c the cell
+    * capacity, and nothing ever materializes n×k rows or collects k rows
+    * to the driver.
+    *
+    * Determinism (the oracle contract): super seeds are the first g
+    * corpus ids ([[seedCentroids]]); child seeds are the first k corpus
+    * ids, each attached to ITS OWN nearest super (so the child relation
+    * is replayable in SQL from the same two argmin rules); both argmins
+    * are round-6 d² with the smaller-cell tie-break. A super-cell that
+    * drew no child seeds falls back to cell = −1−super (rows there pair
+    * among themselves, exactly like a 1-child cell). Pair semantics and
+    * the [[guardCellPairs]] budget are identical to the flat rungs.
+    */
+  def hierCellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame = {
+    val assigned = hierAssignCells(df, idCol, vecCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cellPairs(assigned, threshold, maxCellPairs,
+        "hierCellNearDupPairs")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** Two-level assignment for [[hierCellNearDupPairs]]: (id, v, n, cell).
+    * Package-private so the spec can pin flat==hier parity of the final
+    * cells against an independently-computed ground truth. */
+  private[graft] def hierAssignCells(df: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"hierAssignCells needs k >= 1 (got $k)")
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val superCents = seedCentroidsDriver(df, idCol, vecCol, g)
+    // child pool: the first k ids, each under its own nearest super —
+    // a pushed-down id<k filter (O(k) work), never a per-super top-m sort
+    val childArr = df
+      .filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("ccell"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("super", nearestCell(col("cv"), superCents))
+      .groupBy("super")
+      .agg(sort_array(collect_list(struct(col("ccell"), col("cv"))))
+        .as("__children"))
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("super", nearestCell(col("v"), superCents))
+      .join(childArr, Seq("super"), "left")
+      .withColumn("cell",
+        coalesce(nearestChild(col("v"), col("__children")),
+          lit(-1L) - col("super")))
+      // narrow projection BEFORE the pair join: the √k·d child array must
+      // not ride into the shuffle
+      .select(col("id"), col("v"), col("n"), col("cell"))
+  }
+
+  /** Column-borne nearest-centroid argmin (see
+    * [[graft.functions.NearestChildCell]]). */
+  private def nearestChild(v: Column, children: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestChildCell(
+      ColumnBridge.expression(v), ColumnBridge.expression(children)))
   }
 
   /** Driver-held seed centroids (the [[seedCentroids]] table collected in

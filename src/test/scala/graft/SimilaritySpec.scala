@@ -622,6 +622,68 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._1 == 0, s"tie must break toward the smaller cell: $got")
   }
 
+  test("NearestChildCell: identical assignment (incl. rounded-d2 ties " +
+      "toward the smaller cell) to NearestCentroid over the same table") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cents = Seq((0, Seq(1.0)), (1, Seq(2.0)), (2, Seq(9.0)))
+    // same table as a column-borne sorted struct array
+    val childLit = typedLit(cents.map { case (c, v) => (c.toLong, v) })
+    val pts = Seq(0.5, 1.5, 2.2, 8.0, 100.0, -3.0).toDF("x")
+      .select(array($"x").as("v"))
+    val got = pts.select(
+        Similarity.nearestCell($"v", cents).as("lit_cell"),
+        ColumnBridge.column(graft.functions.NearestChildCell(
+          ColumnBridge.expression($"v"),
+          ColumnBridge.expression(childLit))).as("col_cell"))
+      .as[(Int, Long)].collect().toSeq
+    got.foreach { case (l, c) => assert(c == l.toLong, s"col $c != lit $l") }
+    assert(got(1)._2 == 0L, s"1.5 equidistant to cells 0/1 must pick 0: $got")
+    // empty child array -> null (the caller's fallback branch)
+    val empty = pts.limit(1).select(
+      ColumnBridge.column(graft.functions.NearestChildCell(
+        ColumnBridge.expression($"v"),
+        ColumnBridge.expression(typedLit(Seq.empty[(Long, Seq[Double])]))))
+        .isNull.as("n")).as[Boolean].head()
+    assert(empty, "empty children must yield null, not a crash")
+  }
+
+  test("hierAssignCells: identical supers reduce to the flat argmin over " +
+      "the whole child pool (degenerate one-region parity)") {
+    // first g=2 seeds identical at x=0 -> every vector's super is 0 (the
+    // rounded-d2 tie-break), children of super 0 = ids < k=4, so the hier
+    // cell IS the flat single-level argmin over seeds {0,1,2,3}
+    val pts = Map(0L -> 0.0, 1L -> 0.0, 2L -> 5.0, 3L -> 10.0,
+      4L -> 5.2, 5L -> 9.1)
+    val a = pts.toSeq.toDF("vec_id", "x")
+      .select($"vec_id", array($"x").as("embedding"))
+    val got = Similarity.hierAssignCells(a, "vec_id", "embedding", k = 4)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val seeds = pts.filter(_._1 < 4L)
+    def flat(x: Double): Long = seeds.toSeq.sortBy(_._1)
+      .minBy { case (id, c) => (round6((x - c) * (x - c)), id) }._1
+    val want = pts.map { case (id, x) => id -> flat(x) }
+    assert(got == want, s"hier $got != flat $want")
+  }
+
+  test("hierAssignCells: a super left childless by round-6 ties takes the " +
+      "fallback cell -1-super") {
+    // Every super normally contains its own seed as a child (g <= k), so
+    // the fallback needs rounding to empty one: supers c0 = 0.0 and
+    // c1 = 0.0005 round-tie for EVERY pool member (d2 diffs < 5e-7 round
+    // to equal -> tie-break to super 0), leaving super 1 childless, while
+    // the far vector x = 100 is STRICTLY nearer c1 (9999.900000 <
+    // 10000.000000 after round-6) and lands in the empty super.
+    val b = Seq(0L -> 0.0, 1L -> 0.0005, 2L -> 0.0001, 5L -> 100.0)
+      .toDF("vec_id", "x").select($"vec_id", array($"x").as("embedding"))
+    val got = Similarity.hierAssignCells(b, "vec_id", "embedding", k = 3)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(got(5L) == -2L, s"childless super 1 must yield -1-1 = -2: $got")
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L,
+      s"near-identical pool members all round-tie into cell 0: $got")
+  }
+
   test("ivfPq: one coarse cell + per-point residual codebooks is exact — " +
       "d2(q-c, x-c) = d2(q, x), so ranking matches brute-force L2") {
     import spark.implicits._
