@@ -1,7 +1,14 @@
 package graft
 import org.apache.spark.sql.functions._
 /** One-off scale measurement (dev main, not a test): 1M synthetic docs with
-  * planted dup structure, timing the dedup ladder end-to-end at local[32]. */
+  * planted dup structure, timing the dedup ladder end-to-end at local[32].
+  *
+  * TIMING ACTION: `.count()` on the final frame — the pre-round-12 series.
+  * Fine here because every timed frame ends in an aggregation/group the
+  * count must consume, but NOT comparable to the r12+ noop bench pins
+  * (count lets Catalyst prune unreferenced projections — see
+  * BENCH_ACTION_AUDIT.json); COVERAGE.md stamps each quoted number with
+  * its action accordingly. */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
