@@ -55,7 +55,11 @@ object BenchPins {
     "q123_text_normalize" -> 0.226, "q124_hamming_topk" -> 0.639,
     "q125_matryoshka" -> 0.394, "q126_shared_spans" -> 1.483,
     "q127_bpe_encode" -> 1.564, "q128_cc_luhn" -> 0.196,
-    "q129_script_shares" -> 0.740, "q12_nullsafe_filter" -> 0.279,
+    // q129 re-pinned after the CharClassCounts fusion (round 13): one
+    // table-lookup pass replaced six regexp_replace passes + six stripped
+    // string copies per doc — isolated noop warm-min 0.551 at sf0.1,
+    // 1.73 s at sf10 (was 61.9 s; 36x, slope 9.15 -> ~1.8x/decade)
+    "q129_script_shares" -> 0.551, "q12_nullsafe_filter" -> 0.279,
     "q130_quality_gate" -> 0.908, "q131_skew_report" -> 0.187,
     "q132_merge_upsert" -> 0.349, "q133_heavy_hitters" -> 0.932,
     "q134_fuzzy_match" -> 0.802, "q135_scd2" -> 0.231,

@@ -696,11 +696,17 @@ object TextQueries extends QueryGroup {
   val q129ScriptShares = QueryDef(
     "q129_script_shares",
     (s, d) => {
-      val counts = TextAnalysis.ScriptRanges.map { case (n, r) =>
-        sum(TextAnalysis.scriptCount(col("text"), r).cast("bigint"))
-          .cast("bigint").as(s"${n}_chars")
+      // ONE CharClassCounts pass per document (projected BEFORE the agg so
+      // the array is computed once, not re-derived per aggregate input),
+      // replacing six regexp_replace passes + six stripped-string copies
+      // per doc — same values, spec-pinned parity with scriptCount
+      val counts = TextAnalysis.ScriptRanges.zipWithIndex.map {
+        case ((n, _), i) =>
+          sum(element_at(col("__sc"), i + 1).cast("bigint"))
+            .cast("bigint").as(s"${n}_chars")
       }
       Tables.documents(s, d)
+        .withColumn("__sc", TextAnalysis.scriptCounts(col("text")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), counts: _*)
         .withColumn("dominant", TextAnalysis.dominantScript(

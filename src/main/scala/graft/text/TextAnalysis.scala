@@ -79,6 +79,34 @@ object TextAnalysis {
   def scriptCount(text: Column, ranges: String): Column =
     length(regexp_replace(text, s"[^$ranges]", ""))
 
+  /** Parse a ScriptRanges class string ("A-Za-zÀ-ɏ" style:
+    * `a-b` pairs or bare singletons) into intervals. */
+  private def parseRanges(ranges: String): Seq[(Char, Char)] = {
+    val out = Seq.newBuilder[(Char, Char)]
+    var i = 0
+    while (i < ranges.length) {
+      if (i + 2 < ranges.length && ranges.charAt(i + 1) == '-') {
+        out += ((ranges.charAt(i), ranges.charAt(i + 2))); i += 3
+      } else { out += ((ranges.charAt(i), ranges.charAt(i))); i += 1 }
+    }
+    out.result()
+  }
+
+  /** ALL script counts in ONE pass: array<int> aligned with
+    * [[ScriptRanges]] order, via the codegen
+    * [[graft.functions.CharClassCounts]] table loop — the fused form of
+    * one [[scriptCount]] per script, which pays |scripts| regex passes
+    * and |scripts| stripped-string allocations per document. Bit-count
+    * parity with the regex form is spec-pinned (TextAnalysisSpec),
+    * including null text (null array), non-BMP surrogates (counted by
+    * neither), and empty strings. */
+  def scriptCounts(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CharClassCounts(
+      ColumnBridge.expression(text),
+      ScriptRanges.map { case (_, r) => parseRanges(r) }))
+  }
+
   /** Dominant script from per-script counts, ties toward the
     * alphabetically smaller name (least over (-count, name) structs — the
     * same argmin-as-struct-ordering move the quantizers use). Returns

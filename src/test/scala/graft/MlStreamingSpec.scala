@@ -183,6 +183,62 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: saved-tokenizer encode over MemoryStream == batch encode " +
+      "(BPE merges + Unigram vocab as stream-static driver state)") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+    // the q127/q292 fixtures and the q298/q299 build-once discipline:
+    // learn ONCE on the batch corpus, persist the tiny ordered artifact,
+    // then encode any later batch OR stream from the loaded table — the
+    // encode projection is pure (codegen Column chain, no window, no
+    // shuffle), so it is streaming-legal as-is; this pins the last
+    // batch/stream asymmetry in the text family closed
+    val artDir = java.nio.file.Files
+      .createTempDirectory("tok_stream").toString
+    graft.text.Bpe.saveMerges(spark,
+      graft.text.Bpe.learnMerges(docs, col("text"), 8), s"$artDir/merges")
+    graft.text.Unigram.save(spark,
+      graft.text.Unigram.learn(docs, col("text"), maxPieceLen = 4,
+        seedSize = 200, vocabSize = 48, rounds = 2, maxWordLen = 16),
+      s"$artDir/vocab")
+    val merges = graft.text.Bpe.loadMerges(spark, s"$artDir/merges")
+    val vocab = graft.text.Unigram.load(spark, s"$artDir/vocab")
+    def project(df: org.apache.spark.sql.DataFrame) = {
+      val bpe = graft.text.Bpe.encode(df, col("text"), merges)
+      graft.text.Unigram.encode(bpe, col("text"), vocab,
+          maxPieceLen = 4, maxWordLen = 16)
+        .select(col("doc_id"),
+          md5(concat_ws("|", col("bpe_tokens"))).as("bpe_md5"),
+          col("n_bpe_tokens"),
+          md5(concat_ws("|", col("unigram_tokens"))).as("uni_md5"),
+          col("n_unigram_tokens"))
+    }
+    val batchIn = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val want = project(batchIn)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3), r.getInt(4))).toMap
+    assert(want.nonEmpty, "fixture must encode something")
+    val rows = batchIn.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = project(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("tok_stream_test")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: parity must hold across batch boundaries
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("tok_stream_test")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getString(3), r.getInt(4))).toMap
+      assert(got == want,
+        s"stream encode diverged from batch on ${
+          (got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k))}")
+    } finally q.stop()
+  }
+
   test("streaming: dropDuplicatesWithinWatermark dedups event ids across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

@@ -552,6 +552,47 @@ class TextDedupSpec extends SparkSpec {
     assert(got(8L)._2 == "cyrillic", "tie must break to the smaller name")
   }
 
+  test("scriptCounts (fused one-pass CharClassCounts) == per-script " +
+      "scriptCount regex form on nulls, empties, surrogates, and mixes") {
+    val rows = Seq(
+      (1L, "你好世界"),
+      (2L, "Привет abc"),
+      (3L, "γειά σου"),
+      (4L, "안녕 ᄀᇿ 가힯 edges"),
+      (5L, "مرحبا ݐݿ"),
+      (6L, "abc ABC Àɏ xyz 123"),
+      (7L, ""),                                       // empty
+      (8L, null.asInstanceOf[String]),                // null -> null array
+      (9L, "a😀b𝕏"),             // emoji + math bold:
+      // surrogates match NO class in either form (regex drops the
+      // codepoint; the char loop counts neither surrogate)
+      (10L, "؀ۿЀӿͰϿ mixed boundary chars"))
+      .toDF("id", "t")
+    val regexCols = TextAnalysis.ScriptRanges.map { case (n, r) =>
+      TextAnalysis.scriptCount(col("t"), r).as(s"rx_$n")
+    }
+    val fused = TextAnalysis.scriptCounts(col("t")).as("sc")
+    val got = rows.select(col("id") +: fused +: regexCols: _*).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) {
+        // null text: every regex count is null too
+        (2 until r.length).foreach(i => assert(r.isNullAt(i),
+          s"id=$id: fused null but regex col $i is not"))
+      } else {
+        val sc = r.getSeq[Int](1)
+        TextAnalysis.ScriptRanges.indices.foreach { i =>
+          assert(sc(i) == r.getInt(2 + i),
+            s"id=$id script ${TextAnalysis.ScriptRanges(i)._1}: " +
+              s"fused ${sc(i)} != regex ${r.getInt(2 + i)}")
+        }
+      }
+    }
+    // non-vacuity: the surrogate row counted exactly its BMP latin chars
+    val row9 = got.find(_.getLong(0) == 9L).get
+    assert(row9.getSeq[Int](1).sum == 2, "only 'a' and 'b' count in row 9")
+  }
+
   test("htmlToText: scripts/styles/comments vanish, blocks break, entities decode once") {
     import graft.text.HtmlText
     val html = """<HTML><head><TITLE> My &amp; Title </TITLE>
