@@ -1118,6 +1118,15 @@ object Similarity {
       .select(col("id"), col("v"), col("n"), col("cell"))
   }
 
+  /** UN-checkpointed hier pair plan — PlanSpec's probe (the
+    * [[cellPairsPlanProbe]] convention: the public operator eagerly
+    * localCheckpoints, truncating the lineage a plan assertion needs). */
+  private[graft] def hierCellPairsPlanProbe(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame =
+    cellPairs(hierAssignCells(df, idCol, vecCol, k), threshold,
+      maxCellPairs, "hierCellNearDupPairs")
+
   /** Column-borne nearest-centroid argmin (see
     * [[graft.functions.NearestChildCell]]). */
   private def nearestChild(v: Column, children: Column): Column = {

@@ -91,6 +91,20 @@ class PlanSpec extends SparkSpec {
       p.contains("HashJoin [cell"), s"pair join not keyed on cell:\n$p")
   }
 
+  test("q300 hier rung: child arrays arrive by an EQUI join on super " +
+      "(no cartesian), the pair join stays keyed on cell, and the " +
+      "maxCellPairs guard rides the plan") {
+    val e = Tables.embeddings(spark, sf001)
+    val p = planOf(graft.sim.Similarity.hierCellPairsPlanProbe(
+      e, "vec_id", "embedding", k = 8, 0.4))
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian in plan")
+    assert(p.contains("raise_error"), "maxCellPairs budget guard not in plan")
+    assert("Join.*\\[cell".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [cell"), s"pair join not keyed on cell:\n$p")
+    assert("Join.*\\[super".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [super"), s"child join not keyed on super:\n$p")
+  }
+
   test("q67: as-of join is one keyed shuffle + window — no range cross join") {
     val p = planOf(graft.queries.MlStreamQueries.q67AsofJoin.fn(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
