@@ -166,6 +166,11 @@ object BenchPins {
     // two-level quantizer pays two argmin stages + a g-key join at small
     // n to buy the sub-n^1.5 slope (its value is at sf10, not here)
     "q300_hier_cell_clusters" -> 2.026,
+    // q301 pinned at creation (round 13): isolated noop warm-min 1.855
+    // (runs 1.855/1.987/2.263, the last two before the lazy-k fix that
+    // skips the corpus count on cache hit); the saved-artifact twin of
+    // q300 — at sf0.1 the pair/components tail dominates both
+    "q301_hier_clusters_saved" -> 1.855,
     "q29_try_cast" -> 0.156, "q30_winsorize" -> 0.603,
     "q31_date_agg" -> 0.329, "q32_json_extract" -> 0.411,
     "q33_tumbling_window" -> 0.468, "q34_window_suite" -> 0.216,

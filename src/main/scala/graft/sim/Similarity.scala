@@ -1098,14 +1098,26 @@ object Similarity {
     val superCents = seedCentroidsDriver(df, idCol, vecCol, g)
     // child pool: the first k ids, each under its own nearest super —
     // a pushed-down id<k filter (O(k) work), never a per-super top-m sort
-    val childArr = df
+    val children = df
       .filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("ccell"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("super", nearestCell(col("cv"), superCents))
-      .groupBy("super")
+    hierAssign(df, idCol, vecCol, superCents, groupChildren(children))
+  }
+
+  /** (super, ccell, cv) child relation → one sorted struct array per
+    * super-cell (g rows; sorted ascending by ccell = the
+    * [[graft.functions.NearestChildCell]] tie-break order). */
+  private def groupChildren(children: DataFrame): DataFrame =
+    children.groupBy("super")
       .agg(sort_array(collect_list(struct(col("ccell"), col("cv"))))
         .as("__children"))
+
+  /** The shared two-stage assignment tail: driver-held super argmin, then
+    * the per-super child-array argmin off the g-key equi join. */
+  private def hierAssign(df: DataFrame, idCol: String, vecCol: String,
+      superCents: Seq[(Int, Seq[Double])], childArr: DataFrame): DataFrame =
     df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("super", nearestCell(col("v"), superCents))
@@ -1116,6 +1128,67 @@ object Similarity {
       // narrow projection BEFORE the pair join: the √k·d child array must
       // not ride into the shuffle
       .select(col("id"), col("v"), col("n"), col("cell"))
+
+  /** Persist the two-level quantizer — the build-once/assign-many form of
+    * [[hierAssignCells]] (the save/load discipline every other index
+    * here carries: q143 IVF, q264 IVF-PQ, q288 substring, q290 LSH
+    * bands). Layout: `dir/meta` (k, g), `dir/supers` (cell, centroid —
+    * g rows), `dir/children` (super, ccell, cv) partitioned by super
+    * (bounded directory count: g = ⌈√k⌉). Assigning a batch from the
+    * saved artifact reads g rows to the DRIVER (the O(√k) contract) and
+    * keeps the k child centroids distributed.
+    */
+  def saveHierQuantizer(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dir: String): Unit = {
+    require(k >= 1, s"saveHierQuantizer needs k >= 1 (got $k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val superCents = seedCentroidsDriver(df, idCol, vecCol, g)
+    superCents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supers")
+    df.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("ccell"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("super", nearestCell(col("cv"), superCents))
+      .write.mode("overwrite").partitionBy("super")
+      .parquet(s"$dir/children")
+    Seq((k, g)).toDF("k", "g")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Assign a batch from a SAVED quantizer: identical cells to
+    * [[hierAssignCells]] when the quantizer was built on the same corpus
+    * (spec-pinned relation equality) — the batch never re-derives seeds,
+    * so assignment cost tracks the BATCH, not the training corpus. */
+  def hierAssignSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // bounded driver barrier: g = ceil(sqrt(k)) super centroids
+    val superCents = spark.read.parquet(s"$dir/supers")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+    val childArr = groupChildren(spark.read.parquet(s"$dir/children")
+      .select(col("super").cast("int").as("super"), col("ccell"), col("cv")))
+    hierAssign(batch, idCol, vecCol, superCents, childArr)
+  }
+
+  /** [[hierCellNearDupPairs]] from a SAVED quantizer — same pair
+    * semantics and [[guardCellPairs]] budget; the quantizer artifact is
+    * built once and amortized across runs (the q298/q299 convention:
+    * built on the same corpus, the results are identical, so the SAME
+    * oracle applies and the timing delta is the amortized build cost). */
+  def hierCellNearDupPairsSaved(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCellPairs: Long = 2000000000L): DataFrame = {
+    val assigned = hierAssignSaved(spark, dir, df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cellPairs(assigned, threshold, maxCellPairs,
+        "hierCellNearDupPairsSaved")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** UN-checkpointed hier pair plan — PlanSpec's probe (the

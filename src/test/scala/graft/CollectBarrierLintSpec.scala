@@ -29,7 +29,7 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "text/DedupOps.scala" -> 1,    // adaptive CC edges, HARD-capped ≤200k
     "Bench.scala" -> 2,            // JVM warmup actions (1-row / limit 10)
     "Preprocessing.scala" -> 1,    // union of tiny column aggregates
-    "sim/Similarity.scala" -> 6,   // centroid/cell tables (≤nLists each); splitCell's 2-row seed; seedCentroidsDriver (≤k rows)
+    "sim/Similarity.scala" -> 7,   // centroid/cell tables (≤nLists each); splitCell's 2-row seed; seedCentroidsDriver (≤k rows); hierAssignSaved supers (≤⌈√k⌉ rows)
     "sim/Opq.scala" -> 1,          // loadRotation (≤kOut rows)
     "text/Unigram.scala" -> 4,     // seed top/chars + per-round usage + load (all ≤seedSize+alphabet / vocab-bounded)
     "sim/Pca.scala" -> 1,          // dim²/2 covariance upper triangle

@@ -667,6 +667,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"hier $got != flat $want")
   }
 
+  test("saveHierQuantizer -> hierAssignSaved reproduces the inline " +
+      "hierAssignCells relation exactly, and the artifact carries the " +
+      "(supers, children-by-super, meta) layout") {
+    val pts = Seq(0L -> 0.0, 1L -> 0.0, 2L -> 5.0, 3L -> 10.0,
+        4L -> 5.2, 5L -> 9.1, 6L -> 0.4, 7L -> 7.7)
+      .toDF("vec_id", "x").select($"vec_id", array($"x").as("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("hierq").toString
+    Similarity.saveHierQuantizer(pts, "vec_id", "embedding", k = 4, dir)
+    def rel(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    val inline = rel(Similarity.hierAssignCells(
+      pts, "vec_id", "embedding", k = 4))
+    val saved = rel(Similarity.hierAssignSaved(
+      spark, dir, pts, "vec_id", "embedding"))
+    assert(saved == inline, s"saved $saved != inline $inline")
+    assert(inline.map(_._2).size > 1, "fixture must use more than one cell")
+    // layout: supers has g = ceil(sqrt(4)) = 2 rows; children partitioned
+    val supers = spark.read.parquet(s"$dir/supers")
+    assert(supers.count() == 2L)
+    val childDirs = new java.io.File(s"$dir/children").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(childDirs.nonEmpty && childDirs.forall(_.startsWith("super=")))
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    assert(meta.getInt(0) == 4 && meta.getInt(1) == 2)
+    // a NEW batch (not in the training corpus) assigns from the artifact
+    // without touching the corpus: nearest child of x=4.8 is seed 2 (x=5)
+    val batch = Seq(100L -> 4.8).toDF("vec_id", "x")
+      .select($"vec_id", array($"x").as("embedding"))
+    val b = rel(Similarity.hierAssignSaved(
+      spark, dir, batch, "vec_id", "embedding"))
+    assert(b == Set((100L, 2L)), s"batch assign: $b")
+  }
+
   test("hierAssignCells: a super left childless by round-6 ties takes the " +
       "fallback cell -1-super") {
     // Every super normally contains its own seed as a child (g <= k), so
