@@ -239,6 +239,43 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: saved hierarchical-quantizer assignment over " +
+      "MemoryStream == batch assignment (stream-static: driver supers + " +
+      "child-array equi join)") {
+    implicit val sql = spark.sqlContext
+    val pts = Seq(0L -> 0.0, 1L -> 0.0, 2L -> 5.0, 3L -> 10.0,
+        4L -> 5.2, 5L -> 9.1, 6L -> 0.4, 7L -> 7.7)
+      .toDF("vec_id", "x")
+      .select($"vec_id", array($"x").as("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("hierq_stream").toString
+    graft.sim.Similarity.saveHierQuantizer(
+      pts, "vec_id", "embedding", k = 4, dir)
+    // the incoming stream includes vectors the quantizer never saw
+    val rows = Seq(0L -> 0.0, 4L -> 5.2, 100L -> 4.8, 101L -> 9.9)
+    val want = graft.sim.Similarity.hierAssignSaved(spark, dir,
+        rows.toDF("vec_id", "x")
+          .select($"vec_id", array($"x").as("embedding")),
+        "vec_id", "embedding")
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val mem = MemoryStream[(Long, Double)]
+    val assigned = graft.sim.Similarity.hierAssignSaved(spark, dir,
+      mem.toDF().toDF("vec_id", "x")
+        .select($"vec_id", array($"x").as("embedding")),
+      "vec_id", "embedding").select("id", "cell")
+    val q = assigned.writeStream.format("memory")
+      .queryName("hierq_stream_test").outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("hierq_stream_test")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"stream assign $got != batch $want")
+    } finally q.stop()
+  }
+
   test("streaming: dropDuplicatesWithinWatermark dedups event ids across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
