@@ -59,6 +59,8 @@ def main() -> None:
         sys.exit("no common queries between the two artifacts")
     pairs = [(k, float(cq[k]), float(pq[k])) for k in common
              if float(cq[k]) > 0 and float(pq[k]) > 0]
+    if not pairs:
+        sys.exit("no positive-time common queries to compare")
     regressions = {k: {"cur": c, "prev": p, "ratio": round(c / p, 3)}
                    for k, c, p in pairs
                    if c / p > ratio and c - p > floor}
