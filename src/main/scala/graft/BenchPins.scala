@@ -164,7 +164,8 @@ object BenchPins {
     // q300 pinned at creation (round 13): warm-min of two isolated noop
     // dev runs, 2.026/2.511 s. Slower than q297 at sf0.1 BY DESIGN — the
     // two-level quantizer pays two argmin stages + a g-key join at small
-    // n to buy the sub-n^1.5 slope (its value is at sf10, not here)
+    // n to buy the ~2x/decade measured slope and linear pair volume
+    // (its value is at sf10, not here)
     "q300_hier_cell_clusters" -> 2.026,
     // q301 pinned at creation (round 13): isolated noop warm-min 1.855
     // (runs 1.855/1.987/2.263, the last two before the lazy-k fix that

@@ -26,9 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * (BigDecimal.valueOf → setScale(6, HALF_UP)); centroids are visited in
   * ascending cell order with a strict `<`, which IS the lexicographic
   * (d2, cell) least. Null-element behavior matches the non-strict
-  * DotProduct (element null flags ignored, value read as stored). NaN
-  * distances are never produced by finite inputs (the only inputs the
-  * suite feeds).
+  * DotProduct (element null flags ignored, value read as stored). A NaN
+  * distance (NaN vector components) sorts LAST via Double.compare —
+  * finite distances always win, matching the SQL ORDER BY the oracles
+  * replay and the NearestChildCell twin.
   */
 case class NearestCentroid(child: Expression, cells: Seq[Int],
     cents: Seq[Seq[Double]]) extends UnaryExpression {
@@ -78,9 +79,11 @@ case class NearestCentroid(child: Expression, cells: Seq[Int],
 
 object NearestCentroid {
 
-  /** Spark's Round on double: BigDecimal.valueOf → setScale(6, HALF_UP). */
+  /** Spark's Round on double: BigDecimal.valueOf → setScale(6, HALF_UP);
+    * NaN/Infinity pass through unchanged, exactly as Spark's RoundBase. */
   private def round6(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Shared by interpreted eval and codegen — one tight JIT-friendly loop. */
@@ -100,7 +103,12 @@ object NearestCentroid {
       i = 0
       while (i < m) { sc += v.getDouble(i) * c(i); i += 1 }
       val d2 = round6(vv - 2.0 * sc + ccs(k))
-      if (best < 0 || d2 < bestD) { best = cells(k); bestD = d2 }
+      // Double.compare, not `<`: NaN sorts LAST (the SQL ORDER BY contract,
+      // and parity with NearestChildCell); round6 never yields -0.0, so
+      // compare==`<` on everything else
+      if (best < 0 || java.lang.Double.compare(d2, bestD) < 0) {
+        best = cells(k); bestD = d2
+      }
       k += 1
     }
     best

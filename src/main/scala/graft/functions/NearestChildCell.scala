@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * row with the same left-to-right order, which is bit-identical to what
   * constant folding produces for literal centroids. Null or empty child
   * array → null (the caller's fallback-cell branch handles childless
-  * super-cells). One tight JIT-friendly loop in both interpreted and
-  * generated paths.
+  * super-cells); null ELEMENTS inside the array are skipped. NaN
+  * distances sort last (java.lang.Double.compare), matching the SQL
+  * ORDER BY the oracle replays. One tight JIT-friendly loop in both
+  * interpreted and generated paths.
   */
 case class NearestChildCell(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -58,10 +60,13 @@ case class NearestChildCell(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, ch) => {
+      // fresh local per instance (the DotProduct convention): two of these
+      // expressions compiled into one generated method must not collide
+      val ncc = ctx.freshName("ncc")
       s"""
-        Object __ncc = graft.functions.NearestChildCell.assign($v, $ch);
-        if (__ncc == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = ((Long) __ncc).longValue(); }
+        Object $ncc = graft.functions.NearestChildCell.assign($v, $ch);
+        if ($ncc == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((Long) $ncc).longValue(); }
       """
     })
 
@@ -72,9 +77,11 @@ case class NearestChildCell(left: Expression, right: Expression)
 
 object NearestChildCell {
 
-  /** Spark's Round on double: BigDecimal.valueOf → setScale(6, HALF_UP). */
+  /** Spark's Round on double: BigDecimal.valueOf → setScale(6, HALF_UP);
+    * NaN/Infinity pass through unchanged, exactly as Spark's RoundBase. */
   private def round6(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Shared by interpreted eval and codegen — one tight loop; returns a
@@ -91,20 +98,30 @@ object NearestChildCell {
     var found = false
     var k = 0
     while (k < nc) {
-      val row: InternalRow = children.getStruct(k, 2)
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val cell = row.getLong(0)
-        val c = row.getArray(1)
-        val m = math.min(n, c.numElements())
-        var sc = 0.0
-        var cc = 0.0
-        i = 0
-        while (i < m) { sc += v.getDouble(i) * c.getDouble(i); i += 1 }
-        i = 0
-        val cl = c.numElements()
-        while (i < cl) { cc += c.getDouble(i) * c.getDouble(i); i += 1 }
-        val d2 = round6(vv - 2.0 * sc + cc)
-        if (!found || d2 < bestD) { best = cell; bestD = d2; found = true }
+      // containsNull=true arrays are legal input: a null struct element is
+      // skipped, exactly like a null-field element
+      if (!children.isNullAt(k)) {
+        val row: InternalRow = children.getStruct(k, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val cell = row.getLong(0)
+          val c = row.getArray(1)
+          val m = math.min(n, c.numElements())
+          var sc = 0.0
+          var cc = 0.0
+          i = 0
+          while (i < m) { sc += v.getDouble(i) * c.getDouble(i); i += 1 }
+          i = 0
+          val cl = c.numElements()
+          while (i < cl) { cc += c.getDouble(i) * c.getDouble(i); i += 1 }
+          val d2 = round6(vv - 2.0 * sc + cc)
+          // Double.compare, not `<`: NaN compares LARGER than every finite
+          // distance (the SQL ORDER BY contract — NaN sorts last), so a
+          // NaN-distance child can never shadow a finite one; round6 never
+          // yields -0.0, so compare==`<` on everything else
+          if (!found || java.lang.Double.compare(d2, bestD) < 0) {
+            best = cell; bestD = d2; found = true
+          }
+        }
       }
       k += 1
     }

@@ -1766,20 +1766,21 @@ object SimQueries extends QueryGroup {
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
-  /** Hierarchical two-level quantizer rung (Similarity.hierCellNearDupPairs)
-    * — the sub-n^1.5 assignment path q297's flat posture cannot reach.
+  /** Hierarchical two-level quantizer rung (Similarity.hierCellNearDupPairs).
     * k = max(8, ceil(n/64)) grows ∝ n (constant ~64 per-cell population →
-    * LINEAR pair volume), but assignment is two O(√k) argmin loops instead
-    * of one O(k): g=⌈√k⌉ driver-held super centroids (codegen
-    * NearestCentroid), then the per-super child array via the codegen
-    * NearestChildCell equi-join — O(n·2√k) FLOPs, driver state O(√k),
-    * distributed child relation (the q143 saved-IVF layout made inline).
-    * q297 balances at n^1.5 because k∝n would make its ONE flat argmin
-    * quadratic; the tree removes that constraint, so this rung keeps both
-    * legs sub-n^1.5 and is where the q92/q269 budget raise now points.
-    * Exactly oracled: both argmin stages (round-6 d², smaller-cell
-    * tie-break), the first-k child pool, and the childless-super fallback
-    * replay in SQL with k and g computed from COUNT(*). */
+    * LINEAR pair volume, where q297's fixed-per-n^0.5-k posture pays
+    * n^1.5 pair volume), and assignment is two O(√k) argmin loops instead
+    * of one O(k): g=⌈√k⌉ super centroids (driver literals under the
+    * SuperLiteralMax gate, a broadcast column-borne array past it —
+    * driver state O(1) at any scale), then the per-super child array via
+    * the codegen NearestChildCell equi-join. Honest exponent: O(n·2√k)
+    * FLOPs is still Θ(n^1.5) at k∝n — the win over q297 is the ~1/16
+    * constant and the linear pair/shuffle volume, measured 2.0-2.1×/decade
+    * at sf10 (the constant-dominated regime); q92/q269's budget raise
+    * points here. Exactly oracled: both argmin stages (round-6 d²,
+    * smaller-cell tie-break), the first-k child pool, and the
+    * childless-super fallback replay in SQL with k and g computed from
+    * COUNT(*). */
   val q300HierCellClusters = QueryDef(
     "q300_hier_cell_clusters",
     (s, d) => {

@@ -910,8 +910,8 @@ object Similarity {
               "oversized cells (splitOversizedCells/q294), move to a " +
               "quantizer that grows with the corpus " +
               "(cellScopedNearDupPairsL2/q297, or hierCellNearDupPairs/" +
-              "q300 for sub-n^1.5 assignment), or raise maxCellPairs " +
-              "deliberately")))
+              "q300 for O(√k)-per-row assignment with linear pair " +
+              "volume), or raise maxCellPairs deliberately")))
             .cast("array<double>"))
           .otherwise(col("v")))
       .drop("__cellPairs")
@@ -1050,22 +1050,31 @@ object Similarity {
     out
   }
 
-  /** HIERARCHICAL (two-level) scale rung of [[cellScopedNearDupPairs]] —
-    * the sub-n^1.5 assignment path the flat rungs cannot have. The flat
-    * k-grows-with-n posture ([[cellScopedNearDupPairsL2]]/q297) balances
-    * its O(n·k) brute assignment against the O(n²/k) pair space at
-    * k=√n → n^1.5 on both legs. Here the quantizer is a TREE: g=⌈√k⌉
-    * driver-held SUPER centroids assign every row in one codegen'd
-    * [[nearestCell]] loop; the k CHILD centroids stay a distributed
-    * relation grouped into one sorted struct array per super-cell
-    * (g rows) that equi-joins onto the rows of its super-cell (AQE
-    * broadcasts it while √k·d fits; past that it's a plain shuffle join
-    * on g keys), where the codegen'd [[graft.functions.NearestChildCell]]
-    * loop picks the final cell. Assignment is O(n·2√k) FLOPs with driver
-    * state O(√k) — so k can grow ∝ n (constant per-cell population,
-    * LINEAR pair volume) while assignment grows n·√n/√c with c the cell
-    * capacity, and nothing ever materializes n×k rows or collects k rows
-    * to the driver.
+  /** HIERARCHICAL (two-level) scale rung of [[cellScopedNearDupPairs]].
+    * The flat k-grows-with-n posture ([[cellScopedNearDupPairsL2]]/q297)
+    * balances its O(n·k) brute assignment against the O(n²/k) pair space
+    * at k=√n → n^1.5 on BOTH legs, with n^1.5 PAIR VOLUME. Here the
+    * quantizer is a TREE: g=⌈√k⌉ SUPER centroids assign every row in one
+    * codegen'd argmin loop (driver literals while g ≤
+    * [[SuperLiteralMax]]; past the gate a column-borne 1-row array
+    * broadcast-joined in — driver state O(1), see [[SuperSide]]); the k
+    * CHILD centroids stay a distributed relation grouped into one sorted
+    * struct array per super-cell (g rows) that equi-joins onto the rows
+    * of its super-cell (AQE broadcasts it while √k·d fits; past that
+    * it's a plain shuffle join on g keys), where the codegen'd
+    * [[graft.functions.NearestChildCell]] loop picks the final cell.
+    *
+    * The honest exponent: with k∝n (the documented k=⌈n/64⌉ posture),
+    * assignment is O(n·2√k) = Θ(n^1.5) FLOPs — the SAME exponent as the
+    * flat rung's total, but with a ~(2/√k)·k = 2√k-vs-k constant (≈1/16
+    * at k=4096) and, decisively, LINEAR pair volume instead of n^1.5:
+    * per-cell population stays ~constant, so the within-cell pair space
+    * — the leg that dominates wall-clock and shuffle bytes — grows ∝ n.
+    * The measured 2.0-2.1×/decade at sf10 is this constant-dominated
+    * regime, not a sub-n^1.5 asymptote; a depth-ℓ generalization
+    * (assignment O(n·ℓ·k^(1/ℓ))) would be genuinely sub-n^1.5 in FLOPs.
+    * Nothing ever materializes n×k rows, and past the gate nothing
+    * collects more than O(1) rows to the driver.
     *
     * Determinism (the oracle contract): super seeds are the first g
     * corpus ids ([[seedCentroids]]); child seeds are the first k corpus
@@ -1088,22 +1097,62 @@ object Similarity {
     out
   }
 
+  /** Past this many super centroids the super argmin stops riding the
+    * plan as driver literals (g·d doubles of codegen constants serialized
+    * into every task) and instead joins a column-borne 1-row array —
+    * broadcast once per executor, driver state O(1). Below the gate the
+    * literal path stays: for small g it is strictly cheaper (no join, no
+    * broadcast exchange) and is the shape every sf≤10 fixture takes. */
+  private[graft] val SuperLiteralMax: Int = 1024
+
+  /** The super-level quantizer, in one of two value-identical carriages
+    * (spec-pinned parity): driver-literal centroids inside
+    * [[nearestCell]]'s codegen loop, or a column-borne 1-row sorted
+    * struct array fed to [[graft.functions.NearestChildCell]] via a 1-row
+    * broadcast cross join (the children's own argmin, one level up). */
+  private final case class SuperSide(lits: Option[Seq[(Int, Seq[Double])]],
+      arr: Option[DataFrame]) {
+    /** Adds int column `super` = nearest super centroid of `vcol`. */
+    def assign(df: DataFrame, vcol: String): DataFrame = lits match {
+      case Some(cs) => df.withColumn("super", nearestCell(col(vcol), cs))
+      case None => df.crossJoin(broadcast(arr.get))
+        .withColumn("super",
+          nearestChild(col(vcol), col("__supers")).cast("int"))
+        .drop("__supers")
+    }
+  }
+
+  /** (cell int, centroid array<double>) relation → the 1-row sorted
+    * struct-array form [[SuperSide]]'s column path consumes. */
+  private def superArrOf(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(
+      col("cell").cast("long").as("ccell"), col("centroid").as("cv"))))
+      .as("__supers"))
+
+  private def superSide(df: DataFrame, idCol: String, vecCol: String,
+      g: Int, superLiteralMax: Int): SuperSide =
+    if (g <= superLiteralMax)
+      SuperSide(Some(seedCentroidsDriver(df, idCol, vecCol, g)), None)
+    else SuperSide(None, Some(superArrOf(seedCentroids(df, idCol, vecCol, g))))
+
   /** Two-level assignment for [[hierCellNearDupPairs]]: (id, v, n, cell).
     * Package-private so the spec can pin flat==hier parity of the final
-    * cells against an independently-computed ground truth. */
+    * cells against an independently-computed ground truth, and force the
+    * column-borne super path (superLiteralMax = 0) for literal-vs-column
+    * parity at the super level. */
   private[graft] def hierAssignCells(df: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int,
+      superLiteralMax: Int = SuperLiteralMax): DataFrame = {
     require(k >= 1, s"hierAssignCells needs k >= 1 (got $k)")
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val superCents = seedCentroidsDriver(df, idCol, vecCol, g)
+    val sup = superSide(df, idCol, vecCol, g, superLiteralMax)
     // child pool: the first k ids, each under its own nearest super —
     // a pushed-down id<k filter (O(k) work), never a per-super top-m sort
-    val children = df
+    val children = sup.assign(df
       .filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("ccell"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("super", nearestCell(col("cv"), superCents))
-    hierAssign(df, idCol, vecCol, superCents, groupChildren(children))
+        asDouble(col(vecCol)).as("cv")), "cv")
+    hierAssign(df, idCol, vecCol, sup, groupChildren(children))
   }
 
   /** (super, ccell, cv) child relation → one sorted struct array per
@@ -1114,13 +1163,14 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("ccell"), col("cv"))))
         .as("__children"))
 
-  /** The shared two-stage assignment tail: driver-held super argmin, then
-    * the per-super child-array argmin off the g-key equi join. */
+  /** The shared two-stage assignment tail: the super argmin (literal or
+    * column-borne per [[SuperSide]]), then the per-super child-array
+    * argmin off the g-key equi join. */
   private def hierAssign(df: DataFrame, idCol: String, vecCol: String,
-      superCents: Seq[(Int, Seq[Double])], childArr: DataFrame): DataFrame =
-    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("n", norm(col("v")))
-      .withColumn("super", nearestCell(col("v"), superCents))
+      sup: SuperSide, childArr: DataFrame): DataFrame =
+    sup.assign(
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .withColumn("n", norm(col("v"))), "v")
       .join(childArr, Seq("super"), "left")
       .withColumn("cell",
         coalesce(nearestChild(col("v"), col("__children")),
@@ -1135,22 +1185,29 @@ object Similarity {
     * bands). Layout: `dir/meta` (k, g), `dir/supers` (cell, centroid —
     * g rows), `dir/children` (super, ccell, cv) partitioned by super
     * (bounded directory count: g = ⌈√k⌉). Assigning a batch from the
-    * saved artifact reads g rows to the DRIVER (the O(√k) contract) and
-    * keeps the k child centroids distributed.
+    * saved artifact reads g rows to the driver while g ≤
+    * [[SuperLiteralMax]], and past the gate only the 1-row meta — the
+    * supers stay a broadcast relation and the k child centroids stay
+    * distributed (driver state O(1)).
     */
   def saveHierQuantizer(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, dir: String): Unit = {
+      k: Int, dir: String,
+      superLiteralMax: Int = SuperLiteralMax): Unit = {
     require(k >= 1, s"saveHierQuantizer needs k >= 1 (got $k)")
     val spark = df.sparkSession
     import spark.implicits._
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val superCents = seedCentroidsDriver(df, idCol, vecCol, g)
-    superCents.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/supers")
-    df.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("ccell"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("super", nearestCell(col("cv"), superCents))
+    // the supers relation is written from the DISTRIBUTED seed table —
+    // past the gate nothing here collects g rows to the driver either
+    val seeds = seedCentroids(df, idCol, vecCol, g)
+    seeds.coalesce(1).write.mode("overwrite").parquet(s"$dir/supers")
+    val sup =
+      if (g <= superLiteralMax)
+        SuperSide(Some(seedCentroidsDriver(df, idCol, vecCol, g)), None)
+      else SuperSide(None, Some(superArrOf(seeds)))
+    sup.assign(df.filter(col(idCol) < k)
+        .select(col(idCol).cast("long").as("ccell"),
+          asDouble(col(vecCol)).as("cv")), "cv")
       .write.mode("overwrite").partitionBy("super")
       .parquet(s"$dir/children")
     Seq((k, g)).toDF("k", "g")
@@ -1162,16 +1219,22 @@ object Similarity {
     * (spec-pinned relation equality) — the batch never re-derives seeds,
     * so assignment cost tracks the BATCH, not the training corpus. */
   def hierAssignSaved(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    // bounded driver barrier: g = ceil(sqrt(k)) super centroids
-    val superCents = spark.read.parquet(s"$dir/supers")
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
-      .toSeq
+      batch: DataFrame, idCol: String, vecCol: String,
+      superLiteralMax: Int = SuperLiteralMax): DataFrame = {
+    // O(1) driver read: g from the 1-row meta decides the carriage
+    val g = spark.read.parquet(s"$dir/meta").head().getInt(1)
+    val supers = spark.read.parquet(s"$dir/supers")
+    val sup =
+      if (g <= superLiteralMax)
+        // bounded driver barrier: g = ceil(sqrt(k)) super centroids
+        SuperSide(Some(supers.orderBy("cell").collect()
+          .map(r => (r.getInt(0),
+            r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+          .toSeq), None)
+      else SuperSide(None, Some(superArrOf(supers)))
     val childArr = groupChildren(spark.read.parquet(s"$dir/children")
       .select(col("super").cast("int").as("super"), col("ccell"), col("cv")))
-    hierAssign(batch, idCol, vecCol, superCents, childArr)
+    hierAssign(batch, idCol, vecCol, sup, childArr)
   }
 
   /** [[hierCellNearDupPairs]] from a SAVED quantizer — same pair

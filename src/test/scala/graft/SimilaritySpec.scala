@@ -647,6 +647,41 @@ class SimilaritySpec extends SparkSpec {
     assert(empty, "empty children must yield null, not a crash")
   }
 
+  test("NearestCentroid / NearestChildCell: NaN distances sort LAST (the " +
+      "SQL ORDER BY contract) and null child elements are skipped") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def childCol(v: org.apache.spark.sql.Column,
+        ch: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.NearestChildCell(
+        ColumnBridge.expression(v), ColumnBridge.expression(ch)))
+    val pts = Seq(2.0).toDF("x").select(array($"x").as("v"))
+    // centroid 0 is all-NaN -> its d2 is NaN for every input; the finite
+    // centroid 1 (farther in id order) must still win in BOTH variants
+    val nanCents = Seq((0, Seq(Double.NaN)), (1, Seq(9.0)))
+    val gotLit = pts.select(
+      Similarity.nearestCell($"v", nanCents).as("c")).as[Int].head()
+    assert(gotLit == 1, s"literal variant let NaN shadow a finite d2: $gotLit")
+    val gotCol = pts.select(childCol($"v",
+        typedLit(nanCents.map { case (c, cv) => (c.toLong, cv) })).as("c"))
+      .as[Long].head()
+    assert(gotCol == 1L, s"column variant let NaN shadow a finite d2: $gotCol")
+    // every d2 NaN (NaN input vector): ties break to the SMALLEST cell in
+    // both variants — exactly ORDER BY d2, cell with NaN sorted last
+    val nanV = Seq(Double.NaN).toDF("x").select(array($"x").as("v"))
+    val allNanLit = nanV.select(
+      Similarity.nearestCell($"v", Seq((3, Seq(1.0)), (7, Seq(2.0)))).as("c"))
+      .as[Int].head()
+    assert(allNanLit == 3, s"all-NaN must tie-break to the smaller cell: $allNanLit")
+    val allNanCol = nanV.select(childCol($"v",
+        typedLit(Seq((3L, Seq(1.0)), (7L, Seq(2.0))))).as("c")).as[Long].head()
+    assert(allNanCol == 3L, s"all-NaN must tie-break to the smaller cell: $allNanCol")
+    // a null element inside the child array is SKIPPED, not an NPE
+    val withNull = typedLit(Seq(Option.empty[(Long, Seq[Double])],
+      Some((5L, Seq(1.9)))))
+    val gotNull = pts.select(childCol($"v", withNull).as("c")).as[Long].head()
+    assert(gotNull == 5L, s"null child element must be skipped: $gotNull")
+  }
+
   test("hierAssignCells: identical supers reduce to the flat argmin over " +
       "the whole child pool (degenerate one-region parity)") {
     // first g=2 seeds identical at x=0 -> every vector's super is 0 (the
@@ -699,6 +734,46 @@ class SimilaritySpec extends SparkSpec {
     val b = rel(Similarity.hierAssignSaved(
       spark, dir, batch, "vec_id", "embedding"))
     assert(b == Set((100L, 2L)), s"batch assign: $b")
+  }
+
+  test("hierAssignCells / saveHierQuantizer / hierAssignSaved: the " +
+      "COLUMN-BORNE super carriage (superLiteralMax = 0) reproduces the " +
+      "driver-literal relation exactly — the O(1)-driver scale path is " +
+      "value-identical to the fixture path") {
+    // covers both regimes the carriage must agree on: multi-super corpora
+    // (k=9 -> g=3) AND the childless-super fallback fixture; the sf10
+    // rung runs literals (g << 1024), so this pin is what licenses the
+    // column path past the gate
+    val pts = (0L to 11L).map(i => i -> (i * 1.3 % 7.0))
+      .toDF("vec_id", "x").select($"vec_id", array($"x").as("embedding"))
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").as[(Long, Long)].collect().toSet
+    for (k <- Seq(1, 4, 9)) {
+      val lit = rel(Similarity.hierAssignCells(pts, "vec_id", "embedding", k))
+      val colb = rel(Similarity.hierAssignCells(pts, "vec_id", "embedding",
+        k, superLiteralMax = 0))
+      assert(colb == lit, s"k=$k: column-borne $colb != literal $lit")
+    }
+    // childless-super fallback agrees across carriages too
+    val b = Seq(0L -> 0.0, 1L -> 0.0005, 2L -> 0.0001, 5L -> 100.0)
+      .toDF("vec_id", "x").select($"vec_id", array($"x").as("embedding"))
+    assert(rel(Similarity.hierAssignCells(b, "vec_id", "embedding", 3,
+        superLiteralMax = 0)) ==
+      rel(Similarity.hierAssignCells(b, "vec_id", "embedding", 3)))
+    // saved artifact: built AND assigned under the column carriage ==
+    // built and assigned under literals (same bytes-on-disk contract)
+    val dirL = java.nio.file.Files.createTempDirectory("hierq_lit").toString
+    val dirC = java.nio.file.Files.createTempDirectory("hierq_col").toString
+    Similarity.saveHierQuantizer(pts, "vec_id", "embedding", 9, dirL)
+    Similarity.saveHierQuantizer(pts, "vec_id", "embedding", 9, dirC,
+      superLiteralMax = 0)
+    val savedL = rel(Similarity.hierAssignSaved(spark, dirL, pts,
+      "vec_id", "embedding"))
+    val savedC = rel(Similarity.hierAssignSaved(spark, dirC, pts,
+      "vec_id", "embedding", superLiteralMax = 0))
+    assert(savedC == savedL, s"saved column $savedC != saved literal $savedL")
+    assert(savedL == rel(Similarity.hierAssignCells(
+      pts, "vec_id", "embedding", 9)), "saved must equal inline")
   }
 
   test("hierAssignCells: a super left childless by round-6 ties takes the " +
