@@ -195,7 +195,7 @@ object Bench {
     "q122_incremental_semdedup", "q124_hamming_topk", "q125_matryoshka",
     "q126_shared_spans", "q127_bpe_encode", "q128_cc_luhn",
     "q129_script_shares", "q143_ivf_probe_saved",
-    "q288_contam_probe_saved", "q291_unigram_learn")
+    "q288_contam_probe_saved", "q291_unigram_learn", "q302_ann_e2e")
 
   /** Full-registry pins — see [[BenchPins]] for provenance and the
     * adjudication log. */

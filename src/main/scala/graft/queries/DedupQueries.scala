@@ -11,6 +11,11 @@ import graft.text.{DedupOps, ExactSubstrIndex, LshBandIndex, TextAnalysis}
   */
 object DedupQueries extends QueryGroup {
 
+  /** ONE build contract for the gram-index artifact q288 and q296 share
+    * on purpose — both probe the same saved index, so the recipe lives in
+    * one constant and rides the cache key (see IndexCache.tagFor). */
+  private val xsubContract = "train=doc_id%10!=0 sub=24 buckets=64"
+
   /** Exact dedup via hash-groupBy. The corpus has no true duplicates, so
     * duplicates are synthesized deterministically (docs with doc_id % 10 == 0
     * appear twice) — the operator under test is the group-detect itself. */
@@ -605,7 +610,8 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_xsub_v2_", d), "meta/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_xsub_v2_", d, xsubContract),
+        "meta/_SUCCESS") { tmpDir =>
         ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
           col("text"), tmpDir, sub = 24, buckets = 64)
       }
@@ -709,7 +715,8 @@ object DedupQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_xsub_v2_", d), "meta/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_xsub_v2_", d, xsubContract),
+        "meta/_SUCCESS") { tmpDir =>
         ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
           col("text"), tmpDir, sub = 24, buckets = 64)
       }

@@ -56,7 +56,22 @@ object IndexCache {
   }
 
   /** A scale-dir-derived cache tag: `prefix` + the dir path sanitized to
-    * `[A-Za-z0-9_]` so different scale dirs never share a cache entry. */
-  def tagFor(prefix: String, sfDir: String): String =
-    prefix + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    * `[A-Za-z0-9_]` so different scale dirs never share a cache entry —
+    * plus an md5 of the BUILD CONTRACT. The content fingerprint in
+    * [[cachedDir]] only watches the SOURCE data; every parameter that
+    * changes the ARTIFACT's content given the same source (a k-formula, a
+    * merge count, a vocab size, a train-side filter) must ride in
+    * `contract`, or a changed build recipe silently serves the stale
+    * artifact. Queries sharing one artifact on purpose (q288/q296's gram
+    * index) share one contract constant so the coupling is visible. */
+  def tagFor(prefix: String, sfDir: String, contract: String*): String = {
+    val base = prefix + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    if (contract.isEmpty) base
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(contract.mkString("|").getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+      s"${base}_c$h"
+    }
+  }
 }

@@ -134,7 +134,8 @@ object SimQueries extends QueryGroup {
       // query's original inline logic, now shared by every saved-index
       // query: q288's gram index, q290's LSH band index).
       val idxDir = IndexCache.cachedDir(s, s"$d/embeddings.parquet",
-        IndexCache.tagFor("graft_ivf_v2_", d), "cells/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_ivf_v2_", d, "lloyd nLists=8 iters=2"),
+        "cells/_SUCCESS") { tmpDir =>
         val idx = Similarity.buildIvfIndexLloyd(Tables.embeddings(s, d),
           "vec_id", "embedding", nLists = 8, iters = 2)
         Similarity.saveIvfIndex(idx, tmpDir)
@@ -1849,12 +1850,21 @@ object SimQueries extends QueryGroup {
     * (the q298/q299 convention); the timing delta vs q300 is the
     * amortized quantizer build. Saved==inline pinned as relation
     * equality in SimilaritySpec. */
+  /** The q301 build recipe, spelled as a cache-key contract: k-formula +
+    * assignment semantics. Package-private so the IndexCacheSpec can pin
+    * that changing the formula misses the cache. */
+  private[queries] val hierQuantizerContract =
+    "k=max(8,ceil(n/64)) hier2 round6-d2 smaller-cell-ties"
+
   val q301HierClustersSaved = QueryDef(
     "q301_hier_clusters_saved",
     (s, d) => {
       val e = Tables.embeddings(s, d)
+      // the k-FORMULA is part of the cache key: changing it (or the
+      // assignment contract) must miss the cache, not serve stale cells
       val artDir = IndexCache.cachedDir(s, s"$d/embeddings.parquet",
-        IndexCache.tagFor("graft_hierq_v1_", d), "meta/_SUCCESS") { tmp =>
+        IndexCache.tagFor("graft_hierq_v1_", d, hierQuantizerContract),
+        "meta/_SUCCESS") { tmp =>
         // k sizing count runs only on a cache MISS — a cache-hit
         // execution never scans the corpus at all
         val k = math.max(8L,
@@ -1871,6 +1881,79 @@ object SimQueries extends QueryGroup {
     },
     q300HierCellClusters.oracle)
 
+  /** E2E ANN flagship — the q97 analog for the similarity ladder: ONE job
+    * chaining the stages a nightly embedding-retrieval pipeline runs —
+    * L2-normalize (Similarity.l2Normalize) → build-or-load the SAVED
+    * Lloyd-IVF index (IndexCache, contract-tagged) → nProbe=3 top-3 probe
+    * → recall gate vs the brute-force exact answer — one lazy plan per
+    * stage, zero unbounded driver barriers (the only collects are the
+    * nLists=8 centroid reads inside the probe machinery). Composition of
+    * the proven q143 (saved build + probe) and q98 (recall harness)
+    * trajectories over the NORMALIZED corpus, so the whole chain —
+    * normalization included — replays in the DuckDB oracle CTE for CTE.
+    * Output: per-query (n_exact, n_hit, recall); the recall NUMBERS are
+    * the oracled artifact, making the quality gate itself a verified
+    * operator. Plan shape pinned in PlanSpec (cell equi join, broadcast
+    * probes, no data×data cartesian). */
+  val q302AnnE2e = QueryDef(
+    "q302_ann_e2e",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val nrm = e.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding").cast("array<double>"))
+          .as("nv"))
+      val idxDir = IndexCache.cachedDir(s, s"$d/embeddings.parquet",
+        IndexCache.tagFor("graft_e2eann_v1_", d,
+          "l2norm lloyd nLists=8 iters=2"), "cells/_SUCCESS") { tmp =>
+        Similarity.saveIvfIndex(Similarity.buildIvfIndexLloyd(
+          nrm, "vec_id", "nv", nLists = 8, iters = 2), tmp)
+      }
+      val idx = Similarity.loadIvfIndex(s, idxDir)
+      val qs = nrm.filter(col("vec_id") < 10)
+      val approx = Similarity.queryIvfIndex(idx, qs, "vec_id", "nv",
+        k = 3, nProbe = 3)
+      val exact = Similarity.bruteForceTopK(qs, nrm, "vec_id", "nv", 3)
+      Similarity.recallAtK(approx, exact, "qid", "cid").orderBy("qid")
+    },
+    Some(s"""WITH raw AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM raw),
+      ev AS (SELECT vec_id, list_transform(v,
+          x -> CASE WHEN n <> 0 THEN x / n ELSE 0.0 END) AS v FROM nn),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM ev WHERE vec_id < 8),
+      ${lloydStepSql("a1", "c1", "c0")},
+      ${lloydStepSql("a2", "c2", "c1")},
+      ${argminCellSql("asg", "c2")},
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 3),
+      cand AS (SELECT pr.qid, a.vec_id AS cid, ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+        FROM pr JOIN asg a ON a.cell = pr.cell
+        JOIN ev e ON e.vec_id = a.vec_id
+        JOIN q ON q.vec_id = pr.qid
+        WHERE a.vec_id <> pr.qid),
+      approx AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        FROM cand) WHERE rank <= 3),
+      xscored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ROUND(${cosineSql("q.v", "c.v")}, 6) AS sim
+        FROM ev c, q WHERE q.vec_id <> c.vec_id),
+      exact AS (SELECT qid, cid FROM (SELECT qid, cid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        FROM xscored) WHERE rank <= 3),
+      hits AS (SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact x JOIN approx a ON x.qid = a.qid AND x.cid = a.cid
+        GROUP BY x.qid),
+      base AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact GROUP BY qid)
+      SELECT b.qid, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+        ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+      FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
@@ -1881,5 +1964,5 @@ object SimQueries extends QueryGroup {
     q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
     q281PcaTopK, q282PcaWhiten, q285AbttTopk, q293IvfCellAudit,
     q294IvfCellSplit, q295OpqRotation, q297CellClustersScaleK,
-    q300HierCellClusters, q301HierClustersSaved)
+    q300HierCellClusters, q301HierClustersSaved, q302AnnE2e)
 }

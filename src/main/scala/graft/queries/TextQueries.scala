@@ -629,7 +629,8 @@ object TextQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val artDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_bpe_v1_", d), "merges/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_bpe_v1_", d, "merges=8"),
+        "merges/_SUCCESS") { tmpDir =>
         graft.text.Bpe.saveMerges(s,
           graft.text.Bpe.learnMerges(docs, col("text"), 8), s"$tmpDir/merges")
       }
@@ -652,7 +653,9 @@ object TextQueries extends QueryGroup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val artDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
-        IndexCache.tagFor("graft_unigram_v1_", d), "vocab/_SUCCESS") { tmpDir =>
+        IndexCache.tagFor("graft_unigram_v1_", d,
+          "maxPieceLen=4 seedSize=200 vocabSize=48 rounds=2 maxWordLen=16"),
+        "vocab/_SUCCESS") { tmpDir =>
         graft.text.Unigram.save(s,
           graft.text.Unigram.learn(docs, col("text"), maxPieceLen = 4,
             seedSize = 200, vocabSize = 48, rounds = 2, maxWordLen = 16),

@@ -87,6 +87,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalize a vector column — the standard cosine-ANN pre-step
+    * (q302's stage 1); the zero vector maps to itself. The norm is paired
+    * with the elements through array_repeat BEFORE the lambda (the
+    * Quantization.truncateRenorm lesson: a naive `transform(v, x => x/n)`
+    * re-folds the O(d) norm per ELEMENT). Float contract: sqrt of the
+    * strict left-to-right [[dot]], one IEEE division per element —
+    * replayed verbatim by `list_transform(v, x -> x / sqrt(
+    * list_dot_product(v, v)))` in external SQL. */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec)
+    zip_with(vec, array_repeat(n, size(vec)),
+      (x, nn) => when(nn =!= 0.0, x / nn).otherwise(lit(0.0)))
+  }
+
   /** Null-safe rounded cosine from precomputed norms: a zero-norm operand
     * has no defined cosine → NULL (SQL division semantics; ANSI mode would
     * otherwise raise DIVIDE_BY_ZERO at runtime). Threshold filters drop the

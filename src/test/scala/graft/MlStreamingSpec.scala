@@ -276,6 +276,54 @@ class MlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: saved-IVF-index top-k probe over MemoryStream == batch " +
+      "probe (stream-static: broadcast centroids + cell-pruned parquet), " +
+      "idempotent under replayed batches") {
+    implicit val sql = spark.sqlContext
+    // the q65/q143 fixture: deterministic Lloyd index over the sf0.001
+    // embeddings, built and SAVED once — the stream only loads + probes
+    val e = Tables.embeddings(spark, sf001)
+    val base = java.nio.file.Files.createTempDirectory("annstream").toString
+    graft.sim.Similarity.saveIvfIndex(
+      graft.sim.Similarity.buildIvfIndexLloyd(e, "vec_id", "embedding",
+        nLists = 8, iters = 2), s"$base/idx")
+    val queries = e.filter($"vec_id" < 10)
+    val want = graft.sim.Similarity.queryIvfIndex(
+        graft.sim.Similarity.loadIvfIndex(spark, s"$base/idx"),
+        queries, "vec_id", "embedding", k = 3, nProbe = 3)
+      .select("qid", "rank", "cid", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce hits")
+    val rows = queries
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnStreams.probeSavedIvf(spark, s"$base/idx",
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = 3, nProbe = 3, s"$base/out", s"$base/ckpt")
+    try {
+      // parity must hold across micro-batch boundaries
+      mem.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out")
+        .select("qid", "rank", "cid", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got == want, s"stream probe diverged from batch: " +
+        s"missing ${want -- got}, extra ${got -- want}")
+      // replaying the SAME rows (a crash-recovery delivery) converges:
+      // upsert keyed (qid, rank) — no duplicate hits
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(s"$base/out")
+        .select("qid", "rank", "cid", "sim")
+        .as[(Long, Int, Long, Double)].collect()
+      assert(replayed.length == want.size && replayed.toSet == want,
+        s"replay must converge, not duplicate: ${replayed.length} rows")
+    } finally q.stop()
+  }
+
   test("streaming: dropDuplicatesWithinWatermark dedups event ids across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

@@ -105,6 +105,27 @@ class PlanSpec extends SparkSpec {
       p.contains("HashJoin [super"), s"child join not keyed on super:\n$p")
   }
 
+  test("q302 e2e ANN: probed candidates arrive by the cell equi join, " +
+      "queries/probes/centroids broadcast, no data×data cartesian — the " +
+      "only BNLJs are the bounded broadcast sides (centroid table, 10-row " +
+      "query set)") {
+    val p = planOf(SimQueries.q302AnnE2e.fn(spark, sf001))
+    assert(!p.contains("CartesianProduct"), "data×data cartesian in plan")
+    assert("HashJoin \\[?cell".r.findFirstIn(p).isDefined ||
+      "Join.*\\[cell".r.findFirstIn(p).isDefined,
+      s"candidate join not keyed on cell:\n$p")
+    // centroid-probe cross join + brute-force query broadcast: both sides
+    // bounded (nLists rows / |Q| rows); anything more is a real cross
+    // join. planOf dumps executed + optimized plans, so each join counts
+    // twice: 2 bounded BNLJs -> at most 4 mentions.
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nBnlj <= 4, s"expected at most the two bounded BNLJs " +
+      s"(×2 plan dumps), found $nBnlj mentions")
+    // NOTE: recallAtK's |Q|·k-row hit joins may plan as SortMergeJoin
+    // (post-aggregate relations have no size stats) — harmless at 30
+    // rows, so no SMJ assertion; the scale-bearing joins are pinned above.
+  }
+
   test("q67: as-of join is one keyed shuffle + window — no range cross join") {
     val p = planOf(graft.queries.MlStreamQueries.q67AsofJoin.fn(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
