@@ -56,6 +56,14 @@ case class DotProduct(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // CONTRACT: reference ev.isNull ONLY when this expression is
+      // nullable — with non-nullable children (array() over range(), the
+      // synthetic-vector paths) nullSafeCodeGen makes isNull a FalseLiteral
+      // and never declares the variable, so naming it here fails Janino
+      // compilation and silently drops the WHOLE STAGE to interpreted
+      // execution (the round-14 ivfpq-rung fallback: `filter_isNull_x is
+      // not an rvalue`, 19 stages interpreted at 1M rows). strict implies
+      // nullable, so the strict branches may reference it.
       val nullCheck =
         if (strict)
           s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
@@ -68,6 +76,9 @@ case class DotProduct(left: Expression, right: Expression,
                 ${ev.isNull} = true;
               } else """
         else ""
+      val setValue =
+        if (nullable) s"if (!${ev.isNull}) { ${ev.value} = $s; }"
+        else s"${ev.value} = $s;"
       s"""
         $mismatch{
           int $n = java.lang.Math.min($a.numElements(), $b.numElements());
@@ -76,7 +87,7 @@ case class DotProduct(left: Expression, right: Expression,
             $nullCheck
             $s += $a.getDouble($i) * $b.getDouble($i);
           }
-          if (!${ev.isNull}) { ${ev.value} = $s; }
+          $setValue
         }
       """
     })

@@ -1954,6 +1954,88 @@ object SimQueries extends QueryGroup {
         ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
       FROM base b LEFT JOIN hits h ON b.qid = h.qid ORDER BY b.qid"""))
 
+  /** DEPTH-3 tree rung (Similarity.hier3CellNearDupPairs) — the genuinely
+    * sub-n^1.5 assignment the two-level q300 cannot reach: three argmin
+    * loops of ~k^(1/3) candidates each (g1 = smallest integer with
+    * g1³ ≥ k, computed by exact INTEGER comparison in both engines —
+    * float cbrt/pow rounds perfect cubes differently across engines),
+    * O(n·3·k^(1/3)) = n^(4/3) FLOPs at k∝n with the same linear pair
+    * volume. Exactly oracled: all three argmin stages, the seed pools
+    * (first g1/g1²/k ids routed through the levels above), and the
+    * disjoint fallback spaces (−1−super / −1−g1−mid) replay in SQL with
+    * k and g1 computed from COUNT(*). Same k-formula and pair semantics
+    * as q300, so the two rungs' cluster outputs are directly comparable
+    * cost/recall trades. */
+  val q303Hier3Clusters = QueryDef(
+    "q303_hier3_clusters",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      // bounded driver barrier: one count to size the quantizer
+      val k = math.max(8L, math.ceil(e.count().toDouble / 64.0).toLong).toInt
+      val pairs = Similarity.hier3CellNearDupPairs(
+        e, "vec_id", "embedding", k, 0.4)
+      graft.text.DedupOps.connectedComponents(
+          pairs, e.select(col("vec_id").as("doc")))
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .filter(col("size") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      par0 AS (SELECT greatest(8, CAST(ceil(COUNT(*) / 64.0) AS BIGINT)) AS k
+        FROM ev),
+      par AS (SELECT k, (SELECT MIN(i) FROM range(1, 100000) t(i)
+          WHERE i * i * i >= par0.k) AS g1 FROM par0),
+      par2 AS (SELECT k, g1, g1 * g1 AS g2 FROM par),
+      l1 AS (SELECT CAST(vec_id AS INT) AS s, v AS sv FROM ev
+        WHERE vec_id < (SELECT g1 FROM par2)),
+      sasg AS (SELECT vec_id, s FROM (
+          SELECT e.vec_id, c.s,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(${d2Sql("e.v", "c.sv")}, 6) ASC, c.s) AS rn
+          FROM ev e, l1 c) WHERE rn = 1),
+      mpool AS (SELECT a.s, e.vec_id AS mcell, e.v AS mv
+        FROM ev e JOIN sasg a ON a.vec_id = e.vec_id
+        WHERE e.vec_id < (SELECT g2 FROM par2)),
+      masg0 AS (SELECT vec_id, m FROM (
+          SELECT e2.vec_id, p.mcell AS m,
+            ROW_NUMBER() OVER (PARTITION BY e2.vec_id ORDER BY
+              ROUND(${d2Sql("e2.v", "p.mv")}, 6) ASC, p.mcell) AS rn
+          FROM ev e2 JOIN sasg a2 ON a2.vec_id = e2.vec_id
+          JOIN mpool p ON p.s = a2.s) WHERE rn = 1),
+      masg AS (SELECT e.vec_id, COALESCE(m0.m, CAST(-1 - a.s AS BIGINT)) AS m
+        FROM ev e JOIN sasg a ON a.vec_id = e.vec_id
+        LEFT JOIN masg0 m0 ON m0.vec_id = e.vec_id),
+      cpool AS (SELECT ma.m, e.vec_id AS ccell, e.v AS cv
+        FROM ev e JOIN masg ma ON ma.vec_id = e.vec_id
+        WHERE e.vec_id < (SELECT k FROM par2)),
+      casg0 AS (SELECT vec_id, cell FROM (
+          SELECT e3.vec_id, q.ccell AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e3.vec_id ORDER BY
+              ROUND(${d2Sql("e3.v", "q.cv")}, 6) ASC, q.ccell) AS rn
+          FROM ev e3 JOIN masg ma2 ON ma2.vec_id = e3.vec_id
+          JOIN cpool q ON q.m = ma2.m) WHERE rn = 1),
+      casg AS (SELECT e.vec_id, COALESCE(c0.cell,
+          CASE WHEN ma.m >= 0
+            THEN CAST(-1 AS BIGINT) - (SELECT g1 FROM par2) - ma.m
+            ELSE ma.m END) AS cell
+        FROM ev e JOIN masg ma ON ma.vec_id = e.vec_id
+        LEFT JOIN casg0 c0 ON c0.vec_id = e.vec_id),
+      pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM casg a JOIN casg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN ev x ON x.vec_id = a.vec_id
+        JOIN ev y ON y.vec_id = b.vec_id
+        WHERE ROUND(${cosineSql("x.v", "y.v")}, 6) >= 0.4),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      labels AS (SELECT a AS doc, MIN(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
+      GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
@@ -1964,5 +2046,6 @@ object SimQueries extends QueryGroup {
     q274Isotropy, q276AbttCorrect, q277PcaDeflate, q280IvfPqAdd,
     q281PcaTopK, q282PcaWhiten, q285AbttTopk, q293IvfCellAudit,
     q294IvfCellSplit, q295OpqRotation, q297CellClustersScaleK,
-    q300HierCellClusters, q301HierClustersSaved, q302AnnE2e)
+    q300HierCellClusters, q301HierClustersSaved, q302AnnE2e,
+    q303Hier3Clusters)
 }

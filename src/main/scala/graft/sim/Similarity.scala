@@ -923,9 +923,10 @@ object Similarity {
               "audit cell balance (ivfCellBalance/q293) and split " +
               "oversized cells (splitOversizedCells/q294), move to a " +
               "quantizer that grows with the corpus " +
-              "(cellScopedNearDupPairsL2/q297, or hierCellNearDupPairs/" +
-              "q300 for O(√k)-per-row assignment with linear pair " +
-              "volume), or raise maxCellPairs deliberately")))
+              "(cellScopedNearDupPairsL2/q297, hierCellNearDupPairs/q300, " +
+              "or hier3CellNearDupPairs/q303 for O(k^(1/3))-per-row " +
+              "assignment with linear pair volume), or raise maxCellPairs " +
+              "deliberately")))
             .cast("array<double>"))
           .otherwise(col("v")))
       .drop("__cellPairs")
@@ -1276,6 +1277,96 @@ object Similarity {
       maxCellPairs: Long = 2000000000L): DataFrame =
     cellPairs(hierAssignCells(df, idCol, vecCol, k), threshold,
       maxCellPairs, "hierCellNearDupPairs")
+
+  /** Smallest integer whose CUBE reaches `k` — the depth-3 tree's branch
+    * factor, defined by exact integer comparison (never float pow/cbrt:
+    * `ceil(pow(k, 1/3))` rounds differently across engines on perfect
+    * cubes, which would silently desynchronize the oracle's tree shape).
+    * Mirrored in SQL as `MIN(i) FROM range(...) WHERE i*i*i >= k`. */
+  private[graft] def cubeRootCeil(k: Int): Int =
+    Iterator.from(1).find(i => i.toLong * i * i >= k).get
+
+  /** DEPTH-3 rung of [[hierCellNearDupPairs]] — the genuinely sub-n^1.5
+    * assignment the two-level tree cannot have. Branch factor
+    * g1 = [[cubeRootCeil]](k); level-2 holds g2 = g1² mid centroids,
+    * level-3 the k child centroids. A row assigns through three argmin
+    * loops of ~g1 candidates each — O(n·3·k^(1/3)) FLOPs, so with k∝n
+    * (constant per-cell population, linear pair volume) assignment grows
+    * n^(4/3): at the sf10-posture k=4096, 3·16 = 48 FLOP-rows vs the
+    * two-level's 2·64 = 128 and the flat rung's 4096. Driver state: g1
+    * literals under [[SuperLiteralMax]] (column-borne past it — O(1)
+    * either way at depth 3 since g1 = k^(1/3) stays tiny at any corpus
+    * size: 10¹² vectors → g1 ≈ 250).
+    *
+    * Determinism (the oracle contract, extending the two-level rules):
+    * level-j seeds are the first g_j corpus ids, each attached to its own
+    * parent by replaying the assignment THROUGH the levels above it; all
+    * argmins are round-6 d² with smaller-cell ties. Fallbacks keep
+    * disjoint id spaces: a super with no mids routes to mid = −1−super
+    * (∈ [−g1, −1]; child seeds can still attach THERE, degrading that
+    * region to two-level); a non-negative mid with no children routes to
+    * cell = −1−g1−mid (∈ [−g1−g2, −g1−1]); a fallback mid with no
+    * children keeps its own (already unique, negative) id as the cell.
+    * Pair semantics and the [[guardCellPairs]] budget match the other
+    * rungs. */
+  def hier3CellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame = {
+    val assigned = hier3AssignCells(df, idCol, vecCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cellPairs(assigned, threshold, maxCellPairs,
+        "hier3CellNearDupPairs")
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** Three-level assignment for [[hier3CellNearDupPairs]]:
+    * (id, v, n, cell). Package-private for the spec's independently-
+    * computed ground truth and the carriage-parity pin. */
+  private[graft] def hier3AssignCells(df: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      superLiteralMax: Int = SuperLiteralMax): DataFrame = {
+    require(k >= 1, s"hier3AssignCells needs k >= 1 (got $k)")
+    val g1 = cubeRootCeil(k)
+    val g2 = g1.toLong * g1
+    val sup = superSide(df, idCol, vecCol, g1, superLiteralMax)
+    def seedPool(bound: Long): DataFrame = sup.assign(
+      df.filter(col(idCol) < bound)
+        .select(col(idCol).cast("long").as("ccell"),
+          asDouble(col(vecCol)).as("cv")), "cv")
+    // level-2 pool: first g2 ids under their own super, grouped per super
+    val midArr = groupChildren(seedPool(g2))
+    // level-3 pool: first k ids routed through super THEN mid
+    val childSeeds = seedPool(k)
+      .join(midArr, Seq("super"), "left")
+      .withColumn("m", coalesce(nearestChild(col("cv"), col("__children")),
+        lit(-1L) - col("super")))
+      .select(col("m").as("super"), col("ccell"), col("cv"))
+    val childArr = groupChildren(childSeeds)
+      .withColumnRenamed("super", "__m")
+      .withColumnRenamed("__children", "__c3")
+    sup.assign(
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+          .withColumn("n", norm(col("v"))), "v")
+      .join(midArr, Seq("super"), "left")
+      .withColumn("m", coalesce(nearestChild(col("v"), col("__children")),
+        lit(-1L) - col("super")))
+      .drop("__children")
+      .join(childArr, col("m") === col("__m"), "left")
+      .withColumn("cell", coalesce(nearestChild(col("v"), col("__c3")),
+        when(col("m") >= 0, lit(-1L - g1) - col("m")).otherwise(col("m"))))
+      // narrow projection BEFORE the pair join (the two-level rule): no
+      // child array rides into the shuffle
+      .select(col("id"), col("v"), col("n"), col("cell"))
+  }
+
+  /** UN-checkpointed depth-3 pair plan — PlanSpec's probe. */
+  private[graft] def hier3CellPairsPlanProbe(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double,
+      maxCellPairs: Long = 2000000000L): DataFrame =
+    cellPairs(hier3AssignCells(df, idCol, vecCol, k), threshold,
+      maxCellPairs, "hier3CellNearDupPairs")
 
   /** Column-borne nearest-centroid argmin (see
     * [[graft.functions.NearestChildCell]]). */

@@ -105,6 +105,22 @@ class PlanSpec extends SparkSpec {
       p.contains("HashJoin [super"), s"child join not keyed on super:\n$p")
   }
 
+  test("q303 depth-3 rung: mid and child arrays arrive by EQUI joins " +
+      "(super / m keys, no cartesian), the pair join stays keyed on cell, " +
+      "and the maxCellPairs guard rides the plan") {
+    val e = Tables.embeddings(spark, sf001)
+    val p = planOf(graft.sim.Similarity.hier3CellPairsPlanProbe(
+      e, "vec_id", "embedding", k = 8, 0.4))
+    assert(!p.contains("CartesianProduct"), "all-pairs cartesian in plan")
+    assert(p.contains("raise_error"), "maxCellPairs budget guard not in plan")
+    assert("Join.*\\[cell".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [cell"), s"pair join not keyed on cell:\n$p")
+    assert("Join.*\\[super".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [super"), s"mid join not keyed on super:\n$p")
+    assert("Join.*\\[m".r.findFirstIn(p).isDefined ||
+      p.contains("HashJoin [m"), s"child join not keyed on m:\n$p")
+  }
+
   test("q302 e2e ANN: probed candidates arrive by the cell equi join, " +
       "queries/probes/centroids broadcast, no data×data cartesian — the " +
       "only BNLJs are the bounded broadcast sides (centroid table, 10-row " +

@@ -99,6 +99,10 @@ class QueriesSpec extends SparkSpec {
     // q270/q271: the q65/q143 probe shape — each query crossJoins the
     // broadcast ≤nLists-row centroid table to rank probes
     "q270_ivf_range", "q271_ivf_add",
+    // q302: the q65 probe shape (broadcast centroid crossJoin) PLUS the
+    // q262-style broadcast-query brute-force recall leg — both bounded
+    // sides; PlanSpec pins the full shape incl. the cell equi join
+    "q302_ann_e2e",
     "q274_isotropy", // 1-row λ1 frame × 1-row trace frame
     // the maxPairs budget guard crossJoins ONE broadcast count row to
     // embed its plan-level raise_error; the candidate join itself stays

@@ -793,6 +793,61 @@ class SimilaritySpec extends SparkSpec {
       s"near-identical pool members all round-tie into cell 0: $got")
   }
 
+  test("hier3AssignCells: matches an independently-computed three-level " +
+      "ground truth (all argmins round-6 d2, smaller-id ties, seed pools " +
+      "routed through the levels above), in BOTH super carriages") {
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def argmin(cands: Seq[(Long, Double)], x: Double): Option[Long] =
+      if (cands.isEmpty) None
+      else Some(cands.map { case (id, c) =>
+        (round6((x - c) * (x - c)), id) }.min._2)
+    def truth(pts: Map[Long, Double], k: Int): Map[Long, Long] = {
+      val g1 = Similarity.cubeRootCeil(k)
+      val g2 = g1.toLong * g1
+      val supers = pts.filter(_._1 < g1).toSeq
+      def s1(x: Double): Long = argmin(supers, x).get
+      val mids = pts.filter(_._1 < g2).toSeq
+        .map { case (i, c) => (i, c, s1(c)) }
+      def mOf(x: Double): Long = {
+        val s = s1(x)
+        argmin(mids.filter(_._3 == s).map(m => (m._1, m._2)), x)
+          .getOrElse(-1L - s)
+      }
+      val children = pts.filter(_._1 < k).toSeq
+        .map { case (i, c) => (i, c, mOf(c)) }
+      pts.map { case (id, x) =>
+        val m = mOf(x)
+        id -> argmin(children.filter(_._3 == m).map(c => (c._1, c._2)), x)
+          .getOrElse(if (m >= 0) -1L - g1 - m else m)
+      }
+    }
+    // spread fixture: k=9 -> g1=3, g2=9 — a real three-level tree
+    val pts = (0L to 11L).map(i => i -> (i * 2.7 % 11.0)).toMap
+    val df = pts.toSeq.toDF("vec_id", "x")
+      .select($"vec_id", array($"x").as("embedding"))
+    val want = truth(pts, 9)
+    val got = Similarity.hier3AssignCells(df, "vec_id", "embedding", 9)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == want, s"hier3 $got != ground truth $want")
+    assert(want.values.toSet.size > 1, "fixture must use more than one cell")
+    val gotCol = Similarity.hier3AssignCells(df, "vec_id", "embedding", 9,
+        superLiteralMax = 0)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(gotCol == want, s"column carriage $gotCol != ground truth $want")
+    // level-2 fallback fixture (the two-level tie corpus): super 1 draws
+    // no mids, so the far vector keeps the fallback cell -1-super = -2
+    // as its FINAL cell (no children can claim a region with no id space)
+    val b = Seq(0L -> 0.0, 1L -> 0.0005, 2L -> 0.0001, 5L -> 100.0)
+      .toDF("vec_id", "x").select($"vec_id", array($"x").as("embedding"))
+    val gotB = Similarity.hier3AssignCells(b, "vec_id", "embedding", 3)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val wantB = truth(Map(0L -> 0.0, 1L -> 0.0005, 2L -> 0.0001,
+      5L -> 100.0), 3)
+    assert(gotB == wantB, s"hier3 fallback $gotB != ground truth $wantB")
+    assert(gotB(5L) == -2L, s"level-2 fallback must survive to the cell: $gotB")
+  }
+
   test("ivfPq: one coarse cell + per-point residual codebooks is exact — " +
       "d2(q-c, x-c) = d2(q, x), so ranking matches brute-force L2") {
     import spark.implicits._
