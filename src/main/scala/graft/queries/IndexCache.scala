@@ -41,7 +41,13 @@ object IndexCache {
     if (!fs.exists(new Path(s"$idxDir/$successRel"))) {
       val tmpDir =
         s"${idxDir}__build_${java.util.UUID.randomUUID().toString.take(8)}"
-      build(tmpDir)
+      // a failed build must not leave its temp dir behind: the stale-index
+      // GC below deliberately skips __build_ names (a CONCURRENT build's
+      // live temp dir must survive), so orphans would otherwise accumulate
+      try build(tmpDir)
+      catch { case t: Throwable =>
+        fs.delete(new Path(tmpDir), true); throw t
+      }
       if (!fs.rename(new Path(tmpDir), new Path(idxDir)))
         fs.delete(new Path(tmpDir), true) // lost the race: winner's index is complete
       // drop stale indexes of the same source (older fingerprints)

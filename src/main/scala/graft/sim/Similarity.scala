@@ -1308,7 +1308,12 @@ object Similarity {
     * cell = −1−g1−mid (∈ [−g1−g2, −g1−1]); a fallback mid with no
     * children keeps its own (already unique, negative) id as the cell.
     * Pair semantics and the [[guardCellPairs]] budget match the other
-    * rungs. */
+    * rungs.
+    *
+    * EAGER contract (unlike the lazy q297/q300 siblings): the pairs are
+    * materialized via localCheckpoint at call time, so the persisted
+    * three-level assignment can be unpersisted before returning — a
+    * composing caller pays the materialization up front. */
   def hier3CellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double,
       maxCellPairs: Long = 2000000000L): DataFrame = {

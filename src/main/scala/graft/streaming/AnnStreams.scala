@@ -28,7 +28,10 @@ object AnnStreams {
   /** Start the probe stream: `queries` is a streaming DataFrame bearing
     * `idCol` + `vecCol`; results (qid, rank, cid, sim) upsert into
     * `outDir` keyed on (qid, rank). The index at `indexDir` is the
-    * [[Similarity.saveIvfIndex]] layout (q143's artifact). */
+    * [[Similarity.saveIvfIndex]] layout (q143's artifact). The index
+    * snapshot is bound HERE, at start(): a nightly rebuild republishing
+    * the artifact is adopted by restarting the stream (checkpoint-safe —
+    * the upsert sink converges on replay), not mid-flight. */
   def probeSavedIvf(spark: SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, outDir: String, ckptDir: String): StreamingQuery = {

@@ -53,4 +53,35 @@ class IndexCacheSpec extends SparkSpec {
     // and the original contract still resolves to its own artifact
     assert(run("k=ceil(n/64)") == d1 && builds == 2)
   }
+
+  test("cachedDir: a build that THROWS deletes its temp dir (no orphan " +
+      "__build_ dirs) and the next call rebuilds cleanly") {
+    val base = java.nio.file.Files.createTempDirectory("idxcachefail").toString
+    Seq((1L, "a")).toDF("id", "t").write.parquet(s"$base/src.parquet")
+    val tag = IndexCache.tagFor("graft_idxcache_failspec_", base)
+    def buildDirs(): Seq[String] = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      tmp.list().toSeq.filter(n => n.startsWith(tag) && n.contains("__build_"))
+    }
+    val boom = intercept[RuntimeException] {
+      IndexCache.cachedDir(spark, s"$base/src.parquet", tag,
+        "meta/_SUCCESS") { tmp =>
+        assert(new java.io.File(s"$tmp/meta").mkdirs())
+        throw new RuntimeException("simulated build crash")
+      }
+    }
+    assert(boom.getMessage == "simulated build crash")
+    assert(buildDirs().isEmpty,
+      s"failed build left temp dirs behind: ${buildDirs()}")
+    var built = false
+    val dir = IndexCache.cachedDir(spark, s"$base/src.parquet", tag,
+      "meta/_SUCCESS") { tmp =>
+      built = true
+      val m = new java.io.File(s"$tmp/meta")
+      assert(m.mkdirs())
+      assert(new java.io.File(m, "_SUCCESS").createNewFile())
+    }
+    assert(built, "the failed attempt must not poison the cache slot")
+    assert(new java.io.File(s"$dir/meta/_SUCCESS").exists())
+  }
 }
