@@ -2036,6 +2036,78 @@ object SimQueries extends QueryGroup {
       SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size FROM labels
       GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster"""))
 
+  /** TREE-SEEDED Lloyd IVF (Similarity.buildIvfIndexHierLloyd — the
+    * large-k build path: fixed g=⌈√k⌉ supers, distributed child
+    * centroids, each Lloyd step reassigns WITHIN supers at O(n·√k)
+    * FLOPs/iter instead of flat Lloyd's O(n·k), driver state never k·dim)
+    * probed through the shared queryIvfIndex tail. k=9 → g=3, a real
+    * three-super tree; two scoped Lloyd iterations. The DuckDB oracle
+    * replays the whole trajectory CTE for CTE — super assignment, seed
+    * routing, both within-super argmin+means steps, final assignment,
+    * flat centroid probing, in-cell cosine top-3 — the q117 replay with
+    * the scoping rule added, so the two oracles share every fragment
+    * definition (d2Sql/cosineSql). */
+  val q304HierLloydIvf = QueryDef(
+    "q304_hier_lloyd_ivf",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndexHierLloyd(e, "vec_id", "embedding",
+        k = 9, iters = 2)
+      Similarity.queryIvfIndex(idx, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, nProbe = 2)
+        .orderBy("qid", "rank")
+    },
+    Some({
+      // one within-super Lloyd step: argmin over the super's own children,
+      // then round-6 element means per surviving (super, cell) — the
+      // lloydStepSql shape with the scoping join added
+      def scopedStep(asg: String, cent: String, prev: String): String =
+        s"""$asg AS (SELECT vec_id, super, cell FROM (
+            SELECT e.vec_id, c.super, c.cell,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
+            FROM ev e JOIN asup s ON s.vec_id = e.vec_id
+            JOIN $prev c ON c.super = s.super) WHERE rn = 1),
+          $cent AS (SELECT super, cell, list(val ORDER BY pos) AS cv FROM (
+              SELECT a.super, a.cell, p.pos, ROUND(AVG(p.val), 6) AS val
+              FROM $asg a JOIN px p USING (vec_id)
+              GROUP BY a.super, a.cell, p.pos)
+            GROUP BY super, cell)"""
+      s"""WITH ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      px AS (SELECT vec_id, pos, v[pos] AS val FROM (
+          SELECT vec_id, v, UNNEST(generate_series(1, len(v))) AS pos FROM ev)),
+      sup AS (SELECT CAST(vec_id AS INT) AS super, v AS sv FROM ev
+        WHERE vec_id < 3),
+      asup AS (SELECT vec_id, super FROM (
+          SELECT e.vec_id, c.super, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${d2Sql("e.v", "c.sv")}, 6), c.super) AS rn
+          FROM ev e, sup c) WHERE rn = 1),
+      c0 AS (SELECT s.super, CAST(e.vec_id AS BIGINT) AS cell, e.v AS cv
+        FROM ev e JOIN asup s ON s.vec_id = e.vec_id WHERE e.vec_id < 9),
+      ${scopedStep("a1", "c1", "c0")},
+      ${scopedStep("a2", "c2", "c1")},
+      asg AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(${d2Sql("e.v", "c.cv")}, 6), c.cell) AS rn
+          FROM ev e JOIN asup s ON s.vec_id = e.vec_id
+          JOIN c2 c ON c.super = s.super) WHERE rn = 1),
+      q AS (SELECT vec_id, v FROM ev WHERE vec_id < 10),
+      pr AS (SELECT qid, cell FROM (
+          SELECT q.vec_id AS qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND(${d2Sql("q.v", "c.cv")}, 6), c.cell) AS rn
+          FROM q, c2 c) WHERE rn <= 2),
+      cand AS (SELECT pr.qid, a.vec_id AS cid,
+          ROUND(${cosineSql("q.v", "e.v")}, 6) AS sim
+        FROM pr JOIN asg a ON a.cell = pr.cell
+        JOIN ev e ON e.vec_id = a.vec_id
+        JOIN q ON q.vec_id = pr.qid
+        WHERE a.vec_id <> pr.qid),
+      r AS (SELECT qid, cid, sim, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY sim DESC, cid) AS INT) AS rank FROM cand)
+      SELECT qid, rank, cid, sim FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+    }))
+
   override val defs: Seq[QueryDef] = Seq(
     q48CosineTopK, q49CosineNearDup, q50AnnLsh, q65IvfTopk, q68EmbedClusters,
     q51MultimodalFeatures, q52FrameSample, q84QuantizeInt8, q92SemDedup,
@@ -2047,5 +2119,5 @@ object SimQueries extends QueryGroup {
     q281PcaTopK, q282PcaWhiten, q285AbttTopk, q293IvfCellAudit,
     q294IvfCellSplit, q295OpqRotation, q297CellClustersScaleK,
     q300HierCellClusters, q301HierClustersSaved, q302AnnE2e,
-    q303Hier3Clusters)
+    q303Hier3Clusters, q304HierLloydIvf)
 }

@@ -1373,6 +1373,105 @@ object Similarity {
     cellPairs(hier3AssignCells(df, idCol, vecCol, k), threshold,
       maxCellPairs, "hier3CellNearDupPairs")
 
+  /** TREE-SEEDED Lloyd IVF build for LARGE k — [[lloydCentroids]] holds
+    * k·dim doubles on the driver and every iteration ranks ALL k
+    * centroids per row (O(n·k) FLOPs/iter): exactly the two costs that
+    * sink a k∝n build. Here the hier machinery carries the BUILD, not
+    * just the assignment: the supers stay FIXED across iterations (the
+    * first g = ⌈√k⌉ seed ids, standard hierarchical k-means), the k child
+    * centroids live in a DISTRIBUTED (super, ccell, cv) relation, and
+    * each Lloyd step reassigns WITHIN supers — the per-row candidate list
+    * is one super's ~k/g children, O(n·√k) FLOPs/iter — then recomputes
+    * round-6 element means per surviving (super, cell) with one
+    * map-side-combined shuffle of ≤ k·dim partial sums. Driver state:
+    * O(g) literals under [[SuperLiteralMax]], O(1) past it; never k·dim.
+    *
+    * Float contract = [[lloydRefine]]'s exactly (round-6 d² argmin with
+    * smaller-cell ties, round-6 element-wise means, a cell that loses all
+    * members drops out), plus ONE scoping rule: points move only within
+    * their super. With g = 1 the scoping is vacuous and the trajectory
+    * equals the flat [[lloydCentroids]] value for value (spec-pinned);
+    * every step replays in external SQL (q304's DuckDB oracle).
+    *
+    * The index has the [[IvfIndex]] shape, so save / load /
+    * [[queryIvfIndex]] / [[cellBalanceAudit]] apply verbatim; the probe
+    * ranks the flat k-row centroid relation per query (broadcast — query
+    * cost tracks the QUERY batch). A super whose region drew no child
+    * seeds contributes no centroids and its rows take fallback cell
+    * −1−super (no centroid row → never probed; only reachable with
+    * duplicate seed vectors, since each seed id < g ≤ k is its own
+    * nearest super at d² = 0). */
+  def buildIvfIndexHierLloyd(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int,
+      superLiteralMax: Int = SuperLiteralMax): IvfIndex = {
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val cents = hierLloydCentroids(corpus, idCol, vecCol, k, iters, g,
+      superLiteralMax)
+    val sup = superSide(corpus, idCol, vecCol, g, superLiteralMax)
+    val cells = hierAssign(corpus, idCol, vecCol, sup, groupChildren(
+        cents.select(col("super"), col("ccell"), col("cv"))))
+      .select(col("id").as("cid"), col("v").as("cv"), col("n").as("cn"),
+        col("cell").cast("int").as("cell"))
+    IvfIndex(
+      cents.select(col("ccell").cast("int").as("cell"),
+        col("cv").as("centroid")),
+      cells)
+  }
+
+  /** The iterated within-super centroid relation for
+    * [[buildIvfIndexHierLloyd]]: (super, ccell, cv) after `iters` scoped
+    * Lloyd steps over a FIXED super level. Package-private: the explicit
+    * `g` exists for the g=1 flat-parity spec (one super ⇒ the scoping is
+    * vacuous ⇒ the trajectory must equal [[lloydCentroids]]). */
+  private[graft] def hierLloydCentroids(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, g: Int,
+      superLiteralMax: Int = SuperLiteralMax): DataFrame = {
+    require(k >= 1, s"hierLloydCentroids needs k >= 1 (got $k)")
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    require(g >= 1, s"g must be >= 1 (got $g)")
+    val sup = superSide(df, idCol, vecCol, g, superLiteralMax)
+    val base = sup.assign(
+        df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")), "v")
+      .select(col("super"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed children: the first k corpus ids, each under its own
+      // nearest super (the hierAssignCells pool — replayable in SQL)
+      val init = sup.assign(
+          df.filter(col(idCol) < k)
+            .select(col(idCol).cast("long").as("ccell"),
+              asDouble(col(vecCol)).as("cv")), "cv")
+        .select(col("super"), col("ccell"), col("cv"))
+      (1 to iters).foldLeft(init) { (cents, _) =>
+        // assignment in its own stage (the lloydRefine rule: projected
+        // next to the posexplode Generate, the argmin re-evaluates per
+        // exploded ELEMENT — a dim-fold blowup); the lazy localCheckpoint
+        // is the evaluation barrier the optimizer cannot collapse
+        val assigned = base
+          .join(groupChildren(cents), Seq("super"), "left")
+          .withColumn("cell", nearestChild(col("v"), col("__children")))
+          // a super holding no centroids owns no cell this iteration —
+          // its rows sit out of the means (they re-enter at final
+          // assignment with the fallback id)
+          .filter(col("cell").isNotNull)
+          .select(col("super"), col("cell"), col("v"))
+          .localCheckpoint(eager = false)
+        assigned
+          .select(col("super"), col("cell"), posexplode(col("v")))
+          .groupBy("super", "cell", "pos")
+          .agg(round(avg(col("col")), 6).as("val"))
+          .groupBy("super", "cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("pos"), col("val")))),
+            p => p.getField("val")).as("cv"))
+          .select(col("super"), col("cell").as("ccell"), col("cv"))
+          // ≤ k rows, eager: truncates the per-iteration lineage so plan
+          // depth stays constant in iters
+          .localCheckpoint(true)
+      }
+    } finally base.unpersist(blocking = false)
+  }
+
   /** Column-borne nearest-centroid argmin (see
     * [[graft.functions.NearestChildCell]]). */
   private def nearestChild(v: Column, children: Column): Column = {

@@ -103,6 +103,9 @@ class QueriesSpec extends SparkSpec {
     // q262-style broadcast-query brute-force recall leg — both bounded
     // sides; PlanSpec pins the full shape incl. the cell equi join
     "q302_ann_e2e",
+    // q304: the q65/q143 probe shape again — queryIvfIndex crossJoins the
+    // broadcast k-row centroid table of the tree-seeded build
+    "q304_hier_lloyd_ivf",
     "q274_isotropy", // 1-row λ1 frame × 1-row trace frame
     // the maxPairs budget guard crossJoins ONE broadcast count row to
     // embed its plan-level raise_error; the candidate join itself stays

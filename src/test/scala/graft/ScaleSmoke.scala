@@ -272,6 +272,20 @@ object ScaleSmoke {
           j => sin(col("id") * (j + 1))).as("embedding"))
       graft.sim.Pca.covarianceMatrixFast(vecs, "embedding", 64)
     }
+    time("hierlloyd-build-1M-x-16-k15625") {
+      // the LARGE-k build path at the k=⌈n/64⌉ posture: 15625 cells,
+      // g=125 supers, two within-super Lloyd steps — per-row candidate
+      // list is one super's ~125 children vs flat Lloyd's 15625
+      // (a 125× assignment-FLOP gap per iteration; the flat build at
+      // this k is not runnable in smoke time). Timed to the fully
+      // assigned cells relation.
+      val dim = 16
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => sin(col("id") * (j + 1))).as("embedding"))
+      graft.sim.Similarity.buildIvfIndexHierLloyd(vecs, "vec_id",
+        "embedding", k = 15625, iters = 2).cells
+    }
     time("ivf-range-search-1M-x-16") {
       val vecs = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(15)),

@@ -848,6 +848,77 @@ class SimilaritySpec extends SparkSpec {
     assert(gotB(5L) == -2L, s"level-2 fallback must survive to the cell: $gotB")
   }
 
+  test("hierLloydCentroids: with g=1 (scoping vacuous) the trajectory " +
+      "equals flat lloydCentroids value for value — the build-parity " +
+      "contract of the tree-seeded large-k path") {
+    val e = Tables.embeddings(spark, sf001)
+    val flat = Similarity.lloydCentroids(e, "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    val tree = Similarity.hierLloydCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 2, g = 1)
+      .select(col("ccell").cast("int").as("cell"), col("cv"))
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toIndexedSeq.asInstanceOf[Seq[Double]]))
+      .toSeq
+    assert(tree == flat,
+      s"g=1 tree Lloyd diverged from flat Lloyd:\n$tree\nvs\n$flat")
+    assert(flat.nonEmpty, "fixture must refine a non-empty centroid set")
+  }
+
+  test("hierLloydCentroids: a real tree (k=9, g=3, iters=2) matches an " +
+      "independently-computed within-super Lloyd ground truth, in BOTH " +
+      "super carriages; buildIvfIndexHierLloyd assigns members to their " +
+      "own super's cells") {
+    def round6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def argmin(cands: Seq[(Long, Double)], x: Double): Option[Long] =
+      if (cands.isEmpty) None
+      else Some(cands.map { case (id, c) =>
+        (round6((x - c) * (x - c)), id) }.min._2)
+    val pts = (0L to 11L).map(i => i -> (i * 2.7 % 11.0)).toMap
+    // ground truth: fixed supers (ids < 3), children seeded from ids < 9
+    // routed through their super, two scoped Lloyd steps (argmin within
+    // super, round-6 means per surviving (super, cell))
+    val supers = pts.filter(_._1 < 3).toSeq
+    def s1(x: Double): Long = argmin(supers, x).get
+    var cents: Seq[(Long, Long, Double)] = pts.filter(_._1 < 9).toSeq
+      .map { case (i, c) => (s1(c), i, c) }
+    for (_ <- 1 to 2) {
+      val assigned = pts.toSeq.flatMap { case (id, x) =>
+        val local = cents.filter(_._1 == s1(x)).map(c => (c._2, c._3))
+        argmin(local, x).map(cell => (s1(x), cell, x))
+      }
+      cents = assigned.groupBy(a => (a._1, a._2)).toSeq
+        .map { case ((sup, cell), ms) =>
+          (sup, cell, round6(ms.map(_._3).sum / ms.size)) }
+    }
+    val want = cents.map { case (s, c, v) => (s.toInt, c, Seq(v)) }.toSet
+    val df = pts.toSeq.toDF("vec_id", "x")
+      .select($"vec_id", array($"x").as("embedding"))
+    def run(superLiteralMax: Int): Set[(Int, Long, Seq[Double])] =
+      Similarity.hierLloydCentroids(df, "vec_id", "embedding",
+          k = 9, iters = 2, g = 3, superLiteralMax = superLiteralMax)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2).toIndexedSeq.asInstanceOf[Seq[Double]]))
+        .toSet
+    assert(run(1024) == want, s"literal carriage:\n${run(1024)}\nvs\n$want")
+    assert(run(0) == want, s"column carriage:\n${run(0)}\nvs\n$want")
+    assert(want.map(_._1).size > 1 || want.size > 1,
+      "fixture must exercise more than one centroid")
+    // the built index: every member's cell belongs to the member's super
+    val idx = Similarity.buildIvfIndexHierLloyd(df, "vec_id", "embedding",
+      k = 9, iters = 2)
+    val cellSuper = cents.map(c => c._2 -> c._1).toMap
+    idx.cells.select("cid", "cell").collect().foreach { r =>
+      val (cid, cell) = (r.getLong(0), r.getInt(1))
+      assert(cell >= 0, s"fixture should have no fallback cells: $cid -> $cell")
+      assert(cellSuper(cell.toLong) == s1(pts(cid)),
+        s"member $cid assigned across supers: cell $cell")
+    }
+  }
+
   test("ivfPq: one coarse cell + per-point residual codebooks is exact — " +
       "d2(q-c, x-c) = d2(q, x), so ranking matches brute-force L2") {
     import spark.implicits._

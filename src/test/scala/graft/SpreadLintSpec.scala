@@ -59,10 +59,12 @@ class SpreadLintSpec extends AnyFunSuite {
       "guarded: explodedById/positionalSums/positionMeans all spread"),
     "sim/Pq.scala" -> (2,
       "exempt: x m subvectors per row (m<=4); x nProbe cells per query"),
-    "sim/Similarity.scala" -> (9,
+    "sim/Similarity.scala" -> (10,
       "guarded: labelNoiseScreen spreads; others explode bounded " +
         "structures (block keys <=nBlocks, bands, probe cells, <=k " +
-        "centroid tables) or post-shuffle relations"),
+        "centroid tables) or post-shuffle relations (incl. the " +
+        "hierLloyd means posexplode over the checkpointed " +
+        "super-join output)"),
     "streaming/DedupStreams.scala" -> (1,
       "exempt: streaming frame — partitioning comes from the micro-batch " +
         "source; Spread passes streams through untouched by contract"),
