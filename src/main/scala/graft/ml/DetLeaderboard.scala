@@ -60,7 +60,13 @@ object DetLeaderboard {
     val u = (TextAnalysis.md5Int32(concat_ws("|", lit(seed),
       id.cast("string"))) + 0.5) / 4294967296.0
     val cols = (target +: features).distinct
-    val base = df
+    // r14: spread an under-partitioned scan before the per-row md5 split
+    // draw and the 3|F|-term DECIMAL moment aggregate (guide §2.5/§2.6 —
+    // a one-split input serializes the whole pass; Spread.forHeavyStage
+    // is a no-op on well-split inputs). Keyed by the caller's row id: a
+    // deterministic hash spread, and every downstream aggregate here is
+    // order-independent by the DECIMAL-sum contract.
+    val base = graft.ops.Spread.forHeavyStage(df, id)
       .select(u.as("__u") +: cols.map(c => col(c).cast("double").as(c)): _*)
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val train = base.filter(col("__u") < 0.8)

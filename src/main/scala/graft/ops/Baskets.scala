@@ -37,9 +37,13 @@ object Baskets {
       minCount: Long = 2L, k: Int = 20,
       maxBasketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
-    val presenceRaw = df
-      .filter(basket.isNotNull && item.isNotNull)
-      .select(basket.as("b"), item.as("i"))
+    // r14: spread an under-partitioned scan before the presence distinct —
+    // a one-split input serializes the partial-distinct map stage on one
+    // core (no-op on well-split inputs; distinct is order-independent)
+    val presenceRaw = graft.ops.Spread.forHeavyStage(
+        df.filter(basket.isNotNull && item.isNotNull)
+          .select(basket.as("b"), item.as("i")),
+        col("b"), col("i"))
       .distinct()
     // snapshot: presence feeds N, the supports, and BOTH self-join sides
     val presence =

@@ -231,7 +231,12 @@ object Drift {
       df.select(value.cast("double").as("v"))
         .filter(col("v").isNotNull)
         .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
-    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+    // r14: spread an under-partitioned scan before the value-histogram
+    // collapse — in the drift shape both union legs read the same one-split
+    // file, so the partial aggregate would serialize on one core (no-op on
+    // well-split inputs; counts are order-independent)
+    val hist = graft.ops.Spread.forHeavyStage(
+        side(a, 1, 0).unionByName(side(b, 0, 1)), col("v"))
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))
@@ -435,7 +440,12 @@ object Drift {
       df.select(value.cast("double").as("v"))
         .filter(col("v").isNotNull)
         .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
-    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+    // r14: spread an under-partitioned scan before the value-histogram
+    // collapse — in the drift shape both union legs read the same one-split
+    // file, so the partial aggregate would serialize on one core (no-op on
+    // well-split inputs; counts are order-independent)
+    val hist = graft.ops.Spread.forHeavyStage(
+        side(a, 1, 0).unionByName(side(b, 0, 1)), col("v"))
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))
@@ -502,7 +512,12 @@ object Drift {
       df.select(value.cast("double").as("v"))
         .filter(col("v").isNotNull)
         .select(col("v"), lit(ca.toLong).as("__ia"), lit(cb.toLong).as("__ib"))
-    val hist = side(a, 1, 0).unionByName(side(b, 0, 1))
+    // r14: spread an under-partitioned scan before the value-histogram
+    // collapse — in the drift shape both union legs read the same one-split
+    // file, so the partial aggregate would serialize on one core (no-op on
+    // well-split inputs; counts are order-independent)
+    val hist = graft.ops.Spread.forHeavyStage(
+        side(a, 1, 0).unionByName(side(b, 0, 1)), col("v"))
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))

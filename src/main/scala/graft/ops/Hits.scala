@@ -46,6 +46,17 @@ object Hits {
       if (spark.sparkContext.getCheckpointDir.isDefined) eRaw.checkpoint(eager = true)
       else eRaw.localCheckpoint(eager = true)
 
+    // r14 (guide §1.2 "the distributed algorithm" / §5 caching): each raw
+    // score table is SNAPSHOT before normalizing. l1Normalize references its
+    // input twice (once under the broadcast total, once in the output rows),
+    // and each half-iteration's input embeds the previous one — without the
+    // snapshot the lazy tree re-evaluates every earlier join+aggregate
+    // 2^(half-iterations) times (the q223 plan was 184 KB of nested
+    // ReusedExchange candidates; measured 5.6 s → see OPTIMIZATION_r14.md).
+    // A snapshot is |V| rows — bounded, the PageRank ckpt discipline.
+    def snap(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     def l1Normalize(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(
         sum(col(score).cast("decimal(28,12)")).cast("double").as("__tot"))
@@ -61,13 +72,13 @@ object Hits {
       .withColumn("a", lit(1.0))
     var hub: DataFrame = null
     for (_ <- 1 to iterations) {
-      val hRaw = e.join(side(auth, "dst"), "dst")
+      val hRaw = snap(e.join(side(auth, "dst"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("a").cast("decimal(28,12)")).cast("double").as("h"))
+        .agg(sum(col("a").cast("decimal(28,12)")).cast("double").as("h")))
       hub = l1Normalize(hRaw, "h")
-      val aRaw = e.join(side(hub, "src"), "src")
+      val aRaw = snap(e.join(side(hub, "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a"))
+        .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a")))
       auth = l1Normalize(aRaw, "a")
     }
     hub

@@ -77,8 +77,16 @@ object PageRank {
     val teleport = (1.0 - damping) / n
 
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // edges ⋈ deg is loop-invariant: compute once, reuse every iteration
-    val edgesDeg = edges.join(outDeg, "src").persist()
+    // edges ⋈ deg is loop-invariant: compute once, reuse every iteration.
+    // Pre-partitioned BY DST (r14, guide §2.4 "share one exchange"): every
+    // iteration's only data-sized operation is the dst-keyed contribution
+    // sum, so paying the dst hash partitioning ONCE in the cached table
+    // lets each iteration's HashAggregate consume the cache's partitioning
+    // with NO per-iteration Exchange — iterations×1 edge-list shuffles
+    // drop to 1 (the rank-side join was already broadcast/co-partitioned).
+    val edgesDeg = edges.join(outDeg, "src")
+      .repartition(col("dst"))
+      .persist()
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
@@ -89,7 +97,11 @@ object PageRank {
           round(col("rank") / col("deg"), 12).cast("decimal(28,12)").as("c"))
       val sums = contrib.groupBy("node")
         .agg(sum(col("c")).cast("double").as("in_mass"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      // under broadcastRanks the |V|-row sums table fits the same budget
+      // as the rank broadcast — the teleport re-base join then needs no
+      // shuffle of either side (nodes is cached, sums is broadcast)
+      ranks = nodes.join(
+          if (broadcastRanks) broadcast(sums) else sums, Seq("node"), "left")
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)),
             12).as("rank"))

@@ -59,6 +59,20 @@ object Spread {
   def forHeavyAmplification(df: DataFrame, by: Column*): DataFrame =
     forAmplification(df, HeavyMinBytes, by: _*)
 
+  /** r14: the same guard for HEAVY NON-AMPLIFYING per-row stages — exact
+    * DECIMAL moment sums (a BigDecimal allocation chain per row per term),
+    * per-row md5 split draws, percentile/median value buffers. These don't
+    * multiply rows, but a compact single-split scan feeding them serializes
+    * the whole O(n) pass on one core exactly like an explode does (measured:
+    * q265's 12-term moment aggregate over the one-split sf0.1 lineitem ran
+    * 4.5 s on 1 of 32 cores; spread, 0.6 s). Same no-op-at-scale property:
+    * a well-split cluster read passes through untouched. Floor = the heavy
+    * floor — per-byte cost of a decimal-sum chain sits with the hashing
+    * amplifiers, well above the token ops the DefaultMinBytes floor serves.
+    */
+  def forHeavyStage(df: DataFrame, by: Column*): DataFrame =
+    forAmplification(df, HeavyMinBytes, by: _*)
+
   def forAmplification(df: DataFrame, minBytes: Long,
       by: Column*): DataFrame = {
     // a streaming frame cannot be inspected via .rdd and inherits its

@@ -139,10 +139,12 @@ object Stats {
     val v = value.cast("double")
     val med = df.groupBy(group)
       .agg(percentile(v, lit(0.5)).as("__med"))
-    val withMed = df.join(med, Seq(group))
+    // broadcast the ≤#groups-row aggregates explicitly (guide §3.1, the
+    // trimmedMean build-side misestimate): the data side must stay streamed
+    val withMed = df.join(broadcast(med), Seq(group))
     val mad = withMed.groupBy(group)
       .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
-    withMed.join(mad, Seq(group))
+    withMed.join(broadcast(mad), Seq(group))
       .filter(col("__mad") > 0 && abs(v - col("__med")) > col("__mad") * k)
       .withColumn(out, round(abs(v - col("__med")) / col("__mad"), 6))
       .drop("__med", "__mad")
@@ -279,14 +281,27 @@ object Stats {
   def trimmedMean(df: DataFrame, group: String, value: Column,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val v = value.cast("double")
-    val bounds = df.groupBy(group)
-      .agg(percentile(v, lit(lo)).as("__lo"), percentile(v, lit(hi)).as("__hi"))
-    df.join(bounds, Seq(group))
-      .filter(v >= col("__lo") && v <= col("__hi"))
+    // r14: project once and spread an under-partitioned scan — the exact
+    // percentile builds a per-group value buffer row by row and the decimal
+    // mean sums a BigDecimal per row; on a one-split input both phases
+    // serialize on one core (Spread.forHeavyStage is a no-op on well-split
+    // inputs). Both consumers read the SAME exchange (reused subtree), and
+    // every aggregate here is partition-order independent.
+    val base = graft.ops.Spread.forHeavyStage(
+      df.select(col(group), v.as("__v")), col(group), col("__v"))
+    val bounds = base.groupBy(group)
+      .agg(percentile(col("__v"), lit(lo)).as("__lo"),
+        percentile(col("__v"), lit(hi)).as("__hi"))
+    // explicit broadcast of the ≤#groups-row bounds table (guide §3.1): the
+    // planner's size estimate had it BUILDING THE 600k-row base side
+    // instead (BuildLeft in the r14 before-plan), which parks the entire
+    // filter+mean stage on the bounds side's single post-aggregate task
+    base.join(broadcast(bounds), Seq(group))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
       .groupBy(group)
       .agg(
         count(lit(1)).as("n_kept"),
-        round(sum(v.cast("decimal(28,8)")).cast("double") /
+        round(sum(col("__v").cast("decimal(28,8)")).cast("double") /
           count(lit(1)).cast("double"), 6).as("trimmed_mean"))
   }
 
@@ -794,8 +809,15 @@ object Stats {
   def spearman(df: DataFrame, x: Column, y: Column,
       partitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
-    val dataRaw = df.select(x.cast("double").as("x"), y.cast("double").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
+    // r14: spread an under-partitioned scan BEFORE the snapshot — the
+    // snapshot freezes the scan's partitioning, so a one-split input would
+    // otherwise serialize both rank-histogram aggregates and the scoring
+    // join's map side on one core for the whole query (no-op on well-split
+    // inputs; ranks/sums are partition-order independent by construction)
+    val dataRaw = graft.ops.Spread.forHeavyStage(
+      df.select(x.cast("double").as("x"), y.cast("double").as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull),
+      col("x"), col("y"))
     // snapshot: feeds both rank builds and the final scoring join
     val data =
       if (spark.sparkContext.getCheckpointDir.isDefined) dataRaw.checkpoint(eager = true)
@@ -857,9 +879,17 @@ object Stats {
     */
   def ols2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
     val ok = y.isNotNull && x1.isNotNull && x2.isNotNull
-    val (yd, x1d, x2d) = (y.cast("double"), x1.cast("double"), x2.cast("double"))
+    val (yd0, x1d0, x2d0) = (y.cast("double"), x1.cast("double"), x2.cast("double"))
+    // r14: spread an under-partitioned scan before the 10-term decimal
+    // moment aggregate (one BigDecimal chain per row per term serializes a
+    // one-split input on one core; no-op on well-split inputs, sums are
+    // order-independent by the DECIMAL contract)
+    val base = graft.ops.Spread.forHeavyStage(
+      df.filter(ok).select(yd0.as("__y"), x1d0.as("__x1"), x2d0.as("__x2")),
+      col("__y"), col("__x1"), col("__x2"))
+    val (yd, x1d, x2d) = (col("__y"), col("__x1"), col("__x2"))
     def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
-    val agg = df.filter(ok).agg(
+    val agg = base.agg(
       count(lit(1)).as("n"),
       s(x1d).as("s1"), s(x2d).as("s2"), s(yd).as("sy"),
       s(x1d * x1d).as("s11"), s(x2d * x2d).as("s22"), s(x1d * x2d).as("s12"),
@@ -1160,10 +1190,15 @@ object Stats {
     * Output: (group, n_values, total_weight, weighted_median). */
   def weightedMedian(df: DataFrame, group: String, value: Column,
       weight: Column): DataFrame = {
-    val base = df
-      .select(col(group), value.cast("double").as("v"),
-        weight.cast("decimal(28,6)").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+    // r14: spread an under-partitioned scan before the per-row decimal
+    // weight cast + (group, value) tie-collapse — the partial aggregate of
+    // a one-split input runs on one core (no-op on well-split inputs;
+    // decimal sums are order-independent)
+    val base = graft.ops.Spread.forHeavyStage(
+        df.select(col(group), value.cast("double").as("v"),
+            weight.cast("decimal(28,6)").as("w"))
+          .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0),
+        col(group), col("v"))
       .groupBy(col(group), col("v")).agg(sum(col("w")).as("w"))
     val wc = Window.partitionBy(group).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1387,9 +1422,13 @@ object Stats {
     * (n, r_xy, r_xz, r_yz, partial_r). */
   def partialCorrelation(df: DataFrame, x: Column, y: Column,
       z: Column): DataFrame = {
-    val base = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
-      .select(x.cast("double").as("x"), y.cast("double").as("y"),
-        z.cast("double").as("z"))
+    // r14: spread before the 10-term decimal moment aggregate (the ols2
+    // rationale; no-op on well-split inputs)
+    val base = graft.ops.Spread.forHeavyStage(
+      df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+        .select(x.cast("double").as("x"), y.cast("double").as("y"),
+          z.cast("double").as("z")),
+      col("x"), col("y"), col("z"))
     def s(c: Column): Column = sum(c.cast("decimal(38,8)")).cast("double")
     val agg = base.agg(
       count(lit(1)).as("n"),

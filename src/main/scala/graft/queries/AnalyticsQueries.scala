@@ -20,12 +20,24 @@ object AnalyticsQueries extends QueryGroup {
   val q137PageRank = QueryDef(
     "q137_pagerank",
     (s, d) => {
+      // r14 (guide §2.3, narrower types): the graph runs on LONG node ids
+      // (part p → 2p, supplier s → 2s+1 — injective, so the distinct edge
+      // set is 1:1 with the old string-keyed one) and the label strings are
+      // minted only for the 20-row result. Rank arithmetic is key-type
+      // independent (same n, deg, decimal contribution sums), so the output
+      // is bit-identical to the string-keyed run — same oracle. The distinct
+      // now shuffles two longs instead of two concat'd strings, and every
+      // in-loop shuffle/broadcast carries 8-byte keys.
       val e0 = Tables.lineitem(s, d).select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = e0.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(e0.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
       PageRank.run(edges, iterations = 3)
-        .select(col("node"), round(col("rank"), 8).as("rank"))
+        .select(
+          when(col("node") % 2 === 0, concat(lit("p"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("s"), shiftright(col("node"), 1))).as("node"),
+          round(col("rank"), 8).as("rank"))
         .orderBy(desc("rank"), col("node"))
         .limit(20)
     },
@@ -188,9 +200,13 @@ object AnalyticsQueries extends QueryGroup {
   val q198Triangles = QueryDef(
     "q198_triangles",
     (s, d) => {
-      val pres = Tables.lineitem(s, d)
-        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      // r14: spread the one-split scan before the presence distinct and
+      // the b-keyed wedge self-join (no-op on well-split inputs)
+      val pres = graft.ops.Spread.forHeavyStage(
+          Tables.lineitem(s, d)
+            .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+            .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+          col("b"), col("i"))
         .distinct()
       val edges = pres.as("x").join(pres.as("y"), Seq("b"))
         .filter(col("x.i") < col("y.i"))
@@ -224,9 +240,13 @@ object AnalyticsQueries extends QueryGroup {
   val q278KCore = QueryDef(
     "q278_k_core",
     (s, d) => {
-      val pres = Tables.lineitem(s, d)
-        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      // r14: spread the one-split scan before the presence distinct and
+      // the b-keyed wedge self-join (no-op on well-split inputs)
+      val pres = graft.ops.Spread.forHeavyStage(
+          Tables.lineitem(s, d)
+            .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+            .select(col("l_orderkey").as("b"), col("l_partkey").as("i")),
+          col("b"), col("i"))
         .distinct()
       val edges = pres.as("x").join(pres.as("y"), Seq("b"))
         .filter(col("x.i") < col("y.i"))
@@ -430,12 +450,20 @@ object AnalyticsQueries extends QueryGroup {
     "q223_hits",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val edges = Tables.lineitem(s, d).select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      // r14: long node ids through the iterations (the q137 treatment —
+      // p → 2k, s → 2k+1, injective), labels minted only for the ≤20-row
+      // report. Scores are key-type independent; same oracle. The rank
+      // window tie-breaks on the LABEL, so the string is minted before it.
+      val e0 = Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk")).distinct()
+      val edges = e0.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       val w = Window.partitionBy("side")
         .orderBy(col("score").desc, col("node"))
       graft.ops.Hits.run(edges, iterations = 2)
+        .withColumn("node",
+          when(col("node") % 2 === 0, concat(lit("p"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("s"), shiftright(col("node"), 1))))
         .withColumn("score", round(col("score"), 8))
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 10)

@@ -101,23 +101,38 @@ object Unigram {
         struct(concat(bests, array(bj)).as("bests"),
           concat(backs, array(backj)).as("backs"))
       })
-    val backtrack = aggregate(
-      sequence(lit(1), length(w)),
-      struct(length(w).as("pos"),
-        array().cast("array<string>").as("pieces")),
-      (acc, _) => {
-        val pos = acc.getField("pos")
-        val pieces = acc.getField("pieces")
-        val pl = element_at(fwd.getField("backs"), pos + 1)
-        when(pos > 0, struct(
-          (pos - pl).as("pos"),
-          concat(array(w.substr(pos - pl + 1, pl)), pieces).as("pieces")))
-          .otherwise(acc)
-      }).getField("pieces")
-    when(length(w) > maxWordLen ||
-        element_at(fwd.getField("bests"), length(w) + 1).isNull,
-      split(w, ""))
-      .otherwise(backtrack)
+    // Bind the forward DP's (bests, backs) ONCE per word (r14 optimization,
+    // guide §4 expression hot path): `fwd` is an O(L·maxPieceLen) aggregate,
+    // and referencing it INSIDE the backtrack lambda would re-evaluate the
+    // whole forward pass at every backtrack step (plus once more in the
+    // fallback test) — O(L) full DP recomputations per word, measured 2.9 s
+    // → 0.7 s on q299's sf0.1 encode. transform over a one-element array
+    // materializes the struct into the lambda variable; the backtrack then
+    // pays two array lookups per step. Values are bit-identical: same cells,
+    // same tie-breaks, same fallbacks (UnigramSpec pins the trajectories).
+    val segmented = element_at(transform(array(fwd), f => {
+      val bests = f.getField("bests")
+      val backs = f.getField("backs")
+      val backtrack = aggregate(
+        sequence(lit(1), length(w)),
+        struct(length(w).as("pos"),
+          array().cast("array<string>").as("pieces")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val pieces = acc.getField("pieces")
+          val pl = element_at(backs, pos + 1)
+          when(pos > 0, struct(
+            (pos - pl).as("pos"),
+            concat(array(w.substr(pos - pl + 1, pl)), pieces).as("pieces")))
+            .otherwise(acc)
+        }).getField("pieces")
+      when(element_at(bests, length(w) + 1).isNull, split(w, ""))
+        .otherwise(backtrack)
+    }), 1)
+    // the over-length fallback is checked BEFORE the DP so an over-long
+    // word never pays the forward pass at all (the old || short-circuit
+    // made this true only sometimes, depending on codegen)
+    when(length(w) > maxWordLen, split(w, "")).otherwise(segmented)
   }
 
   /** Segment every word of a TEXT column: tokenize on spaces, Viterbi per
