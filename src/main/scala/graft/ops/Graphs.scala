@@ -94,12 +94,17 @@ object Graphs {
     out += ((0, endpoints(cur).distinct().count(), cur.count()))
     var r = 1
     while (r <= rounds) {
-      val keep = endpoints(cur).groupBy("n").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("n")
+      // r14: snapshot the survivor set — `keep` was referenced three times
+      // per round (the count and BOTH semi joins), re-running the degree
+      // aggregate each time; and broadcast it into the semi joins so the
+      // edge table is never shuffled during a peel (keep is node-scale,
+      // the PageRank/HITS broadcast-score budget).
+      val keep = snap(endpoints(cur).groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n"))
       val nKept = keep.count()
       cur = snap(cur
-        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .join(broadcast(keep.select(col("n").as("u"))), Seq("u"), "left_semi")
+        .join(broadcast(keep.select(col("n").as("v"))), Seq("v"), "left_semi")
         .select("u", "v"))
       out += ((r, nKept, cur.count()))
       r += 1

@@ -823,31 +823,42 @@ object Stats {
       if (spark.sparkContext.getCheckpointDir.isDefined) dataRaw.checkpoint(eager = true)
       else dataRaw.localCheckpoint(eager = true)
 
-    def rankTable(c: String, out: String): DataFrame = {
-      val hist = data.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        .repartitionByRange(partitions, col("v"))
-        .sortWithinPartitions("v")
-        .withColumn("__pid", spark_partition_id())
-      val snap =
-        if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
-        else hist.localCheckpoint(eager = true)
-      val partTotals = snap.groupBy("__pid").agg(sum(col("cnt")).as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = partTotals.scanLeft((0, 0L)) {
-        case ((_, acc), (pid, t)) => (pid, acc + t)
-      }
-      import spark.implicits._
-      val offDf = partTotals.map(_._1).zip(offsets.map(_._2))
-        .toSeq.toDF("__pid", "off")
-      val w = Window.partitionBy("__pid").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      snap.join(broadcast(offDf), "__pid")
-        .withColumn("__before", col("off") + sum(col("cnt")).over(w) - col("cnt"))
-        .select(col("v").as(c),
-          (lit(2L) * col("__before") + col("cnt") + 1L).as(out))
-    }
-    val rx = rankTable("x", "__rx")
-    val ry = rankTable("y", "__ry")
+    // r14: BOTH rank tables from ONE stacked pass — the per-axis builds
+    // each paid a histogram aggregate, a repartitionByRange (whose range
+    // sampling is its own job), a snapshot and an offsets collect; stacking
+    // (axis, v) halves that. Range partitioning on (axis, v) keeps each
+    // axis's values globally ordered; prefix sums window per (pid, axis)
+    // and offsets scan per axis in pid order, so every rank is IDENTICAL
+    // to the per-axis build (2·#below + tiecount + 1, exact integers).
+    val hist = data.select(explode(array(
+        struct(lit(0).as("axis"), col("x").as("v")),
+        struct(lit(1).as("axis"), col("y").as("v")))).as("av"))
+      .groupBy(col("av.axis").as("axis"), col("av.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(partitions, col("axis"), col("v"))
+      .sortWithinPartitions("axis", "v")
+      .withColumn("__pid", spark_partition_id())
+    val hsnap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
+      else hist.localCheckpoint(eager = true)
+    val partTotals = hsnap.groupBy("__pid", "axis")
+      .agg(sum(col("cnt")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    import spark.implicits._
+    val offDf = partTotals.groupBy(_._2).toSeq.flatMap { case (axis, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(
+        sorted.scanLeft(0L) { case (acc, (_, _, t)) => acc + t })
+        .map { case (pid, off) => (pid, axis, off) }
+    }.toDF("__pid", "axis", "off")
+    val w = Window.partitionBy("__pid", "axis").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hsnap.join(broadcast(offDf), Seq("__pid", "axis"))
+      .withColumn("__before", col("off") + sum(col("cnt")).over(w) - col("cnt"))
+      .select(col("axis"), col("v"),
+        (lit(2L) * col("__before") + col("cnt") + 1L).as("r2"))
+    val rx = ranks.filter(col("axis") === 0).select(col("v").as("x"), col("r2").as("__rx"))
+    val ry = ranks.filter(col("axis") === 1).select(col("v").as("y"), col("r2").as("__ry"))
     val dec = (c: Column) => c.cast("decimal(19,0)")
     val agg = data.join(rx, "x").join(ry, "y")
       .agg(
@@ -1190,15 +1201,18 @@ object Stats {
     * Output: (group, n_values, total_weight, weighted_median). */
   def weightedMedian(df: DataFrame, group: String, value: Column,
       weight: Column): DataFrame = {
-    // r14: spread an under-partitioned scan before the per-row decimal
-    // weight cast + (group, value) tie-collapse — the partial aggregate of
-    // a one-split input runs on one core (no-op on well-split inputs;
-    // decimal sums are order-independent)
-    val base = graft.ops.Spread.forHeavyStage(
-        df.select(col(group), value.cast("double").as("v"),
-            weight.cast("decimal(28,6)").as("w"))
-          .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0),
-        col(group), col("v"))
+    // r14 note: a Spread.forHeavyStage guard was tried here and REVERTED —
+    // on a near-unique value column the (group, value) tie-collapse reduces
+    // nothing, so the extra exchange shuffled the full input for no win
+    // (mini-bench 3.54 s vs the 2.58 s pin); the dominant cost is the
+    // per-group cumulative DECIMAL window below, whose parallelism is
+    // #groups by construction. The distributed-prefix-sum rework (the
+    // spearman rankTable scaffold) is the real fix — see
+    // OPTIMIZATION_r14.md "Not yet optimized".
+    val base = df
+      .select(col(group), value.cast("double").as("v"),
+        weight.cast("decimal(28,6)").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
       .groupBy(col(group), col("v")).agg(sum(col("w")).as("w"))
     val wc = Window.partitionBy(group).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

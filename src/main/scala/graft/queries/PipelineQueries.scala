@@ -116,14 +116,22 @@ object PipelineQueries extends QueryGroup {
         .select(concat(lit(base), col("o_orderkey")).as("url"))
       val t1 = Timestamp.valueOf("2024-06-01 00:00:00")
       val t2 = Timestamp.valueOf("2024-06-08 00:00:00")
-      val s1 = LinkState.applySnapshot(LinkState.emptyLinks(s), snap1, t1)
+      // r14 (the q223 lesson): each applySnapshot references its `links`
+      // input THREE times (insert anti, touch semi, deactivate anti) and
+      // the lifecycle chains four of them, so the one lazy tree re-derived
+      // every earlier state multiplicatively (the 137 KB before-plan,
+      // plans/r14/q61_link_lifecycle_before.txt). Snapshot each state —
+      // input-bounded rows; applySnapshot itself stays a pure plan (the
+      // operator contract), only this carrier pins the evaluation points.
+      def snap(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint(true)
+      val s1 = snap(LinkState.applySnapshot(LinkState.emptyLinks(s), snap1, t1))
       // scrape half of the pending set
       val results = LinkState.pending(s1)
         .select(col("url"), (col("classified_id") % 5 =!= 0).as("ok"))
-      val s1b = LinkState.applyScrapeResults(s1, results, t1)
+      val s1b = snap(LinkState.applyScrapeResults(s1, results, t1))
       // second snapshot: some disappear (inactive), some appear (pending);
       // applied twice to pin idempotence in the checked output
-      val s2 = LinkState.applySnapshot(s1b, snap2, t2)
+      val s2 = snap(LinkState.applySnapshot(s1b, snap2, t2))
       val s2again = LinkState.applySnapshot(s2, snap2, t2)
       s2again.groupBy("status").agg(count(lit(1)).as("cnt")).orderBy("status")
     },

@@ -39,12 +39,57 @@ object Pq {
       dim: Int, m: Int, ksub: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(m >= 1 && dim % m == 0, s"pq needs m | dim (got $m, $dim)")
     val sub = dim / m
-    (0 until m).map { j =>
-      lloydCentroids(
-        corpus.select(col(idCol),
-          slice(asDouble(col(vecCol)), j * sub + 1, sub).as("__sv")),
-        idCol, "__sv", ksub, iters)
+    // r14: ONE stacked (subspace, subvector) frame trains all m codebooks
+    // together — the per-subspace lloydCentroids loop paid m seed collects
+    // + m refine collects + m persists PER ITERATION (q261 profiled 41
+    // driver-bound jobs); stacked, each iteration is one corpus pass and
+    // one bounded m·ksub-row collect. Trajectories are IDENTICAL to the
+    // per-subspace runs: the seed set is the same id<ksub filter per
+    // subspace, the assignment applies subspace j's when-tree to exactly
+    // the rows with __j = j, and the per-(j, cell, pos) round-6 means
+    // aggregate exactly the rows the per-j run aggregated (PqSpec pins the
+    // codebooks; the q261-q263/q280/q295 oracles replay them CTE for CTE).
+    val stacked = corpus.select(col(idCol).as("__sid"),
+        posexplode(array((0 until m).map(j =>
+          slice(asDouble(col(vecCol)), j * sub + 1, sub)): _*))
+          .as(Seq("__j", "__cv")))
+    def booksOf(rows: Array[org.apache.spark.sql.Row]): Seq[Seq[(Int, Seq[Double])]] = {
+      val byJ = rows.groupBy(_.getInt(0))
+      (0 until m).map { j =>
+        byJ.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+          .map(r => (r.getInt(1),
+            r.getSeq[Double](2).toIndexedSeq.asInstanceOf[Seq[Double]]))
+          .sortBy(_._1).toSeq
+      }
     }
+    val init = booksOf(stacked.filter(col("__sid") < ksub)
+      .select(col("__j"), col("__sid").cast("int").as("cell"), col("__cv"))
+      .collect())
+    // degenerate: no seed ids — empty per subspace, exactly as the per-j
+    // lloydCentroids early-return produced
+    if (init.head.isEmpty) return init
+    val e = stacked.select(col("__j"), col("__cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (1 to iters).foldLeft(init) { (books, _) =>
+        // per-subspace nearest-cell trees dispatched on __j; the lazy
+        // localCheckpoint is the lloydRefine evaluation barrier (the
+        // assignment must not inline into the Generate below)
+        val assignExpr = (1 until m).foldLeft(
+          when(col("__j") === 0, nearestCell(col("__cv"), books(0)))) {
+          (acc, j) => acc.when(col("__j") === j, nearestCell(col("__cv"), books(j)))
+        }
+        val assigned = e.select(col("__j"), assignExpr.as("cell"), col("__cv"))
+          .localCheckpoint(eager = false)
+        booksOf(assigned
+          .select(col("__j"), col("cell"), posexplode(col("__cv")))
+          .groupBy("__j", "cell", "pos").agg(round(avg(col("col")), 6).as("val"))
+          .groupBy("__j", "cell")
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("val")))),
+            p => p.getField("val")).as("centroid"))
+          .collect())
+      }
+    } finally e.unpersist(blocking = false)
   }
 
   /** Encode the corpus: (idCol, code_0 … code_{m-1}) int codes.

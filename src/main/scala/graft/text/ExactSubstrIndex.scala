@@ -80,10 +80,25 @@ object ExactSubstrIndex {
       sub: Int = 24, buckets: Int = 64): Unit = {
     val spark = train.sparkSession
     import spark.implicits._
-    gramRelation(train, textCol, sub, buckets)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
-    Seq((sub, buckets, HashVer)).toDF("sub", "buckets", "hash")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    spark.sparkContext.setJobDescription(s"xsub: build grams -> $dir")
+    try {
+      // r14 (guide §6, output file sizing): align write tasks to bucket
+      // dirs. Without this every post-distinct task holds rows of ~every
+      // bucket and the dynamic-partition writer opens tasks×buckets files
+      // (measured 134 files for the sf0.001 index). filesPerBucket derives
+      // from the RELATION size so a corpus-scale build still writes in
+      // parallel with ~64-128 MB files; locally it is 1 → one file per
+      // bucket. Layout only — the stored relation is identical.
+      val rel = gramRelation(train, textCol, sub, buckets)
+      val est = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+      val filesPerBucket = math.max(1L,
+        (est / (96L << 20) / buckets).toLong).toInt
+      rel.repartition(buckets * filesPerBucket, col("bucket"),
+          pmod(col("h"), lit(filesPerBucket)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
+      Seq((sub, buckets, HashVer)).toDF("sub", "buckets", "hash")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   def loadMeta(spark: SparkSession, dir: String): Meta = {
@@ -116,16 +131,28 @@ object ExactSubstrIndex {
       textCol: Column): Long = {
     val meta = loadMeta(spark, dir)
     val existing = loadGrams(spark, dir)
-    val fresh = gramRelation(batch, textCol, meta.sub, meta.buckets)
-      .join(existing.select("g"), Seq("g"), "left_anti")
-      .select("h", "g", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = fresh.count()
-    // pure append: existing bucket files are immutable, so a concurrent
-    // probe reads either the pre- or post-add relation, never a torn one
-    fresh.write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
-    fresh.unpersist(blocking = false)
-    n
+    spark.sparkContext.setJobDescription(s"xsub: add batch -> $dir")
+    try {
+      // r14: the novelty anti join keys on (h, g) instead of g alone —
+      // h = gramHash64(g) on BOTH sides, so the join relation is unchanged
+      // (h equality is implied by g equality), but the sort-merge now
+      // orders by the 8-byte hash first and falls back to full string
+      // comparison only within an h tie (~never at 60 bits) instead of
+      // comparing 24-char strings at every node of the sort.
+      val fresh = gramRelation(batch, textCol, meta.sub, meta.buckets)
+        .join(existing.select("h", "g"), Seq("h", "g"), "left_anti")
+        .select("h", "g", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = fresh.count()
+      // pure append: existing bucket files are immutable, so a concurrent
+      // probe reads either the pre- or post-add relation, never a torn one.
+      // Write tasks align to bucket dirs (the build() layout rationale);
+      // an incremental batch is bounded, so one file per bucket per add.
+      fresh.repartition(meta.buckets, col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dir/grams")
+      fresh.unpersist(blocking = false)
+      n
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   /** Probe a saved index with an eval corpus: maximal contamination spans

@@ -57,11 +57,26 @@ object LshBandIndex {
       n: Int = 2, bandsOf: Int = 2, buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandRelation(docs, idCol, textCol, n, bandsOf, buckets)
-      .write.mode("overwrite").partitionBy("band_id", "bucket")
-      .parquet(s"$dir/bands")
-    Seq((n, bandsOf, buckets)).toDF("n", "bandsOf", "buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    spark.sparkContext.setJobDescription(s"lshidx: build bands -> $dir")
+    try {
+      // r14 (guide §6, the ExactSubstrIndex.build layout rationale): align
+      // write tasks to (band_id, bucket) dirs — without it every
+      // post-shuffle task holds rows of ~every dir and the dynamic writer
+      // opens tasks×dirs files. filesPerDir grows with the RELATION size so
+      // corpus-scale builds keep parallel ~64-128 MB files; locally it is
+      // 1 file per dir. Layout only — the stored relation is unchanged.
+      val rel = bandRelation(docs, idCol, textCol, n, bandsOf, buckets)
+      val nBands = DedupOps.MinhashSeeds.size / bandsOf
+      val dirs = math.max(1, nBands * buckets)
+      val est = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+      val filesPerDir = math.max(1L, (est / (96L << 20) / dirs).toLong).toInt
+      rel.repartition(dirs * filesPerDir, col("band_id"), col("bucket"),
+          pmod(hash(col("doc")), lit(filesPerDir)))
+        .write.mode("overwrite").partitionBy("band_id", "bucket")
+        .parquet(s"$dir/bands")
+      Seq((n, bandsOf, buckets)).toDF("n", "bandsOf", "buckets")
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   def loadMeta(spark: SparkSession, dir: String): Meta = {
@@ -109,7 +124,10 @@ object LshBandIndex {
       val rows = joined.filter(col("__stored_val").isNull)
         .drop("__stored_val")
       val cnt = rows.count()
-      rows.write.mode("append").partitionBy("band_id", "bucket")
+      // write tasks align to dirs (the build() layout rationale); an
+      // incremental batch is bounded, so one file per dir per add
+      rows.repartition(col("band_id"), col("bucket"))
+        .write.mode("append").partitionBy("band_id", "bucket")
         .parquet(s"$dir/bands")
       cnt
     } finally joined.unpersist(blocking = false)

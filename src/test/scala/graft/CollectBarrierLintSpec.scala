@@ -33,7 +33,7 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "sim/Opq.scala" -> 1,          // loadRotation (≤kOut rows)
     "text/Unigram.scala" -> 4,     // seed top/chars + per-round usage + load (all ≤seedSize+alphabet / vocab-bounded)
     "sim/Pca.scala" -> 1,          // dim²/2 covariance upper triangle
-    "sim/Pq.scala" -> 2,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub)
+    "sim/Pq.scala" -> 4,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub); stacked pqCodebooks seed + per-iter books (≤m·ksub each)
     "enrich/Geocode.scala" -> 1,   // geocode cache map (≤#cached addresses)
     "tools/ProfileQuery.scala" -> 1, // dev profiling main, not library path
     "tools/BenchSf1.scala" -> 1,   // JVM warmup action (1-row sum)

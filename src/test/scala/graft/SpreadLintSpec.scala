@@ -37,10 +37,11 @@ class SpreadLintSpec extends AnyFunSuite {
     "ops/EventAnalytics.scala" -> (2,
       "exempt: resampleFfill grid is post-aggregate per key with its own " +
         "maxCellsPerKey raise; funnel counts explode a 1-row aggregate"),
-    "ops/Stats.scala" -> (6,
+    "ops/Stats.scala" -> (7,
       "guarded: both bootstrap resample explodes (x b per row) spread; " +
         "exempt: x#features / x#pairs / x#terms / x maxLag stacking " +
-        "explodes (bounded small constants)"),
+        "explodes (bounded small constants); spearman's x2 axis-stack " +
+        "explode reads the already-spread snapshot"),
     "ops/Skew.scala" -> (1,
       "exempt: deliberate bounded salt replication of the SMALL side"),
     "queries/AnalyticsQueries.scala" -> (1,
@@ -57,8 +58,10 @@ class SpreadLintSpec extends AnyFunSuite {
       "guarded: q107/q114/q222/q226 token explodes spread the scan"),
     "sim/Pca.scala" -> (3,
       "guarded: explodedById/positionalSums/positionMeans all spread"),
-    "sim/Pq.scala" -> (2,
-      "exempt: x m subvectors per row (m<=4); x nProbe cells per query"),
+    "sim/Pq.scala" -> (4,
+      "exempt: x m subvectors per row (m<=4); x nProbe cells per query; " +
+        "stacked pqCodebooks' x m slice posexplode and its per-iter " +
+        "means posexplode over the persisted stacked frame"),
     "sim/Similarity.scala" -> (10,
       "guarded: labelNoiseScreen spreads; others explode bounded " +
         "structures (block keys <=nBlocks, bands, probe cells, <=k " +
