@@ -1200,27 +1200,72 @@ object Stats {
     * values — distributed across groups, never a single-partition window.
     * Output: (group, n_values, total_weight, weighted_median). */
   def weightedMedian(df: DataFrame, group: String, value: Column,
-      weight: Column): DataFrame = {
-    // r14 note: a Spread.forHeavyStage guard was tried here and REVERTED —
-    // on a near-unique value column the (group, value) tie-collapse reduces
-    // nothing, so the extra exchange shuffled the full input for no win
-    // (mini-bench 3.54 s vs the 2.58 s pin); the dominant cost is the
-    // per-group cumulative DECIMAL window below, whose parallelism is
-    // #groups by construction. The distributed-prefix-sum rework (the
-    // spearman rankTable scaffold) is the real fix — see
-    // OPTIMIZATION_r14.md "Not yet optimized".
+      weight: Column, partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    // r14 rework (guide §2.5 — a dominant group is a one-task window):
+    // the cumulative-weight window used to partition BY GROUP, so its
+    // parallelism was #groups and every row of a hot group ran through one
+    // task's DECIMAL accumulator (q195: 3 groups over 600k values = 3
+    // cores busy). The cumulative weights now come from the
+    // spearman/ksStatistic scaffold — range-partition the tie-collapsed
+    // (group, v) histogram, per-partition DECIMAL prefix sums, plus a
+    // ≤partitions·#groups-row offsets table collected once. Every __cum
+    // is the identical exact decimal (decimal addition is associative and
+    // the offsets replay the same v-order), so the qualifying filter and
+    // the output are bit-identical to the group-window form.
     val base = df
       .select(col(group), value.cast("double").as("v"),
         weight.cast("decimal(28,6)").as("w"))
       .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
       .groupBy(col(group), col("v")).agg(sum(col("w")).as("w"))
-    val wc = Window.partitionBy(group).orderBy("v")
+      .repartitionByRange(partitions, col(group), col("v"))
+      .sortWithinPartitions(group, "v")
+      .withColumn("__pid", spark_partition_id())
+    val snap =
+      if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(eager = true)
+    // one bounded collect: per-(pid, group) weight totals and value counts
+    val partTotals = snap.groupBy("__pid", group)
+      .agg(sum(col("w")).as("t"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getDecimal(2), r.getLong(3)))
+    // exclusive per-group prefix offsets in pid order (pid order IS value
+    // order under range partitioning), exact java BigDecimal arithmetic
+    val offRows = partTotals.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(
+        sorted.scanLeft(java.math.BigDecimal.ZERO) {
+          case (acc, (_, _, t, _)) => acc.add(t)
+        }).map { case (pid, off) => (pid, g, off) }
+    }
+    val groupMeta = partTotals.groupBy(_._2).map { case (g, rows) =>
+      (g, rows.map(_._3).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)),
+        rows.map(_._4).sum)
+    }.toSeq
+    val gCol = snap.schema(group).dataType
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.map { case (pid, g, off) =>
+        org.apache.spark.sql.Row(pid, g, off) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(group, gCol),
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))))
+    val totDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(groupMeta.map { case (g, t, c) =>
+        org.apache.spark.sql.Row(g, t, c) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(group, gCol),
+        org.apache.spark.sql.types.StructField("__tot",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)),
+        org.apache.spark.sql.types.StructField("__nv",
+          org.apache.spark.sql.types.LongType))))
+    val wc = Window.partitionBy(col("__pid"), col(group)).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wa = Window.partitionBy(group)
-    base
-      .withColumn("__cum", sum(col("w")).over(wc))
-      .withColumn("__tot", sum(col("w")).over(wa))
-      .withColumn("__nv", count(lit(1)).over(wa))
+    snap.join(broadcast(offDf), Seq("__pid", group))
+      .withColumn("__cum", col("off") + sum(col("w")).over(wc))
+      .join(broadcast(totDf), Seq(group))
       .filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(group)
       .agg(

@@ -21,7 +21,7 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "ops/MissingData.scala" -> 1,  // per-column null fractions (≤#columns)
     "ops/Skyline.scala" -> 1,      // per-partition y-minima (≤#partitions)
     "ops/Drift.scala" -> 6,        // per-partition prefix totals (≤#partitions each)
-    "ops/Stats.scala" -> 2,        // quantile cut points (≤#quantiles each)
+    "ops/Stats.scala" -> 3,        // quantile cut points (≤#quantiles each); spearman + weightedMedian per-(pid,group) offset totals (≤partitions·#groups each)
     "ops/Ranked.scala" -> 1,       // per-partition count+sum (≤#partitions)
     "text/Curation.scala" -> 1,    // per-source sampling rates (≤#sources)
     "text/Retrieval.scala" -> 1,   // query-term df row (≤#query terms)
