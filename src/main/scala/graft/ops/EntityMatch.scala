@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Entity resolution: fuzzy string matching via blocking + edit distance.
   *
@@ -38,9 +39,15 @@ object EntityMatch {
     l.join(r, "block")
       // cheap length guard first, then the THRESHOLD form of levenshtein —
       // banded DP that abandons a pair the moment it exceeds maxDist
-      // (returns -1), instead of computing the full distance matrix
+      // (returns -1), instead of computing the full distance matrix.
+      // The DP is wrapped in [[graft.functions.EvalOnce]] (r15, guide §4.4):
+      // without the barrier the optimizer pushes the dist filter below the
+      // projection (folding it into the join condition), so every pair
+      // within maxDist ran the banded DP TWICE — once deciding, once
+      // projecting. The length guard stays a plain (pushable) predicate.
       .filter(abs(length(col("l_text")) - length(col("r_text"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("l_text"), col("r_text"), maxDist))
+      .withColumn("dist",
+        evalOnce(levenshtein(col("l_text"), col("r_text"), maxDist)))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("l_key"), col("r_key"), col("dist"))
   }
@@ -85,11 +92,21 @@ object EntityMatch {
     val r = right.select(col(rightKey).as("r_key"), col(rightText).as("r_text"))
       .withColumn("block", block(col("r_text")))
     l.join(r, "block")
-      .withColumn("sim", round(
-        graft.text.TextAnalysis.jaroWinkler(col("l_text"), col("r_text")), 6))
+      // EvalOnce barrier (r15, guide §4.4): without it the sim ≥ minSim
+      // filter folds into the join condition and every SURVIVING pair —
+      // most of a shared-prefix block at minSim 0.9 — scored Jaro–Winkler
+      // twice (q192's before-plan shows the scorer in both the join
+      // condition and the output projection).
+      .withColumn("sim", evalOnce(round(
+        graft.text.TextAnalysis.jaroWinkler(col("l_text"), col("r_text")), 6)))
       .filter(col("sim") >= minSim)
       .select(col("l_key"), col("r_key"), col("sim"))
   }
+
+  /** One-evaluation barrier for an expensive pure scorer — see
+    * [[graft.functions.EvalOnce]] for the optimizer contract. */
+  private def evalOnce(c: Column): Column =
+    ColumnBridge.column(graft.functions.EvalOnce(ColumnBridge.expression(c)))
 
   /** Best Jaro–Winkler match per left entity: maximum similarity, ties
     * broken by the smallest rightKey (min over (−sim, r_key) structs — one

@@ -289,9 +289,13 @@ object Stats {
     // every aggregate here is partition-order independent.
     val base = graft.ops.Spread.forHeavyStage(
       df.select(col(group), v.as("__v")), col(group), col("__v"))
+    // ONE array percentile per group (r15, the q05 buffer fusion): the two
+    // scalar calls each built a full per-group value buffer; one buffer
+    // serves both bounds bit-identically
     val bounds = base.groupBy(group)
-      .agg(percentile(col("__v"), lit(lo)).as("__lo"),
-        percentile(col("__v"), lit(hi)).as("__hi"))
+      .agg(percentile(col("__v"), array(lit(lo), lit(hi))).as("__b"))
+      .select(col(group), element_at(col("__b"), 1).as("__lo"),
+        element_at(col("__b"), 2).as("__hi"))
     // explicit broadcast of the ≤#groups-row bounds table (guide §3.1): the
     // planner's size estimate had it BUILDING THE 600k-row base side
     // instead (BuildLeft in the r14 before-plan), which parks the entire

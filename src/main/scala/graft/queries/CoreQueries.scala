@@ -72,15 +72,25 @@ object CoreQueries extends QueryGroup {
       SELECT l_quantity, COUNT(*) AS c FROM lineitem WHERE l_quantity IS NOT NULL
       GROUP BY l_quantity ORDER BY c DESC, l_quantity ASC LIMIT 1)"""))
 
-  /** A6/A7: exact percentiles (linear interpolation = DuckDB quantile_cont). */
+  /** A6/A7: exact percentiles (linear interpolation = DuckDB quantile_cont).
+    * ONE array-argument percentile aggregate (r15): five scalar percentile
+    * calls each built their own full value→count ObjectHashAggregate buffer
+    * over every row — 5× the buffer inserts and 5× the per-partition merge
+    * for one pass's worth of information. The array form keeps a single
+    * buffer and interpolates all five points from it; Spark's Percentile
+    * evaluates each probability with the identical math, so the output is
+    * bit-identical (oracle unchanged). */
   val q05Quantiles = QueryDef(
     "q05_quantiles_price",
-    (s, d) => Tables.orders(s, d).agg(
-      round(percentile(col("o_totalprice"), lit(0.01)), 6).as("p01"),
-      round(percentile(col("o_totalprice"), lit(0.25)), 6).as("p25"),
-      round(percentile(col("o_totalprice"), lit(0.50)), 6).as("p50"),
-      round(percentile(col("o_totalprice"), lit(0.75)), 6).as("p75"),
-      round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99")),
+    (s, d) => Tables.orders(s, d)
+      .agg(percentile(col("o_totalprice"),
+        array(lit(0.01), lit(0.25), lit(0.50), lit(0.75), lit(0.99))).as("__q"))
+      .select(
+        round(element_at(col("__q"), 1), 6).as("p01"),
+        round(element_at(col("__q"), 2), 6).as("p25"),
+        round(element_at(col("__q"), 3), 6).as("p50"),
+        round(element_at(col("__q"), 4), 6).as("p75"),
+        round(element_at(col("__q"), 5), 6).as("p99")),
     Some("""SELECT
       ROUND(quantile_cont(o_totalprice, 0.01), 6) AS p01,
       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,

@@ -813,13 +813,20 @@ object MonitoringQueries extends QueryGroup {
     * the q05 exact-percentile cross-engine contract. */
   val q237QuantileBands = QueryDef(
     "q237_quantile_bands",
+    // ONE array percentile per day-group (r15, the q05 fusion): three
+    // scalar percentile calls each kept a full per-group value buffer —
+    // the array form keeps one and reads three points off it,
+    // bit-identically.
     (s, d) => Tables.events(s, d)
       .filter(col("value").isNotNull)
       .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
       .agg(count(lit(1)).as("n"),
-        round(percentile(col("value"), lit(0.1)), 6).as("p10"),
-        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+        percentile(col("value"),
+          array(lit(0.1), lit(0.5), lit(0.9))).as("__q"))
+      .select(col("day"), col("n"),
+        round(element_at(col("__q"), 1), 6).as("p10"),
+        round(element_at(col("__q"), 2), 6).as("p50"),
+        round(element_at(col("__q"), 3), 6).as("p90"))
       .orderBy("day"),
     Some("""SELECT epoch_us(ts) // 86400000000 AS day,
         CAST(COUNT(*) AS BIGINT) AS n,

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
   * n-gram Jaccard, MinHash+LSH banding, SimHash.
@@ -1002,8 +1003,13 @@ object DedupOps {
       col("lb"), col("pf"))
     a.join(b, Seq("lb", "pf"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("dist",
-        levenshtein(col("ta"), col("tb"), maxDist).cast("bigint"))
+      // EvalOnce barrier (r15, guide §4.4): without it the dist filter
+      // folds into the join condition and every surviving pair runs the
+      // banded Levenshtein DP twice (decide + project) — see
+      // [[graft.functions.EvalOnce]]
+      .withColumn("dist", ColumnBridge.column(graft.functions.EvalOnce(
+        ColumnBridge.expression(
+          levenshtein(col("ta"), col("tb"), maxDist).cast("bigint")))))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("doc_id_a", "doc_id_b", "dist")
       .orderBy("doc_id_a", "doc_id_b")
