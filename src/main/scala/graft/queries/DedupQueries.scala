@@ -16,9 +16,13 @@ object DedupQueries extends QueryGroup {
     * one constant and rides the cache key (see IndexCache.tagFor). */
   // layout=r14: build now aligns write tasks to bucket dirs (≤64 files
   // instead of tasks×64 — the sf0.1 artifact measured 2054 tiny files);
-  // the relation is unchanged but cached artifacts rebuild once so probes
-  // stop paying the 2054-file listing/open cost every run
-  private val xsubContract = "train=doc_id%10!=0 sub=24 buckets=64 layout=r14"
+  // layout=r15: bucket count is scale-adaptive (ExactSubstrIndex
+  // .adaptiveBuckets — 8 dirs at the local SFs instead of 64; the 22 MB
+  // sf0.1 artifact in 131 files was file/commit-bound, guide §6) and the
+  // build dedup+write share one exchange. The relation is unchanged; the
+  // tag bump rebuilds cached artifacts once so every probe measures the
+  // same layout.
+  private val xsubContract = "train=doc_id%10!=0 sub=24 buckets=adaptive layout=r15"
 
   /** Exact dedup via hash-groupBy. The corpus has no true duplicates, so
     * duplicates are synthesized deterministically (docs with doc_id % 10 == 0
@@ -616,8 +620,9 @@ object DedupQueries extends QueryGroup {
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
         IndexCache.tagFor("graft_xsub_v2_", d, xsubContract),
         "meta/_SUCCESS") { tmpDir =>
-        ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
-          col("text"), tmpDir, sub = 24, buckets = 64)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        ExactSubstrIndex.build(train, col("text"), tmpDir, sub = 24,
+          buckets = ExactSubstrIndex.adaptiveBuckets(train))
       }
       ExactSubstrIndex.probeSpans(s, idxDir,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", col("text"))
@@ -646,8 +651,9 @@ object DedupQueries extends QueryGroup {
       val tmp = sys.props("java.io.tmpdir") + "/graft_xsub_add_" +
         java.util.UUID.randomUUID().toString.take(8)
       val m10 = col("doc_id") % 10
-      ExactSubstrIndex.build(docs.filter(m10 >= 1 && m10 <= 5),
-        col("text"), tmp, sub = 24, buckets = 64)
+      val train = docs.filter(m10 >= 1 && m10 <= 5)
+      ExactSubstrIndex.build(train, col("text"), tmp, sub = 24,
+        buckets = ExactSubstrIndex.adaptiveBuckets(train))
       ExactSubstrIndex.add(s, tmp, docs.filter(m10 >= 6), col("text"))
       val out = ExactSubstrIndex.probeSpans(s, tmp,
         docs.filter(m10 === 0), "doc_id", col("text"))
@@ -682,8 +688,9 @@ object DedupQueries extends QueryGroup {
       val tmp = sys.props("java.io.tmpdir") + "/graft_lshidx_" +
         java.util.UUID.randomUUID().toString.take(8)
       val m4 = col("doc_id") % 4
-      LshBandIndex.build(docs.filter(m4 === 1 || m4 === 2), "doc_id",
-        col("text"), tmp, n = 2, bandsOf = 2, buckets = 16)
+      val idxDocs = docs.filter(m4 === 1 || m4 === 2)
+      LshBandIndex.build(idxDocs, "doc_id", col("text"), tmp,
+        n = 2, bandsOf = 2, buckets = LshBandIndex.adaptiveBuckets(idxDocs))
       LshBandIndex.add(s, tmp, docs.filter(m4 === 3), "doc_id", col("text"))
       val out = LshBandIndex.probePairs(s, tmp, docs.filter(m4 === 0),
         "doc_id", col("text"), maxBucket = 4096)
@@ -721,8 +728,9 @@ object DedupQueries extends QueryGroup {
       val idxDir = IndexCache.cachedDir(s, s"$d/documents.parquet",
         IndexCache.tagFor("graft_xsub_v2_", d, xsubContract),
         "meta/_SUCCESS") { tmpDir =>
-        ExactSubstrIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
-          col("text"), tmpDir, sub = 24, buckets = 64)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        ExactSubstrIndex.build(train, col("text"), tmpDir, sub = 24,
+          buckets = ExactSubstrIndex.adaptiveBuckets(train))
       }
       ExactSubstrIndex.contamMatches(docs.filter(col("doc_id") % 10 === 0),
         ExactSubstrIndex.loadGrams(s, idxDir), "doc_id", col("text"),

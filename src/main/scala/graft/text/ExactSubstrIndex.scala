@@ -49,15 +49,13 @@ object ExactSubstrIndex {
 
   final case class Meta(sub: Int, buckets: Int, hashVer: String)
 
-  /** The distinct `sub`-char gram relation of a corpus: (h, g, bucket).
-    * One explode + one distinct — both keyed, linear in corpus chars.
-    * Distinct runs on `g` alone (the semantic key); h/bucket are derived
-    * afterwards so the aggregate carries the minimal row.
-    */
-  def gramRelation(docs: DataFrame, textCol: Column, sub: Int,
-      buckets: Int): DataFrame = {
+  /** Exploded PER-OCCURRENCE (h, g) gram rows — NOT distinct. The hash is
+    * derived map-side, before any exchange, so every downstream dedup or
+    * join can key on it directly (r15, guide §2.4: two operations keyed the
+    * same way share one exchange). */
+  private def gramOccurrences(docs: DataFrame, textCol: Column,
+      sub: Int): DataFrame = {
     require(sub >= 2, s"ExactSubstrIndex needs sub >= 2 (got $sub)")
-    require(buckets >= 1, s"ExactSubstrIndex needs buckets >= 1 (got $buckets)")
     // spread an under-partitioned scan before the ~|text|-way explode
     // (see [[graft.ops.Spread.forAmplification]]); no-op on split inputs
     graft.ops.Spread.forHeavyAmplification(
@@ -66,15 +64,57 @@ object ExactSubstrIndex {
       .select(explode(transform(
         sequence(lit(1), length(col("__t")) - (sub - 1)),
         i => col("__t").substr(i, lit(sub)))).as("g"))
-      .distinct()
       .select(gramHash64(col("g")).as("h"), col("g"))
+  }
+
+  /** The distinct `sub`-char gram relation of a corpus: (h, g, bucket).
+    * One explode + one distinct — both keyed, linear in corpus chars.
+    *
+    * r15 (guide §2.4): the distinct now runs on (h, g) WITH the hash
+    * already derived — h is a function of g, so the dedup is unchanged,
+    * but the distinct's exchange is hashpartitioning(h, g), exactly the
+    * key [[add]]'s novelty anti join needs, so the join reuses it instead
+    * of re-shuffling the whole relation (the r14 plan paid
+    * Exchange(g) for the distinct and then Exchange(h, g) for the join).
+    */
+  def gramRelation(docs: DataFrame, textCol: Column, sub: Int,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"ExactSubstrIndex needs buckets >= 1 (got $buckets)")
+    gramOccurrences(docs, textCol, sub)
+      .distinct()
       .withColumn("bucket", pmod(col("h"), lit(buckets)).cast("int"))
+  }
+
+  /** Scale-adaptive bucket count for [[build]]: enough bucket dirs that a
+    * corpus-scale build writes in parallel, few enough that a small corpus
+    * does not shatter into tiny files (r15, guide §6: the measured sf0.1
+    * index was 22 MB in 131 files at the old fixed buckets=64, and the
+    * build+add file/commit overhead — not bytes — dominated q289; 8
+    * buckets halved build+add). The estimate anchors on the TRAIN INPUT's
+    * file-based size — exact, unlike the gram relation's explode-inflated
+    * optimizer estimate — times the measured gram-parquet amplification
+    * (~40x the compressed input text at sub=24). Layout only: bucket count
+    * never changes any probe result, and `meta` records whatever was used.
+    */
+  def adaptiveBuckets(train: DataFrame, maxBuckets: Int = 64): Int = {
+    val inputEst = train.queryExecution.optimizedPlan.stats.sizeInBytes
+    val gramEst = (inputEst * 40).min(BigInt(Long.MaxValue)).toLong
+    math.max(8L, math.min(maxBuckets.toLong, gramEst / (4L << 20))).toInt
   }
 
   /** Build and persist the index: `dir/meta` records (sub, buckets),
     * `dir/grams` holds the distinct gram relation partitioned by hash
     * bucket (bounded directory count; file-level pruning for bucket-scoped
     * maintenance reads).
+    *
+    * r15 (guide §2.4): ONE exchange instead of two. The r14 plan shuffled
+    * the relation once for the distinct (hash(g)) and once more to align
+    * write tasks to bucket dirs. bucket and the sub-file slot are
+    * deterministic functions of g, so partitioning BY THEM co-locates
+    * equal grams too — the repartition IS the dedup exchange: the distinct
+    * above it needs no second shuffle (hashpartitioning(bucket, __sf)
+    * satisfies the aggregate's clustering on a subset of its keys), and
+    * write tasks stay bucket-aligned.
     */
   def build(train: DataFrame, textCol: Column, dir: String,
       sub: Int = 24, buckets: Int = 64): Unit = {
@@ -82,20 +122,27 @@ object ExactSubstrIndex {
     import spark.implicits._
     spark.sparkContext.setJobDescription(s"xsub: build grams -> $dir")
     try {
-      // r14 (guide §6, output file sizing): align write tasks to bucket
-      // dirs. Without this every post-distinct task holds rows of ~every
-      // bucket and the dynamic-partition writer opens tasks×buckets files
-      // (measured 134 files for the sf0.001 index). filesPerBucket derives
-      // from the RELATION size so a corpus-scale build still writes in
-      // parallel with ~64-128 MB files; locally it is 1 → one file per
-      // bucket. Layout only — the stored relation is identical.
-      val rel = gramRelation(train, textCol, sub, buckets)
-      val est = rel.queryExecution.optimizedPlan.stats.sizeInBytes
-      val filesPerBucket = math.max(1L,
-        (est / (96L << 20) / buckets).toLong).toInt
-      rel.repartition(buckets * filesPerBucket, col("bucket"),
-          pmod(col("h"), lit(filesPerBucket)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
+      // file sizing from the input-anchored estimate (the relation's own
+      // optimizer estimate is explode-inflated and overflowed the old
+      // (est / 96MB / buckets).toLong math — the r14 advice finding);
+      // clamped to [1, 4096] files per bucket
+      val inputEst = train.queryExecution.optimizedPlan.stats.sizeInBytes
+      val gramEst = (inputEst * 40).min(BigInt(Long.MaxValue)).toLong
+      val filesPerBucket = math.max(1L, math.min(4096L,
+        gramEst / (128L << 20) / buckets)).toInt
+      // __sf spreads WITHIN a bucket: (h / buckets) mod files is
+      // independent of h mod buckets for a uniform hash, unlike the r14
+      // pmod(h, files) slot, which collapses to the bucket value whenever
+      // files divides buckets (64 pairs instead of 64*files — most write
+      // partitions empty)
+      val rel = gramOccurrences(train, textCol, sub)
+        .withColumn("bucket", pmod(col("h"), lit(buckets)).cast("int"))
+        .withColumn("__sf", pmod(expr(s"h div $buckets"),
+          lit(filesPerBucket.toLong)).cast("int"))
+        .repartition(buckets * filesPerBucket, col("bucket"), col("__sf"))
+        .distinct()
+        .drop("__sf")
+      rel.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/grams")
       Seq((sub, buckets, HashVer)).toDF("sub", "buckets", "hash")
         .write.mode("overwrite").parquet(s"$dir/meta")
     } finally spark.sparkContext.setJobDescription(null)

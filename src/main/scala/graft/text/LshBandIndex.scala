@@ -49,6 +49,21 @@ object LshBandIndex {
         pmod(hash(col("band_val")), lit(buckets)).as("bucket"))
   }
 
+  /** Scale-adaptive bucket count for [[build]] (r15, guide §6 — the
+    * ExactSubstrIndex.adaptiveBuckets rationale): the band relation is
+    * doc-bounded (docs × nBands short rows, far SMALLER than the input
+    * text), so the fixed buckets=16 shattered the local-scale index into
+    * nBands×16 dirs of KB-files and the build/add/probe paid file and
+    * commit overhead, not bytes. Anchored on the input's exact file-based
+    * size (an upper bound on band bytes); capped at the r14 posture.
+    * Layout only — bucket count never changes probe results, and `meta`
+    * records whatever was used. */
+  def adaptiveBuckets(docs: DataFrame, maxBuckets: Int = 16): Int = {
+    val inputEst = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(1L, math.min(maxBuckets.toLong,
+      (inputEst / (1L << 20)).min(BigInt(Long.MaxValue)).toLong)).toInt
+  }
+
   /** Build and persist: `dir/meta` records (n, bandsOf, buckets),
     * `dir/bands` holds the band relation partitioned by (band_id, bucket)
     * — bounded directory count (nBands × buckets), file-level parallelism
@@ -65,11 +80,16 @@ object LshBandIndex {
       // opens tasks×dirs files. filesPerDir grows with the RELATION size so
       // corpus-scale builds keep parallel ~64-128 MB files; locally it is
       // 1 file per dir. Layout only — the stored relation is unchanged.
+      // r15: sizing anchors on the INPUT's exact file-based size (upper
+      // bound on band bytes — the relation's own optimizer estimate is
+      // unreliable post-aggregate and overflowed the old .toLong math, the
+      // r14 advice finding), clamped to [1, 4096].
       val rel = bandRelation(docs, idCol, textCol, n, bandsOf, buckets)
       val nBands = DedupOps.MinhashSeeds.size / bandsOf
       val dirs = math.max(1, nBands * buckets)
-      val est = rel.queryExecution.optimizedPlan.stats.sizeInBytes
-      val filesPerDir = math.max(1L, (est / (96L << 20) / dirs).toLong).toInt
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      val filesPerDir = math.max(1L, math.min(4096L,
+        (est / (128L << 20) / dirs).min(BigInt(Long.MaxValue)).toLong)).toInt
       rel.repartition(dirs * filesPerDir, col("band_id"), col("bucket"),
           pmod(hash(col("doc")), lit(filesPerDir)))
         .write.mode("overwrite").partitionBy("band_id", "bucket")
