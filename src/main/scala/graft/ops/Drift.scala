@@ -240,7 +240,10 @@ object Drift {
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     // eager snapshot: traversed twice (offset totals, then the scored
     // pass), and the snapshot pins one partition layout for both — the
@@ -292,7 +295,10 @@ object Drift {
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     val snap =
       if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
@@ -343,7 +349,10 @@ object Drift {
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("c"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     val snap =
       if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
@@ -449,7 +458,10 @@ object Drift {
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     val snap =
       if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
@@ -521,7 +533,10 @@ object Drift {
       .groupBy("v")
       .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     val snap =
       if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)

@@ -53,10 +53,30 @@ object Hits {
     // snapshot the lazy tree re-evaluates every earlier join+aggregate
     // 2^(half-iterations) times (the q223 plan was 184 KB of nested
     // ReusedExchange candidates; measured 5.6 s → see OPTIMIZATION_r14.md).
-    // A snapshot is |V| rows — bounded, the PageRank ckpt discipline.
-    def snap(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // A snapshot is |V| rows — bounded, the PageRank ckpt discipline —
+    // and (r15, the round-14 advice finding) superseded reliable-checkpoint
+    // dirs are deleted as soon as the same ROLE's next snapshot
+    // materializes, so a long run keeps at most one hub and one auth dir
+    // alive instead of leaking 2×iterations dirs. The final hub/auth
+    // snapshots back the returned plan and are never deleted here.
+    // (localCheckpoint blocks are cleaned by the BlockManager.)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val prevCkptByRole =
+      scala.collection.mutable.Map.empty[String, Option[String]]
+    def snap(df: DataFrame, role: String): DataFrame = {
+      val out =
+        if (reliable) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      if (reliable) {
+        prevCkptByRole.getOrElse(role, None).foreach { f =>
+          val pth = new org.apache.hadoop.fs.Path(f)
+          pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(pth, true)
+        }
+        prevCkptByRole(role) = PageRank.checkpointFileOf(out)
+      }
+      out
+    }
     def l1Normalize(df: DataFrame, score: String): DataFrame = {
       val tot = df.agg(
         sum(col(score).cast("decimal(28,12)")).cast("double").as("__tot"))
@@ -74,11 +94,13 @@ object Hits {
     for (_ <- 1 to iterations) {
       val hRaw = snap(e.join(side(auth, "dst"), "dst")
         .groupBy(col("src").as("node"))
-        .agg(sum(col("a").cast("decimal(28,12)")).cast("double").as("h")))
+        .agg(sum(col("a").cast("decimal(28,12)")).cast("double").as("h")),
+        "hub")
       hub = l1Normalize(hRaw, "h")
       val aRaw = snap(e.join(side(hub, "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a")))
+        .agg(sum(col("h").cast("decimal(28,12)")).cast("double").as("a")),
+        "auth")
       auth = l1Normalize(aRaw, "a")
     }
     hub

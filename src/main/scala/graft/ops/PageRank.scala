@@ -121,7 +121,7 @@ object PageRank {
     * checkpointed internal RDD, whose getCheckpointFile is the dir to
     * reclaim once superseded.
     */
-  private def checkpointFileOf(df: DataFrame): Option[String] =
+  private[ops] def checkpointFileOf(df: DataFrame): Option[String] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.flatMap(_.getCheckpointFile)

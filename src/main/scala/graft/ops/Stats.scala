@@ -133,7 +133,14 @@ object Stats {
     * two keyed aggregations + one join back on the group key, all
     * shuffle-aligned on `group` so AQE coalesces them into one exchange
     * chain. Groups with MAD = 0 flag nothing (score undefined — a
-    * constant-valued group has no robust scale). */
+    * constant-valued group has no robust scale).
+    *
+    * Group-cardinality assumption (r15, the round-14 advice finding): the
+    * per-group aggregates are broadcast UNCONDITIONALLY, so `group` must
+    * be a low-cardinality dimension (the percentile buffers already imply
+    * that — each group holds a full value buffer on one task). A
+    * ~100M-distinct-group caller would OOM the broadcast before the
+    * buffers did; use a plain keyed join for that shape. */
   def madOutliers(df: DataFrame, group: String, value: Column, k: Double = 3.0,
       out: String = "mad_score"): DataFrame = {
     val v = value.cast("double")
@@ -277,7 +284,9 @@ object Stats {
     * estimate reports quote when winsorizing would bias and the plain mean
     * is outlier-hostage. Returns (group, n_kept, trimmed_mean), mean from
     * DECIMAL-exact sums. Two keyed aggregations + one join back, all
-    * shuffle-aligned on `group` (the madOutliers shape). */
+    * shuffle-aligned on `group` (the madOutliers shape — including its
+    * low-group-cardinality assumption: the bounds table is broadcast
+    * unconditionally, see the madOutliers scaladoc). */
   def trimmedMean(df: DataFrame, group: String, value: Column,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val v = value.cast("double")
@@ -636,7 +645,10 @@ object Stats {
       .groupBy("v")
       .agg(sum(col("__p")).as("np"), sum(lit(1L) - col("__p")).as("nn"))
       .repartitionByRange(partitions, col("v"))
-      .sortWithinPartitions("v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     // eager snapshot: traversed twice (offset totals, scored pass) and the
     // snapshot pins ONE partition layout for both
@@ -822,10 +834,13 @@ object Stats {
       df.select(x.cast("double").as("x"), y.cast("double").as("y"))
         .filter(col("x").isNotNull && col("y").isNotNull),
       col("x"), col("y"))
-    // snapshot: feeds both rank builds and the final scoring join
-    val data =
-      if (spark.sparkContext.getCheckpointDir.isDefined) dataRaw.checkpoint(eager = true)
-      else dataRaw.localCheckpoint(eager = true)
+    // r15: NO data snapshot. Two consumers (the stacked rank build and the
+    // final scoring join) re-run the scan+filter+spread, but that subtree
+    // is two pruned numeric columns through whole-stage codegen — measured
+    // cheaper to recompute than to materialize and re-read 600k rows
+    // through the BlockManager (the r14 snapshot predates the stacked
+    // single-pass rank build, which halved the consumer count).
+    val data = dataRaw
 
     // r14: BOTH rank tables from ONE stacked pass — the per-axis builds
     // each paid a histogram aggregate, a repartitionByRange (whose range
@@ -840,7 +855,10 @@ object Stats {
       .groupBy(col("av.axis").as("axis"), col("av.v").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .repartitionByRange(partitions, col("axis"), col("v"))
-      .sortWithinPartitions("axis", "v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid→value-order invariant the offsets rely on; the rank window
+      // re-sorts its partition regardless, so the pre-sort only made the
+      // snapshot materialization pay an extra spill-prone pass
       .withColumn("__pid", spark_partition_id())
     val hsnap =
       if (spark.sparkContext.getCheckpointDir.isDefined) hist.checkpoint(eager = true)
@@ -1202,7 +1220,14 @@ object Stats {
     * Scale shape: ties collapse map-side (groupBy (group, value)), the
     * cumulative window partitions BY GROUP over each group's distinct
     * values — distributed across groups, never a single-partition window.
-    * Output: (group, n_values, total_weight, weighted_median). */
+    * Output: (group, n_values, total_weight, weighted_median).
+    *
+    * NULL groups are EXCLUDED (r15, the round-14 advice finding): the
+    * offset/total re-attachment joins on the group column, and an equi
+    * join rejects null keys — the explicit filter below makes that the
+    * documented contract instead of a silent property of the join (the
+    * group-window form this replaced kept a null-group row; callers that
+    * need one should coalesce the group to a sentinel first). */
   def weightedMedian(df: DataFrame, group: String, value: Column,
       weight: Column, partitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
@@ -1220,10 +1245,14 @@ object Stats {
     val base = df
       .select(col(group), value.cast("double").as("v"),
         weight.cast("decimal(28,6)").as("w"))
-      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+      .filter(col(group).isNotNull &&
+        col("v").isNotNull && col("w").isNotNull && col("w") > 0)
       .groupBy(col(group), col("v")).agg(sum(col("w")).as("w"))
       .repartitionByRange(partitions, col(group), col("v"))
-      .sortWithinPartitions(group, "v")
+      // r15: no sortWithinPartitions — range partitioning alone fixes the
+      // pid-to-value-order invariant the offsets rely on, and the scored
+      // pass's window re-sorts its partition regardless, so the pre-sort
+      // only made the snapshot materialization pay an extra pass
       .withColumn("__pid", spark_partition_id())
     val snap =
       if (spark.sparkContext.getCheckpointDir.isDefined) base.checkpoint(eager = true)

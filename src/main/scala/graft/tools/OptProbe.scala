@@ -140,6 +140,48 @@ object OptProbe {
           val fs = org.apache.hadoop.fs.FileSystem.get(
             java.net.URI.create(tmp), spark.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        case "ppjoin" =>
+          val docs = graft.Tables.documents(spark, sfDir)
+          // mirror q246's exact call: threshold/shingle defaults
+          
+          val textCol = col("text"); val threshold = 0.5; val shingle = 3
+          val elems = graft.text.DedupOps.shingles(textCol, shingle)
+          val base = docs.filter(textCol.isNotNull)
+            .select(col("doc_id").cast("long").as("id"),
+              array_sort(array_distinct(elems)).as("arr"))
+            .filter(size(col("arr")) > 0)
+          val tok = base.select(col("id"), size(col("arr")).as("sz"),
+            explode(col("arr")).as("tk"))
+          val dfs = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("df").asc, col("tk").asc)
+          val prefix = tok.join(dfs, Seq("tk"))
+            .withColumn("__pos", row_number().over(w))
+            .filter(col("__pos") <=
+              col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+            .select("tk", "id", "__pos", "sz")
+          val pa = prefix.select(col("tk"), col("id").as("a"),
+            col("__pos").as("__pa"), col("sz").as("__sza"))
+          val pb = prefix.select(col("tk"), col("id").as("b"),
+            col("__pos").as("__pb"), col("sz").as("__szb"))
+          val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+            (col("__sza") + col("__szb")) - lit(1e-9))
+          val cand = pa.join(pb, Seq("tk"))
+            .filter(col("a") < col("b"))
+            .filter(col("__szb") >= lit(threshold) * col("__sza") - lit(1e-9) &&
+              col("__sza") >= lit(threshold) * col("__szb") - lit(1e-9))
+            .filter(lit(1) + least(col("__sza") - col("__pa"),
+              col("__szb") - col("__pb")) >= alpha)
+            .select("a", "b").distinct()
+          t("base noop") { noop(base) }
+          t("tok noop") { noop(tok) }
+          t("dfs noop") { noop(dfs) }
+          t("prefix noop") { noop(prefix) }
+          t("cand noop") { noop(cand) }
+          t("full q246 noop") { noop(graft.text.DedupOps
+            .prefixFilterJaccardPairs(docs, "doc_id", textCol)) }
+          println("  counts: base=" + base.count() + " tok=" + tok.count() +
+            " prefix=" + prefix.count() + " cand=" + cand.count())
         case other => sys.error(s"unknown probe $other")
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
