@@ -91,7 +91,20 @@ object Graphs {
     def endpoints(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    out += ((0, endpoints(cur).distinct().count(), cur.count()))
+    // r15 (guide §1.2 — fewer sequential driver barriers): both counts of
+    // a round come from ONE stacked aggregate job over the two
+    // materialized snapshots instead of two count() jobs — the peel is
+    // barrier-bound at local scale (4 jobs/round → 3), and a count over a
+    // snapshot only scans cached blocks, so stacking loses nothing.
+    def counts2(aDf: DataFrame, bDf: DataFrame): (Long, Long) = {
+      val r = aDf.select(lit(1L).as("__a"), lit(0L).as("__b"))
+        .unionAll(bDf.select(lit(0L).as("__a"), lit(1L).as("__b")))
+        .agg(sum(col("__a")), sum(col("__b"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    out += { val (n0, e0) = counts2(endpoints(cur).distinct(), cur)
+      (0, n0, e0) }
     var r = 1
     while (r <= rounds) {
       // r14: snapshot the survivor set — `keep` was referenced three times
@@ -101,12 +114,12 @@ object Graphs {
       // the PageRank/HITS broadcast-score budget).
       val keep = snap(endpoints(cur).groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n"))
-      val nKept = keep.count()
       cur = snap(cur
         .join(broadcast(keep.select(col("n").as("u"))), Seq("u"), "left_semi")
         .join(broadcast(keep.select(col("n").as("v"))), Seq("v"), "left_semi")
         .select("u", "v"))
-      out += ((r, nKept, cur.count()))
+      out += { val (nKept, nEdges) = counts2(keep, cur)
+        (r, nKept, nEdges) }
       r += 1
     }
     out.toSeq.toDF("round", "n_nodes", "n_edges")

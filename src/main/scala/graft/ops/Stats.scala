@@ -837,9 +837,12 @@ object Stats {
     // r15: NO data snapshot. Two consumers (the stacked rank build and the
     // final scoring join) re-run the scan+filter+spread, but that subtree
     // is two pruned numeric columns through whole-stage codegen — measured
-    // cheaper to recompute than to materialize and re-read 600k rows
-    // through the BlockManager (the r14 snapshot predates the stacked
-    // single-pass rank build, which halved the consumer count).
+    // cheaper to recompute than to materialize and re-read through the
+    // BlockManager at BOTH scales (sf0.1: 3.67 → 3.26 s; sf10 isolated
+    // A/B: 22.7 s with the snapshot vs 14.9 s without — a 60M-row
+    // localCheckpoint costs more than a second pruned columnar scan). The
+    // r14 snapshot predates the stacked single-pass rank build, which
+    // halved the consumer count.
     val data = dataRaw
 
     // r14: BOTH rank tables from ONE stacked pass — the per-axis builds

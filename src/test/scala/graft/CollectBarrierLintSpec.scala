@@ -36,6 +36,7 @@ class CollectBarrierLintSpec extends AnyFunSuite {
     "sim/Pq.scala" -> 4,           // loadIvfPqIndex coarse/books (≤nLists, ≤m·ksub); stacked pqCodebooks seed + per-iter books (≤m·ksub each)
     "enrich/Geocode.scala" -> 1,   // geocode cache map (≤#cached addresses)
     "tools/ProfileQuery.scala" -> 1, // dev profiling main, not library path
+    "tools/OptProbe.scala" -> 2,   // dev phase-timing main: JVM warmup + a bounded table-warm collect
     "tools/BenchSf1.scala" -> 1,   // JVM warmup action (1-row sum)
     "encode/TargetEncoder.scala" -> 1) // category->mean map (≤#categories)
 

@@ -41,9 +41,12 @@ class SpreadLintSpec extends AnyFunSuite {
       "guarded: both bootstrap resample explodes (x b per row) spread; " +
         "exempt: x#features / x#pairs / x#terms / x maxLag stacking " +
         "explodes (bounded small constants); spearman's x2 axis-stack " +
-        "explode reads the already-spread snapshot"),
+        "explode reads the already-spread frame"),
     "ops/Skew.scala" -> (1,
       "exempt: deliberate bounded salt replication of the SMALL side"),
+    "tools/OptProbe.scala" -> (1,
+      "exempt: dev phase-timing main, not a library path — mirrors the " +
+        "PPJoin tok explode it measures (which is itself in this census)"),
     "queries/AnalyticsQueries.scala" -> (1,
       "exempt: 7-day sequence per aggregated week row"),
     "queries/CurationQueries.scala" -> (1,
